@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the 10 driver-generated parquet tables (TESTDATA.md).
+  *
+  * `events.ts` is parquet `TIMESTAMP(NANOS)`, which Spark 4.x rejects by
+  * default (`[PARQUET_TYPE_ILLEGAL]`, SURVEY.md §7.3). The loader enables
+  * `spark.sql.legacy.parquet.nanosAsLong` (a dynamic SQLConf) so the column
+  * arrives as `LongType` nanoseconds, then derives:
+  *   - `ts_us`: epoch microseconds (exact integer division — the data is
+  *     µs-grain, so no precision is lost; DuckDB's `epoch_us(ts)` yields the
+  *     identical value, which is what makes events queries oracle-checkable)
+  *   - `ts`:    a real `TimestampType` column for window()/session logic
+  *     (session timezone is UTC everywhere, so bucket arithmetic matches the
+  *     oracle's naive timestamps).
+  *
+  * All other tables read as-is: fixed schemas from parquet footers, never
+  * `mergeSchema`. At cluster scale this loader is where partition-dir
+  * discovery and bucketing metadata would plug in; for the flat single-file
+  * layout there is nothing to configure.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Spark 4.1 routes lower()/upper() under UTF8_BINARY through ICU, whose
+    // class-init builds case tables for ~15-35 s (measured; it dominated the
+    // first lower()-bearing query of a fresh JVM). JVM case mappings are
+    // byte-identical to DuckDB's on this corpus, so pick them and skip init.
+    spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
+    name match {
+      case "events" =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case n =>
+        spark.read.parquet(s"$sfDir/$n.parquet")
+    }
+  }
+}

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import core._
+
+/** Event-stream queries over the `events` table: stream semantics expressed
+  * in batch so they stay DuckDB-verifiable (SURVEY.md §2.9). The identical
+  * aggregations run under Structured Streaming in `graft.streaming` — the
+  * batch and streaming plans share the window/session logic, which is the
+  * point of declaring them over `window()`/lag-cumsum compositions.
+  *
+  * All timestamps flow as `ts_us` epoch-microsecond BIGINTs in outputs:
+  * exact on both engines (events data is µs-grain; DuckDB `epoch_us(ts)`
+  * equals Spark's `ts div 1000` of the nanos — verified).
+  */
+object EventsQ {
+
+  /** NANOS-timestamp scan + normalization (the SURVEY §7.3 trap, exercised). */
+  val scanEvents: QFn = (s, dir) =>
+    t(s, dir, "events")
+      .select(col("event_id"), col("ts_us"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** Exact distinct users + event counts per type. */
+  val distinctUsers: QFn = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** Tumbling 1-hour windows via the real `window()` operator; the window
+    * start is emitted as epoch seconds for engine-agnostic comparison. */
+  val tumbleHourly: QFn = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        dbl(sum(dec(col("value"), 14, 4))).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("bucket_ts"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("bucket_ts"), col("event_type"))
+
+  /** Gap-based sessionization (30 min): lag → new-session flag → running sum
+    * session id → per-session rollup. Partitioned by user_id, so at cluster
+    * scale state is sharded on a high-cardinality key — no global window. */
+  val sessionGap30m: QFn = (s, dir) => {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val lagTs = lag(col("ts_us"), 1).over(wOrd)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("is_new",
+        when(lagTs.isNull || (col("ts_us") - lagTs) > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_us")).as("session_start_us"),
+        count(lit(1)).as("n_events"),
+        dbl(sum(dec(col("value"), 14, 4))).as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** JSON extraction from the string `props` column + aggregation. */
+  val jsonProps: QFn = (s, dir) => {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    t(s, dir, "events")
+      .withColumn("k", k)
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "scan_events_ts"       -> scanEvents,
+    "qdist_count_distinct" -> distinctUsers,
+    "qtumble_hourly"       -> tumbleHourly,
+    "qsession_gap30m"      -> sessionGap30m,
+    "qjson_props"          -> jsonProps)
+
+  val oracle: Map[String, String] = Map(
+    "scan_events_ts" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "qdist_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "qtumble_hourly" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_ts, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_ts, event_type""".stripMargin,
+    "qsession_gap30m" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |), s AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM m
+        |)
+        |SELECT user_id, session_id, min(ts_us) AS session_start_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "qjson_props" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}
