@@ -69,12 +69,98 @@ object EventsQ {
       .orderBy(col("event_type"))
   }
 
+  /** As-of join: each purchase matched to the user's latest prior view or
+    * signup. Implemented the scale-friendly way — tag candidates, one window
+    * pass with last(_, ignoreNulls) per user — instead of an inequality
+    * self-join, so it's a single shuffle on user_id with no nested loop
+    * (the shape that survives 100 TB; a range self-join would not). */
+  val asofEvent: QFn = (s, dir) => {
+    val isCand = col("event_type").isin("view", "signup")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("cand_event", when(isCand, col("event_id")))
+      .withColumn("cand_ts", when(isCand, col("ts_us")))
+      .withColumn("c_event", last(col("cand_event"), ignoreNulls = true).over(w))
+      .withColumn("c_ts", last(col("cand_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event"),
+        col("ts_us").as("p_ts"), col("c_event"), col("c_ts"))
+      .orderBy(col("p_event"))
+  }
+
+  /** UNION with dedup: purchasers ∪ signup users. */
+  val setUnion: QFn = (s, dir) => {
+    val e = t(s, dir, "events")
+    e.filter(col("event_type") === "purchase").select(col("user_id"))
+      .union(e.filter(col("event_type") === "signup").select(col("user_id")))
+      .distinct()
+      .orderBy(col("user_id"))
+  }
+
+  /** INTERSECT: users who both clicked and purchased. */
+  val setIntersect: QFn = (s, dir) => {
+    val e = t(s, dir, "events")
+    e.filter(col("event_type") === "click").select(col("user_id"))
+      .intersect(
+        e.filter(col("event_type") === "purchase").select(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+
+  /** EXCEPT: viewers who never purchased. */
+  val setExcept: QFn = (s, dir) => {
+    val e = t(s, dir, "events")
+    e.filter(col("event_type") === "view").select(col("user_id"))
+      .except(
+        e.filter(col("event_type") === "purchase").select(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+
+  /** Stream-style dedup: keep the first event per (user, type) in event-time
+    * order — the deterministic batch twin of dropDuplicates on a stream. */
+  val streamDedup: QFn = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts_us"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** Sliding 1-hour windows, 15-minute slide (each event in 4 windows). */
+  val slidingWindows: QFn = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        dbl(sum(dec(col("value"), 14, 4))).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  /** HLL approximate distinct — deliberately oracle-free (not
+    * bit-comparable); scalatest bounds its relative error instead. */
+  val approxDistinct: QFn = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, QFn] = Map(
     "scan_events_ts"       -> scanEvents,
     "qdist_count_distinct" -> distinctUsers,
     "qtumble_hourly"       -> tumbleHourly,
     "qsession_gap30m"      -> sessionGap30m,
-    "qjson_props"          -> jsonProps)
+    "qjson_props"          -> jsonProps,
+    "join_asof_event"      -> asofEvent,
+    "set_union_dedup"      -> setUnion,
+    "set_intersect"        -> setIntersect,
+    "set_except"           -> setExcept,
+    "stream_dedup"         -> streamDedup,
+    "win_sliding"          -> slidingWindows,
+    "approx_distinct"      -> approxDistinct)
 
   val oracle: Map[String, String] = Map(
     "scan_events_ts" ->
@@ -111,5 +197,51 @@ object EventsQ {
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "join_asof_event" ->
+      """WITH tagged AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type IN ('view','signup') THEN event_id END
+        |      AS cand_event,
+        |    CASE WHEN event_type IN ('view','signup') THEN epoch_us(ts) END
+        |      AS cand_ts
+        |  FROM events),
+        |filled AS (
+        |  SELECT *,
+        |    last_value(cand_event IGNORE NULLS) OVER w AS c_event,
+        |    last_value(cand_ts IGNORE NULLS) OVER w AS c_ts
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT user_id, event_id AS p_event, ts_us AS p_ts, c_event, c_ts
+        |FROM filled WHERE event_type = 'purchase'
+        |ORDER BY p_event""".stripMargin,
+    "set_union_dedup" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |UNION
+        |SELECT user_id FROM events WHERE event_type = 'signup'
+        |ORDER BY user_id""".stripMargin,
+    "set_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+    "set_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+    "stream_dedup" ->
+      """SELECT user_id, event_type, event_id, ts_us FROM (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "win_sliding" ->
+      """SELECT (epoch_us(ts) // 900000000 - i) * 900 AS win_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+        |FROM events CROSS JOIN (SELECT unnest(range(4)) AS i)
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)
 }

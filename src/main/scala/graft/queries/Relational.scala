@@ -100,13 +100,130 @@ object Relational {
         col("n_orders"), col("sum_price"))
       .orderBy(col("o_orderstatus"), col("o_orderpriority"))
 
+  /** Predicate-combination filter over a lineitem⋈part join: range, IN,
+    * LIKE, conjunction — all land in the parquet scan's PushedFilters. */
+  val filterPredCombo: QFn = (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("l_discount").between(0.03, 0.07) &&
+        col("p_type").isin("PROMO", "ECONOMY") &&
+        col("p_name").like("%red%") && col("l_quantity") < 30)
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_name"),
+        col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Computed projections: decimal arithmetic, CASE WHEN, date part. */
+  val projExpr: QFn = (s, dir) =>
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      dbl(dec(col("o_totalprice"), 18, 4) *
+        lit(new java.math.BigDecimal("0.1"))).as("fee"),
+      when(col("o_totalprice") > 300000, "BIG")
+        .when(col("o_totalprice") > 100000, "MED")
+        .otherwise("SMALL").as("bucket"),
+      year(col("o_orderdate")).cast("long").as("oyear"))
+      .orderBy(col("o_orderkey"))
+
+  /** Left outer join with null extension: customers vs their big orders. */
+  val joinLeftOuter: QFn = (s, dir) => {
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+    t(s, dir, "customer")
+      .join(big, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_big"),
+        coalesce(dbl(sum(dec(col("o_totalprice"), 18, 4))), lit(0.0))
+          .as("sum_big"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-semi join (EXISTS): customers with ≥1 urgent order. */
+  val joinSemi: QFn = (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Left-anti join (NOT EXISTS): customers with no F-status order. */
+  val joinAnti: QFn = (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Non-equi (theta/range) join: size-1 part pairs within a +5 price band.
+    * Both sides are filtered small before the BroadcastNestedLoopJoin, which
+    * is the only sane physical shape for a pure inequality join. */
+  val joinThetaRange: QFn = (s, dir) => {
+    val a = t(s, dir, "part").filter(col("p_size") === 1)
+      .select(col("p_partkey").as("a_key"), col("p_retailprice").as("a_price"))
+    val b = t(s, dir, "part").filter(col("p_size") === 1)
+      .select(col("p_partkey").as("b_key"), col("p_retailprice").as("b_price"))
+    a.join(b,
+      col("b_price") > col("a_price") &&
+        col("b_price") <= col("a_price") + 5 && col("a_key") =!= col("b_key"))
+      .select(col("a_key"), col("b_key"))
+      .orderBy(col("a_key"), col("b_key"))
+  }
+
+  /** CUBE over the lineitem flags. */
+  val cubeAgg: QFn = (s, dir) =>
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        dbl(sum(dec(col("l_quantity"), 12, 2))).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Explicit GROUPING SETS through the SQL surface (parquet.`path` scan). */
+  val groupingSets: QFn = (s, dir) => s.sql(
+    s"""SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       |  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       |  count(1) AS n_orders
+       |FROM parquet.`$dir/orders.parquet`
+       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+       |  (o_orderstatus), ())
+       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+
+  /** min/max plus argmax (max_by with a unique struct tiebreaker) per type. */
+  val aggMinMaxArgmax: QFn = (s, dir) =>
+    t(s, dir, "part")
+      .groupBy(col("p_type"))
+      .agg(max(col("p_retailprice")).as("max_price"),
+        min(col("p_retailprice")).as("min_price"),
+        count(lit(1)).as("n_parts"),
+        max_by(col("p_name"),
+          struct(col("p_retailprice"), col("p_partkey"))).as("top_part"))
+      .orderBy(col("p_type"))
+
+  /** Multi-key sort incl. a nullable key with explicit NULLS LAST. */
+  val sortMultiKey: QFn = (s, dir) =>
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        nullif(col("o_orderpriority"), lit("5-LOW")).as("prio_nn"))
+      .orderBy(col("o_orderstatus").asc, col("prio_nn").asc_nulls_last,
+        col("o_totalprice").desc, col("o_orderkey").asc)
+
   val queries: Map[String, QFn] = Map(
     "scan_lineitem"       -> scanLineitem,
     "q01_pricing_summary" -> q01,
     "q03_topk_revenue"    -> q03,
     "q05_region_join"     -> q05,
     "q06_filter_agg"      -> q06,
-    "qrollup_orders"      -> rollupOrders)
+    "qrollup_orders"      -> rollupOrders,
+    "filter_pred_combo"   -> filterPredCombo,
+    "proj_expr"           -> projExpr,
+    "join_left_outer"     -> joinLeftOuter,
+    "join_semi"           -> joinSemi,
+    "join_anti"           -> joinAnti,
+    "join_theta_range"    -> joinThetaRange,
+    "cube_agg"            -> cubeAgg,
+    "grouping_sets"       -> groupingSets,
+    "agg_minmax_argmax"   -> aggMinMaxArgmax,
+    "sort_multi_key"      -> sortMultiKey)
 
   val oracle: Map[String, String] = Map(
     "scan_lineitem" ->
@@ -159,5 +276,80 @@ object Relational {
         |  count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
-        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "filter_pred_combo" ->
+      """SELECT l_orderkey, l_linenumber, p_name, l_discount
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_discount BETWEEN 0.03 AND 0.07
+        |  AND p_type IN ('PROMO', 'ECONOMY')
+        |  AND p_name LIKE '%red%' AND l_quantity < 30
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "proj_expr" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 0.1 AS DOUBLE) AS fee,
+        |  CASE WHEN o_totalprice > 300000 THEN 'BIG'
+        |       WHEN o_totalprice > 100000 THEN 'MED'
+        |       ELSE 'SMALL' END AS bucket,
+        |  CAST(year(o_orderdate) AS BIGINT) AS oyear
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_big,
+        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+        |    0.0) AS sum_big
+        |FROM customer LEFT JOIN
+        |  (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "join_theta_range" ->
+      """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key
+        |FROM part a JOIN part b
+        |  ON b.p_retailprice > a.p_retailprice
+        | AND b.p_retailprice <= a.p_retailprice + 5
+        | AND a.p_partkey <> b.p_partkey
+        |WHERE a.p_size = 1 AND b.p_size = 1
+        |ORDER BY a_key, b_key""".stripMargin,
+    "cube_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |  count(1) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), ())
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "agg_minmax_argmax" ->
+      """SELECT a.p_type, a.max_price, a.min_price, a.n_parts,
+        |  r.p_name AS top_part
+        |FROM (SELECT p_type, max(p_retailprice) AS max_price,
+        |        min(p_retailprice) AS min_price, count(*) AS n_parts
+        |      FROM part GROUP BY p_type) a
+        |JOIN (SELECT p_type, p_name FROM
+        |        (SELECT p_type, p_name, row_number() OVER (
+        |           PARTITION BY p_type
+        |           ORDER BY p_retailprice DESC, p_partkey DESC) AS rn
+        |         FROM part) WHERE rn = 1) r
+        |  USING (p_type)
+        |ORDER BY p_type""".stripMargin,
+    "sort_multi_key" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  nullif(o_orderpriority, '5-LOW') AS prio_nn
+        |FROM orders
+        |ORDER BY o_orderstatus ASC, prio_nn ASC NULLS LAST,
+        |  o_totalprice DESC, o_orderkey ASC""".stripMargin)
 }

@@ -22,10 +22,98 @@ object WindowsQ {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** rank / dense_rank / ntile within p_type by price (unique tiebreaker). */
+  val rankDense: QFn = (s, dir) => {
+    val w = Window.partitionBy(col("p_type"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    t(s, dir, "part")
+      .select(col("p_partkey"), col("p_type"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("tile"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Cumulative revenue per customer (ROWS unbounded-preceding frame);
+    * decimal running sum so every prefix is exact on both engines. */
+  val runningSum: QFn = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        dbl(sum(dec(col("o_totalprice"), 18, 4)).over(w)).as("running"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** lag/lead: days since previous order and next order's price. */
+  val lagLead: QFn = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .cast("long").as("gap_days"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** 7-row moving average over the daily event-value series. The average is
+    * emitted as round(sum/count, 6) — the one formulation both engines
+    * compute bit-identically from the exact decimal window sum. */
+  val movingAvg: QFn = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(sum(dec(col("value"), 14, 4)).as("v"), count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    daily
+      .select(col("day"), col("n"),
+        round(dbl(sum(col("v")).over(w)) / sum(col("n")).over(w), 6)
+          .as("mavg7"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, QFn] = Map(
-    "qwin_rank_per_cust" -> rankPerCust)
+    "qwin_rank_per_cust" -> rankPerCust,
+    "win_rank_dense"     -> rankDense,
+    "win_running_sum"    -> runningSum,
+    "win_lag_lead"       -> lagLead,
+    "win_moving_avg"     -> movingAvg)
 
   val oracle: Map[String, String] = Map(
+    "win_rank_dense" ->
+      """SELECT p_partkey, p_type,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS tile
+        |FROM part
+        |WINDOW w AS (PARTITION BY p_type
+        |  ORDER BY p_retailprice DESC, p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+    "win_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  date_diff('day', lag(o_orderdate, 1) OVER w, o_orderdate)
+        |    AS gap_days,
+        |  lead(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(value AS DECIMAL(14,4))) AS v, count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT day, n,
+        |  round(CAST(sum(v) OVER w AS DOUBLE) /
+        |        CAST(sum(n) OVER w AS BIGINT), 6) AS mavg7
+        |FROM daily
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
     "qwin_rank_per_cust" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
