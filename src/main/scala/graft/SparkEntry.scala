@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ WindowsQ.queries ++ EventsQ.queries ++
-      TextQ.queries ++ VectorQ.queries
+      TextQ.queries ++ VectorQ.queries ++ FunctionsQ.queries ++
+      MultimodalQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ WindowsQ.oracle ++ EventsQ.oracle ++
-      TextQ.oracle ++ VectorQ.oracle
+      TextQ.oracle ++ VectorQ.oracle ++ FunctionsQ.oracle ++
+      MultimodalQ.oracle
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Reusable text-pipeline operators (tokenize, shingle, fingerprint,
+  * language-ID, quality features) as pure Column compositions — codegen'd,
+  * UDF-free, and therefore identical in cost to hand-written SQL. Every op
+  * is deterministic so outputs stay oracle-checkable cross-engine.
+  *
+  * Scale notes: all ops are per-row (no shuffle); the corpus-level operators
+  * built on top (dedup, tf-idf) shuffle on high-cardinality keys only.
+  */
+object TextOps {
+
+  /** Lowercased whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => w =!= "")
+
+  /** Whitespace-collapapsed lowercase normalization for exact dedup. */
+  def normText(text: Column): Column =
+    regexp_replace(lower(text), "\\s+", " ")
+
+  /** Distinct word n-gram shingles (space-joined); empty array below n. */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    when(size(ws) >= n,
+      array_distinct(transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** One MinHash component: min over shingles of md5(seed || '|' || s).
+    * md5 hex strings compare lexicographically == numerically (fixed width),
+    * and md5 is engine-agnostic — the whole signature is oracle-safe. */
+  def minhash(shingleArr: Column, seed: Int): Column =
+    array_min(transform(shingleArr, sh => md5(concat(lit(s"$seed|"), sh))))
+
+  /** 32-bit SimHash over the token bag, as a '0'/'1' bit string. Bit k is
+    * the sign of Σ_tokens (2·bit_k(md5(token)) − 1); ties (sum 0) → '0'. */
+  def simhashBits(toks: Column): Column = {
+    val sums = (0 until 32).map { k =>
+      val hexPos = k / 4
+      val shift = 1 << (3 - (k % 4)) // weight of this bit within the nibble
+      val bit = aggregate(toks, lit(0L), (acc, w) => {
+        val nib = conv(substring(md5(w), hexPos + 1, 1), 16, 10).cast("long")
+        acc + (nib / shift).cast("long") % 2 * 2 - 1
+      })
+      when(bit > 0, "1").otherwise("0")
+    }
+    concat(sums: _*)
+  }
+
+  /** Charset-heuristic language ID. On a Latin-only corpus everything is
+    * 'en' by construction; the rules are the operator, not the accuracy. */
+  def langId(text: Column): Column =
+    when(text.rlike("[一-鿿]"), "zh")
+      .when(text.rlike("[äöüß]"), "de")
+      .when(text.rlike("[áéíóúñ]"), "es")
+      .when(text.rlike("[àâçèêîôû]"), "fr")
+      .otherwise("en")
+
+  val stopwords: Seq[String] = Seq("a", "the")
+
+  /** Deterministic rolling fingerprint inputs: whole-doc md5 + min word
+    * hash (winnowing-lite) are both order-independent and engine-agnostic. */
+  def docFingerprint(text: Column): Column = substring(md5(normText(text)), 1, 16)
+}
