@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.core.{dbl, dec}
+
+/** Structured Streaming execution of the engine's event-stream semantics
+  * (SURVEY.md §2.9 / §7.5).
+  *
+  * The same declarative aggregations that run in batch (EventsQ) run here
+  * over an unbounded source — that interchangeability is the point of
+  * expressing stream logic as `window()`/`session_window()` compositions.
+  * Batch queries stay the oracle-checkable contract; these transforms are
+  * exercised by StreamingSpec over MemoryStream with watermarks, including
+  * a late-data drop.
+  *
+  * At scale: watermark state is keyed by (window × event_type) or
+  * (user × session) — high-cardinality, shard-able; `Trigger.AvailableNow`
+  * gives catch-up batch runs with the same state semantics.
+  */
+object StreamingDemo {
+
+  /** Tumbling 1-hour counts/sums per event type (append-able once the
+    * watermark passes the window end). */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        dbl(sum(dec(col("value"), 14, 4))).as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding 1-hour / 15-minute windows. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Native session windows (30-minute gap) per user — the streaming twin
+    * of the batch lag/cumsum sessionization. */
+  def sessions30m(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        dbl(sum(dec(col("value"), 14, 4))).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"), col("sum_value"))
+}

@@ -1,0 +1,23 @@
+package graft
+
+/** The §5.5 determinism canary: every contract query must produce the
+  * identical ordered result under different shuffle partitioning — the
+  * cheap local proxy for "will it hash-match an independent engine".
+  * Catches float-order aggregation, undefined tie-breaks, and LIMIT under
+  * partial orders.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name is partition-count invariant") {
+      spark.sparkContext.setLogLevel("WARN")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val a = fn(spark, sf).collect().toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val b = fn(spark, sf).collect().toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      assert(a.size == b.size, s"row counts differ: ${a.size} vs ${b.size}")
+      assert(a == b, "rows differ between partition counts")
+    }
+  }
+}

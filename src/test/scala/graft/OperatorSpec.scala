@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, VectorSum}
+
+/** Non-oracle operator checks: approximate distinct error bounds, the
+  * custom Aggregator's partial/merge correctness, the mapPartitions
+  * multimodal stub, and algebraic laws of the dedup/set/similarity ops. */
+class OperatorSpec extends SparkSpec {
+
+  test("approx_count_distinct within 5% of exact per event_type") {
+    val e = Tables(spark, sf, "events")
+    val rows = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id")).as("approx"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact").toDouble
+      val approx = r.getAs[Long]("approx").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getAs[String]("event_type")}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("VectorSum aggregator matches posexplode-based sum per label") {
+    val emb = Tables(spark, sf, "embeddings")
+    val viaAgg = emb.groupBy(col("label"))
+      .agg(VectorSum(col("embedding")).as("vs"))
+      .select(col("label"), posexplode(col("vs")).as(Seq("pos", "v")))
+    val viaExplode = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v").cast("double")).as("v"))
+    val joined = viaAgg.alias("a")
+      .join(viaExplode.alias("b"), Seq("label", "pos"))
+      .select(col("a.v").cast("double").as("va"), col("b.v").as("vb"))
+      .collect()
+    assert(joined.length == 10 * 64)
+    joined.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-3)
+    }
+  }
+
+  test("Multimodal.extractFeatures runs partition-wise over binary payloads") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .repartition(3)
+    val feats = Multimodal.extractFeatures(docs)
+    assert(feats.schema == Multimodal.featureSchema)
+    val n = Tables(spark, sf, "documents").count()
+    assert(feats.count() == n)
+    val r = feats.orderBy(col("doc_id")).first()
+    assert(r.getAs[Long]("n_bytes") > 0 && r.getAs[Long]("checksum") != 0L)
+  }
+
+  test("dedup is idempotent") {
+    val once = SparkEntry.queries("qdedup_docs")(spark, sf)
+    val docs = Tables(spark, sf, "documents")
+    val twice = once.join(docs.select(col("doc_id"), col("text")), "doc_id")
+    // re-running the same normalization keeps every survivor
+    val renorm = twice
+      .withColumn("norm", regexp_replace(lower(col("text")), "\\s+", " "))
+      .groupBy(col("norm")).count().filter(col("count") > 1)
+    assert(renorm.count() == 0)
+  }
+
+  test("cosine kNN: self-similarity excluded, scores in [-1, 1], k per query") {
+    val knn = SparkEntry.queries("qknn_cosine_top5")(spark, sf).collect()
+    assert(knn.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("vec_id")))
+    assert(knn.forall { r =>
+      val c = r.getAs[Double]("cos_sim"); c >= -1.0001 && c <= 1.0001
+    })
+    val perQ = knn.groupBy(_.getAs[Long]("qid")).values.map(_.length).toSet
+    assert(perQ == Set(5))
+  }
+
+  test("set algebra: |union| <= |A| + |B|; except ∩ purchasers = ∅") {
+    val u = SparkEntry.queries("set_union_dedup")(spark, sf).count()
+    val e = Tables(spark, sf, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+    val sg = e.filter(col("event_type") === "signup")
+      .select(col("user_id")).distinct()
+    assert(u <= p.count() + sg.count())
+    val ex = SparkEntry.queries("set_except")(spark, sf)
+    assert(ex.join(p, "user_id").count() == 0)
+  }
+
+  test("minhash LSH pairs are a subset of exact neardup pairs") {
+    val exact = SparkEntry.queries("neardup_pairs")(spark, sf)
+      .select("a_id", "b_id").collect().toSet
+    val lsh = SparkEntry.queries("minhash_lsh_pairs")(spark, sf)
+      .select("a_id", "b_id").collect().toSet
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("rollup row count = sum of grouping-set cardinalities") {
+    val o = Tables(spark, sf, "orders")
+    val full = o.select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct().count()
+    val s1 = o.select(col("o_orderstatus")).distinct().count()
+    val got = SparkEntry.queries("qrollup_orders")(spark, sf).count()
+    assert(got == full + s1 + 1)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamingDemo
+
+/** Structured Streaming semantics (SURVEY.md §7.5): the batch-declared
+  * window aggregations run unchanged over an unbounded source, and the
+  * watermark drops late data — the two behaviors no batch oracle can grade.
+  */
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("tumbling hourly agg over a stream matches the same agg in batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val data = Seq(
+      Ev(ts(5), 1, "view", 1.0), Ev(ts(20), 2, "view", 2.0),
+      Ev(ts(65), 1, "click", 3.0), Ev(ts(70), 3, "view", 4.0),
+      Ev(ts(130), 2, "click", 5.0))
+    val mem = MemoryStream[Ev]
+    mem.addData(data: _*)
+    val q = StreamingDemo.tumblingHourly(mem.toDF())
+      .writeStream.format("memory").queryName("tumble_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination(); q.stop()
+    val streamed = spark.table("tumble_out")
+      .orderBy("bucket", "event_type").collect().toSeq
+    val batch = StreamingDemo.tumblingHourly(data.toDF())
+      .orderBy("bucket", "event_type").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("watermark drops late rows in append mode") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingDemo.tumblingHourly(mem.toDF())
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: events in hour 0 and hour 5 — watermark advances to 04:00
+    mem.addData(Ev(ts(10), 1, "view", 1.0), Ev(ts(300), 1, "view", 1.0))
+    q.processAllAvailable()
+    // batch 2: a very late hour-0 event — behind the watermark, dropped
+    mem.addData(Ev(ts(15), 2, "view", 9.0))
+    q.processAllAvailable()
+    // batch 3: advance far enough to close every window
+    mem.addData(Ev(ts(900), 1, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("late_out").collect()
+    val hour0 = out.filter(_.getAs[Timestamp]("bucket") == ts(0))
+    assert(hour0.length == 1)
+    // late event was NOT merged: hour-0 window still counts only batch 1
+    assert(hour0.head.getAs[Long]("n") == 1L)
+  }
+
+  test("session windows over a stream produce gap-separated sessions") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(ts(0), 7, "view", 1.0), Ev(ts(10), 7, "view", 1.0),  // session 1
+      Ev(ts(100), 7, "view", 1.0),                            // session 2
+      Ev(ts(900), 7, "view", 0.0))                            // close all
+    val q = StreamingDemo.sessions30m(mem.toDF())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination(); q.stop()
+    val sessions = spark.table("sess_out").collect()
+    assert(sessions.length == 3)
+    assert(sessions.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 1L, 2L))
+  }
+}
