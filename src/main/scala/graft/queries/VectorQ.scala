@@ -1,45 +1,53 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column}
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.expressions.DotProduct
 import core._
 
-/** Embedding / similarity-search queries over `embeddings` (SURVEY.md §2.10).
+/** Embedding / similarity-search queries over `embeddings` (SURVEY.md §2.10
+  * + the similarity-search mandate).
   *
-  * Vector math is pure higher-order-function composition
-  * (`zip_with` + `aggregate`) over `array<float>` cast to double — stays
-  * inside codegen, no UDF, no JVM-boundary cost. Similarities are rounded to
-  * 6 decimals *before* ranking on both engines, so rank order is identical
-  * even though the two engines accumulate dot products in different orders.
+  * All dot products go through the custom codegen'd Catalyst expression
+  * `graft_dot` (graft.expressions.DotProduct) — the higher-order-function
+  * formulation is CodegenFallback and measured ~5× slower on all-pairs
+  * workloads. Norms are computed once per row *before* any join, so the
+  * per-pair cost of the O(|Q|·|N|) / O(n²) similarity joins is a single
+  * primitive loop.
   *
-  * Scale path: brute-force top-k here is O(|Q|·|N|) with a bounded query set
-  * (50 vectors) — at 100 TB the same plan shape holds by broadcasting the
-  * query set and mapping over base partitions; the LSH-bucketed variant
-  * (graft.operators) bounds candidates when |Q| grows.
+  * Scale paths: brute-force kNN holds at 100 TB by broadcasting the bounded
+  * query set over base partitions; `ann_lsh_knn` is the sub-quadratic
+  * bucketed variant; `embed_neardup`'s exact O(n²) is the verification tier
+  * above LSH candidates. Similarity scores are rounded to 6 decimals before
+  * ranking/filtering on both engines so ordering is engine-identical.
   */
 object VectorQ {
 
-  /** Sequential-fold dot product over two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def gdot(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** vec_id, v (double[]), nrm — the shared per-row prep. */
+  private def unitBase(s: SparkSession, dir: String) = {
+    DotProduct.register(s)
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(gdot(col("v"), col("v"))))
+  }
 
   /** Brute-force cosine top-5 neighbours for the 50 query vectors
     * (vec_id < 50 — present at every scale factor). */
   val knnTop5: QFn = (s, dir) => {
-    val e = t(s, dir, "embeddings")
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val e = unitBase(s, dir)
     val q = e.filter(col("vec_id") < 50)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     q.crossJoin(e)
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos_sim", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("cos_sim",
+        round(gdot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
       .select(col("qid"), col("vec_id"), col("cos_sim"), col("rn"))
@@ -61,13 +69,13 @@ object VectorQ {
       .orderBy(col("label"), col("pos"))
 
   /** docs ⋈ embeddings ⋈ per-lang rollup: text-length + vector-norm stats.
-    * Norms are per-row identical doubles (fold over exact float→double),
-    * decimal-fixed before the group sum. */
+    * Norms are per-row identical doubles, decimal-fixed before the sum. */
   val multimodalJoin: QFn = (s, dir) => {
+    DotProduct.register(s)
     val v = transform(col("embedding"), x => x.cast("double"))
     t(s, dir, "documents")
       .join(t(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
-      .withColumn("nrm", dec(sqrt(dot(v, v)), 14, 6))
+      .withColumn("nrm", dec(sqrt(gdot(v, v)), 14, 6))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         round(dbl(sum(col("n_chars"))) / count(lit(1)), 6).as("avg_chars"),
@@ -76,33 +84,15 @@ object VectorQ {
   }
 
   /** Embedding-cosine near-duplicate pairs (rounded cosine ≥ 0.45).
-    *
-    * O(n²) pairs is inherent to exact all-pairs similarity, so the per-pair
-    * work is minimized: vectors are L2-normalized once per row *before* the
-    * cross join (cosine collapses to a single dot product) and the dot is an
-    * index fold over `sequence(1, 64)` — no per-pair zipped-array
-    * allocation. Measured ~6× over the naive cosine-per-pair formulation.
-    * The sub-quadratic scale path is ann_lsh_knn's bucketing. */
+    * Exact all-pairs: L2-normalize once per row, then one codegen'd dot
+    * per pair. The sub-quadratic scale path is ann_lsh_knn's bucketing. */
   val embedNeardup: QFn = (s, dir) => {
-    val dim = 64
-    // Columnarize: 64 scalar double columns instead of an array, because
-    // higher-order functions are CodegenFallback (interpreted, boxed) while
-    // plain arithmetic over scalar columns stays in whole-stage codegen.
-    val flat = t(s, dir, "embeddings").select(
-      col("vec_id") +: (0 until dim).map(i =>
-        element_at(col("embedding"), i + 1).cast("double").as(s"e$i")): _*)
-    val nrm = sqrt((0 until dim).map(i => col(s"e$i") * col(s"e$i"))
-      .reduce(_ + _))
-    val unit = flat.withColumn("nrm", nrm).select(
-      col("vec_id") +: (0 until dim).map(i =>
-        (col(s"e$i") / col("nrm")).as(s"n$i")): _*)
-    val a = unit.select(col("vec_id").as("a_id") +:
-      (0 until dim).map(i => col(s"n$i").as(s"a$i")): _*)
-    val b = unit.select(col("vec_id").as("b_id") +:
-      (0 until dim).map(i => col(s"n$i").as(s"b$i")): _*)
-    val dotn = (0 until dim).map(i => col(s"a$i") * col(s"b$i")).reduce(_ + _)
+    val e = unitBase(s, dir)
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+    val a = e.select(col("vec_id").as("a_id"), col("u").as("ua"))
+    val b = e.select(col("vec_id").as("b_id"), col("u").as("ub"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
-      .withColumn("cos_sim", round(dotn, 6))
+      .withColumn("cos_sim", round(gdot(col("ua"), col("ub")), 6))
       .filter(col("cos_sim") >= 0.45)
       .select(col("a_id"), col("b_id"), col("cos_sim"))
       .orderBy(col("a_id"), col("b_id"))
@@ -113,19 +103,18 @@ object VectorQ {
     * cross join shrinks from |Q|·|N| to |Q|·|bucket|; recall is approximate
     * by design and the oracle runs the identical algorithm. */
   val annLshKnn: QFn = (s, dir) => {
-    val v = transform(col("embedding"), x => x.cast("double"))
     val bucket = concat((0 until 8).map(i =>
       when(element_at(col("v"), i + 1) > 0, "1").otherwise("0")): _*)
-    val e = t(s, dir, "embeddings")
-      .select(col("vec_id"), v.as("v"))
-      .withColumn("bucket", bucket)
+    val e = unitBase(s, dir).withColumn("bucket", bucket)
     val q = e.filter(col("vec_id") < 50)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-    q.join(e, "bucket")
+    q.join(e.select(col("vec_id"), col("v"), col("nrm"), col("bucket")), "bucket")
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos_sim", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("cos_sim",
+        round(gdot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("qid"), col("vec_id"), col("cos_sim"), col("rn"))
@@ -140,6 +129,17 @@ object VectorQ {
     "ann_lsh_knn"        -> annLshKnn)
 
   val oracle: Map[String, String] = Map(
+    "qknn_cosine_top5" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 50),
+        |p AS (SELECT qid, vec_id,
+        |        round(list_cosine_similarity(qv, v), 6) AS cos_sim
+        |      FROM q, e WHERE vec_id <> qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos_sim DESC, vec_id) AS rn FROM p)
+        |SELECT qid, vec_id, cos_sim, rn FROM r
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
     "centroid_per_label" ->
       """SELECT label, pos, round(CAST(sv AS DOUBLE) / n, 6) AS centroid
         |FROM (
@@ -196,16 +196,5 @@ object VectorQ {
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
         |        ORDER BY cos_sim DESC, vec_id) AS rn FROM p)
         |SELECT qid, vec_id, cos_sim, rn FROM r WHERE rn <= 3
-        |ORDER BY qid, rn""".stripMargin,
-    "qknn_cosine_top5" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |           FROM embeddings),
-        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 50),
-        |p AS (SELECT qid, vec_id,
-        |        round(list_cosine_similarity(qv, v), 6) AS cos_sim
-        |      FROM q, e WHERE vec_id <> qid),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
-        |        ORDER BY cos_sim DESC, vec_id) AS rn FROM p)
-        |SELECT qid, vec_id, cos_sim, rn FROM r
-        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)
+        |ORDER BY qid, rn""".stripMargin)
 }
