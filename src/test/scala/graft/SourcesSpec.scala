@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Source/sink surface beyond the contract's parquet tables: CSV and JSON
+  * round-trips with explicit schemas, and hive-style partitioned parquet
+  * writes whose reads prune partitions (the 100 TB layout pattern — date /
+  * key partition dirs so scans touch only matching directories). */
+class SourcesSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("CSV round-trip preserves rows and schema (header + explicit schema)") {
+    val dir = tmp("graft_csv")
+    val src = Tables(spark, sf, "nation")
+    src.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true")
+      .schema(src.schema).csv(dir)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      src.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("JSON round-trip preserves rows") {
+    val dir = tmp("graft_json")
+    val src = Tables(spark, sf, "region")
+    src.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(src.schema).json(dir)
+    assert(back.orderBy("r_regionkey").collect().toSeq ==
+      src.orderBy("r_regionkey").collect().toSeq)
+  }
+
+  test("partitioned parquet write → partition-pruned read") {
+    val dir = tmp("graft_part")
+    Tables(spark, sf, "orders")
+      .withColumn("oyear", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("oyear").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("oyear") === 1996)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(oyear"),
+      s"expected partition filters in plan:\n$plan")
+    val expected = Tables(spark, sf, "orders")
+      .filter(year(col("o_orderdate")) === 1996).count()
+    assert(pruned.count() == expected)
+  }
+
+  test("bucketed table write co-locates the join (no shuffle on bucketed side)") {
+    Tables(spark, sf, "orders")
+      .write.mode("overwrite").bucketBy(4, "o_custkey")
+      .sortBy("o_custkey").saveAsTable("orders_bucketed")
+    val joined = spark.table("orders_bucketed")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // aggregation on the bucket key needs no exchange
+    assert(!plan.contains("Exchange hashpartitioning(o_custkey"),
+      s"bucketed agg should not shuffle:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+  }
+}
