@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.DotProduct
+
+/** SparkSessionExtensions entry point: injects the engine's custom
+  * expressions at session build, so a user can enable everything with
+  *
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)         // or
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *
+  * Driver-owned sessions (Verify/Bench) don't pass extensions, so query
+  * functions also call DotProduct.register — the runtime-registry route.
+  * Both paths resolve the same `graft_dot`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+  }
+}

@@ -61,6 +61,30 @@ class StreamingSpec extends SparkSpec {
     assert(hour0.head.getAs[Long]("n") == 1L)
   }
 
+  test("file-source stream over the real events parquet equals batch") {
+    val events = Tables(spark, sf, "events") // also sets the nanos conf
+    // file streams read directories (a stream inbox): stage the file in one
+    val inbox = java.nio.file.Files.createTempDirectory("graft_inbox")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      inbox.resolve("events.parquet"))
+    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    val streamEvents = spark.readStream.schema(rawSchema)
+      .parquet(inbox.toString)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamingDemo.tumblingHourly(streamEvents)
+      .writeStream.format("memory").queryName("file_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination(); q.stop()
+    val streamed = spark.table("file_out")
+      .orderBy("bucket", "event_type").collect().toSeq
+    val batch = StreamingDemo.tumblingHourly(events)
+      .orderBy("bucket", "event_type").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("session windows over a stream produce gap-separated sessions") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
