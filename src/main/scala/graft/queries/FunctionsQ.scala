@@ -43,11 +43,11 @@ object FunctionsQ {
   val mathFuncs: QFn = (s, dir) =>
     t(s, dir, "lineitem").select(
       col("l_orderkey"), col("l_linenumber"),
-      round(col("l_extendedprice"), 1).as("price_r1"),
+      rd(col("l_extendedprice"), 1).as("price_r1"),
       abs(col("l_discount") - 0.05).as("disc_dev"),
       sqrt(col("l_quantity")).as("qty_sqrt"),
-      round(log(col("l_extendedprice")), 6).as("price_ln"),
-      round(pow(col("l_tax") + 1, 2), 6).as("tax_sq"),
+      r6(log(col("l_extendedprice"))).as("price_ln"),
+      r6(pow(col("l_tax") + 1, 2)).as("tax_sq"),
       floor(col("l_extendedprice") / 100).cast("long").as("price_c"),
       ceil(col("l_quantity") / 7).cast("long").as("qty_bucket"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
@@ -60,10 +60,10 @@ object FunctionsQ {
       col("vec_id"),
       size(col("embedding")).cast("long").as("dim"),
       element_at(v, 1).as("first_val"),
-      round(sqrt(aggregate(transform(v, x => x * x), lit(0.0),
-        (acc, x) => acc + x)), 6).as("l2norm"),
-      round(aggregate(transform(v, x => abs(x)), lit(0.0),
-        (acc, x) => acc + x), 6).as("sum_abs"),
+      r6(sqrt(aggregate(transform(v, x => x * x), lit(0.0),
+        (acc, x) => acc + x))).as("l2norm"),
+      r6(aggregate(transform(v, x => abs(x)), lit(0.0),
+        (acc, x) => acc + x)).as("sum_abs"),
       size(filter(v, x => x > 0)).cast("long").as("n_pos"))
       .orderBy(col("vec_id"))
   }
@@ -95,11 +95,11 @@ object FunctionsQ {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
-        |  round(l_extendedprice, 1) AS price_r1,
+        |  floor((l_extendedprice) * 10 + 0.5) / 10 AS price_r1,
         |  abs(l_discount - 0.05) AS disc_dev,
         |  sqrt(l_quantity) AS qty_sqrt,
-        |  round(ln(l_extendedprice), 6) AS price_ln,
-        |  round(pow(l_tax + 1, 2), 6) AS tax_sq,
+        |  floor((ln(l_extendedprice)) * 1000000 + 0.5) / 1000000 AS price_ln,
+        |  floor((pow(l_tax + 1, 2)) * 1000000 + 0.5) / 1000000 AS tax_sq,
         |  CAST(floor(l_extendedprice / 100) AS BIGINT) AS price_c,
         |  CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_bucket
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
@@ -107,12 +107,12 @@ object FunctionsQ {
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,
         |  CAST(embedding[1] AS DOUBLE) AS first_val,
-        |  round(sqrt(list_reduce(
+        |  floor((sqrt(list_reduce(
         |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
-        |    (a, b) -> a + b)), 6) AS l2norm,
-        |  round(list_reduce(
+        |    (a, b) -> a + b))) * 1000000 + 0.5) / 1000000 AS l2norm,
+        |  floor((list_reduce(
         |    list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)),
-        |    (a, b) -> a + b), 6) AS sum_abs,
+        |    (a, b) -> a + b)) * 1000000 + 0.5) / 1000000 AS sum_abs,
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
         |FROM embeddings ORDER BY vec_id""".stripMargin)
 }

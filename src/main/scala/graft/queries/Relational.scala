@@ -31,9 +31,9 @@ object Relational {
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dbl(sum(qty)).as("sum_qty"),
-        dbl(sum(ep)).as("sum_base_price"),
-        dbl(sum(rev)).as("sum_disc_price"),
-        dbl(sum(charge)).as("sum_charge"),
+        moneySum(ep).as("sum_base_price"),
+        moneySum(rev).as("sum_disc_price"),
+        moneySum(charge).as("sum_charge"),
         (dbl(sum(qty)) / count(lit(1))).as("avg_qty"),
         (dbl(sum(ep)) / count(lit(1))).as("avg_price"),
         (dbl(sum(dec(col("l_discount"), 9, 4))) / count(lit(1))).as("avg_disc"),
@@ -49,7 +49,7 @@ object Relational {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(dbl(sum(revenue(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+      .agg(moneySum(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
       .select(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
         col("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -72,7 +72,7 @@ object Relational {
       .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(dbl(sum(revenue(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+      .agg(moneySum(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -83,8 +83,8 @@ object Relational {
         col("l_shipdate") < lit("1997-01-01") &&
         col("l_discount").between(0.02, 0.06) &&
         col("l_quantity") < 24)
-      .agg(dbl(sum(dec(col("l_extendedprice"), 18, 4) *
-        dec(col("l_discount"), 9, 4))).as("revenue"))
+      .agg(moneySum(dec(col("l_extendedprice"), 18, 4) *
+        dec(col("l_discount"), 9, 4)).as("revenue"))
 
   /** ROLLUP over status × priority; NULL grouping slots surfaced as 'ALL'
     * so both engines order identically (Spark sorts NULLS FIRST, DuckDB
@@ -93,7 +93,7 @@ object Relational {
     t(s, dir, "orders")
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        dbl(sum(dec(col("o_totalprice"), 18, 4))).as("sum_price"))
+        moneySum(dec(col("o_totalprice"), 18, 4)).as("sum_price"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
@@ -131,7 +131,7 @@ object Relational {
       .join(big, col("c_custkey") === col("o_custkey"), "left")
       .groupBy(col("c_custkey"))
       .agg(count(col("o_orderkey")).as("n_big"),
-        coalesce(dbl(sum(dec(col("o_totalprice"), 18, 4))), lit(0.0))
+        coalesce(moneySum(dec(col("o_totalprice"), 18, 4)), lit(0.0))
           .as("sum_big"))
       .orderBy(col("c_custkey"))
   }
@@ -232,9 +232,9 @@ object Relational {
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-         |  CAST(sum($revenueSql) AS DOUBLE) AS sum_disc_price,
-         |  CAST(sum($revenueSql * (1 + CAST(l_tax AS DECIMAL(9,4)))) AS DOUBLE) AS sum_charge,
+         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+         |  CAST(round(sum($revenueSql), 2) AS DOUBLE) AS sum_disc_price,
+         |  CAST(round(sum($revenueSql * (1 + CAST(l_tax AS DECIMAL(9,4)))), 2) AS DOUBLE) AS sum_charge,
          |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
          |  CAST(sum(CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) / count(*) AS avg_disc,
@@ -244,7 +244,7 @@ object Relational {
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q03_topk_revenue" ->
       s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
-         |  CAST(sum($revenueSql) AS DOUBLE) AS revenue
+         |  CAST(round(sum($revenueSql), 2) AS DOUBLE) AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |  JOIN customer ON o_custkey = c_custkey
          |WHERE c_mktsegment = 'BUILDING'
@@ -253,7 +253,7 @@ object Relational {
          |GROUP BY l_orderkey, o_orderdate
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q05_region_join" ->
-      s"""SELECT n_name, CAST(sum($revenueSql) AS DOUBLE) AS revenue
+      s"""SELECT n_name, CAST(round(sum($revenueSql), 2) AS DOUBLE) AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |  JOIN customer ON o_custkey = c_custkey
          |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -264,8 +264,8 @@ object Relational {
          |  AND o_orderdate < TIMESTAMP '1998-01-01'
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q06_filter_agg" ->
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |  CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) AS revenue
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |  CAST(l_discount AS DECIMAL(9,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -274,7 +274,7 @@ object Relational {
       """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
         |  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
         |  count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "filter_pred_combo" ->
@@ -294,7 +294,7 @@ object Relational {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "join_left_outer" ->
       """SELECT c_custkey, count(o_orderkey) AS n_big,
-        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+        |  coalesce(CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE),
         |    0.0) AS sum_big
         |FROM customer LEFT JOIN
         |  (SELECT * FROM orders WHERE o_totalprice > 400000) o

@@ -76,7 +76,7 @@ object TextQ {
       .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
       .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
       .withColumn("jac",
-        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+        r6(col("inter") / (col("na") + col("nb") - col("inter"))))
       .filter(col("jac") >= 0.8)
       .select(col("a_id"), col("b_id"), col("jac"))
       .orderBy(col("a_id"), col("b_id"))
@@ -110,7 +110,7 @@ object TextQ {
         col("n").as("nb")), "b_id")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("jac",
-        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+        r6(col("inter") / (col("na") + col("nb") - col("inter"))))
       .filter(col("jac") >= 0.8)
       .select(col("a_id"), col("b_id"), col("jac"))
       .orderBy(col("a_id"), col("b_id"))
@@ -161,7 +161,7 @@ object TextQ {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "word").crossJoin(broadcast(n))
       .withColumn("score_r",
-        round(col("tf") * log(col("n_docs") / col("df")), 6))
+        r6(col("tf") * log(col("n_docs") / col("df"))))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_r").desc, col("word"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -187,12 +187,12 @@ object TextQ {
     t(s, dir, "documents")
       .select(col("doc_id"),
         nTok.cast("long").as("n_tokens"),
-        round(nDis / nTok, 6).as("ttr"),
-        round(nStop / nTok, 6).as("stop_ratio"),
-        round(sumLen / nTok, 6).as("mean_wlen"))
+        r6(nDis / nTok).as("ttr"),
+        r6(nStop / nTok).as("stop_ratio"),
+        r6(sumLen / nTok).as("mean_wlen"))
       .withColumn("quality",
-        round(lit(0.5) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
-          lit(0.2) * least(col("mean_wlen") / 10, lit(1.0)), 6))
+        r6(lit(0.5) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.2) * least(col("mean_wlen") / 10, lit(1.0))))
       .orderBy(col("doc_id"))
   }
 
@@ -266,9 +266,9 @@ object TextQ {
          |       FROM sh a JOIN sh b USING (shingle)
          |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
          |SELECT a_id, b_id,
-         |  round(inter / (sa.n + sb.n - inter), 6) AS jac
+         |  floor((inter / (sa.n + sb.n - inter)) * 1000000 + 0.5) / 1000000 AS jac
          |FROM pr JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
-         |WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.8
+         |WHERE floor((inter / (sa.n + sb.n - inter)) * 1000000 + 0.5) / 1000000 >= 0.8
          |ORDER BY a_id, b_id""".stripMargin,
     "minhash_lsh_pairs" ->
       s"""WITH $shCte,
@@ -287,8 +287,8 @@ object TextQ {
          |    sa.n AS na, sb.n AS nb
          |  FROM cand JOIN sig sa ON a_id = sa.doc_id
          |            JOIN sig sb ON b_id = sb.doc_id)
-         |SELECT a_id, b_id, round(inter / (na + nb - inter), 6) AS jac
-         |FROM sc WHERE round(inter / (na + nb - inter), 6) >= 0.8
+         |SELECT a_id, b_id, floor((inter / (na + nb - inter)) * 1000000 + 0.5) / 1000000 AS jac
+         |FROM sc WHERE floor((inter / (na + nb - inter)) * 1000000 + 0.5) / 1000000 >= 0.8
          |ORDER BY a_id, b_id""".stripMargin,
     "simhash_docs" -> simhashSql,
     "text_fingerprint" ->
@@ -320,9 +320,9 @@ object TextQ {
         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
         |n AS (SELECT count(*) AS n_docs FROM documents),
         |sc AS (SELECT doc_id, word,
-        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score_r,
+        |    floor((tf * ln(CAST(n_docs AS DOUBLE) / df)) * 1000000 + 0.5) / 1000000 AS score_r,
         |    row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) DESC,
+        |      ORDER BY floor((tf * ln(CAST(n_docs AS DOUBLE) / df)) * 1000000 + 0.5) / 1000000 DESC,
         |               word) AS rn
         |  FROM tf JOIN df USING (word) CROSS JOIN n)
         |SELECT doc_id, word AS term, score_r FROM sc WHERE rn = 1
@@ -344,15 +344,15 @@ object TextQ {
       s"""WITH $wordsCte,
          |f AS (SELECT doc_id,
          |    CAST(len(ws) AS BIGINT) AS n_tokens,
-         |    round(len(list_distinct(ws)) / len(ws), 6) AS ttr,
-         |    round(len(list_filter(ws, w -> w IN ('a', 'the'))) / len(ws), 6)
+         |    floor((len(list_distinct(ws)) / len(ws)) * 1000000 + 0.5) / 1000000 AS ttr,
+         |    floor((len(list_filter(ws, w -> w IN ('a', 'the'))) / len(ws)) * 1000000 + 0.5) / 1000000
          |      AS stop_ratio,
-         |    round(list_reduce(list_transform(ws, w -> CAST(length(w) AS INT)),
-         |      (a, b) -> a + b) / len(ws), 6) AS mean_wlen
+         |    floor((list_reduce(list_transform(ws, w -> CAST(length(w) AS INT)),
+         |      (a, b) -> a + b) / len(ws)) * 1000000 + 0.5) / 1000000 AS mean_wlen
          |  FROM words)
          |SELECT doc_id, n_tokens, ttr, stop_ratio, mean_wlen,
-         |  round(0.5 * ttr + 0.3 * (1.0 - stop_ratio) +
-         |        0.2 * least(mean_wlen / 10, 1.0), 6) AS quality
+         |  floor((0.5 * ttr + 0.3 * (1.0 - stop_ratio) +
+         |        0.2 * least(mean_wlen / 10, 1.0)) * 1000000 + 0.5) / 1000000 AS quality
          |FROM f ORDER BY doc_id""".stripMargin,
     "token_count" ->
       """SELECT doc_id,

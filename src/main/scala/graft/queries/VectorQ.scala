@@ -47,7 +47,7 @@ object VectorQ {
     q.crossJoin(e)
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos_sim",
-        round(gdot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+        r6(gdot(col("qv"), col("v")) / (col("qn") * col("nrm"))))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
       .select(col("qid"), col("vec_id"), col("cos_sim"), col("rn"))
@@ -65,7 +65,7 @@ object VectorQ {
       .agg(sum(dec(col("v").cast("double"), 12, 9)).as("sv"),
         count(lit(1)).as("n"))
       .select(col("label"), col("pos"),
-        round(dbl(col("sv")) / col("n"), 6).as("centroid"))
+        r6(dbl(col("sv")) / col("n")).as("centroid"))
       .orderBy(col("label"), col("pos"))
 
   /** docs ⋈ embeddings ⋈ per-lang rollup: text-length + vector-norm stats.
@@ -78,8 +78,8 @@ object VectorQ {
       .withColumn("nrm", dec(sqrt(gdot(v, v)), 14, 6))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        round(dbl(sum(col("n_chars"))) / count(lit(1)), 6).as("avg_chars"),
-        round(dbl(sum(col("nrm"))) / count(lit(1)), 6).as("avg_norm"))
+        r6(dbl(sum(col("n_chars"))) / count(lit(1))).as("avg_chars"),
+        r6(dbl(sum(col("nrm"))) / count(lit(1))).as("avg_norm"))
       .orderBy(col("lang"))
   }
 
@@ -92,7 +92,7 @@ object VectorQ {
     val a = e.select(col("vec_id").as("a_id"), col("u").as("ua"))
     val b = e.select(col("vec_id").as("b_id"), col("u").as("ub"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
-      .withColumn("cos_sim", round(gdot(col("ua"), col("ub")), 6))
+      .withColumn("cos_sim", r6(gdot(col("ua"), col("ub"))))
       .filter(col("cos_sim") >= 0.45)
       .select(col("a_id"), col("b_id"), col("cos_sim"))
       .orderBy(col("a_id"), col("b_id"))
@@ -114,7 +114,7 @@ object VectorQ {
     q.join(e.select(col("vec_id"), col("v"), col("nrm"), col("bucket")), "bucket")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos_sim",
-        round(gdot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+        r6(gdot(col("qv"), col("v")) / (col("qn") * col("nrm"))))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("qid"), col("vec_id"), col("cos_sim"), col("rn"))
@@ -134,14 +134,14 @@ object VectorQ {
         |           FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 50),
         |p AS (SELECT qid, vec_id,
-        |        round(list_cosine_similarity(qv, v), 6) AS cos_sim
+        |        floor((list_cosine_similarity(qv, v)) * 1000000 + 0.5) / 1000000 AS cos_sim
         |      FROM q, e WHERE vec_id <> qid),
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
         |        ORDER BY cos_sim DESC, vec_id) AS rn FROM p)
         |SELECT qid, vec_id, cos_sim, rn FROM r
         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
     "centroid_per_label" ->
-      """SELECT label, pos, round(CAST(sv AS DOUBLE) / n, 6) AS centroid
+      """SELECT label, pos, floor((CAST(sv AS DOUBLE) / n) * 1000000 + 0.5) / 1000000 AS centroid
         |FROM (
         |  SELECT label, pos,
         |    sum(CAST(CAST(ev AS DOUBLE) AS DECIMAL(12,9))) AS sv,
@@ -160,8 +160,8 @@ object VectorQ {
         |      (a, b) -> a + b)) AS DECIMAL(14,6)) AS nrm
         |  FROM documents JOIN embeddings ON doc_id = vec_id)
         |SELECT lang, count(*) AS n_docs,
-        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
-        |  round(CAST(sum(nrm) AS DOUBLE) / count(*), 6) AS avg_norm
+        |  floor((CAST(sum(n_chars) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS avg_chars,
+        |  floor((CAST(sum(nrm) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS avg_norm
         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
     "embed_neardup" ->
       """WITH e AS (
@@ -172,9 +172,9 @@ object VectorQ {
         |        (a, b) -> a + b))) AS v
         |  FROM embeddings)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |  round(list_dot_product(a.v, b.v), 6) AS cos_sim
+        |  floor((list_dot_product(a.v, b.v)) * 1000000 + 0.5) / 1000000 AS cos_sim
         |FROM e a, e b WHERE a.vec_id < b.vec_id
-        |  AND round(list_dot_product(a.v, b.v), 6) >= 0.45
+        |  AND floor((list_dot_product(a.v, b.v)) * 1000000 + 0.5) / 1000000 >= 0.45
         |ORDER BY a_id, b_id""".stripMargin,
     "ann_lsh_knn" ->
       """WITH e AS (
@@ -191,7 +191,7 @@ object VectorQ {
         |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM e
         |      WHERE vec_id < 50),
         |p AS (SELECT qid, vec_id,
-        |    round(list_cosine_similarity(qv, e.v), 6) AS cos_sim
+        |    floor((list_cosine_similarity(qv, e.v)) * 1000000 + 0.5) / 1000000 AS cos_sim
         |  FROM q JOIN e USING (bucket) WHERE vec_id <> qid),
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
         |        ORDER BY cos_sim DESC, vec_id) AS rn FROM p)

@@ -68,7 +68,7 @@ object WindowsQ {
     val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
     daily
       .select(col("day"), col("n"),
-        round(dbl(sum(col("v")).over(w)) / sum(col("n")).over(w), 6)
+        r6(dbl(sum(col("v")).over(w)) / sum(col("n")).over(w))
           .as("mavg7"))
       .orderBy(col("day"))
   }
@@ -109,8 +109,8 @@ object WindowsQ {
         |    sum(CAST(value AS DECIMAL(14,4))) AS v, count(*) AS n
         |  FROM events GROUP BY 1)
         |SELECT day, n,
-        |  round(CAST(sum(v) OVER w AS DOUBLE) /
-        |        CAST(sum(n) OVER w AS BIGINT), 6) AS mavg7
+        |  floor((CAST(sum(v) OVER w AS DOUBLE) /
+        |        CAST(sum(n) OVER w AS BIGINT)) * 1000000 + 0.5) / 1000000 AS mavg7
         |FROM daily
         |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY day""".stripMargin,

@@ -25,6 +25,31 @@ object core {
 
   def dbl(c: Column): Column = c.cast("double")
 
+  /** Cross-engine rounding of a COMPUTED double. Spark's round() rounds the
+    * shortest decimal repr (BigDecimal.valueOf → Double.toString, HALF_UP);
+    * DuckDB rounds the binary value — a repr-tie like 0.8053285 splits the
+    * engines (hit at sf0.1). floor(x·10^d + 0.5)/10^d is plain double
+    * arithmetic, so mirroring it in the oracle SQL is bit-identical by
+    * construction. Use round() only on DECIMAL inputs (exact both sides). */
+  def rd(c: Column, digits: Int): Column = {
+    val p = org.apache.spark.sql.functions.lit(math.pow(10, digits))
+    org.apache.spark.sql.functions.floor(c * p +
+      org.apache.spark.sql.functions.lit(0.5)) / p
+  }
+  def r6(c: Column): Column = rd(c, 6)
+  /** The same rounding in DuckDB SQL. */
+  def r6Sql(expr: String): String =
+    s"floor(($expr) * 1000000 + 0.5) / 1000000"
+
+  /** Money sum: round the exact decimal sum to cents BEFORE the double
+    * cast. Above ~2^53 decimal *units* (easy at scale 8+ on 100 TB sums)
+    * DuckDB's decimal→double double-rounds while Spark's is correctly
+    * rounded; at scale 2 the units stay exact in a double and both engines
+    * convert identically. */
+  def moneySum(c: Column): Column =
+    dbl(org.apache.spark.sql.functions.round(
+      org.apache.spark.sql.functions.sum(c), 2))
+
   /** lineitem revenue term, decimal-exact: extprice * (1 - discount). */
   def revenue(ep: Column, disc: Column): Column =
     dec(ep, 18, 4) * (org.apache.spark.sql.functions.lit(1) - dec(disc, 9, 4))
