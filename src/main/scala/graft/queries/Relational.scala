@@ -35,7 +35,7 @@ object Relational {
         moneySum(rev).as("sum_disc_price"),
         moneySum(charge).as("sum_charge"),
         (dbl(sum(qty)) / count(lit(1))).as("avg_qty"),
-        (dbl(sum(ep)) / count(lit(1))).as("avg_price"),
+        (moneySum(ep) / count(lit(1))).as("avg_price"),
         (dbl(sum(dec(col("l_discount"), 9, 4))) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -236,7 +236,7 @@ object Relational {
          |  CAST(round(sum($revenueSql), 2) AS DOUBLE) AS sum_disc_price,
          |  CAST(round(sum($revenueSql * (1 + CAST(l_tax AS DECIMAL(9,4)))), 2) AS DOUBLE) AS sum_charge,
          |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
-         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) / count(*) AS avg_price,
          |  CAST(sum(CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) / count(*) AS avg_disc,
          |  count(*) AS count_order
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
