@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.operators.TextOps
+
+/** Property-based invariants (scalacheck driven through Spark on batched
+  * generated data): algebraic laws that must hold for any input, not just
+  * the fixtures. */
+class PropertySpec extends SparkSpec {
+
+  private def holds(prop: Prop): Boolean =
+    SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+      .passed
+
+  test("text normalization is idempotent (property)") {
+    import spark.implicits._
+    val strGen = Gen.listOf(Gen.oneOf(Gen.alphaStr, Gen.const("  "),
+      Gen.const("\t"), Gen.const("MiXeD"))).map(_.mkString(" "))
+    val samples = Gen.listOfN(200, strGen).sample.get
+    val df = samples.toDF("text")
+      .withColumn("once", TextOps.normText(col("text")))
+      .withColumn("twice", TextOps.normText(TextOps.normText(col("text"))))
+    assert(df.filter(col("once") =!= col("twice")).count() == 0)
+  }
+
+  test("graft_dot is symmetric and self-dot is non-negative (property)") {
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-1e3, 1e3))
+    val prop = Prop.forAll(vecGen, vecGen) { (a, b) =>
+      val x = new org.apache.spark.sql.catalyst.util.GenericArrayData(a.toArray)
+      val y = new org.apache.spark.sql.catalyst.util.GenericArrayData(b.toArray)
+      val e = graft.expressions.DotProduct(null, null)
+      val ab = e.nullSafeEval(x, y).asInstanceOf[Double]
+      val ba = e.nullSafeEval(y, x).asInstanceOf[Double]
+      val aa = e.nullSafeEval(x, x).asInstanceOf[Double]
+      ab == ba && aa >= 0.0
+    }
+    assert(holds(prop))
+  }
+
+  test("session count is invariant under input row order (property)") {
+    import spark.implicits._
+    // random per-user event times; feed them in two different orders
+    val evGen = for {
+      u <- Gen.chooseNum(1L, 5L)
+      t <- Gen.chooseNum(0L, 86400L * 1000000L)
+    } yield (u, t)
+    val sample = Gen.listOfN(300, evGen).sample.get.zipWithIndex
+      .map { case ((u, ts), i) => (u, ts, i.toLong) }
+    def sessions(rows: Seq[(Long, Long, Long)]): Seq[(Long, Long)] = {
+      val df = rows.toDF("user_id", "ts_us", "event_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val wr = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      df.withColumn("is_new",
+        when(lag(col("ts_us"), 1).over(w).isNull ||
+          (col("ts_us") - lag(col("ts_us"), 1).over(w)) > 1800000000L, 1L)
+          .otherwise(0L))
+        .withColumn("sid", sum(col("is_new")).over(wr))
+        .groupBy(col("user_id")).agg(max(col("sid")).as("n_sessions"))
+        .orderBy(col("user_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    assert(sessions(sample) == sessions(sample.reverse))
+    assert(sessions(sample) == sessions(scala.util.Random.shuffle(sample)))
+  }
+
+  test("union/except cardinality laws on events") {
+    val e = Tables(spark, sf, "events")
+    def users(tpe: String) =
+      e.filter(col("event_type") === tpe).select("user_id").distinct()
+    val view = users("view"); val purchase = users("purchase")
+    val union = view.union(purchase).distinct().count()
+    val inter = view.intersect(purchase).count()
+    val except = view.except(purchase).count()
+    assert(union == view.count() + purchase.count() - inter)
+    assert(except == view.count() - inter)
+  }
+}
