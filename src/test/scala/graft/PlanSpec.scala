@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: the properties that make these queries scale are
+  * asserted, not assumed — filter pushdown, column pruning, partial
+  * aggregation, broadcast election, and broadcast↔sort-merge equivalence. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("q06: every predicate reaches the parquet scan") {
+    val p = planOf("q06_filter_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(500))
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.02)"))
+    assert(p.contains("LessThan(l_quantity,24.0)"))
+  }
+
+  test("scan_lineitem: ReadSchema pruned to the 4 projected columns") {
+    val p = planOf("scan_lineitem")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_returnflag:string>"), p.take(800))
+  }
+
+  test("q01: partial+final hash aggregation") {
+    val p = planOf("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(500))
+  }
+
+  test("q03: dimension joins broadcast; top-k fuses to TakeOrderedAndProject") {
+    val p = planOf("q03_topk_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("q03: same result via shuffled sort-merge join (broadcast disabled)") {
+    val broadcasted = SparkEntry.queries("q03_topk_revenue")(spark, sf)
+      .collect().toSeq
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q03_topk_revenue")(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(500))
+      assert(df.collect().toSeq == broadcasted)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("as-of join plans one user_id exchange, no nested-loop join") {
+    val p = planOf("join_asof_event")
+    assert(!p.contains("NestedLoop"), p.take(500))
+    assert(p.contains("Window"), p.take(500))
+  }
+
+  test("qdedup plan: no collect-driven driver ops; window over norm key") {
+    val p = planOf("qdedup_docs")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"))
+  }
+}
