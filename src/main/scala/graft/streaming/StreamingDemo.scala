@@ -2,7 +2,11 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import graft.queries.core.{dbl, dec}
+
+/** Mutable per-user state for the custom stateful operator. */
+case class UserState(n: Long, sum: Double)
 
 /** Structured Streaming execution of the engine's event-stream semantics
   * (SURVEY.md §2.9 / §7.5).
@@ -38,6 +42,28 @@ object StreamingDemo {
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Custom keyed state (flatMapGroupsWithState): running per-user event
+    * count + value total, updated across micro-batches. This is the escape
+    * hatch when window()/session_window() can't express the state machine;
+    * state is sharded by user_id, the high-cardinality key. */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, (Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var s = state.getOption.getOrElse(UserState(0L, 0.0))
+          rows.foreach(r => s = UserState(s.n + 1, s.sum + r._2))
+          state.update(s)
+          Iterator((uid, s.n, s.sum))
+      }
+      .toDF("user_id", "n_events", "sum_value")
+  }
 
   /** Native session windows (30-minute gap) per user — the streaming twin
     * of the batch lag/cumsum sessionization. */

@@ -85,6 +85,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("flatMapGroupsWithState accumulates per-user state across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingDemo.runningUserTotals(mem.toDF())
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(Ev(ts(0), 1, "view", 1.0), Ev(ts(1), 1, "view", 2.0),
+      Ev(ts(2), 2, "view", 5.0))
+    q.processAllAvailable()
+    mem.addData(Ev(ts(3), 1, "view", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    // last update for user 1 must reflect state carried over batch 1
+    val u1 = spark.table("state_out")
+      .filter(col("user_id") === 1L)
+      .orderBy(col("n_events").desc).collect()
+    assert(u1.head.getAs[Long]("n_events") == 3L)
+    assert(u1.head.getAs[Double]("sum_value") == 7.0)
+  }
+
   test("session windows over a stream produce gap-separated sessions") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
