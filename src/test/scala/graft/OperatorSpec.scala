@@ -9,6 +9,10 @@ import graft.operators.{Multimodal, VectorSum}
   * multimodal stub, and algebraic laws of the dedup/set/similarity ops. */
 class OperatorSpec extends SparkSpec {
 
+  test("driver smoke: SparkEntry.entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("approx_count_distinct within 5% of exact per event_type") {
     val e = Tables(spark, sf, "events")
     val rows = e.groupBy(col("event_type"))
