@@ -64,12 +64,16 @@ object TextQ {
       .select(col("doc_id"), explode(sh).as("shingle"))
   }
 
-  /** Exact near-dup pairs: word-3-gram Jaccard ≥ 0.8 via shingle self-join. */
+  /** Exact near-dup pairs: word-3-gram Jaccard ≥ 0.8 via shingle self-join.
+    * The join key is xxhash64(shingle) — an 8-byte shuffle key instead of a
+    * ~20-char string; at 27k distinct shingles the collision probability is
+    * ~2e-11, far below any bit of the result. */
   val neardupPairs: QFn = (s, dir) => {
     val sh = shingleRows(s, dir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shash"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("a_id"), col("shingle"))
-      .join(sh.select(col("doc_id").as("b_id"), col("shingle")), "shingle")
+    val inter = sh.select(col("doc_id").as("a_id"), col("shash"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shash")), "shash")
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
     inter
