@@ -91,7 +91,10 @@ object TextQ {
     * Jaccard verification on the candidate set — the 100 TB-scale dedup. */
   val minhashLsh: QFn = (s, dir) => {
     val sh = shingleRows(s, dir)
-    val sigAggs = Seq(collect_set(col("shingle")).as("shset")) ++
+    // Signatures hash the STRING shingle (oracle parity); the Jaccard
+    // verification set + band-bucket join keys use xxhash64 longs — Spark
+    // internals only, so cheaper shuffles with identical results.
+    val sigAggs = Seq(collect_set(xxhash64(col("shingle"))).as("shset")) ++
       (0 until 8).map(i =>
         min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i"))
     val sig = sh.groupBy(col("doc_id"))
@@ -99,7 +102,8 @@ object TextQ {
     val bands = sig.select(col("doc_id"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("band_idx"),
-          concat(col(s"mh${2 * j}"), col(s"mh${2 * j + 1}")).as("bucket"))): _*))
+          xxhash64(concat(col(s"mh${2 * j}"), col(s"mh${2 * j + 1}")))
+            .as("bucket"))): _*))
         .as("b"))
       .select(col("doc_id"), col("b.band_idx"), col("b.bucket"))
     val cand = bands.select(col("doc_id").as("a_id"), col("band_idx"), col("bucket"))

@@ -1,0 +1,17 @@
+#!/bin/bash
+# Direct java runner for graft mains (mirrors build.sbt javaOptions) —
+# skips sbt's fork overhead. Usage:
+#   tools/runjava.sh graft.Verify <sfDir> <outDir>
+#   SPARK_GRAFT_SF_DIR=... tools/runjava.sh graft.Bench
+#   tools/runjava.sh graft.Dev <query> <sfDir> time|explain|show
+CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+exec java \
+  --add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
+  --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED \
+  --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED \
+  --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED \
+  --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED \
+  --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED \
+  --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx8g \
+  -cp "$CP" "$@"
