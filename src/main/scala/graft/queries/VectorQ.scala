@@ -121,12 +121,55 @@ object VectorQ {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** IVF-style approximate kNN: coarse cells are the per-label centroids
+    * (rounded, so both engines hold identical cell geometry); every vector
+    * is assigned to its nearest centroid, queries probe the 2 nearest
+    * cells, and exact cosine ranks only the probed candidates. The other
+    * canonical ANN layout next to ann_lsh_knn — candidates shrink from |N|
+    * to ~2|N|/cells, and at scale the centroid set stays broadcastable. */
+  val annIvfKnn: QFn = (s, dir) => {
+    val centroids = t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "ev")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(dec(col("ev").cast("double"), 12, 9)).as("sv"),
+        count(lit(1)).as("cn"))
+      .select(col("label"), col("pos"), r6(dbl(col("sv")) / col("cn")).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+    val e = unitBase(s, dir)
+    val dist = r6(gdot(col("v"), col("v")) - lit(2) * gdot(col("v"), col("cvec")) +
+      gdot(col("cvec"), col("cvec")))
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("fdist"), col("clabel"))
+    val asg = e.select(col("vec_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(centroids.select(col("label").as("clabel"), col("cvec"))))
+      .withColumn("fdist", dist)
+      .withColumn("crn", row_number().over(wCell))
+    val cells = asg.filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("clabel").as("cell"))
+    val probes = asg.filter(col("crn") <= 2 && col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("clabel").as("cell"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    probes.join(cells, "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim",
+        r6(gdot(col("qv"), col("v")) / (col("qn") * col("nrm"))))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id"), col("cos_sim"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "qknn_cosine_top5"   -> knnTop5,
     "centroid_per_label" -> centroidPerLabel,
     "multimodal_join"    -> multimodalJoin,
     "embed_neardup"      -> embedNeardup,
-    "ann_lsh_knn"        -> annLshKnn)
+    "ann_lsh_knn"        -> annLshKnn,
+    "ann_ivf_knn"        -> annIvfKnn)
 
   val oracle: Map[String, String] = Map(
     "qknn_cosine_top5" ->
@@ -176,6 +219,46 @@ object VectorQ {
         |FROM e a, e b WHERE a.vec_id < b.vec_id
         |  AND floor((list_dot_product(a.v, b.v)) * 1000000 + 0.5) / 1000000 >= 0.45
         |ORDER BY a_id, b_id""".stripMargin,
+    "ann_ivf_knn" ->
+      """WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |            FROM embeddings),
+        |comp AS (
+        |  SELECT label, pos,
+        |    floor((CAST(sum(CAST(CAST(ev AS DOUBLE) AS DECIMAL(12,9)))
+        |      AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS c
+        |  FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |          unnest(embedding) AS ev FROM embeddings)
+        |  GROUP BY label, pos),
+        |cent AS (SELECT label, list(c ORDER BY pos) AS cvec FROM comp
+        |         GROUP BY label),
+        |asg AS (
+        |  SELECT vec_id, label AS cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY fdist, label)
+        |      AS crn
+        |  FROM (SELECT e.vec_id, c.label,
+        |          floor((list_dot_product(e.v, e.v)
+        |            - 2 * list_dot_product(e.v, c.cvec)
+        |            + list_dot_product(c.cvec, c.cvec)) * 1000000 + 0.5)
+        |            / 1000000 AS fdist
+        |        FROM ex e CROSS JOIN cent c)),
+        |nr AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS n FROM ex),
+        |cells AS (SELECT vec_id, cell FROM asg WHERE crn = 1),
+        |probes AS (SELECT vec_id AS qid, cell FROM asg
+        |           WHERE crn <= 2 AND vec_id < 50),
+        |sc AS (
+        |  SELECT p.qid, c.vec_id,
+        |    floor((list_dot_product(a.v, b.v) / (na.n * nb.n)) * 1000000
+        |      + 0.5) / 1000000 AS cos_sim
+        |  FROM probes p JOIN cells c USING (cell)
+        |    JOIN ex a ON a.vec_id = p.qid
+        |    JOIN ex b ON b.vec_id = c.vec_id
+        |    JOIN nr na ON na.vec_id = p.qid
+        |    JOIN nr nb ON nb.vec_id = c.vec_id
+        |  WHERE c.vec_id <> p.qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos_sim DESC, vec_id) AS rn FROM sc)
+        |SELECT qid, vec_id, cos_sim, rn FROM r WHERE rn <= 3
+        |ORDER BY qid, rn""".stripMargin,
     "ann_lsh_knn" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
