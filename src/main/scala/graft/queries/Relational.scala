@@ -199,6 +199,31 @@ object Relational {
           struct(col("p_retailprice"), col("p_partkey"))).as("top_part"))
       .orderBy(col("p_type"))
 
+  /** Pivot: order-status columns per priority (explicit pivot values keep
+    * the output schema static — the only sane form at scale, since
+    * value-discovery pivots need an extra pass over 100 TB). */
+  val pivotStatus: QFn = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(moneySum(dec(col("o_totalprice"), 18, 4)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0.0)).as("sum_f"),
+        coalesce(col("O"), lit(0.0)).as("sum_o"),
+        coalesce(col("P"), lit(0.0)).as("sum_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Exact percentiles (linear interpolation — same definition as DuckDB's
+    * quantile_cont; identical sorted doubles → identical result, r6-rounded
+    * for the interpolation arithmetic). */
+  val aggPercentiles: QFn = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(r6(expr("percentile(o_totalprice, 0.5)")).as("median_price"),
+        r6(expr("percentile(o_totalprice, 0.9)")).as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
   /** Multi-key sort incl. a nullable key with explicit NULLS LAST. */
   val sortMultiKey: QFn = (s, dir) =>
     t(s, dir, "orders")
@@ -223,6 +248,8 @@ object Relational {
     "cube_agg"            -> cubeAgg,
     "grouping_sets"       -> groupingSets,
     "agg_minmax_argmax"   -> aggMinMaxArgmax,
+    "pivot_status"        -> pivotStatus,
+    "agg_percentiles"     -> aggPercentiles,
     "sort_multi_key"      -> sortMultiKey)
 
   val oracle: Map[String, String] = Map(
@@ -346,6 +373,28 @@ object Relational {
         |         FROM part) WHERE rn = 1) r
         |  USING (p_type)
         |ORDER BY p_type""".stripMargin,
+    "pivot_status" ->
+      """SELECT o_orderpriority,
+        |  coalesce(CAST(round(sum(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 2) AS DOUBLE),
+        |    0.0) AS sum_f,
+        |  coalesce(CAST(round(sum(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 2) AS DOUBLE),
+        |    0.0) AS sum_o,
+        |  coalesce(CAST(round(sum(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 2) AS DOUBLE),
+        |    0.0) AS sum_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT o_orderstatus,
+        |  floor((quantile_cont(o_totalprice, 0.5)) * 1000000 + 0.5)
+        |    / 1000000 AS median_price,
+        |  floor((quantile_cont(o_totalprice, 0.9)) * 1000000 + 0.5)
+        |    / 1000000 AS p90_price,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "sort_multi_key" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         |  nullif(o_orderpriority, '5-LOW') AS prio_nn
