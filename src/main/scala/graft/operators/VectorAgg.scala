@@ -19,20 +19,26 @@ object VectorSum extends Aggregator[Seq[Float], Array[Double], Seq[Float]] {
 
   def zero: Array[Double] = Array.empty[Double]
 
+  /** Ragged inputs pad with zeros to the max length seen — consistent across
+    * reduce and merge, so the result does not depend on partitioning.
+    */
   def reduce(buf: Array[Double], v: Seq[Float]): Array[Double] =
     if (v == null) buf
-    else if (buf.isEmpty) { val a = new Array[Double](v.length); add(a, v); a }
-    else { add(buf, v); buf }
+    else {
+      val out =
+        if (buf.length >= v.length) buf
+        else java.util.Arrays.copyOf(buf, v.length)
+      var i = 0
+      while (i < v.length) { out(i) += v(i); i += 1 }
+      out
+    }
 
-  private def add(buf: Array[Double], v: Seq[Float]): Unit = {
+  def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    val (big, small) = if (a.length >= b.length) (a, b) else (b, a)
     var i = 0
-    while (i < v.length && i < buf.length) { buf(i) += v(i); i += 1 }
+    while (i < small.length) { big(i) += small(i); i += 1 }
+    big
   }
-
-  def merge(a: Array[Double], b: Array[Double]): Array[Double] =
-    if (a.isEmpty) b
-    else if (b.isEmpty) a
-    else { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a }
 
   def finish(buf: Array[Double]): Seq[Float] = buf.toSeq.map(_.toFloat)
 

@@ -64,8 +64,10 @@ case class TopKPerKeyExec(
           currentKey = key.copy()
           rank = 0
         }
-        rank += 1
-        if (rank <= limit) {
+        // Stop counting once the limit is hit: a hot key with >2^31 rows
+        // must not wrap the Int counter back into emit range.
+        if (rank < limit) {
+          rank += 1
           rankRow.setInt(0, rank)
           Some(outProj(joined(row, rankRow)))
         } else None
@@ -85,7 +87,9 @@ object TopKStrategy extends SparkStrategy {
     case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType))
       if a.semanticEquals(rn) => Some(v)
     case LessThan(a: Attribute, Literal(v: Int, IntegerType))
-      if a.semanticEquals(rn) => Some(v - 1)
+      // v > MinValue guard: `rn < Int.MinValue` is always false and must not
+      // wrap to k = Int.MaxValue (select-all). Leave it to the stock planner.
+      if a.semanticEquals(rn) && v > Int.MinValue => Some(v - 1)
     case EqualTo(a: Attribute, Literal(1, IntegerType))
       if a.semanticEquals(rn) => Some(1)
     case _ => None

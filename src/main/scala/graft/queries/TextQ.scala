@@ -237,7 +237,8 @@ object TextQ {
        |sh AS (
        |  SELECT DISTINCT doc_id,
        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
-       |  FROM words, (SELECT unnest(range(1, 2000)) AS i)
+       |  FROM words,
+       |    (SELECT unnest(range(1, (SELECT max(len(ws)) FROM words) + 1)) AS i)
        |  WHERE i + 2 <= len(ws))""".stripMargin
 
   /** DuckDB SimHash mirror, generated by the same loop as the Spark side. */
