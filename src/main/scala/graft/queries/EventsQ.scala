@@ -148,7 +148,56 @@ object EventsQ {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy(col("event_type"))
 
+  /** Native session_window() operator (the Structured-Streaming session
+    * primitive, run in batch): per-user sessions with a 30-minute gap.
+    * Oracle = the lag/cumsum formulation — same boundaries (verified: no
+    * exact-30min gaps exist in the data, so edge semantics can't split). */
+  val sessionWindowNative: QFn = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_us"))
+
+  /** Ordered funnel: first view → first click after it → first purchase
+    * after that, per user. Stepwise min-aggregations + joins — each stage
+    * shuffles on user_id only (no inequality self-join blowup). */
+  val eventFunnel: QFn = (s, dir) => {
+    val e = t(s, dir, "events")
+    val tv = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("tv"))
+    val tc = e.filter(col("event_type") === "click")
+      .join(tv, "user_id").filter(col("ts_us") > col("tv"))
+      .groupBy(col("user_id"), col("tv")).agg(min(col("ts_us")).as("tc"))
+    val tp = e.filter(col("event_type") === "purchase")
+      .join(tc, "user_id").filter(col("ts_us") > col("tc"))
+      .groupBy(col("user_id"), col("tv"), col("tc"))
+      .agg(min(col("ts_us")).as("tp"))
+    tp.select(col("user_id"), col("tv"), col("tc"), col("tp"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Retention cohorts: users grouped by first-seen day, distinct actives
+    * per (cohort_day, day_offset ≤ 7). */
+  val retentionCohort: QFn = (s, dir) => {
+    val e = t(s, dir, "events")
+      .withColumn("day", expr("ts_us div 86400000000"))
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    e.join(cohorts, "user_id")
+      .withColumn("day_offset", col("day") - col("cohort_day"))
+      .filter(col("day_offset") <= 7)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "session_window_native" -> sessionWindowNative,
+    "event_funnel"          -> eventFunnel,
+    "retention_cohort"      -> retentionCohort,
     "scan_events_ts"       -> scanEvents,
     "qdist_count_distinct" -> distinctUsers,
     "qtumble_hourly"       -> tumbleHourly,
@@ -163,6 +212,47 @@ object EventsQ {
     "approx_distinct"      -> approxDistinct)
 
   val oracle: Map[String, String] = Map(
+    "session_window_native" ->
+      """WITH m AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |), s AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM m)
+        |SELECT user_id, min(ts_us) AS start_us,
+        |  max(ts_us) + 1800000000 AS end_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, start_us""".stripMargin,
+    "event_funnel" ->
+      """WITH tv AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS tv FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |tc AS (
+        |  SELECT e.user_id, tv.tv, min(epoch_us(e.ts)) AS tc
+        |  FROM events e JOIN tv ON e.user_id = tv.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > tv.tv
+        |  GROUP BY e.user_id, tv.tv),
+        |tp AS (
+        |  SELECT e.user_id, tc.tv, tc.tc, min(epoch_us(e.ts)) AS tp
+        |  FROM events e JOIN tc ON e.user_id = tc.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > tc.tc
+        |  GROUP BY e.user_id, tc.tv, tc.tc)
+        |SELECT user_id, tv, tc, tp FROM tp ORDER BY user_id""".stripMargin,
+    "retention_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_active
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |WHERE day - cohort_day <= 7
+        |GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     "scan_events_ts" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,

@@ -1,0 +1,357 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+import core._
+
+/** SQL-surface queries (SURVEY.md §2 extensions): subqueries (scalar /
+  * correlated / IN), full-outer and self joins, unpivot, deterministic
+  * hash sampling, outer explode, struct aggregation, and the remaining
+  * scalar-function families (regex, null-handling, casts/formatting,
+  * cryptographic hashes, array set operations).
+  *
+  * The subquery queries run through `spark.sql` over temp views — the SQL
+  * entry point is a first-class part of the engine surface, and the
+  * correlated forms exercise Catalyst's subquery decorrelation
+  * (RewriteCorrelatedScalarSubquery / rewrite-to-semi-join), which the
+  * DataFrame forms deliberately avoid.
+  *
+  * Determinism notes:
+  *   - The scalar-subquery threshold compares `price * n > total` in exact
+  *     DECIMAL instead of `price > avg(price)` in double — an average is a
+  *     division whose rounding differs across engines, the cross-multiplied
+  *     form is exact on both.
+  *   - DuckDB `CAST(double AS BIGINT)` rounds while Spark truncates — every
+  *     double→int conversion here goes through an explicit floor() on both
+  *     sides.
+  *   - Spark `array_position` returns 0 when absent, DuckDB `list_position`
+  *     returns NULL — the oracle coalesces to 0.
+  *   - NULLS ordering defaults differ (Spark ASC = nulls first, DuckDB ASC =
+  *     nulls last): every ORDER BY over a nullable column pins NULLS LAST on
+  *     both sides.
+  */
+object SqlQ {
+
+  private def views(s: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+
+  /** Scalar subquery: parts priced above the global average, with the
+    * average compared in exact cross-multiplied decimal form. */
+  val subqScalar: QFn = (s, dir) => {
+    views(s, dir, "part")
+    s.sql("""
+      SELECT p_partkey, p_name, p_retailprice
+      FROM part
+      WHERE CAST(p_retailprice AS DECIMAL(18,4)) * (SELECT count(*) FROM part)
+            > (SELECT sum(CAST(p_retailprice AS DECIMAL(18,4))) FROM part)
+      ORDER BY p_partkey""")
+  }
+
+  /** Correlated subqueries: EXISTS filter + correlated scalar count. */
+  val subqCorrelated: QFn = (s, dir) => {
+    views(s, dir, "customer", "orders")
+    s.sql("""
+      SELECT c_custkey,
+        (SELECT count(*) FROM orders o
+         WHERE o.o_custkey = c.c_custkey) AS n_orders
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 400000)
+      ORDER BY c_custkey""")
+  }
+
+  /** IN / NOT IN subqueries over non-null join keys. */
+  val subqIn: QFn = (s, dir) => {
+    views(s, dir, "part", "lineitem")
+    s.sql("""
+      SELECT p_partkey, p_name,
+        CASE WHEN p_partkey IN (SELECT l_partkey FROM lineitem
+                                WHERE l_quantity >= 49)
+             THEN 1 ELSE 0 END AS in_bulk,
+        CASE WHEN p_partkey NOT IN (SELECT l_partkey FROM lineitem
+                                    WHERE l_discount >= 0.09)
+             THEN 1 ELSE 0 END AS never_deep_disc
+      FROM part ORDER BY p_partkey""")
+  }
+
+  /** Full outer join: viewers vs purchasers by user, null-extended on
+    * both sides, key coalesced via USING semantics. */
+  val joinFullOuter: QFn = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val viewers = ev.filter(col("event_type") === "view")
+      .select(col("user_id")).distinct().withColumn("has_view", lit(1L))
+    val buyers = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().withColumn("has_purchase", lit(1L))
+    viewers.join(buyers, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("has_view"), lit(0L)).as("has_view"),
+        coalesce(col("has_purchase"), lit(0L)).as("has_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Self join: ordered nation pairs within the same region. */
+  val joinSelfPairs: QFn = (s, dir) => {
+    val n1 = t(s, dir, "nation")
+      .select(col("n_regionkey").as("rk"), col("n_name").as("a_name"))
+    val n2 = t(s, dir, "nation")
+      .select(col("n_regionkey").as("rk"), col("n_name").as("b_name"))
+    n1.join(n2, "rk")
+      .filter(col("a_name") < col("b_name"))
+      .select(col("rk").cast("long").as("region_key"),
+        col("a_name"), col("b_name"))
+      .orderBy(col("region_key"), col("a_name"), col("b_name"))
+  }
+
+  /** Unpivot/melt: wide per-flag aggregates to (flag, metric, value). */
+  val unpivotMetrics: QFn = (s, dir) => {
+    val wide = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(moneySum(dec(col("l_quantity"), 18, 4)).as("sum_qty"),
+        moneySum(dec(col("l_discount"), 9, 4)).as("sum_disc"),
+        moneySum(dec(col("l_tax"), 9, 4)).as("sum_tax"))
+    wide.unpivot(
+      Array(col("l_returnflag")),
+      Array(col("sum_qty"), col("sum_disc"), col("sum_tax")),
+      "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  /** Deterministic hash sampling: md5 of the key, keep first-hex-digit 0/1
+    * (a 12.5% sample that is reproducible on any engine — the scalable
+    * alternative to TABLESAMPLE, whose row choice is engine-private). */
+  val sampleHash: QFn = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("hx", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .filter(col("hx").isin("0", "1"))
+      .select(col("doc_id"), col("lang"), col("hx"))
+      .orderBy(col("doc_id"))
+
+  /** explode_outer: docs keep a null row when no token is >= 9 chars. */
+  val explodeOuter: QFn = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .select(col("doc_id"),
+        explode_outer(filter(col("ws"), w => length(w) >= 9)).as("tok"))
+      .orderBy(col("doc_id"), col("tok").asc_nulls_last)
+
+  /** Struct aggregation: max(struct(price, key)) — the tuple-argmax pattern
+    * (lexicographic struct ordering), no window needed. */
+  val structFuncs: QFn = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(struct(dec(col("o_totalprice"), 18, 4).as("p"),
+        col("o_orderkey").as("k"))).as("top"))
+      .select(col("o_custkey"), dbl(col("top.p")).as("top_price"),
+        col("top.k").as("top_order"))
+      .orderBy(col("o_custkey"))
+
+  /** Regex + string-manipulation functions on part names. */
+  val strRegexFuncs: QFn = (s, dir) =>
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      regexp_extract(col("p_name"), "^(\\w+) (\\w+)$", 1).as("adj"),
+      regexp_extract(col("p_name"), "^(\\w+) (\\w+)$", 2).as("noun"),
+      translate(col("p_name"), "aeiou", "AEIOU").as("no_vowels"),
+      reverse(col("p_name")).as("rev"),
+      repeat(col("p_brand"), 2).as("brand2"),
+      lpad(col("p_brand"), 10, "*").as("brand_pad"),
+      rpad(col("p_type"), 10, ".").as("type_pad"))
+      .orderBy(col("p_partkey"))
+
+  /** NULL-handling functions: nullif / coalesce / greatest / least. */
+  val condNullFuncs: QFn = (s, dir) =>
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      nullif(col("l_discount"), lit(0.0)).as("disc_or_null"),
+      coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0))
+        .as("disc_or_neg"),
+      greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+      least(col("l_discount"), col("l_tax")).as("min_rate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Casts + date formatting (explicit floor for double→int: Spark CAST
+    * truncates where DuckDB rounds). */
+  val castFormatFuncs: QFn = (s, dir) =>
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+      floor(col("o_totalprice")).cast("long").as("price_floor"),
+      substring(col("o_orderpriority"), 1, 1).cast("long").as("prio_num"),
+      concat(col("o_orderstatus"), lit("-"),
+        year(col("o_orderdate")).cast("string")).as("status_year"))
+      .orderBy(col("o_orderkey"))
+
+  /** Cryptographic hash functions (engine-portable md5 / sha256). */
+  val hashFuncs: QFn = (s, dir) =>
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      md5(col("p_name")).as("name_md5"),
+      sha2(col("p_name"), 256).as("name_sha256"),
+      substring(md5(concat(col("p_brand"), col("p_type"))), 1, 8)
+        .as("bucket_hash"))
+      .orderBy(col("p_partkey"))
+
+  /** Array set operations on per-doc token halves (sizes + position, the
+    * scalar-output convention for list-typed intermediates). */
+  val arraySetops: QFn = (s, dir) => {
+    val half1 = slice(col("ws"), lit(1), (size(col("ws")) / 2).cast("int"))
+    val half2 = slice(col("ws"), (size(col("ws")) / 2 + 1).cast("int"),
+      (size(col("ws")) - (size(col("ws")) / 2).cast("int")).cast("int"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), half1.as("a"), half2.as("b"))
+      .select(col("doc_id"),
+        size(array_union(col("a"), col("b"))).cast("long").as("union_sz"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("inter_sz"),
+        size(array_except(col("a"), col("b"))).cast("long").as("except_sz"),
+        array_position(col("a"), "data").cast("long").as("pos_data"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "subq_scalar"       -> subqScalar,
+    "subq_correlated"   -> subqCorrelated,
+    "subq_in"           -> subqIn,
+    "join_full_outer"   -> joinFullOuter,
+    "join_self_pairs"   -> joinSelfPairs,
+    "unpivot_metrics"   -> unpivotMetrics,
+    "sample_hash"       -> sampleHash,
+    "explode_outer"     -> explodeOuter,
+    "struct_funcs"      -> structFuncs,
+    "str_regex_funcs"   -> strRegexFuncs,
+    "cond_null_funcs"   -> condNullFuncs,
+    "cast_format_funcs" -> castFormatFuncs,
+    "hash_funcs"        -> hashFuncs,
+    "array_setops"      -> arraySetops)
+
+  val oracle: Map[String, String] = Map(
+    "subq_scalar" ->
+      """SELECT p_partkey, p_name, p_retailprice
+        |FROM part
+        |WHERE CAST(p_retailprice AS DECIMAL(18,4)) * (SELECT count(*) FROM part)
+        |      > (SELECT sum(CAST(p_retailprice AS DECIMAL(18,4))) FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+    "subq_correlated" ->
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "subq_in" ->
+      """SELECT p_partkey, p_name,
+        |  CASE WHEN p_partkey IN (SELECT l_partkey FROM lineitem
+        |                          WHERE l_quantity >= 49)
+        |       THEN 1 ELSE 0 END AS in_bulk,
+        |  CASE WHEN p_partkey NOT IN (SELECT l_partkey FROM lineitem
+        |                              WHERE l_discount >= 0.09)
+        |       THEN 1 ELSE 0 END AS never_deep_disc
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "join_full_outer" ->
+      """SELECT user_id,
+        |  coalesce(has_view, 0) AS has_view,
+        |  coalesce(has_purchase, 0) AS has_purchase
+        |FROM (SELECT DISTINCT user_id, 1 AS has_view FROM events
+        |      WHERE event_type = 'view') v
+        |FULL JOIN (SELECT DISTINCT user_id, 1 AS has_purchase FROM events
+        |           WHERE event_type = 'purchase') p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "join_self_pairs" ->
+      """SELECT CAST(a.n_regionkey AS BIGINT) AS region_key,
+        |  a.n_name AS a_name, b.n_name AS b_name
+        |FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+        |WHERE a.n_name < b.n_name
+        |ORDER BY region_key, a_name, b_name""".stripMargin,
+    "unpivot_metrics" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        |    CAST(round(sum(CAST(l_discount AS DECIMAL(9,4))), 2) AS DOUBLE) AS sum_disc,
+        |    CAST(round(sum(CAST(l_tax AS DECIMAL(9,4))), 2) AS DOUBLE) AS sum_tax
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_tax', sum_tax FROM wide)
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    "sample_hash" ->
+      """SELECT doc_id, lang, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |ORDER BY doc_id""".stripMargin,
+    "explode_outer" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> w <> ''), w -> length(w) >= 9) AS ws
+        |  FROM documents)
+        |SELECT t.doc_id, u.tok
+        |FROM toks t LEFT JOIN
+        |  (SELECT doc_id, unnest(ws) AS tok FROM toks) u
+        |  ON t.doc_id = u.doc_id
+        |ORDER BY t.doc_id, u.tok NULLS LAST""".stripMargin,
+    "struct_funcs" ->
+      """SELECT o_custkey,
+        |  CAST(p AS DOUBLE) AS top_price, k AS top_order
+        |FROM (SELECT o_custkey,
+        |        CAST(o_totalprice AS DECIMAL(18,4)) AS p, o_orderkey AS k,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY CAST(o_totalprice AS DECIMAL(18,4)) DESC,
+        |                   o_orderkey DESC) AS rn
+        |      FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "str_regex_funcs" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^(\w+) (\w+)$', 1) AS adj,
+        |  regexp_extract(p_name, '^(\w+) (\w+)$', 2) AS noun,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS no_vowels,
+        |  reverse(p_name) AS rev,
+        |  repeat(p_brand, 2) AS brand2,
+        |  lpad(p_brand, 10, '*') AS brand_pad,
+        |  rpad(p_type, 10, '.') AS type_pad
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "cond_null_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  nullif(l_discount, 0.0) AS disc_or_null,
+        |  coalesce(nullif(l_discount, 0.0), -1.0) AS disc_or_neg,
+        |  greatest(l_discount, l_tax) AS max_rate,
+        |  least(l_discount, l_tax) AS min_rate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "cast_format_funcs" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        |  CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+        |  concat(o_orderstatus, '-',
+        |    CAST(year(o_orderdate) AS VARCHAR)) AS status_year
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "hash_funcs" ->
+      """SELECT p_partkey,
+        |  md5(p_name) AS name_md5,
+        |  sha256(p_name) AS name_sha256,
+        |  substring(md5(concat(p_brand, p_type)), 1, 8) AS bucket_hash
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "array_setops" ->
+      """WITH halves AS (
+        |  SELECT doc_id,
+        |    ws[1 : len(ws) // 2] AS a,
+        |    ws[len(ws) // 2 + 1 : len(ws)] AS b
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'),
+        |            w -> w <> '') AS ws
+        |        FROM documents))
+        |SELECT doc_id,
+        |  CAST(len(list_distinct(list_concat(a, b))) AS BIGINT) AS union_sz,
+        |  CAST(len(list_distinct(list_filter(a, x -> list_contains(b, x))))
+        |    AS BIGINT) AS inter_sz,
+        |  CAST(len(list_distinct(list_filter(a, x -> NOT list_contains(b, x))))
+        |    AS BIGINT) AS except_sz,
+        |  CAST(coalesce(list_position(a, 'data'), 0) AS BIGINT) AS pos_data
+        |FROM halves ORDER BY doc_id""".stripMargin)
+}

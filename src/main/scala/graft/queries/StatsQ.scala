@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import core._
+
+/** Statistical / advanced aggregation surface (SURVEY.md §2.4/§2.5
+  * extensions): moment statistics, median/mode, FILTER-style conditional
+  * aggregates, ordered string aggregation, bitwise aggregates, and the
+  * remaining window-function families (value windows, distribution
+  * windows, RANGE frames).
+  *
+  * Determinism notes:
+  *   - stddev/var/corr/covar run on SMALL-magnitude columns (quantity ≤ 50,
+  *     discount ≤ 0.1): both engines accumulate in double with different
+  *     merge orders, so the result can differ in the last bits — at these
+  *     magnitudes the drift is ~1e-12 absolute, far inside the r6 rounding
+  *     that both sides apply. Large-magnitude columns (prices) would push
+  *     the drift toward the rounding threshold and are deliberately avoided.
+  *   - mode() tie-breaking is engine-defined, so the mode query computes the
+  *     deterministic (count DESC, value ASC) argmax explicitly on BOTH
+  *     engines instead of calling the builtin.
+  *   - percent_rank/cume_dist are integer-ratio doubles — identical IEEE
+  *     division on both sides — and still rounded to r6 for belt+braces.
+  *   - The RANGE frame sums decimals (exact, order-free) and orders on an
+  *     integer day number, so frame membership is engine-identical.
+  */
+object StatsQ {
+
+  /** Moment statistics per return flag: stddev/variance/corr/covariance. */
+  val aggStats: QFn = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        r6(stddev_samp(col("l_quantity"))).as("sd_qty"),
+        r6(var_samp(col("l_quantity"))).as("var_qty"),
+        r6(corr(col("l_quantity"), col("l_discount"))).as("corr_qty_disc"),
+        r6(covar_samp(col("l_quantity"), col("l_discount"))).as("cov_qty_disc"))
+      .orderBy(col("l_returnflag"))
+
+  /** Median (exact, interpolated) + deterministic mode per return flag. */
+  val aggModeMedian: QFn = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val counts = li.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cnt").desc, col("l_quantity").asc)
+    val modes = counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+        col("cnt").as("mode_cnt"))
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(median(col("l_quantity")).as("median_qty"),
+        count(lit(1)).as("n"))
+    med.join(modes, "l_returnflag")
+      .select(col("l_returnflag"), col("n"), col("median_qty"),
+        col("mode_qty"), col("mode_cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** FILTER-style conditional aggregates + boolean aggregates. */
+  val aggConditional: QFn = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        expr("count_if(o_totalprice > 300000)").as("n_big"),
+        expr("bool_and(o_totalprice > 1000)").as("all_above_1k"),
+        expr("bool_or(o_orderstatus = 'P')").as("any_pending"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Ordered string aggregation (listagg/string_agg) per region. */
+  val aggListagg: QFn = (s, dir) =>
+    t(s, dir, "nation")
+      .join(t(s, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        concat_ws(",", array_sort(collect_list(col("n_name"))))
+          .as("nations"))
+      .orderBy(col("r_name"))
+
+  /** Bitwise aggregates over the JSON `k` property per event type —
+    * and/or/xor are associative+commutative, so partitioning-independent. */
+  val aggBitwise: QFn = (s, dir) =>
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("bit_and(k)").cast("long").as("k_and"),
+        expr("bit_or(k)").cast("long").as("k_or"),
+        expr("bit_xor(k)").cast("long").as("k_xor"))
+      .orderBy(col("event_type"))
+
+  /** Value window functions: first/last/nth over an explicit full frame. */
+  val winFirstLastNth: QFn = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        first(col("o_orderkey")).over(w).as("best_order"),
+        last(col("o_orderkey")).over(w).as("worst_order"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Distribution window functions: percent_rank / cume_dist. */
+  val winPercentCume: QFn = (s, dir) => {
+    val w = Window.partitionBy(col("p_type"))
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+    t(s, dir, "part")
+      .select(col("p_partkey"), col("p_type"),
+        r6(percent_rank().over(w)).as("pct_rank"),
+        r6(cume_dist().over(w)).as("cume"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** RANGE frame: trailing-30-day spend per customer, ordered on an integer
+    * day number so value-range membership is engine-identical; ties (same-day
+    * orders) are frame peers on both engines. */
+  val winRangeFrame: QFn = (s, dir) => {
+    val day = datediff(col("o_orderdate"), lit("1995-01-01")).cast("long")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-30, 0)
+    t(s, dir, "orders")
+      .withColumn("day", day)
+      .select(col("o_orderkey"), col("o_custkey"), col("day"),
+        dbl(round(sum(dec(col("o_totalprice"), 18, 4)).over(w), 2))
+          .as("spend_30d"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "agg_stats"          -> aggStats,
+    "agg_mode_median"    -> aggModeMedian,
+    "agg_conditional"    -> aggConditional,
+    "agg_listagg"        -> aggListagg,
+    "agg_bitwise"        -> aggBitwise,
+    "win_first_last_nth" -> winFirstLastNth,
+    "win_percent_cume"   -> winPercentCume,
+    "win_range_frame"    -> winRangeFrame)
+
+  val oracle: Map[String, String] = Map(
+    "agg_stats" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${r6Sql("stddev_samp(l_quantity)")} AS sd_qty,
+         |  ${r6Sql("var_samp(l_quantity)")} AS var_qty,
+         |  ${r6Sql("corr(l_quantity, l_discount)")} AS corr_qty_disc,
+         |  ${r6Sql("covar_samp(l_quantity, l_discount)")} AS cov_qty_disc
+         |FROM lineitem GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
+    "agg_mode_median" ->
+      """WITH counts AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |modes AS (
+        |  SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_cnt
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |          ORDER BY cnt DESC, l_quantity ASC) AS rn FROM counts)
+        |  WHERE rn = 1),
+        |med AS (
+        |  SELECT l_returnflag, median(l_quantity) AS median_qty,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT m.l_returnflag, m.n, m.median_qty, o.mode_qty, o.mode_cnt
+        |FROM med m JOIN modes o USING (l_returnflag)
+        |ORDER BY m.l_returnflag""".stripMargin,
+    "agg_conditional" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  count(*) FILTER (WHERE o_totalprice > 300000) AS n_big,
+        |  bool_and(o_totalprice > 1000) AS all_above_1k,
+        |  bool_or(o_orderstatus = 'P') AS any_pending
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "agg_listagg" ->
+      """SELECT r_name, count(*) AS n_nations,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "agg_bitwise" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(bit_and(k) AS BIGINT) AS k_and,
+        |  CAST(bit_or(k) AS BIGINT) AS k_or,
+        |  CAST(bit_xor(k) AS BIGINT) AS k_xor
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "win_first_last_nth" ->
+      """SELECT o_orderkey, o_custkey,
+        |  first_value(o_orderkey) OVER w AS best_order,
+        |  last_value(o_orderkey) OVER w AS worst_order,
+        |  nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+    "win_percent_cume" ->
+      s"""SELECT p_partkey, p_type,
+         |  ${r6Sql("percent_rank() OVER w")} AS pct_rank,
+         |  ${r6Sql("cume_dist() OVER w")} AS cume
+         |FROM part
+         |WINDOW w AS (PARTITION BY p_type
+         |  ORDER BY p_retailprice, p_partkey)
+         |ORDER BY p_partkey""".stripMargin,
+    "win_range_frame" ->
+      """SELECT o_orderkey, o_custkey, day,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+        |    AS spend_30d
+        |FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+        |        date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day
+        |      FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)
+}

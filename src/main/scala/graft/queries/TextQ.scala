@@ -244,7 +244,77 @@ object TextQ {
         col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Top-5 character bigrams per language (the n-gram language-model
+    * profile behind langId). `txt` is materialized to a bound attribute
+    * before the per-position substr — interpreted HOF lambdas re-evaluate
+    * expression subtrees per element, attributes are free. */
+  val ngramProfile: QFn = (s, dir) => {
+    val bigrams = transform(sequence(lit(1), length(col("txt")) - 1),
+      i => col("txt").substr(i, lit(2)))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("bg"))
+    t(s, dir, "documents")
+      .select(col("lang"), lower(col("text")).as("txt"))
+      .select(col("lang"), explode(bigrams).as("bg"))
+      .filter(col("bg").rlike("^[a-z]{2}$"))
+      .groupBy(col("lang"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("bg"), col("cnt"), col("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  /** Word-bigram PMI over the corpus: ln(P(ab) / (P(a)P(b))), bigrams with
+    * count ≥ 10, top-20. Counts are exact integers; only the final ln is
+    * floating and it's r6-rounded on both engines. */
+  val bigramPmi: QFn = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+    val bigrams = toks
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val bi = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val nBi = bigrams.agg(count(lit(1)).as("n_bi"))
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val nUni = toks.select(explode(col("ws")).as("w"))
+      .agg(count(lit(1)).as("n_uni"))
+    bi.filter(col("c_ab") >= 10)
+      .join(uni.select(col("w").as("w1"), col("c_w").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), "w2")
+      .crossJoin(broadcast(nBi)).crossJoin(broadcast(nUni))
+      .withColumn("pmi", r6(log(
+        (col("c_ab") / col("n_bi")) /
+          ((col("c_a") / col("n_uni")) * (col("c_b") / col("n_uni"))))))
+      .select(col("w1"), col("w2"), col("c_ab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  /** BPE-style pre-tokenizer counts (RE2-safe classes — no lookahead):
+    * letter runs, digit runs, non-alnum runs, longest letter run. */
+  val tokenBpe: QFn = (s, dir) => {
+    val words = regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
+    val nums = regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))
+    val punct = regexp_extract_all(lower(col("text")),
+      lit("[^a-z0-9\\s]+"), lit(0))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(words).cast("long").as("n_word"),
+        size(nums).cast("long").as("n_num"),
+        size(punct).cast("long").as("n_punct"),
+        coalesce(array_max(transform(words, w => length(w))), lit(0))
+          .cast("long").as("max_word_len"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "ngram_profile"     -> ngramProfile,
+    "bigram_pmi"        -> bigramPmi,
+    "token_bpe"         -> tokenBpe,
     "qdedup_docs"       -> dedupDocs,
     "qtext_wordcount"   -> wordCount,
     "neardup_pairs"     -> neardupPairs,
@@ -284,6 +354,51 @@ object TextQ {
   }
 
   val oracle: Map[String, String] = Map(
+    "ngram_profile" ->
+      """WITH t AS (SELECT lang, lower(text) AS txt FROM documents),
+        |bgs AS (
+        |  SELECT lang, substring(txt, i, 2) AS bg
+        |  FROM t, (SELECT unnest(range(1, (SELECT max(length(txt)) FROM t))) AS i)
+        |  WHERE i + 1 <= length(txt)),
+        |c AS (
+        |  SELECT lang, bg, count(*) AS cnt FROM bgs
+        |  WHERE regexp_matches(bg, '^[a-z]{2}$')
+        |  GROUP BY lang, bg),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+        |        ORDER BY cnt DESC, bg) AS BIGINT) AS rn FROM c)
+        |SELECT lang, bg, cnt, rn FROM r WHERE rn <= 5
+        |ORDER BY lang, rn""".stripMargin,
+    "bigram_pmi" ->
+      s"""WITH $wordsCte,
+         |bg AS (
+         |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+         |  FROM words,
+         |    (SELECT unnest(range(1, (SELECT max(len(ws)) FROM words))) AS i)
+         |  WHERE i + 1 <= len(ws)),
+         |bi AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY w1, w2),
+         |nbi AS (SELECT count(*) AS n_bi FROM bg),
+         |uniw AS (SELECT unnest(ws) AS w FROM words),
+         |uni AS (SELECT w, count(*) AS c_w FROM uniw GROUP BY w),
+         |nuni AS (SELECT count(*) AS n_uni FROM uniw)
+         |SELECT w1, w2, c_ab,
+         |  ${r6Sql("ln((c_ab / n_bi) / ((a.c_w / n_uni) * (b.c_w / n_uni)))")}
+         |    AS pmi
+         |FROM bi
+         |  JOIN uni a ON a.w = bi.w1
+         |  JOIN uni b ON b.w = bi.w2, nbi, nuni
+         |WHERE c_ab >= 10
+         |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+    "token_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+        |    AS n_word,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+        |  CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\s]+')) AS BIGINT)
+        |    AS n_punct,
+        |  CAST(coalesce(list_aggregate(list_transform(
+        |    regexp_extract_all(lower(text), '[a-z]+'), w -> length(w)),
+        |    'max'), 0) AS BIGINT) AS max_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "qdedup_docs" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT doc_id, lang, source, n_chars,
