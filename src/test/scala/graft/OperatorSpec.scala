@@ -47,6 +47,21 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("VectorSum pads ragged vectors to max length, partition-independent") {
+    import spark.implicits._
+    val ragged = Seq(
+      (1, Seq(1.0f, 2.0f)),
+      (1, Seq(1.0f, 1.0f, 1.0f, 1.0f)),
+      (1, Seq(0.5f))).toDF("g", "v")
+    val expected = Seq(2.5f, 3.0f, 1.0f, 1.0f)
+    for (parts <- Seq(1, 3)) {
+      val out = ragged.repartition(parts).groupBy(col("g"))
+        .agg(VectorSum(col("v")).as("vs"))
+        .collect()(0).getSeq[Float](1)
+      assert(out == expected, s"parts=$parts: $out")
+    }
+  }
+
   test("Multimodal.extractFeatures runs partition-wise over binary payloads") {
     val docs = Tables(spark, sf, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))

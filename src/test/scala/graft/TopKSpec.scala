@@ -80,4 +80,28 @@ class TopKSpec extends AnyFunSuite {
       assert(got.map(_.getAs[Long]("o_orderkey")).toSeq == expect)
     }
   }
+
+  test("rn < Int.MinValue does not plan the custom operator (no k wrap)") {
+    withExtSession { spark =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val df = Tables(spark, "/root/testdata/sf0.001", "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") < Int.MinValue)
+      assert(!df.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      assert(df.count() == 0)
+    }
+  }
+
+  test("rn < k form plans the custom operator with k-1 bound") {
+    withExtSession { spark =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val df = Tables(spark, "/root/testdata/sf0.001", "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") < 4)
+      assert(df.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      assert(df.count() == topk(spark, 3).count())
+    }
+  }
 }
