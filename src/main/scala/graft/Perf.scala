@@ -98,6 +98,25 @@ object Perf {
     time("verify") { ver.filter(col("inter") > 0).count() }
 
 
+
+    // simhash probes
+    val sigP = docs.select(col("doc_id"),
+      graft.operators.TextOps.simhashBits(graft.operators.TextOps.tokens(col("text"))).as("sig"))
+    time("simhash-sig-str") { sigP.count() }
+    val sigN = sigP.withColumn("num", conv(col("sig"), 2, 10).cast("long"))
+    time("simhash-sig-num") { sigN.agg(sum("num")).collect()(0); 5000L }
+    val bandsP = sigN.select(col("doc_id"), col("num"),
+      explode(array(
+        struct(lit(0).as("bi"), substring(col("sig"), 1, 16).as("bv")),
+        struct(lit(1).as("bi"), substring(col("sig"), 17, 16).as("bv")))).as("b"))
+      .select(col("doc_id"), col("num"), col("b.bi"), col("b.bv"))
+    time("simhash-bands") { bandsP.count() }
+    val candP = bandsP.select(col("doc_id").as("a_id"), col("num").as("na"), col("bi"), col("bv"))
+      .join(bandsP.select(col("doc_id").as("b_id"), col("num").as("nb"), col("bi"), col("bv")), Seq("bi", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("na"), col("nb")).distinct()
+    time("simhash-cand") { candP.count() }
+
     spark.stop()
   }
 }

@@ -130,7 +130,20 @@ object StatsQ {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Calendar-spine gap fill: daily order counts including zero days —
+    * the sequence()-explode date spine joined back to the daily agg. */
+  val dateSpineFill: QFn = (s, dir) => {
+    val o = t(s, dir, "orders").withColumn("d", to_date(col("o_orderdate")))
+    val daily = o.groupBy(col("d")).agg(count(lit(1)).as("n_orders"))
+    val spine = o.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+      .select(explode(expr("sequence(dmin, dmax, interval 1 day)")).as("d"))
+    spine.join(daily, Seq("d"), "left")
+      .select(col("d"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy(col("d"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "date_spine_fill"    -> dateSpineFill,
     "agg_stats"          -> aggStats,
     "agg_mode_median"    -> aggModeMedian,
     "agg_conditional"    -> aggConditional,
@@ -141,6 +154,16 @@ object StatsQ {
     "win_range_frame"    -> winRangeFrame)
 
   val oracle: Map[String, String] = Map(
+    "date_spine_fill" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |spine AS (
+        |  SELECT CAST(unnest(range((SELECT min(d) FROM daily),
+        |    (SELECT max(d) FROM daily) + 1, INTERVAL 1 DAY)) AS DATE) AS d)
+        |SELECT s.d, coalesce(n_orders, 0) AS n_orders
+        |FROM spine s LEFT JOIN daily USING (d)
+        |ORDER BY d""".stripMargin,
     "agg_stats" ->
       s"""SELECT l_returnflag, count(*) AS n,
          |  ${r6Sql("stddev_samp(l_quantity)")} AS sd_qty,
