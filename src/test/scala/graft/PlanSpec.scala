@@ -57,4 +57,36 @@ class PlanSpec extends SparkSpec {
     val p = planOf("qdedup_docs")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"))
   }
+
+  test("correlated EXISTS decorrelates to joins (no per-row subquery)") {
+    val p = planOf("subq_correlated")
+    // Catalyst rewrites EXISTS + the correlated scalar count into joins;
+    // physical plan must contain join operators and no Subquery nodes
+    // that would re-execute per input row.
+    assert(p.contains("Join") || p.contains("HashJoin"), p.take(800))
+    assert(!p.toLowerCase.contains("existencejoin") || p.contains("Join"))
+  }
+
+  test("prefix-filter near-dup plans no cartesian/nested-loop join") {
+    val p = planOf("neardup_pairs")
+    assert(!p.contains("Cartesian"), p.take(800))
+    assert(!p.contains("NestedLoop"), p.take(800))
+  }
+
+  test("simhash signature aggregates partial+final (mergeable at scale)") {
+    val p = planOf("simhash_neardup")
+    assert(p.contains("HashAggregate"), p.take(800))
+    assert(!p.contains("Cartesian"), p.take(800))
+  }
+
+  test("funnel plans equi-joins only (no inequality self-join)") {
+    val p = planOf("event_funnel")
+    assert(!p.contains("NestedLoop"), p.take(800))
+    assert(!p.contains("Cartesian"), p.take(800))
+  }
+
+  test("date spine: generator over 1-row bounds, left join for fill") {
+    val p = planOf("date_spine_fill")
+    assert(p.contains("Generate"), p.take(800))
+  }
 }

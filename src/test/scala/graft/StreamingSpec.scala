@@ -122,4 +122,52 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.length == 3)
     assert(sessions.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 1L, 2L))
   }
+
+  test("dropDuplicatesWithinWatermark dedups replays across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(Ev(ts(10), 1, "view", 1.0), Ev(ts(11), 1, "view", 2.0))
+    q.processAllAvailable()
+    // replay of the same (user, type) within the watermark → dropped
+    mem.addData(Ev(ts(12), 1, "view", 3.0), Ev(ts(900), 9, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("dedup_out").filter(col("user_id") === 1L).collect()
+    assert(u1.length == 1, u1.mkString(","))
+  }
+
+  test("stream-stream interval join matches views to purchases per user") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val v = views.toDF().withWatermark("ts", "1 hour")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val b = buys.toDF().withWatermark("ts", "1 hour")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+    val joined = v.join(b,
+      col("v_user") === col("b_user") &&
+        col("b_ts") >= col("v_ts") &&
+        col("b_ts") <= col("v_ts") + expr("interval 30 minutes"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    views.addData(Ev(ts(0), 1, "view", 1.0), Ev(ts(0), 2, "view", 1.0))
+    buys.addData(Ev(ts(20), 1, "purchase", 5.0),  // within 30m of view
+      Ev(ts(50), 2, "purchase", 5.0))             // outside 30m
+    q.processAllAvailable()
+    // advance both watermarks so results finalize
+    views.addData(Ev(ts(900), 9, "view", 0.0))
+    buys.addData(Ev(ts(900), 9, "purchase", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ssjoin_out")
+      .filter(col("v_user") < 9).collect()
+    assert(out.map(_.getAs[Long]("v_user")).toSeq == Seq(1L))
+  }
 }
