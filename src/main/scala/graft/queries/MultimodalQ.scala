@@ -29,8 +29,33 @@ object MultimodalQ {
       .orderBy(col("doc_id"))
   }
 
+  /** Frame sampling + resize plumbing over the stubbed payloads: fake
+    * per-doc frame counts from the byte length, uniform stride sampling of
+    * ≤ ~4 frames via sequence(), and an aspect-preserving integer resize to
+    * fit 32×32 — all integer arithmetic, so engine-exact. A real video
+    * decoder changes only the metadata source, not the sampling shape:
+    * explode of a bounded per-row index list, embarrassingly parallel. */
+  val frameSample: QFn = (s, dir) => {
+    val nb = length(encode(col("text"), "UTF-8"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), nb.as("nb"),
+        (nb % 100 + 1).as("n_frames"),
+        (nb % 64 + 1).as("w"), (nb % 48 + 1).as("h"))
+      .withColumn("stride", greatest(lit(1), expr("n_frames div 4")))
+      .withColumn("out_w", expr("(w * 32) div greatest(w, h)").cast("long"))
+      .withColumn("out_h", expr("(h * 32) div greatest(w, h)").cast("long"))
+      .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+        col("out_w"), col("out_h"),
+        explode(sequence(lit(0), col("n_frames") - 1, col("stride")))
+          .as("fn"))
+      .select(col("doc_id"), col("n_frames"), col("out_w"), col("out_h"),
+        col("fn").cast("long").as("frame_no"))
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
   val queries: Map[String, QFn] = Map(
-    "multimodal_features" -> features)
+    "multimodal_features" -> features,
+    "multimodal_framesample" -> frameSample)
 
   val oracle: Map[String, String] = Map(
     "multimodal_features" ->
@@ -40,5 +65,22 @@ object MultimodalQ {
         |  CAST(octet_length(encode(text)) % 64 + 1 AS BIGINT) AS fake_width,
         |  CAST(octet_length(encode(text)) % 48 + 1 AS BIGINT) AS fake_height,
         |  CAST(n_chars % 10 AS BIGINT) AS frame_idx
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_framesample" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+        |d AS (
+        |  SELECT doc_id, nb % 100 + 1 AS n_frames,
+        |    nb % 64 + 1 AS w, nb % 48 + 1 AS h
+        |  FROM m),
+        |p AS (
+        |  SELECT doc_id, n_frames, w, h,
+        |    greatest(1, n_frames // 4) AS stride,
+        |    (w * 32) // greatest(w, h) AS out_w,
+        |    (h * 32) // greatest(w, h) AS out_h
+        |  FROM d)
+        |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(out_w AS BIGINT) AS out_w, CAST(out_h AS BIGINT) AS out_h,
+        |  CAST(unnest(range(0, n_frames, stride)) AS BIGINT) AS frame_no
+        |FROM p ORDER BY doc_id, frame_no""".stripMargin)
 }

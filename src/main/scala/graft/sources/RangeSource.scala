@@ -1,0 +1,145 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A complete DataSource V2 table provider — the engine's custom-source
+  * extension surface, exercising the full connector contract the built-in
+  * formats use:
+  *
+  *   - `TableProvider` → `Table` → `ScanBuilder` → `Scan` → `Batch` →
+  *     `InputPartition`/`PartitionReaderFactory` (the DSv2 read lifecycle);
+  *   - **filter pushdown** (`SupportsPushDownFilters`): id-range predicates
+  *     are consumed by the source and shrink the generated ranges — the
+  *     same contract Parquet uses for row-group pruning;
+  *   - **column pruning** (`SupportsPushDownRequiredColumns`): the reader
+  *     materializes only requested columns;
+  *   - **partition planning**: the row range splits into `partitions`
+  *     slices, each read by an independent `PartitionReader` — the unit the
+  *     scheduler distributes across a cluster.
+  *
+  * The table itself is a deterministic synthetic relation
+  * `(id BIGINT, sq BIGINT, hex STRING)` with `sq = id*id`,
+  * `hex = hex(id)` — engine-checkable without any external system, which
+  * is what makes it a good conformance fixture for the connector path.
+  *
+  * Usage: `spark.read.format("graft.sources.RangeSource")
+  *   .option("rows", 1000).option("partitions", 4).load()`
+  */
+class RangeSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RangeSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RangeTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("partitions", "4").toInt)
+}
+
+object RangeSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("sq", LongType, nullable = false),
+    StructField("hex", StringType, nullable = false)))
+}
+
+class RangeTable(rows: Long, partitions: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_range($rows)"
+  override def schema(): StructType = RangeSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RangeScanBuilder(rows, partitions)
+}
+
+/** Consumes id-range filters (start/end tightening) and prunes columns. */
+class RangeScanBuilder(rows: Long, partitions: Int)
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var lo: Long = 0L
+  private var hi: Long = rows // exclusive
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = RangeSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("id", _: Long) | GreaterThan("id", _: Long) |
+           GreaterThanOrEqual("id", _: Long) | LessThan("id", _: Long) |
+           LessThanOrEqual("id", _: Long) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo("id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
+      case LessThan("id", v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1)
+      case _ =>
+    }
+    pushed = accepted
+    rejected // Spark re-applies anything the source didn't fully handle
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new RangeScan(lo, hi, partitions, required)
+}
+
+class RangeScan(lo: Long, hi: Long, partitions: Int, required: StructType)
+  extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"RangeScan lo=$lo hi=$hi cols=[${required.fieldNames.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(0L, hi - lo)
+    if (n == 0) return Array.empty
+    val slices = math.min(partitions.toLong, n).toInt
+    (0 until slices).map { i =>
+      val start = lo + i * n / slices
+      val end = lo + (i + 1) * n / slices
+      RangePartition(start, end): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RangeReaderFactory(required)
+}
+
+case class RangePartition(start: Long, end: Long) extends InputPartition
+
+class RangeReaderFactory(required: StructType)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rp = p.asInstanceOf[RangePartition]
+    new PartitionReader[InternalRow] {
+      private var cur = rp.start - 1
+      private val cols = required.fieldNames
+      override def next(): Boolean = { cur += 1; cur < rp.end }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(cols.toSeq.map {
+          case "id" => cur
+          case "sq" => cur * cur
+          case "hex" => UTF8String.fromString(java.lang.Long.toHexString(cur))
+        })
+      override def close(): Unit = ()
+    }
+  }
+}
