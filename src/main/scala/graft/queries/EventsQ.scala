@@ -194,7 +194,28 @@ object EventsQ {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Forward-fill gap fill: (event_type × day) spine, missing days carry
+    * the last observed daily sum via last(_, ignoreNulls) — the classic
+    * time-series densify+ffill. Spine is types × bounded day range (tiny,
+    * from 1-row aggregates); the fill window is per-type, O(frame) state. */
+  val gapFillFfill: QFn = (s, dir) => {
+    val e = t(s, dir, "events").withColumn("day", expr("ts_us div 86400000000"))
+    val daily = e.groupBy(col("event_type"), col("day"))
+      .agg(dbl(round(sum(dec(col("value"), 14, 4)), 2)).as("v"))
+    val days = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+    val types = e.select(col("event_type")).distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    types.crossJoin(days)
+      .join(daily, Seq("event_type", "day"), "left")
+      .withColumn("v_ff", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("event_type"), col("day"), col("v"), col("v_ff"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "gap_fill_ffill"        -> gapFillFfill,
     "session_window_native" -> sessionWindowNative,
     "event_funnel"          -> eventFunnel,
     "retention_cohort"      -> retentionCohort,
@@ -212,6 +233,26 @@ object EventsQ {
     "approx_distinct"      -> approxDistinct)
 
   val oracle: Map[String, String] = Map(
+    "gap_fill_ffill" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(value AS DECIMAL(14,4)) AS v FROM events),
+        |daily AS (
+        |  SELECT event_type, day,
+        |    CAST(round(sum(v), 2) AS DOUBLE) AS v
+        |  FROM e GROUP BY event_type, day),
+        |days AS (
+        |  SELECT unnest(range((SELECT min(day) FROM e),
+        |    (SELECT max(day) FROM e) + 1)) AS day),
+        |types AS (SELECT DISTINCT event_type FROM e),
+        |spine AS (SELECT event_type, day FROM types, days)
+        |SELECT s.event_type, s.day, d.v,
+        |  last_value(d.v IGNORE NULLS) OVER (
+        |    PARTITION BY s.event_type ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff
+        |FROM spine s LEFT JOIN daily d
+        |  ON s.event_type = d.event_type AND s.day = d.day
+        |ORDER BY s.event_type, s.day""".stripMargin,
     "session_window_native" ->
       """WITH m AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us,

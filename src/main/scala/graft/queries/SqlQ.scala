@@ -210,7 +210,19 @@ object SqlQ {
       .orderBy(col("doc_id"))
   }
 
+  /** Error-safe functions: try_cast (NULL on malformed) + null-safe
+    * division (Spark try_divide ≡ DuckDB x / nullif(y, 0)). */
+  val tryFuncs: QFn = (s, dir) =>
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      expr("try_cast(l_returnflag AS int)").cast("long").as("flag_num"),
+      expr("try_cast(cast(l_linenumber AS string) AS int)").cast("long")
+        .as("line_num"),
+      expr("try_divide(l_extendedprice, l_discount)").as("price_per_disc"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   val queries: Map[String, QFn] = Map(
+    "try_funcs"         -> tryFuncs,
     "subq_scalar"       -> subqScalar,
     "subq_correlated"   -> subqCorrelated,
     "subq_in"           -> subqIn,
@@ -227,6 +239,13 @@ object SqlQ {
     "array_setops"      -> arraySetops)
 
   val oracle: Map[String, String] = Map(
+    "try_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(TRY_CAST(l_returnflag AS INT) AS BIGINT) AS flag_num,
+        |  CAST(TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INT) AS BIGINT)
+        |    AS line_num,
+        |  l_extendedprice / nullif(l_discount, 0) AS price_per_disc
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "subq_scalar" ->
       """SELECT p_partkey, p_name, p_retailprice
         |FROM part
