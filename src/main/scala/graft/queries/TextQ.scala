@@ -362,7 +362,28 @@ object TextQ {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Sliding-window document chunking (the training-data prep op): 20-token
+    * chunks with 5-token overlap (stride 15). Chunk starts come from
+    * sequence(1, n, stride); slice() truncates the tail chunk. Per-row
+    * explode, no shuffle — embarrassingly parallel at any corpus size. */
+  val docChunks: QFn = (s, dir) => {
+    val C = 20
+    val S = 15
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")), lit(S))).as("start"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / S).cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("ws"), col("start"), lit(C)))
+          .as("chunk_text"),
+        least(size(col("ws")) - col("start") + 1, lit(C)).cast("long")
+          .as("n_tok"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "doc_chunks"        -> docChunks,
     "simhash_neardup"   -> simhashNeardup,
     "ngram_profile"     -> ngramProfile,
     "bigram_pmi"        -> bigramPmi,
@@ -432,6 +453,17 @@ object TextQ {
   }
 
   val oracle: Map[String, String] = Map(
+    "doc_chunks" ->
+      s"""WITH $wordsCte,
+         |st AS (
+         |  SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 15)) AS start
+         |  FROM words)
+         |SELECT doc_id,
+         |  CAST((start - 1) // 15 AS BIGINT) AS chunk_id,
+         |  array_to_string(ws[start : least(start + 19, len(ws))], ' ')
+         |    AS chunk_text,
+         |  CAST(least(len(ws) - start + 1, 20) AS BIGINT) AS n_tok
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
     "simhash_neardup" -> simhashNeardupSql,
     "ngram_profile" ->
       """WITH t AS (SELECT lang, lower(text) AS txt FROM documents),
