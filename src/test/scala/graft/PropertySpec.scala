@@ -77,4 +77,43 @@ class PropertySpec extends SparkSpec {
     assert(union == view.count() + purchase.count() - inter)
     assert(except == view.count() - inter)
   }
+
+  test("prefix filtering is complete: every Jaccard>=0.8 pair is a candidate (property)") {
+    // Pure model of neardup_pairs' math: global (df, id) rarity order,
+    // prefix length n - ceil(0.8n) + 1 via the same integer arithmetic.
+    // The WWW'07 lemma says the min shared element in the global order
+    // falls inside BOTH prefixes — scalacheck hunts for counterexamples.
+    val docGen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 20)).map(_.toSet))
+    val corpusGen = Gen.listOfN(12, docGen).map(_.filter(_.nonEmpty))
+    val prop = Prop.forAll(corpusGen) { corpus =>
+      val df = corpus.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+      def sorted(d: Set[Int]) = d.toSeq.sortBy(x => (df(x), x))
+      def plen(n: Int) = n - (4 * n + 4) / 5 + 1
+      def prefix(d: Set[Int]) = sorted(d).take(plen(d.size)).toSet
+      val pairs = for {
+        (a, i) <- corpus.zipWithIndex
+        (b, j) <- corpus.zipWithIndex if i < j
+        inter = (a intersect b).size
+        if inter.toDouble / (a.size + b.size - inter) >= 0.8
+      } yield (a, b)
+      pairs.forall { case (a, b) => (prefix(a) intersect prefix(b)).nonEmpty }
+    }
+    assert(holds(prop))
+  }
+
+  test("simhash 2x16-bit bands are complete for hamming<=1 (property)") {
+    val sigGen = Gen.chooseNum(0L, (1L << 32) - 1)
+    // flip zero or one random bit to build a hamming<=1 partner
+    val pairGen = for {
+      a <- sigGen
+      flip <- Gen.chooseNum(-1, 31)
+    } yield (a, if (flip < 0) a else a ^ (1L << flip))
+    val prop = Prop.forAll(pairGen) { case (a, b) =>
+      val sameHigh = (a >>> 16) == (b >>> 16)
+      val sameLow = (a & 0xFFFFL) == (b & 0xFFFFL)
+      java.lang.Long.bitCount(a ^ b) > 1 || sameHigh || sameLow
+    }
+    assert(holds(prop))
+  }
 }
