@@ -136,11 +136,20 @@ object TextQ {
             .as("bucket"))): _*))
         .as("b"))
       .select(col("doc_id"), col("b.band_idx"), col("b.bucket"))
-    val cand = bands.select(col("doc_id").as("a_id"), col("band_idx"), col("bucket"))
-      .join(bands.select(col("doc_id").as("b_id"), col("band_idx"), col("bucket")),
-        Seq("band_idx", "bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
+    // Candidates via groupBy + per-bucket pair expansion instead of a
+    // band self-join: one execution of the signature pipeline, not two
+    // (AQE stage reuse is not guaranteed across join sides), and the
+    // pair fan-out happens after the bucket-size filter.
+    val ds = col("ds")
+    val pairCombos = flatten(transform(sequence(lit(1), size(ds) - 1),
+      i => transform(slice(ds, i + 1, size(ds) - i),
+        x => struct(element_at(ds, i).as("a_id"), x.as("b_id")))))
+    val cand = bands.groupBy(col("band_idx"), col("bucket"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(ds) >= 2)
+      .select(explode(pairCombos).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .distinct()
     cand
       .join(sig.select(col("doc_id").as("a_id"), col("shset").as("sa"),
         col("n").as("na")), "a_id")
