@@ -99,23 +99,28 @@ object Perf {
 
 
 
-    // simhash probes
-    val sigP = docs.select(col("doc_id"),
-      graft.operators.TextOps.simhashBits(graft.operators.TextOps.tokens(col("text"))).as("sig"))
-    time("simhash-sig-str") { sigP.count() }
-    val sigN = sigP.withColumn("num", conv(col("sig"), 2, 10).cast("long"))
-    time("simhash-sig-num") { sigN.agg(sum("num")).collect()(0); 5000L }
-    val bandsP = sigN.select(col("doc_id"), col("num"),
-      explode(array(
-        struct(lit(0).as("bi"), substring(col("sig"), 1, 16).as("bv")),
-        struct(lit(1).as("bi"), substring(col("sig"), 17, 16).as("bv")))).as("b"))
-      .select(col("doc_id"), col("num"), col("b.bi"), col("b.bv"))
-    time("simhash-bands") { bandsP.count() }
-    val candP = bandsP.select(col("doc_id").as("a_id"), col("num").as("na"), col("bi"), col("bv"))
-      .join(bandsP.select(col("doc_id").as("b_id"), col("num").as("nb"), col("bi"), col("bv")), Seq("bi", "bv"))
+    // minhash stage probes
+    val sigAggs2 = Seq(collect_set(col("shash")).as("shset")) ++
+      (0 until 8).map(i => min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i"))
+    val sig2 = shingles.select(col("doc_id"), col("shingle"), xxhash64(col("shingle")).as("shash"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"), sigAggs2: _*)
+    val bands2 = sig2.select(col("doc_id"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("band_idx"),
+          xxhash64(concat(col(s"mh${2 * j}"), col(s"mh${2 * j + 1}"))).as("bucket"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.band_idx"), col("b.bucket"))
+    time("mh-bands") { bands2.count() }
+    val cand2m = bands2.select(col("doc_id").as("a_id"), col("band_idx"), col("bucket"))
+      .join(bands2.select(col("doc_id").as("b_id"), col("band_idx"), col("bucket")),
+        Seq("band_idx", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("na"), col("nb")).distinct()
-    time("simhash-cand") { candP.count() }
+      .select(col("a_id"), col("b_id")).distinct()
+    time("mh-cand") { cand2m.count() }
+    val ver2m = cand2m
+      .join(sig2.select(col("doc_id").as("a_id"), col("shset").as("sa"), col("n").as("na")), "a_id")
+      .join(sig2.select(col("doc_id").as("b_id"), col("shset").as("sb"), col("n").as("nb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+    time("mh-verify") { ver2m.filter(col("inter") >= 0).count() }
 
     spark.stop()
   }

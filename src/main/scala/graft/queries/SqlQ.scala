@@ -221,7 +221,22 @@ object SqlQ {
       expr("try_divide(l_extendedprice, l_discount)").as("price_per_disc"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Stratified deterministic sampling: per-language md5-prefix rates
+    * (en is downsampled 1/16, other languages kept at 4/16) — the
+    * rebalancing primitive for training-data mixes, reproducible on any
+    * engine and under re-execution. */
+  val sampleStratified: QFn = (s, dir) => {
+    val hx = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val keep = when(col("lang") === "en", hx === "0")
+      .otherwise(hx.isin("0", "1", "2", "3"))
+    t(s, dir, "documents")
+      .filter(keep)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "sample_stratified" -> sampleStratified,
     "try_funcs"         -> tryFuncs,
     "subq_scalar"       -> subqScalar,
     "subq_correlated"   -> subqCorrelated,
@@ -239,6 +254,14 @@ object SqlQ {
     "array_setops"      -> arraySetops)
 
   val oracle: Map[String, String] = Map(
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx
+        |  FROM documents)
+        |WHERE CASE WHEN lang = 'en' THEN hx = '0'
+        |           ELSE hx IN ('0', '1', '2', '3') END
+        |ORDER BY doc_id""".stripMargin,
     "try_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(TRY_CAST(l_returnflag AS INT) AS BIGINT) AS flag_num,

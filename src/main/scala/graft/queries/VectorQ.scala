@@ -163,7 +163,35 @@ object VectorQ {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Near-dup cluster assignment: bounded label propagation (3 rounds of
+    * min-label-of-neighbors) over the embedding-cosine near-dup graph —
+    * what a real dedup pipeline needs downstream of pair detection: a
+    * cluster id per duplicated document, so one representative per
+    * cluster survives. 3 unrolled rounds are deterministic and mirrored
+    * exactly in the oracle; near-dup components are near-cliques, so the
+    * bound converges here, and at 100 TB each round is one shuffle on
+    * vertex id (the standard iterative-join CC shape, rounds ≈ graph
+    * diameter). */
+  val neardupClusters: QFn = (s, dir) => {
+    val pairs = embedNeardup(s, dir).select(col("a_id"), col("b_id"))
+    val adj = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val init = adj.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    val propagated = (1 to 3).foldLeft(init) { (l, _) =>
+      val nbr = adj
+        .join(l.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
+        .groupBy(col("src")).agg(min(col("dlbl")).as("nlbl"))
+      l.join(nbr.select(col("src").as("id"), col("nlbl")), Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl")))
+          .as("lbl"))
+    }
+    propagated.select(col("id").as("vec_id"), col("lbl").as("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "neardup_clusters"   -> neardupClusters,
     "qknn_cosine_top5"   -> knnTop5,
     "centroid_per_label" -> centroidPerLabel,
     "multimodal_join"    -> multimodalJoin,
@@ -171,7 +199,40 @@ object VectorQ {
     "ann_lsh_knn"        -> annLshKnn,
     "ann_ivf_knn"        -> annIvfKnn)
 
+  /** DuckDB mirror of neardup_clusters: same pair threshold, same 3
+    * unrolled min-label rounds. */
+  private def neardupClustersSql: String = {
+    val rounds = (1 to 3).map { i =>
+      val prev = s"l${i - 1}"
+      s"""l$i AS (
+         |  SELECT l.id, least(l.lbl, coalesce(m.nlbl, l.lbl)) AS lbl
+         |  FROM $prev l LEFT JOIN (
+         |    SELECT a.src, min(x.lbl) AS nlbl
+         |    FROM adj a JOIN $prev x ON a.dst = x.id GROUP BY a.src) m
+         |  ON l.id = m.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> x / sqrt(list_reduce(
+       |        list_transform(CAST(embedding AS DOUBLE[]), y -> y * y),
+       |        (a, b) -> a + b))) AS v
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM e a, e b WHERE a.vec_id < b.vec_id
+       |    AND floor((list_dot_product(a.v, b.v)) * 1000000 + 0.5) / 1000000
+       |        >= 0.45),
+       |adj AS (SELECT a_id AS src, b_id AS dst FROM p
+       |        UNION ALL SELECT b_id, a_id FROM p),
+       |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM adj),
+       |$rounds
+       |SELECT id AS vec_id, lbl AS cluster_id FROM l3
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "neardup_clusters" -> neardupClustersSql,
     "qknn_cosine_top5" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
