@@ -179,8 +179,11 @@ object TextQ {
     }
     val bits = (0 until 32).map(k =>
       when(col(s"s$k") > 0, "1").otherwise("0"))
+    // explode_outer keeps zero-token docs as one null-token row: every sum
+    // is NULL there, `when(NULL > 0)` falls to "0", so such docs emit the
+    // all-zeros signature — identical to folding over an empty token list.
     t(s, dir, "documents")
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), explode_outer(TextOps.tokens(col("text"))).as("w"))
       .select(col("doc_id"), md5(col("w")).as("h"))
       .groupBy(col("doc_id"))
       .agg(sums.head, sums.tail: _*)
@@ -304,10 +307,15 @@ object TextQ {
   val bigramPmi: QFn = (s, dir) => {
     val docs = t(s, dir, "documents")
     val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
-    val bigrams = toks
-      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+    // Guard size >= 2: sequence(1, 0) would count DOWN through index 0 and
+    // element_at(ws, 0) throws — a <2-token doc must yield no bigrams.
+    val bigramArr = when(size(col("ws")) >= 2,
+      transform(sequence(lit(1), size(col("ws")) - 1),
         i => struct(element_at(col("ws"), i).as("w1"),
-          element_at(col("ws"), i + 1).as("w2")))).as("b"))
+          element_at(col("ws"), i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val bigrams = toks
+      .select(explode(bigramArr).as("b"))
       .select(col("b.w1"), col("b.w2"))
     val bi = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
     val nBi = bigrams.agg(count(lit(1)).as("n_bi"))
@@ -381,7 +389,11 @@ object TextQ {
     t(s, dir, "documents")
       .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
       .select(col("doc_id"), col("ws"),
-        explode(sequence(lit(1), size(col("ws")), lit(S))).as("start"))
+        // Guard: sequence(1, 0, 15) throws 'Illegal sequence boundaries';
+        // a zero-token doc must yield no chunks (as the oracle's range does).
+        explode(when(size(col("ws")) >= 1,
+          sequence(lit(1), size(col("ws")), lit(S)))
+          .otherwise(array().cast("array<int>"))).as("start"))
       .select(col("doc_id"),
         ((col("start") - 1) / S).cast("long").as("chunk_id"),
         concat_ws(" ", slice(col("ws"), col("start"), lit(C)))
@@ -429,7 +441,7 @@ object TextQ {
       val hexPos = k / 4
       val shift = 1 << (3 - (k % 4))
       val nib = s"(strpos('0123456789abcdef', substring(md5(w), ${hexPos + 1}, 1)) - 1)"
-      s"CASE WHEN list_reduce(list_transform(ws, w -> ($nib // $shift) % 2 * 2 - 1), (a, b) -> a + b) > 0 THEN '1' ELSE '0' END"
+      s"CASE WHEN len(ws) = 0 THEN '0' WHEN list_reduce(list_transform(ws, w -> ($nib // $shift) % 2 * 2 - 1), (a, b) -> a + b) > 0 THEN '1' ELSE '0' END"
     }.mkString(" || ")
     s"""WITH $wordsCte
        |SELECT doc_id, $bits AS simhash FROM words ORDER BY doc_id""".stripMargin
@@ -443,7 +455,7 @@ object TextQ {
       val shift = 1 << (3 - (k % 4))
       val nib = s"(strpos('0123456789abcdef', substring(md5(w), ${hexPos + 1}, 1)) - 1)"
       val weight = 1L << (31 - k)
-      s"CASE WHEN list_reduce(list_transform(ws, w -> ($nib // $shift) % 2 * 2 - 1), (a, b) -> a + b) > 0 THEN CAST($weight AS BIGINT) ELSE 0 END"
+      s"CASE WHEN len(ws) = 0 THEN CAST(0 AS BIGINT) WHEN list_reduce(list_transform(ws, w -> ($nib // $shift) % 2 * 2 - 1), (a, b) -> a + b) > 0 THEN CAST($weight AS BIGINT) ELSE 0 END"
     }.mkString(" + ")
     s"""WITH $wordsCte,
        |sig AS (SELECT doc_id, $numTerms AS num FROM words),

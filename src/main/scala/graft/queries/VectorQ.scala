@@ -102,10 +102,16 @@ object VectorQ {
     * components; candidates share a bucket. The scale path for qknn — the
     * cross join shrinks from |Q|·|N| to |Q|·|bucket|; recall is approximate
     * by design and the oracle runs the identical algorithm. */
+  /** The LSH index's bucket: sign bits of the first 8 components. Shared
+    * with AnnQualitySpec so the enrichment gate always measures the bucket
+    * the production index actually uses. Sign-equivalent on the raw float
+    * embedding and the double-cast `v`. */
+  def lshBucket(vec: Column): Column =
+    concat((0 until 8).map(i =>
+      when(element_at(vec, i + 1) > 0, "1").otherwise("0")): _*)
+
   val annLshKnn: QFn = (s, dir) => {
-    val bucket = concat((0 until 8).map(i =>
-      when(element_at(col("v"), i + 1) > 0, "1").otherwise("0")): _*)
-    val e = unitBase(s, dir).withColumn("bucket", bucket)
+    val e = unitBase(s, dir).withColumn("bucket", lshBucket(col("v")))
     val q = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qn"), col("bucket"))

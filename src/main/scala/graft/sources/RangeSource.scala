@@ -80,12 +80,17 @@ class RangeScanBuilder(rows: Long, partitions: Int)
       case _ => false
     }
     accepted.foreach {
+      // v + 1 guards: at Long.MaxValue the increment wraps negative, and an
+      // accepted filter is never re-checked by Spark — it must be exact.
       case EqualTo("id", v: Long) =>
-        lo = math.max(lo, v); hi = math.min(hi, v + 1)
-      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1)
+        lo = math.max(lo, v)
+        if (v < Long.MaxValue) hi = math.min(hi, v + 1)
+      case GreaterThan("id", v: Long) =>
+        lo = if (v == Long.MaxValue) Long.MaxValue else math.max(lo, v + 1)
       case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
       case LessThan("id", v: Long) => hi = math.min(hi, v)
-      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1)
+      case LessThanOrEqual("id", v: Long) =>
+        if (v < Long.MaxValue) hi = math.min(hi, v + 1)
       case _ =>
     }
     pushed = accepted

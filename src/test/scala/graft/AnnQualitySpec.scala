@@ -34,8 +34,7 @@ class AnnQualitySpec extends SparkSpec {
     val recall = (lsh intersect exactTop3).size.toDouble / exactTop3.size
     // candidate fraction = sum over queries of (bucket size - 1) / (N-1)
     val e = Tables(spark, sf, "embeddings")
-    val bucket = concat((0 until 8).map(i =>
-      when(element_at(col("embedding"), i + 1) > 0, "1").otherwise("0")): _*)
+    val bucket = graft.queries.VectorQ.lshBucket(col("embedding"))
     val sizes = e.select(col("vec_id"), bucket.as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("n"))
     val q = e.filter(col("vec_id") < 50).select(bucket.as("b"))

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Degenerate-document regression coverage: empty and single-token docs
+  * don't exist in the driver fixtures, so the sequence()/element_at/
+  * explode guards in the text pipeline would stay untested without this
+  * synthetic corpus (found by review: sequence(1,0) walks through index 0,
+  * sequence(1,0,15) throws, explode drops token-less docs). */
+class EdgeCorpusSpec extends SparkSpec {
+
+  private lazy val edgeDir: String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("edge_corpus").toString
+    Seq(
+      (1L, "", "en", "src0", 0L),
+      (2L, "hello", "en", "src0", 5L),
+      (3L, "a b c d e", "en", "src1", 9L),
+      (4L, "   ", "en", "src1", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("bigram_pmi survives empty and 1-token docs (no index-0 access)") {
+    // threshold filters everything out on 4 docs — surviving execution IS
+    // the assertion (sequence(1,0) would throw INVALID_INDEX_OF_ZERO)
+    assert(SparkEntry.queries("bigram_pmi")(spark, edgeDir).count() == 0)
+  }
+
+  test("doc_chunks yields no chunks for token-less docs, no crash") {
+    val rows = SparkEntry.queries("doc_chunks")(spark, edgeDir).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(2L, 3L))
+    assert(rows.filter(_.getAs[Long]("doc_id") == 3L)
+      .map(_.getAs[String]("chunk_text")).toSeq == Seq("a b c d e"))
+  }
+
+  test("simhash keeps token-less docs with the all-zero signature") {
+    val sigs = SparkEntry.queries("simhash_docs")(spark, edgeDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
+    assert(sigs.keySet == Set(1L, 2L, 3L, 4L), sigs)
+    assert(sigs(1L) == "0" * 32)
+    assert(sigs(4L) == "0" * 32)
+    assert(sigs(2L) != "0" * 32)
+  }
+
+  test("simhash_neardup pairs the two all-zero-signature docs") {
+    val pairs = SparkEntry.queries("simhash_neardup")(spark, edgeDir)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(pairs.contains((1L, 4L)), pairs.mkString(","))
+  }
+
+  test("token/quality/chunk-adjacent per-doc queries run on the edge corpus") {
+    for (q <- Seq("token_bpe", "qtext_wordcount", "text_fingerprint",
+        "ngram_profile", "neardup_pairs", "minhash_lsh_pairs")) {
+      SparkEntry.queries(q)(spark, edgeDir).collect() // must not throw
+    }
+  }
+}

@@ -24,18 +24,22 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect()(0).getDouble(0)
       assert(r == 11.0)
 
-      // injected optimizer rule: redundant array passes are removed
+      // injected optimizer rule: redundant array passes are removed.
+      // The array must be NON-foldable (derived from range's id) —
+      // a literal Seq would be constant-folded/ConvertToLocalRelation'd
+      // to nothing regardless of the rule, making the assert vacuous.
       import org.apache.spark.sql.functions._
-      import s.implicits._
-      val df = Seq((1L, Seq("a", "b", "a"))).toDF("id", "xs")
+      val xs = transform(sequence(lit(0), col("id") + 2),
+        i => concat(lit("w"), i))
+      val df = s.range(1, 4)
         .select(col("id"),
-          array_contains(array_distinct(col("xs")), "b").as("has_b"),
-          size(sort_array(col("xs"))).as("n"))
+          array_contains(array_distinct(xs), "w1").as("has_w1"),
+          size(sort_array(xs)).as("n"))
       val optimized = df.queryExecution.optimizedPlan.toString
       assert(!optimized.contains("array_distinct"), optimized)
       assert(!optimized.contains("sort_array"), optimized)
-      val row = df.collect()(0)
-      assert(row.getBoolean(1) && row.getInt(2) == 3)
+      val row = df.orderBy(col("id")).collect()(0)
+      assert(row.getBoolean(1) && row.getInt(2) == 4)
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p)

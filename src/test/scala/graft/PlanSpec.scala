@@ -60,11 +60,12 @@ class PlanSpec extends SparkSpec {
 
   test("correlated EXISTS decorrelates to joins (no per-row subquery)") {
     val p = planOf("subq_correlated")
-    // Catalyst rewrites EXISTS + the correlated scalar count into joins;
-    // physical plan must contain join operators and no Subquery nodes
-    // that would re-execute per input row.
-    assert(p.contains("Join") || p.contains("HashJoin"), p.take(800))
-    assert(!p.toLowerCase.contains("existencejoin") || p.contains("Join"))
+    // Catalyst rewrites EXISTS + the correlated scalar count into hash
+    // joins; a per-row re-execution would surface as Subquery/InSubquery
+    // nodes in the physical plan.
+    assert(p.contains("HashJoin"), p.take(800))
+    assert(!p.contains("Subquery"), p.take(800))
+    assert(!p.contains("InSubquery"), p.take(800))
   }
 
   test("prefix-filter near-dup plans no cartesian/nested-loop join") {
