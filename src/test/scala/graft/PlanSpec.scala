@@ -90,4 +90,18 @@ class PlanSpec extends SparkSpec {
     val p = planOf("date_spine_fill")
     assert(p.contains("Generate"), p.take(800))
   }
+
+  test("join strategy hints are honored (shuffle_hash vs merge)") {
+    val o = Tables(spark, sf, "orders")
+    val c = Tables(spark, sf, "customer")
+    val hashed = c.hint("shuffle_hash")
+      .join(o, col("c_custkey") === col("o_custkey"))
+    assert(hashed.queryExecution.executedPlan.toString
+      .contains("ShuffledHashJoin"))
+    val merged = c.hint("merge")
+      .join(o, col("c_custkey") === col("o_custkey"))
+    assert(merged.queryExecution.executedPlan.toString
+      .contains("SortMergeJoin"))
+    assert(hashed.count() == merged.count())
+  }
 }
