@@ -235,7 +235,26 @@ object SqlQ {
       .orderBy(col("doc_id"))
   }
 
+  /** Z-order (Morton) layout key: interleave the bits of two low-cardinality
+    * dimensions so sorting by `z` clusters BOTH columns — the data-layout
+    * primitive that makes parquet min/max row-group pruning effective on
+    * two predicates at once at 100 TB. Pure integer arithmetic (div/mod),
+    * engine-exact; 6 bits per dimension covers the value domains here. */
+  val zorderLayout: QFn = (s, dir) => {
+    val x = col("p_size").cast("long")
+    val y = least(floor(col("p_retailprice") / 100).cast("long"), lit(63L))
+    def interleave(c: org.apache.spark.sql.Column, offset: Int) =
+      (0 until 6).map(i =>
+        ((c / lit(1L << i)).cast("long") % 2) * lit(1L << (2 * i + offset)))
+        .reduce(_ + _)
+    t(s, dir, "part")
+      .select(col("p_partkey"), x.as("x"), y.as("y"),
+        (interleave(x, 0) + interleave(y, 1)).as("z"))
+      .orderBy(col("z"), col("p_partkey"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "zorder_layout"     -> zorderLayout,
     "sample_stratified" -> sampleStratified,
     "try_funcs"         -> tryFuncs,
     "subq_scalar"       -> subqScalar,
@@ -253,7 +272,22 @@ object SqlQ {
     "hash_funcs"        -> hashFuncs,
     "array_setops"      -> arraySetops)
 
+  /** DuckDB mirror of the Morton interleave — same div/mod terms. */
+  private def zorderSql: String = {
+    val xt = (0 until 6).map(i =>
+      s"((x // ${1L << i}) % 2) * ${1L << (2 * i)}").mkString(" + ")
+    val yt = (0 until 6).map(i =>
+      s"((y // ${1L << i}) % 2) * ${1L << (2 * i + 1)}").mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT p_partkey, CAST(p_size AS BIGINT) AS x,
+       |    least(CAST(floor(p_retailprice / 100) AS BIGINT), 63) AS y
+       |  FROM part)
+       |SELECT p_partkey, x, y, $xt + $yt AS z
+       |FROM b ORDER BY z, p_partkey""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "zorder_layout" -> zorderSql,
     "sample_stratified" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

@@ -57,4 +57,27 @@ class SourcesSpec extends SparkSpec {
       s"bucketed agg should not shuffle:\n$plan")
     spark.sql("DROP TABLE IF EXISTS orders_bucketed")
   }
+
+  test("fact-fact join on co-bucketed tables plans with no exchange at all") {
+    Tables(spark, sf, "orders")
+      .write.mode("overwrite").bucketBy(4, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("orders_bo")
+    Tables(spark, sf, "lineitem")
+      .write.mode("overwrite").bucketBy(4, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("lineitem_bo")
+    val j = spark.table("orders_bo").join(spark.table("lineitem_bo"),
+      col("o_orderkey") === col("l_orderkey"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = j.queryExecution.executedPlan.toString
+      // both sides pre-bucketed on the join key: the big-table⋈big-table
+      // pattern runs with zero shuffle — the 100 TB co-location payoff
+      assert(!plan.contains("Exchange"), s"co-bucketed join shuffled:\n$plan")
+      assert(j.count() == Tables(spark, sf, "lineitem").count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_bo")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bo")
+    }
+  }
 }
