@@ -122,6 +122,7 @@ object Perf {
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
     time("mh-verify") { ver2m.filter(col("inter") >= 0).count() }
 
+
     spark.stop()
   }
 }
