@@ -71,7 +71,6 @@ object Perf {
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n"), sigAggs: _*).count()
     }
 
-
     // prefix-filter probes
     val dfs = hashed.groupBy(col("shash")).agg(count(lit(1)).as("df"))
     val docSets = hashed.join(dfs, "shash")
@@ -97,8 +96,6 @@ object Perf {
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
     time("verify") { ver.filter(col("inter") > 0).count() }
 
-
-
     // minhash stage probes
     val sigAggs2 = Seq(collect_set(col("shash")).as("shset")) ++
       (0 until 8).map(i => min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i"))
@@ -121,7 +118,6 @@ object Perf {
       .join(sig2.select(col("doc_id").as("b_id"), col("shset").as("sb"), col("n").as("nb")), "b_id")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
     time("mh-verify") { ver2m.filter(col("inter") >= 0).count() }
-
 
     spark.stop()
   }

@@ -251,16 +251,18 @@ object TextQ {
       .withColumn("is_match", (col("lang_pred") === col("lang")).cast("long"))
       .orderBy(col("doc_id"))
 
-  /** Per-doc quality features + combined score, all from array HOFs. */
+  /** Per-doc quality features + combined score, all from array HOFs.
+    * Denominators go through nullif: a token-less doc gets NULL ratios on
+    * both engines instead of an ANSI divide-by-zero (EdgeCorpusSpec). */
   val qualityScore: QFn = (s, dir) => {
     val ws = TextOps.tokens(col("text"))
-    val nTok = size(ws)
+    val nTok = nullif(size(ws), lit(0))
     val nDis = size(array_distinct(ws))
     val nStop = size(filter(ws, w => w.isin(TextOps.stopwords: _*)))
     val sumLen = aggregate(transform(ws, w => length(w)), lit(0), (a, x) => a + x)
     t(s, dir, "documents")
       .select(col("doc_id"),
-        nTok.cast("long").as("n_tokens"),
+        size(ws).cast("long").as("n_tokens"),
         r6(nDis / nTok).as("ttr"),
         r6(nStop / nTok).as("stop_ratio"),
         r6(sumLen / nTok).as("mean_wlen"))
@@ -633,11 +635,11 @@ object TextQ {
       s"""WITH $wordsCte,
          |f AS (SELECT doc_id,
          |    CAST(len(ws) AS BIGINT) AS n_tokens,
-         |    floor((len(list_distinct(ws)) / len(ws)) * 1000000 + 0.5) / 1000000 AS ttr,
-         |    floor((len(list_filter(ws, w -> w IN ('a', 'the'))) / len(ws)) * 1000000 + 0.5) / 1000000
+         |    floor((len(list_distinct(ws)) / nullif(len(ws), 0)) * 1000000 + 0.5) / 1000000 AS ttr,
+         |    floor((len(list_filter(ws, w -> w IN ('a', 'the'))) / nullif(len(ws), 0)) * 1000000 + 0.5) / 1000000
          |      AS stop_ratio,
          |    floor((list_reduce(list_transform(ws, w -> CAST(length(w) AS INT)),
-         |      (a, b) -> a + b) / len(ws)) * 1000000 + 0.5) / 1000000 AS mean_wlen
+         |      (a, b) -> a + b) / nullif(len(ws), 0)) * 1000000 + 0.5) / 1000000 AS mean_wlen
          |  FROM words)
          |SELECT doc_id, n_tokens, ttr, stop_ratio, mean_wlen,
          |  floor((0.5 * ttr + 0.3 * (1.0 - stop_ratio) +

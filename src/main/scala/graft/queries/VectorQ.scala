@@ -98,10 +98,6 @@ object VectorQ {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** LSH-bucketed approximate kNN: bucket = sign bits of the first 8
-    * components; candidates share a bucket. The scale path for qknn — the
-    * cross join shrinks from |Q|·|N| to |Q|·|bucket|; recall is approximate
-    * by design and the oracle runs the identical algorithm. */
   /** The LSH index's bucket: sign bits of the first 8 components. Shared
     * with AnnQualitySpec so the enrichment gate always measures the bucket
     * the production index actually uses. Sign-equivalent on the raw float
@@ -110,6 +106,10 @@ object VectorQ {
     concat((0 until 8).map(i =>
       when(element_at(vec, i + 1) > 0, "1").otherwise("0")): _*)
 
+  /** LSH-bucketed approximate kNN: bucket = sign bits of the first 8
+    * components; candidates share a bucket. The scale path for qknn — the
+    * cross join shrinks from |Q|·|N| to |Q|·|bucket|; recall is approximate
+    * by design and the oracle runs the identical algorithm. */
   val annLshKnn: QFn = (s, dir) => {
     val e = unitBase(s, dir).withColumn("bucket", lshBucket(col("v")))
     val q = e.filter(col("vec_id") < 50)

@@ -53,7 +53,8 @@ class EdgeCorpusSpec extends SparkSpec {
 
   test("token/quality/chunk-adjacent per-doc queries run on the edge corpus") {
     for (q <- Seq("token_bpe", "qtext_wordcount", "text_fingerprint",
-        "ngram_profile", "neardup_pairs", "minhash_lsh_pairs")) {
+        "ngram_profile", "neardup_pairs", "minhash_lsh_pairs",
+        "quality_score", "text_langid", "lexicon_score")) {
       SparkEntry.queries(q)(spark, edgeDir).collect() // must not throw
     }
   }

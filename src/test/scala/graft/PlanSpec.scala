@@ -65,7 +65,6 @@ class PlanSpec extends SparkSpec {
     // nodes in the physical plan.
     assert(p.contains("HashJoin"), p.take(800))
     assert(!p.contains("Subquery"), p.take(800))
-    assert(!p.contains("InSubquery"), p.take(800))
   }
 
   test("prefix-filter near-dup plans no cartesian/nested-loop join") {
