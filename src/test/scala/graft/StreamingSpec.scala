@@ -170,4 +170,30 @@ class StreamingSpec extends SparkSpec {
       .filter(col("v_user") < 9).collect()
     assert(out.map(_.getAs[Long]("v_user")).toSeq == Seq(1L))
   }
+
+  test("foreachBatch sink writes stream aggregates to parquet end-to-end") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream_sink").toString
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(ts(5), 1, "view", 1.0), Ev(ts(20), 2, "view", 2.0),
+      Ev(ts(65), 1, "click", 3.0), Ev(ts(900), 9, "view", 0.0))
+    val q = StreamingDemo.tumblingHourly(mem.toDF())
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("append").parquet(s"$dir/agg")
+        ()
+      }
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination(); q.stop()
+    // the sink table is a real parquet dataset the batch engine can read
+    val sunk = spark.read.parquet(s"$dir/agg")
+    val batchRef = StreamingDemo.tumblingHourly(Seq(
+      Ev(ts(5), 1, "view", 1.0), Ev(ts(20), 2, "view", 2.0),
+      Ev(ts(65), 1, "click", 3.0), Ev(ts(900), 9, "view", 0.0)).toDF())
+    assert(sunk.count() == batchRef.count())
+    assert(sunk.agg(sum("n")).collect()(0).getLong(0) ==
+      batchRef.agg(sum("n")).collect()(0).getLong(0))
+  }
 }
