@@ -17,10 +17,12 @@ import core._
   * primitive loop.
   *
   * Scale paths: brute-force kNN holds at 100 TB by broadcasting the bounded
-  * query set over base partitions; `ann_lsh_knn` is the sub-quadratic
-  * bucketed variant; `embed_neardup`'s exact O(n²) is the verification tier
-  * above LSH candidates. Similarity scores are rounded to 6 decimals before
-  * ranking/filtering on both engines so ordering is engine-identical.
+  * query set over base partitions; `ann_lsh_knn` and `ann_ivf_knn` are the
+  * sub-quadratic kNN layouts; `embed_neardup` generates candidates from
+  * banded sign-LSH (16 bands × 8 hyperplanes) and exact-verifies only the
+  * candidates — no all-pairs join anywhere. Similarity scores are rounded
+  * to 6 decimals before ranking/filtering on both engines so ordering is
+  * engine-identical.
   */
 object VectorQ {
 
@@ -83,15 +85,76 @@ object VectorQ {
       .orderBy(col("lang"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (rounded cosine ≥ 0.45).
-    * Exact all-pairs: L2-normalize once per row, then one codegen'd dot
-    * per pair. The sub-quadratic scale path is ann_lsh_knn's bucketing. */
+  /** Number of LSH bands / hyperplanes per band for `embed_neardup`. */
+  val NeardupBands = 16
+  val NeardupBits  = 8
+
+  /** Sign of deterministic hyperplane `p` (0..127) for the 64-dim double
+    * array `v`: planes 0-63 are the coordinate signs, planes 64-127 the
+    * component-difference signs v[i] − v[(i+29) mod 64] (29 coprime to 64
+    * ⇒ 64 distinct, non-repeating pairs). All are valid random-projection
+    * hyperplanes for angular LSH (Charikar, STOC'02) and — unlike a seeded
+    * RNG — are exactly mirrorable in the DuckDB oracle. */
+  private def planeExpr(v: Column, p: Int): Column =
+    if (p < 64) element_at(v, p + 1)
+    else element_at(v, (p - 64) + 1) - element_at(v, ((p - 64) + 29) % 64 + 1)
+
+  /** Integer bucket of band `j`: 8 plane-sign bits packed little-endian. */
+  def neardupBandBucket(v: Column, j: Int): Column =
+    (0 until NeardupBits).map { k =>
+      when(planeExpr(v, j * NeardupBits + k) > 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** The same bucket in DuckDB SQL (`v` = the double-cast list expr). */
+  private def neardupBandBucketSql(j: Int): String =
+    (0 until NeardupBits).map { k =>
+      val p = j * NeardupBits + k
+      val term =
+        if (p < 64) s"v[${p + 1}]"
+        else s"v[${(p - 64) + 1}] - v[${((p - 64) + 29) % 64 + 1}]"
+      s"(CASE WHEN $term > 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Embedding-cosine near-duplicate pairs (rounded cosine ≥ 0.45) via
+    * banded sign-LSH: each vector lands in 16 band buckets; candidate
+    * pairs share ≥ 1 bucket; exact rounded cosine is verified on the
+    * candidates only. The oracle runs the identical banding, so the
+    * operator's contract IS the banded algorithm (like `ann_lsh_knn`).
+    *
+    * Scale shape: candidates ≈ bands · n · E[bucket size] / 2 — linear in
+    * n when band width tracks log₂(n) (8 bits ⇒ ~8 vectors/bucket at
+    * n = 2000; a 10⁹-vector corpus uses ~27-bit bands, same code). The
+    * candidate pipeline runs once (bucket-grouped pair expansion, not a
+    * band self-join — AQE stage reuse isn't guaranteed across join sides).
+    *
+    * Recall is the banding S-curve (midpoint ≈ cos 0.75 for 16×8):
+    * measured 100% on genuine near-duplicates (cos ≥ 0.85, injected-pair
+    * gate in AnnQualitySpec) and 29-42% on this synthetic corpus's
+    * threshold-grazing pairs (cos ≈ 0.45-0.6, isotropic noise — no true
+    * duplicates exist at any sf; the exact-vs-banded delta is measured in
+    * AnnQualitySpec, not assumed). */
   val embedNeardup: QFn = (s, dir) => {
-    val e = unitBase(s, dir)
+    val base = unitBase(s, dir)
+    val vecs = base
       .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
-    val a = e.select(col("vec_id").as("a_id"), col("u").as("ua"))
-    val b = e.select(col("vec_id").as("b_id"), col("u").as("ub"))
-    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+    val bands = base.select(col("vec_id"),
+      explode(array((0 until NeardupBands).map(j =>
+        struct(lit(j).as("band"), neardupBandBucket(col("v"), j).as("bucket"))): _*))
+        .as("bk"))
+      .select(col("vec_id"), col("bk.band"), col("bk.bucket"))
+    val vs = col("vs")
+    val pairCombos = flatten(transform(sequence(lit(1), size(vs) - 1),
+      i => transform(slice(vs, i + 1, size(vs) - i),
+        x => struct(element_at(vs, i).as("a_id"), x.as("b_id")))))
+    val cand = bands.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_set(col("vec_id"))).as("vs"))
+      .filter(size(vs) >= 2)
+      .select(explode(pairCombos).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .distinct()
+    cand
+      .join(vecs.select(col("vec_id").as("a_id"), col("u").as("ua")), "a_id")
+      .join(vecs.select(col("vec_id").as("b_id"), col("u").as("ub")), "b_id")
       .withColumn("cos_sim", r6(gdot(col("ua"), col("ub"))))
       .filter(col("cos_sim") >= 0.45)
       .select(col("a_id"), col("b_id"), col("cos_sim"))
@@ -169,30 +232,53 @@ object VectorQ {
       .orderBy(col("qid"), col("rn"))
   }
 
-  /** Near-dup cluster assignment: bounded label propagation (3 rounds of
-    * min-label-of-neighbors) over the embedding-cosine near-dup graph —
-    * what a real dedup pipeline needs downstream of pair detection: a
-    * cluster id per duplicated document, so one representative per
-    * cluster survives. 3 unrolled rounds are deterministic and mirrored
-    * exactly in the oracle; near-dup components are near-cliques, so the
-    * bound converges here, and at 100 TB each round is one shuffle on
-    * vertex id (the standard iterative-join CC shape, rounds ≈ graph
-    * diameter). */
+  /** Near-dup cluster assignment: min-label propagation iterated **to
+    * fixpoint** over the banded near-dup graph — what a real dedup
+    * pipeline needs downstream of pair detection: a cluster id per
+    * duplicated document, so one representative per cluster survives.
+    *
+    * Convergence is detected, not assumed: labels only decrease, so the
+    * label sum strictly decreases every non-converged round — the loop
+    * stops when the sum is unchanged (one O(1)-to-driver aggregate per
+    * round; no data is collected). At the fixpoint every edge has equal
+    * labels on both ends, i.e. cluster_id = min vec_id of the connected
+    * component — correct for ANY graph diameter, unlike a fixed unroll.
+    * The oracle mirrors the fixpoint itself with a recursive CTE
+    * (min reachable id), so both engines compute the same well-defined
+    * object regardless of how many rounds each needs.
+    *
+    * Scale shape: rounds = component diameter (near-dup components are
+    * near-cliques ⇒ 2-3 rounds); each round is one shuffle keyed on
+    * vertex id — the standard iterative-join CC pattern. Lineage is cut
+    * every round with localCheckpoint, so plan size stays O(1) in rounds. */
   val neardupClusters: QFn = (s, dir) => {
     val pairs = embedNeardup(s, dir).select(col("a_id"), col("b_id"))
     val adj = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-    val init = adj.select(col("src").as("id")).distinct()
+      .persist()
+    var labels = adj.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
-    val propagated = (1 to 3).foldLeft(init) { (l, _) =>
+      .localCheckpoint()
+    var prevSum = labels.agg(coalesce(sum(col("lbl")), lit(0L)))
+      .head.getLong(0)
+    var converged = false
+    while (!converged) {
       val nbr = adj
-        .join(l.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
+        .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
         .groupBy(col("src")).agg(min(col("dlbl")).as("nlbl"))
-      l.join(nbr.select(col("src").as("id"), col("nlbl")), Seq("id"), "left")
+      val next = labels
+        .join(nbr.select(col("src").as("id"), col("nlbl")), Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl")))
           .as("lbl"))
+        .localCheckpoint()
+      val nextSum = next.agg(coalesce(sum(col("lbl")), lit(0L)))
+        .head.getLong(0)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      labels = next
     }
-    propagated.select(col("id").as("vec_id"), col("lbl").as("cluster_id"))
+    adj.unpersist()
+    labels.select(col("id").as("vec_id"), col("lbl").as("cluster_id"))
       .orderBy(col("vec_id"))
   }
 
@@ -205,37 +291,49 @@ object VectorQ {
     "ann_lsh_knn"        -> annLshKnn,
     "ann_ivf_knn"        -> annIvfKnn)
 
-  /** DuckDB mirror of neardup_clusters: same pair threshold, same 3
-    * unrolled min-label rounds. */
-  private def neardupClustersSql: String = {
-    val rounds = (1 to 3).map { i =>
-      val prev = s"l${i - 1}"
-      s"""l$i AS (
-         |  SELECT l.id, least(l.lbl, coalesce(m.nlbl, l.lbl)) AS lbl
-         |  FROM $prev l LEFT JOIN (
-         |    SELECT a.src, min(x.lbl) AS nlbl
-         |    FROM adj a JOIN $prev x ON a.dst = x.id GROUP BY a.src) m
-         |  ON l.id = m.src)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH e AS (
-       |  SELECT vec_id,
-       |    list_transform(CAST(embedding AS DOUBLE[]),
-       |      x -> x / sqrt(list_reduce(
-       |        list_transform(CAST(embedding AS DOUBLE[]), y -> y * y),
-       |        (a, b) -> a + b))) AS v
-       |  FROM embeddings),
+  /** Shared DuckDB CTE chain for the banded near-dup pairs: identical
+    * hyperplanes, banding, candidate join, and rounded-cosine verify as
+    * the Spark side, so the two engines hold the same pair set by
+    * construction. */
+  private def bandedPairCtes: String = {
+    val bandSelects = (0 until NeardupBands).map(j =>
+      s"SELECT vec_id, $j AS band, ${neardupBandBucketSql(j)} AS bucket FROM e")
+      .mkString("\n  UNION ALL ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |u AS (
+       |  SELECT vec_id, list_transform(v,
+       |    x -> x / sqrt(list_reduce(list_transform(v, y -> y * y),
+       |      (a, b) -> a + b))) AS uv
+       |  FROM e),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |      AND a.vec_id < b.vec_id),
        |p AS (
-       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
-       |  FROM e a, e b WHERE a.vec_id < b.vec_id
-       |    AND floor((list_dot_product(a.v, b.v)) * 1000000 + 0.5) / 1000000
-       |        >= 0.45),
+       |  SELECT c.a_id, c.b_id,
+       |    ${r6Sql("list_dot_product(x.uv, y.uv)")} AS cos_sim
+       |  FROM cand c JOIN u x ON x.vec_id = c.a_id
+       |    JOIN u y ON y.vec_id = c.b_id
+       |  WHERE ${r6Sql("list_dot_product(x.uv, y.uv)")} >= 0.45)""".stripMargin
+  }
+
+  /** DuckDB mirror of neardup_clusters: the same banded pairs, then the
+    * label-propagation FIXPOINT itself — min reachable id per node via a
+    * recursive CTE — matching what the Spark loop converges to for any
+    * graph diameter. */
+  private def neardupClustersSql: String =
+    s"""WITH RECURSIVE $bandedPairCtes,
        |adj AS (SELECT a_id AS src, b_id AS dst FROM p
        |        UNION ALL SELECT b_id, a_id FROM p),
-       |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM adj),
-       |$rounds
-       |SELECT id AS vec_id, lbl AS cluster_id FROM l3
-       |ORDER BY vec_id""".stripMargin
-  }
+       |walk(id, r) AS (
+       |  SELECT DISTINCT src, src FROM adj
+       |  UNION
+       |  SELECT a.src, w.r FROM adj a JOIN walk w ON a.dst = w.id)
+       |SELECT id AS vec_id, min(r) AS cluster_id FROM walk
+       |GROUP BY id ORDER BY vec_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "neardup_clusters" -> neardupClustersSql,
@@ -274,18 +372,9 @@ object VectorQ {
         |  floor((CAST(sum(nrm) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS avg_norm
         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
     "embed_neardup" ->
-      """WITH e AS (
-        |  SELECT vec_id,
-        |    list_transform(CAST(embedding AS DOUBLE[]),
-        |      x -> x / sqrt(list_reduce(
-        |        list_transform(CAST(embedding AS DOUBLE[]), y -> y * y),
-        |        (a, b) -> a + b))) AS v
-        |  FROM embeddings)
-        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |  floor((list_dot_product(a.v, b.v)) * 1000000 + 0.5) / 1000000 AS cos_sim
-        |FROM e a, e b WHERE a.vec_id < b.vec_id
-        |  AND floor((list_dot_product(a.v, b.v)) * 1000000 + 0.5) / 1000000 >= 0.45
-        |ORDER BY a_id, b_id""".stripMargin,
+      s"""WITH $bandedPairCtes
+         |SELECT a_id, b_id, cos_sim FROM p
+         |ORDER BY a_id, b_id""".stripMargin,
     "ann_ivf_knn" ->
       """WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |            FROM embeddings),

@@ -57,6 +57,92 @@ class AnnQualitySpec extends SparkSpec {
         f"(enrichment $enrichment%.1f)")
   }
 
+  /** Exact cosine near-dup pairs at τ = 0.45, computed driver-side in the
+    * test (the all-pairs tier deliberately absent from the contract). */
+  private lazy val exactNeardupPairs: Set[(Long, Long)] = {
+    val rows = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val unit = rows.map { case (id, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (id, v.map(_ / n))
+    }
+    (for {
+      i <- unit.indices.iterator
+      j <- (i + 1) until unit.length
+      dot = unit(i)._2.zip(unit(j)._2).map { case (a, b) => a * b }.sum
+      if math.floor(dot * 1e6 + 0.5) / 1e6 >= 0.45
+    } yield (unit(i)._1, unit(j)._1)).toSet
+  }
+
+  test("banded near-dup: measured recall and candidate fraction vs exact") {
+    val banded = SparkEntry.queries("embed_neardup")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(banded.subsetOf(exactNeardupPairs),
+      "banded result contains a pair the exact tier rejects")
+    val recall = banded.size.toDouble / exactNeardupPairs.size
+    // Candidate volume of the PRODUCTION banding expressions.
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val buckets = Tables(spark, sf, "embeddings").select(col("vec_id"),
+      explode(array((0 until graft.queries.VectorQ.NeardupBands).map(j =>
+        struct(lit(j).as("band"),
+          graft.queries.VectorQ.neardupBandBucket(v, j).as("bucket"))): _*))
+        .as("bk"))
+      .groupBy(col("bk.band"), col("bk.bucket")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - 1))).collect()(0).getLong(0) / 2
+    val frac = buckets.toDouble / (nVecs * (nVecs - 1) / 2).toDouble
+    // This corpus is isotropic noise — every "near-dup" grazes the 0.45
+    // threshold (max cos ≈ 0.6), the hardest case for angular LSH. The
+    // S-curve still has to concentrate: candidates must stay a small
+    // fraction while recall stays well above that fraction (enrichment).
+    assert(frac <= 0.10, f"candidate fraction $frac%.4f not sub-linear")
+    assert(recall >= 0.5, f"recall $recall%.3f collapsed at the boundary")
+    assert(recall / frac >= 5.0,
+      f"enrichment ${recall / frac}%.1f — banding not concentrating signal")
+  }
+
+  test("banded near-dup: 100% recall on injected genuine duplicates") {
+    // The corpus has no true duplicates, so inject them: perturb 20 base
+    // vectors (cos ≈ 0.9 with their originals) and assert the production
+    // banding puts every (original, copy) pair in a shared bucket.
+    import scala.jdk.CollectionConverters._
+    val base = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 40)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val pert = base.take(20).zip(base.drop(20)).map { case ((id, v), (_, w)) =>
+      (id + 10000L, v.zip(w).map { case (a, b) => a + 0.48f * b })
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val all = spark.createDataFrame(
+      (base.take(20) ++ pert).map { case (id, v) =>
+        org.apache.spark.sql.Row(id, v.toSeq) }.toList.asJava, schema)
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val got = all.select(col("vec_id"),
+      array((0 until graft.queries.VectorQ.NeardupBands).map(j =>
+        graft.queries.VectorQ.neardupBandBucket(v, j)): _*).as("bks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    (0 until 20).foreach { i =>
+      val id = base(i)._1
+      val share = got(id).zip(got(id + 10000L)).exists { case (a, b) => a == b }
+      assert(share, s"injected duplicate of vec $id missed by all 16 bands")
+    }
+    // honesty check on the injection itself: the copies really are near-dups
+    val cos = base.take(20).zip(pert).map { case ((_, a), (_, b)) =>
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(ad.map(x => x * x).sum) / math.sqrt(bd.map(x => x * x).sum)
+    }
+    assert(cos.forall(c => c >= 0.80 && c <= 0.99),
+      f"injected cos out of near-dup range: min=${cos.min}%.3f max=${cos.max}%.3f")
+  }
+
   test("count_min_sketch aggregate estimates within epsilon of exact") {
     val ev = Tables(spark, sf, "events")
     val sketchBytes = ev.agg(

@@ -73,6 +73,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop"), p.take(800))
   }
 
+  test("banded embed_neardup plans no cartesian/nested-loop join") {
+    val p = planOf("embed_neardup")
+    assert(!p.contains("Cartesian"), p.take(800))
+    assert(!p.contains("NestedLoop"), p.take(800))
+  }
+
+  test("neardup_clusters plans no cartesian/nested-loop join") {
+    // The fixpoint loop runs eagerly inside the query fn; its final plan
+    // reads checkpointed labels. Assert the orchestration introduced no
+    // cartesian anywhere — including the pair-generation stage, which is
+    // covered by the embed_neardup assertion above (same pipeline).
+    val p = planOf("neardup_clusters")
+    assert(!p.contains("Cartesian"), p.take(800))
+    assert(!p.contains("NestedLoop"), p.take(800))
+  }
+
   test("simhash signature aggregates partial+final (mergeable at scale)") {
     val p = planOf("simhash_neardup")
     assert(p.contains("HashAggregate"), p.take(800))
