@@ -18,7 +18,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Truncation defense (BENCH_r02 lost its total to a capture cutoff):
+    // the compact summary line goes out FIRST so any tail truncation only
+    // costs per-query detail, and the full JSON is also written to disk.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(compact)
+    println(full)
+    Seq("bench_summary.json", "/root/repo/bench_summary.json").distinct
+      .foreach { p =>
+        try java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+          full + "\n")
+        catch { case _: Throwable => () }
+      }
     spark.stop()
   }
 }

@@ -148,10 +148,30 @@ object EventsQ {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy(col("event_type"))
 
+  /** Approximate percentiles (Greenwald-Khanna-style sketch, mergeable
+    * partial+final — the sketch tier above the exact `agg_percentiles`).
+    * Deliberately oracle-free like `approx_distinct`: sketch outputs are
+    * not bit-comparable across engines; scalatest bounds the rank error
+    * against the exact percentile instead (OperatorSpec). accuracy 10000
+    * ⇒ rank error ≤ n/10000. */
+  val approxPercentile: QFn = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("pcts"))
+      .select(col("event_type"),
+        element_at(col("pcts"), 1).as("p50"),
+        element_at(col("pcts"), 2).as("p90"),
+        element_at(col("pcts"), 3).as("p99"))
+      .orderBy(col("event_type"))
+
   /** Native session_window() operator (the Structured-Streaming session
     * primitive, run in batch): per-user sessions with a 30-minute gap.
-    * Oracle = the lag/cumsum formulation — same boundaries (verified: no
-    * exact-30min gaps exist in the data, so edge semantics can't split). */
+    * Oracle = the lag/cumsum formulation with a `>=` new-session gap test,
+    * matching Spark's boundary semantics unconditionally: windows are
+    * [start, start+gap) and touching windows do NOT merge, so an event
+    * arriving exactly at start+gap opens a new session. (qsession_gap30m
+    * is a different, lag-defined operator: both its engines use `>`.) */
   val sessionWindowNative: QFn = (s, dir) =>
     t(s, dir, "events")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -230,7 +250,8 @@ object EventsQ {
     "set_except"           -> setExcept,
     "stream_dedup"         -> streamDedup,
     "win_sliding"          -> slidingWindows,
-    "approx_distinct"      -> approxDistinct)
+    "approx_distinct"      -> approxDistinct,
+    "approx_percentile"    -> approxPercentile)
 
   val oracle: Map[String, String] = Map(
     "gap_fill_ffill" ->
@@ -257,7 +278,7 @@ object EventsQ {
       """WITH m AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us,
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
         |         THEN 1 ELSE 0 END AS is_new
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))

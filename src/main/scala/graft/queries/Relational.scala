@@ -232,7 +232,32 @@ object Relational {
       .orderBy(col("o_orderstatus").asc, col("prio_nn").asc_nulls_last,
         col("o_totalprice").desc, col("o_orderkey").asc)
 
+  /** Hive-partitioned at-rest layout, end to end: write orders partitioned
+    * by `o_orderstatus` to a scratch dir, read it back through partition
+    * discovery with a partition predicate, and aggregate. The read plan
+    * prunes to a single partition directory (`PartitionFilters`, asserted
+    * in PlanSpec) and the partition column is directory metadata, not file
+    * data. The oracle runs the same filter+agg on the raw table — layout
+    * is an access-path property, not a semantic one. At 100 TB partition
+    * pruning is the dominant scan optimization, so the contract exercises
+    * the full write → discover → prune loop rather than leaving it to a
+    * demo spec. */
+  val partitionedScan: QFn = (s, dir) => {
+    val scratch = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_scratch/orders_by_status_" + Integer.toHexString(dir.hashCode))
+      .getAbsolutePath
+    t(s, dir, "orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(scratch)
+    s.read.parquet(scratch)
+      .filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(dec(col("o_totalprice"), 18, 4)).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "partitioned_scan"    -> partitionedScan,
     "scan_lineitem"       -> scanLineitem,
     "q01_pricing_summary" -> q01,
     "q03_topk_revenue"    -> q03,
@@ -253,6 +278,12 @@ object Relational {
     "sort_multi_key"      -> sortMultiKey)
 
   val oracle: Map[String, String] = Map(
+    "partitioned_scan" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS total_price
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "scan_lineitem" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -24,13 +24,23 @@ import core._
 object TextQ {
 
   /** Exact dedup after lowercase + whitespace-collapse normalization,
-    * keeping the lowest doc_id of each duplicate group. */
+    * keeping the lowest doc_id of each duplicate group.
+    *
+    * The window partitions on `xxhash64(norm)` — an 8-byte shuffle key —
+    * not on the normalized document itself, so the corpus text crosses the
+    * exchange once (as payload) instead of twice (key + payload); at 100 TB
+    * that halves the dominant shuffle. Collision-safe without assuming the
+    * hash is injective: rows sort by (norm, doc_id) inside each hash
+    * partition and a row survives iff its norm differs from the previous
+    * row's — exactly the lowest doc_id per distinct norm, even if two
+    * different norms collide into one partition. */
   val dedupDocs: QFn = (s, dir) => {
-    val w = Window.partitionBy(col("norm")).orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("hkey")).orderBy(col("norm"), col("doc_id"))
     t(s, dir, "documents")
       .withColumn("norm", TextOps.normText(col("text")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .withColumn("hkey", xxhash64(col("norm")))
+      .withColumn("prev", lag(col("norm"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("norm"))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
   }

@@ -117,9 +117,14 @@ class RangeScan(lo: Long, hi: Long, partitions: Int, required: StructType)
     val n = math.max(0L, hi - lo)
     if (n == 0) return Array.empty
     val slices = math.min(partitions.toLong, n).toInt
+    // Balanced split WITHOUT the i*n intermediate product, which would
+    // overflow Long once n > Long.MaxValue/slices: the first (n % slices)
+    // partitions take one extra row.
+    val base = n / slices
+    val rem = n % slices
     (0 until slices).map { i =>
-      val start = lo + i * n / slices
-      val end = lo + (i + 1) * n / slices
+      val start = lo + base * i + math.min(i.toLong, rem)
+      val end = start + base + (if (i < rem) 1L else 0L)
       RangePartition(start, end): InputPartition
     }.toArray
   }

@@ -28,6 +28,30 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile rank error bounded vs exact percentile") {
+    // accuracy=10000 bounds the RANK error at n/10000; assert the value
+    // returned sits between the exact percentiles at q ± 1% rank slack.
+    val e = Tables(spark, sf, "events")
+    val approx = SparkEntry.queries("approx_percentile")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        Seq(r.getAs[Double]("p50"), r.getAs[Double]("p90"),
+          r.getAs[Double]("p99"))).toMap
+    val qs = Seq(0.5, 0.9, 0.99)
+    val bounds = e.groupBy(col("event_type")).agg(
+      expr("percentile(value, array(0.49, 0.89, 0.98))").as("lo"),
+      expr("percentile(value, array(0.51, 0.91, 1.0))").as("hi"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getSeq[Double](1), r.getSeq[Double](2))).toMap
+    assert(approx.nonEmpty && approx.keySet == bounds.keySet)
+    approx.foreach { case (et, vals) =>
+      val (lo, hi) = bounds(et)
+      qs.indices.foreach { i =>
+        assert(vals(i) >= lo(i) && vals(i) <= hi(i),
+          s"$et q=${qs(i)}: approx ${vals(i)} outside [${lo(i)}, ${hi(i)}]")
+      }
+    }
+  }
+
   test("VectorSum aggregator matches posexplode-based sum per label") {
     val emb = Tables(spark, sf, "embeddings")
     val viaAgg = emb.groupBy(col("label"))

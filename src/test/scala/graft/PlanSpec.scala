@@ -24,6 +24,15 @@ class PlanSpec extends SparkSpec {
       "l_quantity:double,l_returnflag:string>"), p.take(800))
   }
 
+  test("partitioned_scan: read prunes to one partition directory") {
+    val p = planOf("partitioned_scan")
+    assert(p.contains("PartitionFilters: ["), p.take(1200))
+    assert(p.contains("= O)"), p.take(1200))
+    // the partition column must NOT be read from data files
+    assert(!p.contains("PushedFilters: [IsNotNull(o_orderstatus)"),
+      p.take(1200))
+  }
+
   test("q01: partial+final hash aggregation") {
     val p = planOf("q01_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(500))
