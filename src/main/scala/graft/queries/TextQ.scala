@@ -293,21 +293,19 @@ object TextQ {
       .orderBy(col("doc_id"))
 
   /** Top-5 character bigrams per language (the n-gram language-model
-    * profile behind langId). Bigrams come from zip_with over the char
-    * array and its 1-shifted slice: the lambda touches only its element
-    * arguments (no per-element subtree re-eval), and char-array indexing
-    * avoids the O(position) UTF-8 walk `substr(i, 2)` pays per call —
-    * measured 1.4 s vs 2.1 s at sf0.1 for identical output. */
+    * profile behind langId). Bigrams come from the codegen'd CharBigrams
+    * expression — one primitive byte scan per document, replacing the
+    * earlier zip_with-over-shifted-slices + rlike pipeline (HOFs are
+    * CodegenFallback in Spark 4.1); byte-level `[a-z]{2}` adjacency is
+    * proven equivalent in CharBigramsSpec and the DuckDB oracle is
+    * unchanged. */
   val ngramProfile: QFn = (s, dir) => {
-    val cs = col("cs")
-    val bigrams = zip_with(slice(cs, lit(1), size(cs) - 1),
-      slice(cs, lit(2), size(cs) - 1), (a, b) => concat(a, b))
+    graft.expressions.CharBigrams.register(s)
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("cnt").desc, col("bg"))
     t(s, dir, "documents")
-      .select(col("lang"), split(lower(col("text")), "").as("cs"))
-      .select(col("lang"), explode(bigrams).as("bg"))
-      .filter(col("bg").rlike("^[a-z]{2}$"))
+      .select(col("lang"),
+        explode(call_function("graft_bigrams", lower(col("text")))).as("bg"))
       .groupBy(col("lang"), col("bg"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(w).cast("long"))
