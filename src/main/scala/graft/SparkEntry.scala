@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ WindowsQ.queries ++ EventsQ.queries ++
       TextQ.queries ++ VectorQ.queries ++ FunctionsQ.queries ++
-      MultimodalQ.queries ++ StatsQ.queries ++ SqlQ.queries
+      MultimodalQ.queries ++ StatsQ.queries ++ SqlQ.queries ++
+      DepthQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ WindowsQ.oracle ++ EventsQ.oracle ++
       TextQ.oracle ++ VectorQ.oracle ++ FunctionsQ.oracle ++
-      MultimodalQ.oracle ++ StatsQ.oracle ++ SqlQ.oracle
+      MultimodalQ.oracle ++ StatsQ.oracle ++ SqlQ.oracle ++
+      DepthQ.oracle
 }

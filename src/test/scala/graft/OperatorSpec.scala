@@ -52,6 +52,22 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("hll_sketch_union estimates within 5% of exact, incl. the union") {
+    val e = Tables(spark, sf, "events")
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap +
+      ("ALL" -> e.select(col("user_id")).distinct().count())
+    val est = SparkEntry.queries("hll_sketch_union")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Long]("approx_users")).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (et, a) =>
+      val x = exact(et).toDouble
+      assert(math.abs(a - x) / x <= 0.05, s"$et: estimate $a vs exact $x")
+    }
+  }
+
   test("VectorSum aggregator matches posexplode-based sum per label") {
     val emb = Tables(spark, sf, "embeddings")
     val viaAgg = emb.groupBy(col("label"))
