@@ -256,8 +256,13 @@ object VectorQ {
     val adj = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist()
-    var labels = adj.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // Initialization IS the first propagation round: label = min(self,
+    // neighbors) in one aggregate. The vertex set falls out of the same
+    // groupBy (adj is symmetrized, so every vertex appears as src) —
+    // replaces a distinct() shuffle + one full join round; near-clique
+    // components then converge after a single loop iteration.
+    var labels = adj.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl"))
       .localCheckpoint()
     var prevSum = labels.agg(coalesce(sum(col("lbl")), lit(0L)))
       .head.getLong(0)

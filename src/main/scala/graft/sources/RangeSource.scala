@@ -62,10 +62,11 @@ class RangeTable(rows: Long, partitions: Int) extends Table with SupportsRead {
     new RangeScanBuilder(rows, partitions)
 }
 
-/** Consumes id-range filters (start/end tightening) and prunes columns. */
+/** Consumes id-range filters (start/end tightening), prunes columns, and
+  * accepts limit pushdown. */
 class RangeScanBuilder(rows: Long, partitions: Int)
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private var lo: Long = 0L
   private var hi: Long = rows // exclusive
@@ -98,6 +99,20 @@ class RangeScanBuilder(rows: Long, partitions: Int)
   }
 
   override def pushedFilters(): Array[Filter] = pushed
+
+  // Limit pushdown: Spark offers the limit only after filter pushdown, and
+  // every accepted id-range filter is applied EXACTLY by range tightening,
+  // so all rows in [lo, hi) qualify — the first `limit` of them is the
+  // contiguous prefix [lo, lo+limit). Declared partially-pushed so Spark
+  // keeps its own Limit operator (the source guarantee is "at most", the
+  // operator enforces "exactly" — the standard contract; at 100 TB this is
+  // what turns `LIMIT 20` exploration on a petabyte table into a
+  // single-partition read).
+  override def pushLimit(limit: Int): Boolean = {
+    if (hi - lo > limit) hi = lo + limit
+    true
+  }
+  override def isPartiallyPushed: Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema

@@ -38,6 +38,40 @@ class PropertySpec extends SparkSpec {
     assert(holds(prop))
   }
 
+  test("CharBigrams ≡ reference scan over code points, any unicode (property)") {
+    // Reference model: walk CODE POINTS (not bytes), emit every adjacent
+    // pair where both are in 'a'..'z'. The expression scans UTF-8 bytes;
+    // equivalence rests on continuation/lead bytes being >= 0x80 — this
+    // property hammers that claim with arbitrary unicode (incl. surrogate
+    // pairs, which Gen.asciiStr alone would never produce).
+    def model(s: String): Seq[String] = {
+      val cps = s.codePoints().toArray
+      (0 until cps.length - 1).collect {
+        case i if cps(i) >= 'a' && cps(i) <= 'z' &&
+          cps(i + 1) >= 'a' && cps(i + 1) <= 'z' =>
+          new String(Character.toChars(cps(i))) +
+            new String(Character.toChars(cps(i + 1)))
+      }.toSeq
+    }
+    val fragGen = Gen.frequency(
+      (5, Gen.choose('a', 'z').map(_.toString)),
+      (2, Gen.choose('A', 'Z').map(_.toString)),
+      (1, Gen.choose(' ', '/').map(_.toString)),
+      (1, Gen.choose('À', 'ɏ').map(_.toString)), // latin w/ diacritics
+      (1, Gen.choose('぀', 'ヿ').map(_.toString)), // kana
+      (1, Gen.const("😀")))                       // surrogate pair
+    val strGen = Gen.listOf(fragGen).map(_.mkString)
+    val prop = Prop.forAll(strGen) { s =>
+      val got = graft.expressions.CharBigrams(
+        org.apache.spark.sql.catalyst.expressions.Literal(s)).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      got == model(s)
+    }
+    assert(holds(prop))
+  }
+
   test("session count is invariant under input row order (property)") {
     import spark.implicits._
     // random per-user event times; feed them in two different orders

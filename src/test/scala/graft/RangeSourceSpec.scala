@@ -45,6 +45,18 @@ class RangeSourceSpec extends SparkSpec {
       (0L until 100L).map(i => i * i).sum)
   }
 
+  test("limit pushes into the source after filters (prefix range read)") {
+    // Filters land first (lo=100), then the limit caps the range: the scan
+    // itself reads only [100, 105) — at scale this is LIMIT-exploration on
+    // a huge table touching one partition instead of all of them.
+    val df = ranged(1000000, 8).filter(col("id") >= 100).limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("lo=100 hi=105"), plan.take(800))
+    assert(df.count() == 5)
+    val rows = df.agg(min("id"), max("id")).collect()(0)
+    assert(rows.getLong(0) == 100 && rows.getLong(1) == 104)
+  }
+
   test("joins against parquet tables like any other relation") {
     val n = ranged(25).select(col("id").cast("int").as("n_nationkey"),
       col("hex"))

@@ -45,6 +45,35 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    // The 100 TB star-join pattern: the fact table is partitioned on the
+    // join key, the dimension filter is only known at plan time on the DIM
+    // side — DPP injects the dim's key set as a runtime partition filter
+    // into the fact scan, so only matching partitions are read.
+    val dir = tmp("graft_dpp")
+    Tables(spark, sf, "orders")
+      .withColumn("oyear", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("oyear").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // The dim filter is on a NON-key column, so it cannot be transitively
+    // inferred as a static partition filter (Catalyst does that for a
+    // direct key predicate) — the fact-side partition set is only known
+    // once the dim is evaluated, which is exactly what DPP handles.
+    import spark.implicits._
+    val dimDir = tmp("graft_dpp_dim")
+    (1994 to 2002).map(y => (y, if (y == 1996) "target" else "other"))
+      .toDF("oyear", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("tag") === "target")
+    val joined = fact.join(dim, "oyear")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery in the fact scan:\n${plan.take(1500)}")
+    val expected = Tables(spark, sf, "orders")
+      .filter(year(col("o_orderdate")) === 1996).count()
+    assert(joined.count() == expected)
+  }
+
   test("bucketed table write co-locates the join (no shuffle on bucketed side)") {
     Tables(spark, sf, "orders")
       .write.mode("overwrite").bucketBy(4, "o_custkey")
