@@ -144,7 +144,77 @@ object DepthQ {
       .limit(100)
   }
 
+  /** PII redaction — the compliance pass every training-data pipeline runs
+    * before the tokenizer. The corpus is synthetic word salad with no real
+    * PII, so deterministic synthetic PII (derived from doc_id, with
+    * varying presence so the counts actually discriminate) is injected
+    * FIRST and the scrub operator — the thing under test — then redacts
+    * it: RE2-safe regexes for emails / URLs / phone numbers, global
+    * replace, with per-kind match counts and an md5 over the scrubbed
+    * text so any replacement divergence fails the hash. Per-row
+    * expression pipeline — embarrassingly parallel, shuffle-free. */
+  val piiScrub: QFn = (s, dir) => {
+    // Hygiene note: every URL-shaped string in this operator is either a
+    // REGEX PATTERN ('https?://…') or injected synthetic fixture data on
+    // the RFC 2606 reserved documentation domain (example.com) — nothing
+    // here references a real endpoint, bucket, or service.
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val urlRe = "https?://[^ ]+"
+    val phoneRe = "\\d{3}-\\d{4}"
+    val id = col("doc_id")
+    val raw = concat(
+      col("text"),
+      when(id % 3 =!= 0,
+        concat(lit(" contact user"), id, lit("@example.com")))
+        .otherwise(lit("")),
+      when(id % 5 === 0,
+        concat(lit(" see https://example.com/u/"), id)).otherwise(lit("")),
+      when(id % 2 === 0,
+        concat(lit(" call 555-"),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+        urlRe, "<URL>"),
+      phoneRe, "<PHONE>")
+    t(s, dir, "documents")
+      .select(id, raw.as("raw"))
+      .select(id,
+        // lit() keeps the regex out of the SQL parser, whose string
+        // literals would eat the backslashes ('\d' parses to 'd')
+        size(regexp_extract_all(col("raw"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(urlRe), lit(0)))
+          .cast("long").as("n_urls"),
+        size(regexp_extract_all(col("raw"), lit(phoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        length(scrubbed).cast("long").as("clean_len"),
+        md5(scrubbed).as("clean_md5"))
+      .orderBy(id)
+  }
+
+  /** Dedup keeping the BEST representative per duplicate group (longest
+    * raw text, then lowest doc_id) — what follows dedup *detection* in a
+    * real pipeline: qdedup_docs keeps the lowest id; this keeps the
+    * highest-quality survivor. Same scale shape as qdedup_docs: the
+    * window shuffles on the 8-byte xxhash64(norm) key with a
+    * collision-safe in-partition tie check, not on the corpus text. */
+  val dedupKeepBest: QFn = (s, dir) => {
+    val w = Window.partitionBy(col("hkey"))
+      .orderBy(col("norm"), col("n_chars").desc, col("doc_id"))
+    t(s, dir, "documents")
+      .withColumn("norm",
+        graft.operators.TextOps.normText(col("text")))
+      .withColumn("hkey", xxhash64(col("norm")))
+      .withColumn("prev_norm", lag(col("norm"), 1).over(w))
+      .filter(col("prev_norm").isNull || col("prev_norm") =!= col("norm"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "pii_scrub"          -> piiScrub,
+    "dedup_keep_best"    -> dedupKeepBest,
     "map_funcs"          -> mapFuncs,
     "variant_extract"    -> variantExtract,
     "hll_sketch_union"   -> hllSketchUnion,
@@ -152,7 +222,44 @@ object DepthQ {
     "q04_order_priority" -> q04OrderPriority,
     "q18_large_orders"   -> q18LargeOrders)
 
+  private val piiScrubbedSql =
+    """regexp_replace(regexp_replace(regexp_replace(raw,
+      |  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      |  'https?://[^ ]+', '<URL>', 'g'),
+      |  '\d{3}-\d{4}', '<PHONE>', 'g')""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "pii_scrub" ->
+      s"""WITH r AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 3 <> 0
+        |      THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' see https://example.com/u/' || doc_id ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, 'https?://[^ ]+')) AS BIGINT)
+        |    AS n_urls,
+        |  CAST(len(regexp_extract_all(raw, '\\d{3}-\\d{4}')) AS BIGINT)
+        |    AS n_phones,
+        |  CAST(length($piiScrubbedSql) AS BIGINT) AS clean_len,
+        |  md5($piiScrubbedSql) AS clean_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "dedup_keep_best" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (
+        |      PARTITION BY regexp_replace(lower(text), '\s+', ' ', 'g')
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "map_funcs" ->
       """WITH c AS (
         |  SELECT user_id, event_type, count(*) AS cnt
