@@ -54,8 +54,29 @@ class EdgeCorpusSpec extends SparkSpec {
   test("token/quality/chunk-adjacent per-doc queries run on the edge corpus") {
     for (q <- Seq("token_bpe", "qtext_wordcount", "text_fingerprint",
         "ngram_profile", "neardup_pairs", "minhash_lsh_pairs",
-        "quality_score", "text_langid", "lexicon_score")) {
+        "quality_score", "text_langid", "lexicon_score", "token_count",
+        "simhash_docs", "tfidf_top_terms")) {
       SparkEntry.queries(q)(spark, edgeDir).collect() // must not throw
     }
+  }
+
+  test("pii_scrub redacts on empty/degenerate docs (injection still scrubbed)") {
+    val rows = SparkEntry.queries("pii_scrub")(spark, edgeDir).collect()
+    assert(rows.length == 4)
+    // doc 1 (id%3!=0, %2 odd, %5 !=0): email only; doc 4: phone only
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Long]("n_emails") == 1)
+    assert(byId(1L).getAs[Long]("n_phones") == 0)
+    assert(byId(4L).getAs[Long]("n_phones") == 1)
+    assert(byId(4L).getAs[Long]("n_emails") == 1)
+  }
+
+  test("dedup_keep_best keeps the longest doc when norms collide") {
+    // docs 1 ("") and 4 ("   ") normalize differently ("" vs " ") — both
+    // survive; all four docs are distinct post-normalization here, so the
+    // assertion is about not dropping degenerate docs
+    val ids = SparkEntry.queries("dedup_keep_best")(spark, edgeDir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(1L, 2L, 3L, 4L))
   }
 }
