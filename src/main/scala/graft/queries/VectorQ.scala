@@ -287,7 +287,53 @@ object VectorQ {
       .orderBy(col("vec_id"))
   }
 
+  /** Distributed k-means over the embedding corpus (k = 8, 3 Lloyd
+    * iterations) — the semantic-curation primitive: cluster-then-sample /
+    * cluster-then-dedup (SemDeDup-style) pipelines run exactly this before
+    * any per-cluster policy. Deterministic end to end, so it carries a
+    * full DuckDB oracle (the 3 iterations unrolled as a CTE chain):
+    * init = the k lowest-vec_id vectors; assignment = argmin of r6-rounded
+    * squared euclidean (ties to the lower cluster id); means = exact
+    * DECIMAL(12,9) component sums / count, r6-rounded — the same
+    * conventions the ann_ivf_knn oracle already proves cross-engine.
+    *
+    * Scale shape: each iteration is one broadcast of k centroids against
+    * the corpus (no shuffle for assignment — k·dim doubles) plus one
+    * partial+final aggregate keyed on (cluster, pos) for the means. At
+    * 100 TB this is the canonical Lloyd layout; iteration count is a fixed
+    * budget (3), which is how production pipelines run it (convergence to
+    * tolerance is a stopping-rule refinement, not a different plan). */
+  val kmeansEmbed: QFn = (s, dir) => {
+    val e = unitBase(s, dir).select(col("vec_id"), col("v"))
+    val dist = r6(gdot(col("v"), col("v")) - lit(2) * gdot(col("v"), col("cvec")) +
+      gdot(col("cvec"), col("cvec")))
+    val wMin = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cl"))
+    def assign(cents: org.apache.spark.sql.DataFrame) =
+      e.crossJoin(broadcast(cents))
+        .withColumn("dist", dist)
+        .withColumn("crn", row_number().over(wMin))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("v"), col("cl"), col("dist"))
+    var cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cl"), col("v").as("cvec"))
+    for (_ <- 1 to 2) { // 2 re-estimations; the 3rd assignment is final
+      cents = assign(cents)
+        .select(col("cl"), posexplode(col("v")).as(Seq("pos", "ev")))
+        .groupBy(col("cl"), col("pos"))
+        .agg(sum(dec(col("ev"), 12, 9)).as("sv"), count(lit(1)).as("n"))
+        .select(col("cl"), col("pos"), r6(dbl(col("sv")) / col("n")).as("c"))
+        .groupBy(col("cl"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("cvec"))
+    }
+    assign(cents)
+      .select(col("vec_id"), col("cl").as("cluster"), col("dist"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "kmeans_embed"       -> kmeansEmbed,
     "neardup_clusters"   -> neardupClusters,
     "qknn_cosine_top5"   -> knnTop5,
     "centroid_per_label" -> centroidPerLabel,
@@ -340,7 +386,42 @@ object VectorQ {
        |SELECT id AS vec_id, min(r) AS cluster_id FROM walk
        |GROUP BY id ORDER BY vec_id""".stripMargin
 
+  /** k-means oracle: the 3 Lloyd iterations unrolled as CTEs. `distSql`
+    * and the mean computation mirror the Spark side's r6/DECIMAL(12,9)
+    * conventions exactly (proven cross-engine by ann_ivf_knn). */
+  private def kmeansSql: String = {
+    def distSql(cv: String) = r6Sql(
+      s"list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, $cv) " +
+        s"+ list_dot_product($cv, $cv)")
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, v, cl, dist FROM (
+         |    SELECT e.vec_id, e.v, c.cl, ${distSql("c.cvec")} AS dist,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${distSql("c.cvec")}, c.cl) AS rn
+         |    FROM ex e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def meanCte(asg: String, m: String, cents: String) =
+      s"""$m AS (
+         |  SELECT cl, pos,
+         |    ${r6Sql("CAST(sum(CAST(ev AS DECIMAL(12,9))) AS DOUBLE) / count(*)")} AS c
+         |  FROM (SELECT cl, generate_subscripts(v, 1) AS pos,
+         |          unnest(v) AS ev FROM $asg)
+         |  GROUP BY cl, pos),
+         |$cents AS (SELECT cl, list(c ORDER BY pos) AS cvec FROM $m
+         |           GROUP BY cl)""".stripMargin
+    s"""WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |            FROM embeddings),
+       |c0 AS (SELECT vec_id AS cl, v AS cvec FROM ex WHERE vec_id < 8),
+       |${assignCte("a1", "c0")},
+       |${meanCte("a1", "m1", "c1")},
+       |${assignCte("a2", "c1")},
+       |${meanCte("a2", "m2", "c2")},
+       |${assignCte("a3", "c2")}
+       |SELECT vec_id, cl AS cluster, dist FROM a3 ORDER BY vec_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "kmeans_embed" -> kmeansSql,
     "neardup_clusters" -> neardupClustersSql,
     "qknn_cosine_top5" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
