@@ -2,7 +2,8 @@ package graft.sources
 
 import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -21,6 +22,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *     same contract Parquet uses for row-group pruning;
   *   - **column pruning** (`SupportsPushDownRequiredColumns`): the reader
   *     materializes only requested columns;
+  *   - **limit pushdown** (`SupportsPushDownLimit`): a LIMIT after fully
+  *     consumed filters caps the generated range (partially-pushed: the
+  *     engine keeps its Limit operator);
+  *   - **aggregate pushdown** (`SupportsPushDownAggregates`): ungrouped
+  *     COUNT(*)/MIN(id)/MAX(id) are answered closed-form with zero row
+  *     generation — the contract parquet footers serve with row-group
+  *     stats; complete pushdown, so no Aggregate node survives;
   *   - **partition planning**: the row range splits into `partitions`
   *     slices, each read by an independent `PartitionReader` — the unit the
   *     scheduler distributes across a cluster.
@@ -66,12 +74,15 @@ class RangeTable(rows: Long, partitions: Int) extends Table with SupportsRead {
   * accepts limit pushdown. */
 class RangeScanBuilder(rows: Long, partitions: Int)
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+  with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+  with SupportsPushDownAggregates {
 
   private var lo: Long = 0L
   private var hi: Long = rows // exclusive
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = RangeSource.schema
+  private var aggRow: Option[Seq[Any]] = None
+  private var aggSchema: StructType = new StructType()
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -117,7 +128,79 @@ class RangeScanBuilder(rows: Long, partitions: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new RangeScan(lo, hi, partitions, required)
+  // Aggregate pushdown: COUNT(*) / MIN(id) / MAX(id) have closed forms on
+  // a range whose accepted filters are applied exactly — the source
+  // answers them with ZERO row generation. This is the same contract
+  // parquet footers serve (row-group stats answering min/max/count without
+  // decoding data); on a real connector it's what turns a full-table
+  // COUNT(*) into a metadata read. Spark is told the pushdown is COMPLETE,
+  // so no Aggregate node survives in the plan — the scan returns the one
+  // result row. SUM is deliberately NOT accepted: its overflow semantics
+  // (wrap vs ANSI error) belong to the engine, not the source.
+  private def aggValue(f: AggregateFunc): Option[Any] = {
+    val empty = hi <= lo
+    f match {
+      case _: CountStar => Some(math.max(0L, hi - lo))
+      case m: Min => m.column match {
+        case r: NamedReference if r.fieldNames.sameElements(Array("id")) =>
+          Some(if (empty) null else lo)
+        case _ => None
+      }
+      case m: Max => m.column match {
+        case r: NamedReference if r.fieldNames.sameElements(Array("id")) =>
+          Some(if (empty) null else hi - 1)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.forall(aggValue(_).isDefined)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!supportCompletePushDown(agg)) return false
+    aggRow = Some(agg.aggregateExpressions.toSeq.map(aggValue(_).get))
+    // After a complete pushdown Spark asserts readSchema() == the
+    // aggregate's output schema (positional): one column per function.
+    aggSchema = StructType(agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => StructField("count_star", LongType, nullable = false)
+      case m: Min => StructField("min_id", LongType, nullable = true)
+      case _ => StructField("max_id", LongType, nullable = true)
+    })
+    true
+  }
+
+  override def build(): Scan = aggRow match {
+    case Some(values) => new RangeAggScan(lo, hi, values, aggSchema)
+    case None => new RangeScan(lo, hi, partitions, required)
+  }
+}
+
+/** Single-row scan returning completely-pushed aggregate results. Spark
+  * supplies the result schema via pruneColumns after pushAggregation. */
+class RangeAggScan(lo: Long, hi: Long, values: Seq[Any], required: StructType)
+  extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"RangeScan agg lo=$lo hi=$hi pushed=[${required.fieldNames.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(RangePartition(0, 1))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RangeAggReaderFactory(values)
+}
+
+class RangeAggReaderFactory(values: Seq[Any])
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(values)
+      override def close(): Unit = ()
+    }
 }
 
 class RangeScan(lo: Long, hi: Long, partitions: Int, required: StructType)

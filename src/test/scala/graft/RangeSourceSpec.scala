@@ -57,6 +57,32 @@ class RangeSourceSpec extends SparkSpec {
     assert(rows.getLong(0) == 100 && rows.getLong(1) == 104)
   }
 
+  test("count/min/max push into the source completely (no aggregate node)") {
+    val df = ranged(5000000, 8).filter(col("id") >= 1000)
+      .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("RangeScan agg"), plan.take(800))
+    assert(!plan.contains("HashAggregate"), plan.take(800))
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 4999000 && r.getLong(1) == 1000 &&
+      r.getLong(2) == 4999999)
+  }
+
+  test("aggregate pushdown on an empty range yields count 0 and null min/max") {
+    val df = ranged(100).filter(col("id") >= 500)
+      .agg(count(lit(1)), min("id"), max("id"))
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 0 && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("unsupported aggregates fall back to a normal scan (sum, avg)") {
+    val df = ranged(1000).agg(sum("id").as("s"), count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("RangeScan agg"), plan.take(800))
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 499500L && r.getLong(1) == 1000L)
+  }
+
   test("joins against parquet tables like any other relation") {
     val n = ranged(25).select(col("id").cast("int").as("n_nationkey"),
       col("hex"))
