@@ -1,12 +1,34 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import graft.queries.core.{dbl, dec}
 
 /** Mutable per-user state for the custom stateful operator. */
 case class UserState(n: Long, sum: Double)
+
+/** Spark-4 StatefulProcessor: per-user running totals in a named typed
+  * ValueState handle (no TTL — totals are cumulative by design; pass a
+  * TTLConfig duration to age state out instead). */
+class UserTotalsProcessor
+  extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+  @transient private var totals: ValueState[UserState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[UserState](
+      "totals", Encoders.product[UserState], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Double)],
+      timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+    var s = if (totals.exists()) totals.get() else UserState(0L, 0.0)
+    rows.foreach(r => s = UserState(s.n + 1, s.sum + r._2))
+    totals.update(s)
+    Iterator((key, s.n, s.sum))
+  }
+}
 
 /** Structured Streaming execution of the engine's event-stream semantics
   * (SURVEY.md §2.9 / §7.5).
@@ -62,6 +84,25 @@ object StreamingDemo {
           state.update(s)
           Iterator((uid, s.n, s.sum))
       }
+      .toDF("user_id", "n_events", "sum_value")
+  }
+
+  /** The same running totals on Spark 4's transformWithState — the
+    * successor state API (typed named state handles, TTL support, timers,
+    * initial-state feeds; requires the RocksDB state store provider, which
+    * is also the provider you run at 100 TB for state beyond executor
+    * heap). Output is identical to `runningUserTotals` by construction;
+    * StreamingSpec asserts both cross-batch accumulation and agreement
+    * with the flatMapGroupsWithState formulation. */
+  def runningUserTotalsTws(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
       .toDF("user_id", "n_events", "sum_value")
   }
 

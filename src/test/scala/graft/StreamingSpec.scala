@@ -106,6 +106,42 @@ class StreamingSpec extends SparkSpec {
     assert(u1.head.getAs[Double]("sum_value") == 7.0)
   }
 
+  test("transformWithState (Spark 4 state API) matches flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider — also
+    // the provider a 100 TB deployment runs (state larger than heap).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = StreamingDemo.runningUserTotalsTws(mem.toDF())
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      mem.addData(Ev(ts(0), 1, "view", 1.0), Ev(ts(1), 1, "view", 2.0),
+        Ev(ts(2), 2, "view", 5.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts(3), 1, "view", 4.0))
+      q.processAllAvailable()
+      q.stop()
+      val u1 = spark.table("tws_out")
+        .filter(col("user_id") === 1L)
+        .orderBy(col("n_events").desc).collect()
+      assert(u1.head.getAs[Long]("n_events") == 3L)
+      assert(u1.head.getAs[Double]("sum_value") == 7.0)
+      val u2 = spark.table("tws_out").filter(col("user_id") === 2L).collect()
+      assert(u2.map(r => (r.getLong(1), r.getDouble(2))).toSet ==
+        Set((1L, 5.0)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("session windows over a stream produce gap-separated sessions") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
