@@ -76,6 +76,35 @@ object SqlQ {
       FROM part ORDER BY p_partkey""")
   }
 
+  /** TPC-H Q21 shape (sole late supplier), adapted to this schema's
+    * late-shipment notion (shipdate > orderdate + 60 days): suppliers with
+    * late lines on multi-supplier orders where NO other supplier was late
+    * — the classic EXISTS + NOT-EXISTS-on-the-same-fact stressor. Catalyst
+    * decorrelates both into left-semi / left-anti joins on the shared
+    * `late` subplan (no per-row re-execution at any scale); the heavy
+    * lineitem⋈orders lateness tagging happens once in a CTE on narrow
+    * columns. */
+  val q21SoleLate: QFn = (s, dir) => {
+    views(s, dir, "lineitem", "orders", "supplier")
+    s.sql("""
+      WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS AS is_late
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+      SELECT s_name, count(DISTINCT s1.l_orderkey) AS numwait
+      FROM late s1 JOIN supplier ON s_suppkey = s1.l_suppkey
+      WHERE s1.is_late
+        AND EXISTS (SELECT 1 FROM late s2
+                    WHERE s2.l_orderkey = s1.l_orderkey
+                      AND s2.l_suppkey <> s1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM late s3
+                        WHERE s3.l_orderkey = s1.l_orderkey
+                          AND s3.l_suppkey <> s1.l_suppkey AND s3.is_late)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 50""")
+  }
+
   /** Full outer join: viewers vs purchasers by user, null-extended on
     * both sides, key coalesced via USING semantics. */
   val joinFullOuter: QFn = (s, dir) => {
@@ -254,6 +283,7 @@ object SqlQ {
   }
 
   val queries: Map[String, QFn] = Map(
+    "q21_sole_late"     -> q21SoleLate,
     "zorder_layout"     -> zorderLayout,
     "sample_stratified" -> sampleStratified,
     "try_funcs"         -> tryFuncs,
@@ -287,6 +317,23 @@ object SqlQ {
   }
 
   val oracle: Map[String, String] = Map(
+    "q21_sole_late" ->
+      """WITH late AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |         l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS is_late
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+        |SELECT s_name, count(DISTINCT s1.l_orderkey) AS numwait
+        |FROM late s1 JOIN supplier ON s_suppkey = s1.l_suppkey
+        |WHERE s1.is_late
+        |  AND EXISTS (SELECT 1 FROM late s2
+        |              WHERE s2.l_orderkey = s1.l_orderkey
+        |                AND s2.l_suppkey <> s1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late s3
+        |                  WHERE s3.l_orderkey = s1.l_orderkey
+        |                    AND s3.l_suppkey <> s1.l_suppkey AND s3.is_late)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 50""".stripMargin,
     "zorder_layout" -> zorderSql,
     "sample_stratified" ->
       """SELECT doc_id, lang FROM (
