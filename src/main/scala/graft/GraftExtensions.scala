@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.DotProduct
+import graft.expressions.{CharBigrams, DotProduct}
 
 /** SparkSessionExtensions entry point: injects the engine's custom
   * expressions at session build, so a user can enable everything with
@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bigrams"),
+      new ExpressionInfo(classOf[CharBigrams].getName, "graft_bigrams"),
+      (children: Seq[Expression]) => CharBigrams(children(0))))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.ArraySimplification)
   }

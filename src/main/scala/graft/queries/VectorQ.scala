@@ -307,14 +307,17 @@ object VectorQ {
     val e = unitBase(s, dir).select(col("vec_id"), col("v"))
     val dist = r6(gdot(col("v"), col("v")) - lit(2) * gdot(col("v"), col("cvec")) +
       gdot(col("cvec"), col("cvec")))
-    val wMin = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("cl"))
+    // argmin via min(struct(dist, cl, v)) — lexicographic struct ordering
+    // = (dist, then cl) with cl unique, identical to a row_number window
+    // but partial+final aggregated: map-side combine ships ONE candidate
+    // per vector per partition instead of window-sorting all k copies.
     def assign(cents: org.apache.spark.sql.DataFrame) =
       e.crossJoin(broadcast(cents))
         .withColumn("dist", dist)
-        .withColumn("crn", row_number().over(wMin))
-        .filter(col("crn") === 1)
-        .select(col("vec_id"), col("v"), col("cl"), col("dist"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cl"), col("v"))).as("m"))
+        .select(col("vec_id"), col("m.v").as("v"), col("m.cl").as("cl"),
+          col("m.dist").as("dist"))
     var cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cl"), col("v").as("cvec"))
     for (_ <- 1 to 2) { // 2 re-estimations; the 3rd assignment is final

@@ -24,6 +24,10 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect()(0).getDouble(0)
       assert(r == 11.0)
 
+      val bg = s.sql("SELECT graft_bigrams('ab cd')")
+        .collect()(0).getSeq[String](0)
+      assert(bg == Seq("ab", "cd"))
+
       // injected optimizer rule: redundant array passes are removed.
       // The array must be NON-foldable (derived from range's id) —
       // a literal Seq would be constant-folded/ConvertToLocalRelation'd

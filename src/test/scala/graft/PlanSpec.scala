@@ -115,6 +115,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), p.take(800))
   }
 
+  test("q21: single-pass aggregation — each table scanned exactly once") {
+    // the nested-EXISTS formulation would inline the fact CTE 3-4×
+    // (observed: 14 scans); the two-level-aggregate rewrite holds at 3
+    // formatted mode lists every scan twice (tree + detail section), so 3
+    // unique scans ⇒ 6 matches; the EXISTS form measured 14 (7 unique)
+    val p = planOf("q21_sole_late")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 6, s"expected 6 scan mentions (3 unique), got $scans")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
+  test("q18: narrow pre-aggregation feeds broadcast joins, top-k fused") {
+    val p = planOf("q18_large_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    // the group-by runs on the 2-column (l_orderkey, l_quantity) projection
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      p.take(1500))
+  }
+
+  test("kmeans: centroids broadcast, no co-shuffled join anywhere") {
+    val p = planOf("kmeans_embed")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    // argmin is a partial+final aggregate (map-side combine), not a window
+    assert(!p.contains("Window"), p.take(1200))
+  }
+
   test("join strategy hints are honored (shuffle_hash vs merge)") {
     val o = Tables(spark, sf, "orders")
     val c = Tables(spark, sf, "customer")
