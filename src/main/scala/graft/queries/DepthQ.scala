@@ -212,7 +212,50 @@ object DepthQ {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact distinct counting via bitmap aggregation (Spark 3.5+ bitmap
+    * family) — the OLAP accelerator between naive count-distinct and HLL:
+    * user ids bucket into 32768-bit bitmaps per (group, bucket), distinct
+    * count = Σ bitmap_count, and coarser rollups OR the bitmaps
+    * (`bitmap_or_agg`) without touching raw data — like the HLL sketch
+    * path but EXACT, so the DuckDB count(DISTINCT) oracle matches
+    * bit-for-bit. At 100 TB the bitmap columns are the materialized-view
+    * layer for dashboard distinct counts over int keys. */
+  val bitmapDistinct: QFn = (s, dir) => {
+    val perBucket = t(s, dir, "events")
+      .select(col("event_type"),
+        expr("bitmap_bucket_number(user_id)").as("bkt"),
+        expr("bitmap_bit_position(user_id)").as("pos"))
+      .groupBy(col("event_type"), col("bkt"))
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+    perBucket
+      .groupBy(col("event_type"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+      .unionAll(perBucket
+        .groupBy(col("bkt"))
+        .agg(expr("bitmap_count(bitmap_or_agg(bm))").as("c"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_users"))
+        .select(lit("ALL").as("event_type"), col("n_users")))
+      .orderBy(col("event_type"))
+  }
+
+  /** Heavy-hitters via the approx_top_k sketch (Spark 4 Datasketches
+    * frequent-items): with k and maxItemsTracked above the true
+    * cardinality the sketch is in its EXACT regime, so the output —
+    * re-sorted by (count desc, word) to remove the sketch's unspecified
+    * tie order — carries a plain GROUP-BY oracle. At 100 TB the same call
+    * with k ≪ cardinality degrades gracefully to approximate counts with
+    * error bounds, without changing the query shape. */
+  val approxTopkWords: QFn = (s, dir) =>
+    t(s, dir, "documents")
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
+      .agg(expr("approx_top_k(w, 100, 10000)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("word"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+
   val queries: Map[String, QFn] = Map(
+    "bitmap_distinct"    -> bitmapDistinct,
+    "approx_topk_words"  -> approxTopkWords,
     "pii_scrub"          -> piiScrub,
     "dedup_keep_best"    -> dedupKeepBest,
     "map_funcs"          -> mapFuncs,
@@ -229,6 +272,18 @@ object DepthQ {
       |  '\d{3}-\d{4}', '<PHONE>', 'g')""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT 'ALL', count(DISTINCT user_id) FROM events
+        |ORDER BY event_type""".stripMargin,
+    "approx_topk_words" ->
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+        |  FROM documents)
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY cnt DESC, word""".stripMargin,
     "pii_scrub" ->
       s"""WITH r AS (
         |  SELECT doc_id,
