@@ -108,17 +108,21 @@ object DepthQ {
 
   /** TPC-H Q4 shape (late-shipment priority audit): orders from 1995 H1
     * with at least one line item shipped more than 60 days after the
-    * order date — EXISTS decorrelates to a left-semi join (equi key +
-    * range residual), then a tiny group-by on priority. */
+    * order date. The lateness threshold is uniform across an order's
+    * lines, so EXISTS(any line late) ≡ max(l_shipdate) > o_orderdate+60 —
+    * implemented as a partial+final max-aggregate over the narrow
+    * (l_orderkey, l_shipdate) projection and an equi join, instead of a
+    * semi join that tempts the planner into broadcasting the FACT side
+    * (observed at sf0.1). The EXISTS oracle proves the rewrite. */
   val q04OrderPriority: QFn = (s, dir) => {
     val o = t(s, dir, "orders")
       .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp_ntz")
         && col("o_orderdate") < lit("1995-07-01").cast("timestamp_ntz"))
-    val l = t(s, dir, "lineitem")
-    o.join(l,
-        o("o_orderkey") === l("l_orderkey") &&
-          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
-        "left_semi")
+    val lastShip = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("max_ship"))
+    o.join(lastShip, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("max_ship") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
       .orderBy(col("o_orderpriority"))
