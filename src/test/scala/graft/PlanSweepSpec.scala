@@ -1,0 +1,45 @@
+package graft
+
+/** Whole-inventory structural sweep: builds the physical plan of every
+  * contract query and asserts the scale-killer join shapes —
+  * CartesianProduct and BroadcastNestedLoopJoin — appear ONLY where a
+  * bounded side makes them the correct plan, each with a recorded
+  * justification. A new query that accidentally plans a cartesian fails
+  * here before it ever reaches a benchmark. */
+class PlanSweepSpec extends SparkSpec {
+
+  // key -> why an unbounded-join shape is acceptable there
+  private val allowed: Map[String, String] = Map(
+    "qknn_cosine_top5" -> "brute tier BY DESIGN: 50-query bounded side × base",
+    "join_theta_range" -> "pure inequality predicate; small side bounded & documented",
+    "kmeans_embed" -> "centroids (k=8) broadcast against corpus — bounded build side",
+    "ann_ivf_knn" -> "centroid set (10) broadcast for cell assignment — bounded",
+    "gap_fill_ffill" -> "1-row bounds aggregate crossed with the day spine — O(days)",
+    "bigram_pmi" -> "1-row corpus-total aggregate broadcast into the PMI formula",
+    "tfidf_top_terms" -> "1-row corpus doc-count aggregate broadcast into idf",
+    "subq_in" -> ("NOT IN needs null-aware existence join; the broadcast " +
+      "IN-set is DISTINCT l_partkey, bounded by the part dimension"))
+
+  test("no unlisted query plans a cartesian or nested-loop join") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val hit = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")
+      if (hit && !allowed.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unjustified cartesian/NLJ in: ${offenders.mkString(", ")}")
+  }
+
+  test("every allowlist entry still plans the shape it justifies") {
+    // prevents the allowlist from rotting into dead entries
+    for ((name, why) <- allowed) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+        s"$name no longer plans a cartesian/NLJ — drop it from the allowlist ($why)")
+    }
+  }
+}
