@@ -190,6 +190,51 @@ object VectorQ {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** `lshBucket` with bit `flip` inverted (`flip = -1` ⇒ the bucket
+    * itself). The 9 buckets at Hamming distance ≤ 1 form the multi-probe
+    * sequence (Lv et al., VLDB'07): near-misses where one hyperplane
+    * narrowly disagrees land one bit away, so probing them recovers most
+    * of the recall a single-bucket lookup loses — without growing the
+    * index or touching more than 9/256 of the bucket space per query. */
+  private def lshBucketFlip(vec: Column, flip: Int): Column =
+    concat((0 until 8).map { i =>
+      val pos = element_at(vec, i + 1) > 0
+      if (i == flip) when(pos, "0").otherwise("1")
+      else when(pos, "1").otherwise("0")
+    }: _*)
+
+  /** The same probe bucket in DuckDB SQL over array expr `arr`. */
+  private def lshBucketFlipSql(arr: String, flip: Int): String =
+    (0 until 8).map { i =>
+      val (hi, lo) = if (i == flip) ("0", "1") else ("1", "0")
+      s"CASE WHEN $arr[${i + 1}] > 0 THEN '$hi' ELSE '$lo' END"
+    }.mkString(" || ")
+
+  /** Multi-probe LSH kNN: queries probe their own sign bucket plus the 8
+    * buckets at Hamming distance 1. Base vectors live in exactly one
+    * bucket and the 9 probe buckets are distinct, so candidates are
+    * duplicate-free by construction — no distinct() needed. Candidate
+    * count is ~9·|Q|·E[bucket size]: still |Q|-linear (the brute join is
+    * |Q|·|N|), with recall measured strictly ≥ the single-probe index in
+    * AnnQualitySpec. The oracle runs the identical probe sequence. */
+  val annMultiprobeKnn: QFn = (s, dir) => {
+    val e = unitBase(s, dir).withColumn("bucket", lshBucket(col("v")))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(array((-1 to 7).map(f => lshBucketFlip(col("v"), f)): _*))
+          .as("bucket"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    q.join(e.select(col("vec_id"), col("v"), col("nrm"), col("bucket")), "bucket")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim",
+        r6(gdot(col("qv"), col("v")) / (col("qn") * col("nrm"))))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id"), col("cos_sim"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** IVF-style approximate kNN: coarse cells are the per-label centroids
     * (rounded, so both engines hold identical cell geometry); every vector
     * is assigned to its nearest centroid, queries probe the 2 nearest
@@ -343,6 +388,7 @@ object VectorQ {
     "multimodal_join"    -> multimodalJoin,
     "embed_neardup"      -> embedNeardup,
     "ann_lsh_knn"        -> annLshKnn,
+    "ann_multiprobe_knn" -> annMultiprobeKnn,
     "ann_ivf_knn"        -> annIvfKnn)
 
   /** Shared DuckDB CTE chain for the banded near-dup pairs: identical
@@ -504,6 +550,26 @@ object VectorQ {
         |        ORDER BY cos_sim DESC, vec_id) AS rn FROM sc)
         |SELECT qid, vec_id, cos_sim, rn FROM r WHERE rn <= 3
         |ORDER BY qid, rn""".stripMargin,
+    "ann_multiprobe_knn" -> {
+      val probes = (-1 to 7)
+        .map(f => "(" + lshBucketFlipSql("embedding", f) + ")")
+        .mkString(", ")
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    ${lshBucketFlipSql("embedding", -1)} AS bucket
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+         |    unnest([$probes]) AS bucket
+         |  FROM embeddings WHERE vec_id < 50),
+         |p AS (SELECT qid, vec_id,
+         |    ${r6Sql("list_cosine_similarity(qv, e.v)")} AS cos_sim
+         |  FROM q JOIN e USING (bucket) WHERE vec_id <> qid),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY cos_sim DESC, vec_id) AS rn FROM p)
+         |SELECT qid, vec_id, cos_sim, rn FROM r WHERE rn <= 3
+         |ORDER BY qid, rn""".stripMargin
+    },
     "ann_lsh_knn" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

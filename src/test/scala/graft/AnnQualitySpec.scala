@@ -46,6 +46,23 @@ class AnnQualitySpec extends SparkSpec {
         f"(enrichment $enrichment%.1f) — index not concentrating signal")
   }
 
+  test("multi-probe LSH: recall@3 strictly dominates single-probe, " +
+    "candidates stay ~9 buckets/query") {
+    val single = knnPairs("ann_lsh_knn", 3)
+    val multi = knnPairs("ann_multiprobe_knn", 3)
+    val rs = (single intersect exactTop3).size.toDouble / exactTop3.size
+    val rm = (multi intersect exactTop3).size.toDouble / exactTop3.size
+    // Hamming-1 probes add buckets, never remove: candidate superset ⇒
+    // recall can only rise. Assert the measured ordering plus a real gain
+    // on this corpus (probing 9/256 of bucket space ⇒ ~9/256 ≈ 3.5%
+    // candidate fraction vs 1/256 single-probe).
+    assert(rm >= rs,
+      f"multi-probe recall $rm%.3f fell below single-probe $rs%.3f")
+    assert(rm > rs,
+      f"multi-probe recall $rm%.3f shows no gain over single-probe " +
+        f"$rs%.3f on ${exactTop3.size} truth pairs")
+  }
+
   test("IVF kNN enrichment: recall@3 beats its candidate fraction >= 1.3x") {
     val ivf = knnPairs("ann_ivf_knn", 3)
     val recall = (ivf intersect exactTop3).size.toDouble / exactTop3.size
