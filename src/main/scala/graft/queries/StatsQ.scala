@@ -142,7 +142,42 @@ object StatsQ {
       .orderBy(col("d"))
   }
 
+  /** Least-squares regression (discount ~ quantity) per return flag,
+    * computed from DECIMAL-exact moment sums — NOT the engines' native
+    * `regr_*` aggregates, whose streaming update formulas accumulate
+    * float error in engine-specific orders. Here the five moments
+    * Sx, Sy, Sxy, Sxx, Syy are exact decimals on both engines
+    * (order-independent, AQE-repartition-proof at scale), each is cast to
+    * double once, and the closed forms
+    *   slope = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²)
+    *   intercept = (Sy − slope·Sx) / n
+    *   r² = (n·Sxy − Sx·Sy)² / ((n·Sxx − Sx²)(n·Syy − Sy²))
+    * run in IEEE double on identical inputs — bit-identical results with
+    * no reliance on either engine's aggregate internals. */
+  val aggRegression: QFn = (s, dir) => {
+    val x = dec(col("l_quantity"), 12, 2)
+    val y = dec(col("l_discount"), 9, 4)
+    val n = dbl(col("n"))
+    val (sx, sy) = (dbl(col("sx")), dbl(col("sy")))
+    val (sxy, sxx, syy) = (dbl(col("sxy")), dbl(col("sxx")), dbl(col("syy")))
+    val cov = n * sxy - sx * sy
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    val slope = cov / vx
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        r6(slope).as("slope"),
+        r6((sy - slope * sx) / n).as("intercept"),
+        r6(cov * cov / (vx * vy)).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "agg_regression"     -> aggRegression,
     "date_spine_fill"    -> dateSpineFill,
     "agg_stats"          -> aggStats,
     "agg_mode_median"    -> aggModeMedian,
@@ -154,6 +189,30 @@ object StatsQ {
     "win_range_frame"    -> winRangeFrame)
 
   val oracle: Map[String, String] = Map(
+    "agg_regression" -> {
+      val (n, sx, sy) = ("CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)",
+        "CAST(sy AS DOUBLE)")
+      val (sxy, sxx, syy) = ("CAST(sxy AS DOUBLE)", "CAST(sxx AS DOUBLE)",
+        "CAST(syy AS DOUBLE)")
+      val cov = s"($n * $sxy - $sx * $sy)"
+      val vx = s"($n * $sxx - $sx * $sx)"
+      val vy = s"($n * $syy - $sy * $sy)"
+      val slope = s"($cov / $vx)"
+      s"""WITH m AS (
+         |  SELECT l_returnflag, count(*) AS n,
+         |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         |    sum(x * x) AS sxx, sum(y * y) AS syy
+         |  FROM (SELECT l_returnflag,
+         |          CAST(l_quantity AS DECIMAL(12,2)) AS x,
+         |          CAST(l_discount AS DECIMAL(9,4)) AS y
+         |        FROM lineitem)
+         |  GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |  ${r6Sql(slope)} AS slope,
+         |  ${r6Sql(s"($sy - $slope * $sx) / $n")} AS intercept,
+         |  ${r6Sql(s"$cov * $cov / ($vx * $vy)")} AS r2
+         |FROM m ORDER BY l_returnflag""".stripMargin
+    },
     "date_spine_fill" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders

@@ -416,7 +416,73 @@ object TextQ {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Typo-level near-duplicate word pairs (edit distance ≤ 1) across the
+    * corpus vocabulary, via **deletion neighborhoods** (FastSS — Bocek et
+    * al., 2007; the same trick as Norvig's spell corrector): every word
+    * emits itself plus each single-character-deletion variant, and any two
+    * words at Levenshtein ≤ 1 provably share a variant (substitution ⇒
+    * both lose the substituted position; insert/delete ⇒ the shorter word
+    * IS a variant of the longer). Candidates therefore come from an
+    * equi-join on the variant string — no all-pairs levenshtein, which is
+    * the naive O(|V|²) formulation — and the cheap exact check filters the
+    * few lev-2 over-generations (two different deletions colliding).
+    *
+    * Scale shape: variant rows = Σ(len+1) ≈ avg_len·|V| — linear in
+    * vocabulary size; the join keys are short strings (hashable 8-byte
+    * shuffle keys after dictionary encoding). This is the sub-quadratic
+    * dedup tier for typo-grade noise, complementing shingle/minhash
+    * (document-level) and simhash (token-multiset-level) dedup. */
+  val typoNeardupWords: QFn = (s, dir) => {
+    def wordsOf(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(explode(regexp_extract_all(lower(col(c)),
+        lit("[a-z]+"), lit(0))).as("word"))
+    val words = wordsOf(t(s, dir, "documents"), "text")
+      .union(wordsOf(t(s, dir, "part"), "p_name"))
+      .filter(length(col("word")).between(3, 20))
+      .distinct()
+    val dels = transform(sequence(lit(1), length(col("word"))),
+      i => concat(col("word").substr(lit(1), i - 1),
+        col("word").substr(i + 1, length(col("word")))))
+    val variants = words.select(col("word"),
+      explode(array_distinct(array_insert(dels, lit(1), col("word"))))
+        .as("variant"))
+    variants.select(col("word").as("a_word"), col("variant"))
+      .join(variants.select(col("word").as("b_word"), col("variant")),
+        "variant")
+      .filter(col("a_word") < col("b_word"))
+      .select(col("a_word"), col("b_word")).distinct()
+      .filter(levenshtein(col("a_word"), col("b_word")) <= 1)
+      .select(col("a_word"), col("b_word"),
+        levenshtein(col("a_word"), col("b_word")).cast("long").as("dist"))
+      .orderBy(col("a_word"), col("b_word"))
+  }
+
+  /** Shannon entropy (nats) of each language's token distribution — the
+    * standard corpus-diversity / degenerate-text signal next to
+    * quality_score (a collapsed crawl segment shows entropy ≈ 0).
+    *
+    * Determinism: −p·ln(p) is double math on identical inputs (p is a
+    * LONG/LONG division, identical both engines), but libm `log` is only
+    * guaranteed within 1 ulp on each engine, so each term is pinned to
+    * DECIMAL(14,10) (identical HALF_UP of doubles that agree to ≥10⁻¹⁶)
+    * and the per-language sum runs exact — the summation order can't
+    * reorder float error because there is none left to reorder. */
+  val tokenEntropy: QFn = (s, dir) => {
+    val counts = t(s, dir, "documents")
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
+    val p = col("c") / col("tot")
+    counts.join(tot, "lang")
+      .select(col("lang"), dec(-p * log(p), 14, 10).as("term"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), r6(dbl(sum(col("term")))).as("entropy_nats"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "token_entropy"      -> tokenEntropy,
+    "typo_neardup_words" -> typoNeardupWords,
     "doc_chunks"        -> docChunks,
     "simhash_neardup"   -> simhashNeardup,
     "ngram_profile"     -> ngramProfile,
@@ -487,6 +553,40 @@ object TextQ {
   }
 
   val oracle: Map[String, String] = Map(
+    "token_entropy" ->
+      s"""WITH counts AS (
+         |  SELECT lang, w AS word, count(*) AS c FROM (
+         |    SELECT lang, unnest(list_filter(
+         |      string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS w
+         |    FROM documents)
+         |  GROUP BY lang, w),
+         |tot AS (SELECT lang, sum(c) AS tot FROM counts GROUP BY lang)
+         |SELECT lang, count(*) AS n_words,
+         |  ${r6Sql("CAST(sum(CAST(-(c / tot) * ln(c / tot) AS DECIMAL(14,10))) AS DOUBLE)")} AS entropy_nats
+         |FROM counts JOIN tot USING (lang)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "typo_neardup_words" ->
+      """WITH w AS (
+        |  SELECT DISTINCT word FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT unnest(regexp_extract_all(lower(p_name), '[a-z]+'))
+        |    FROM part)
+        |  WHERE length(word) BETWEEN 3 AND 20),
+        |v AS (
+        |  SELECT word, unnest(list_distinct(list_prepend(word,
+        |    list_transform(generate_series(1, length(word)),
+        |      i -> word[1:i-1] || word[i+1:length(word)])))) AS variant
+        |  FROM w),
+        |c AS (
+        |  SELECT DISTINCT a.word AS a_word, b.word AS b_word
+        |  FROM v a JOIN v b USING (variant)
+        |  WHERE a.word < b.word)
+        |SELECT a_word, b_word,
+        |  CAST(levenshtein(a_word, b_word) AS BIGINT) AS dist
+        |FROM c WHERE levenshtein(a_word, b_word) <= 1
+        |ORDER BY a_word, b_word""".stripMargin,
     "doc_chunks" ->
       s"""WITH $wordsCte,
          |st AS (

@@ -17,6 +17,7 @@ class PlanSweepSpec extends SparkSpec {
     "gap_fill_ffill" -> "1-row bounds aggregate crossed with the day spine — O(days)",
     "bigram_pmi" -> "1-row corpus-total aggregate broadcast into the PMI formula",
     "tfidf_top_terms" -> "1-row corpus doc-count aggregate broadcast into idf",
+    "pagerank_words" -> "1-row node-count aggregate broadcast into 0.15/n teleport term",
     "subq_in" -> ("NOT IN needs null-aware existence join; the broadcast " +
       "IN-set is DISTINCT l_partkey, bounded by the part dimension"))
 
