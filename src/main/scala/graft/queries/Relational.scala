@@ -256,7 +256,49 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Zero-exchange fact-fact join via co-bucketed at-rest layout, end to
+    * end: write orders and lineitem bucketed (8 buckets, sorted) on the
+    * join key, join the two bucketed tables, and aggregate revenue per
+    * order. Both sides arrive hash-distributed AND sorted on the key, so
+    * the merge join runs with NO Exchange and NO Sort, and the per-order
+    * aggregate reuses the same partitioning (grouping on a superset of
+    * the bucket key) — asserted in PlanSpec. This is the 100 TB
+    * big-table⋈big-table pattern: co-bucketing replaces the two largest
+    * shuffles of the whole pipeline with a one-time layout cost amortized
+    * over every downstream join. The `merge` hint pins the SMJ so the
+    * plan shape is stable across sf (a broadcast would also be
+    * exchange-free but demonstrates nothing about layout). Layout is an
+    * access-path property, not a semantic one — the oracle runs the same
+    * join+agg on the raw tables. */
+  val bucketedJoin: QFn = (s, dir) => {
+    val tag = Integer.toHexString(dir.hashCode)
+    val (ot, lt) = (s"orders_zb_$tag", s"lineitem_zb_$tag")
+    // external tables on a scratch path: a managed table's location can
+    // survive a previous JVM whose in-memory catalog is gone, and
+    // saveAsTable refuses to reuse it (LOCATION_ALREADY_EXISTS); an
+    // external path is overwritten cleanly.
+    val scratch = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_scratch/bucketed_" + tag).getAbsolutePath
+    s.sql(s"DROP TABLE IF EXISTS $ot")
+    s.sql(s"DROP TABLE IF EXISTS $lt")
+    t(s, dir, "orders").write.mode("overwrite")
+      .option("path", s"$scratch/orders")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+    t(s, dir, "lineitem").write.mode("overwrite")
+      .option("path", s"$scratch/lineitem")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+    s.table(ot).hint("merge")
+      .join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        moneySum(revenue(col("l_extendedprice"), col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, QFn] = Map(
+    "bucketed_join"       -> bucketedJoin,
     "partitioned_scan"    -> partitionedScan,
     "scan_lineitem"       -> scanLineitem,
     "q01_pricing_summary" -> q01,
@@ -278,6 +320,12 @@ object Relational {
     "sort_multi_key"      -> sortMultiKey)
 
   val oracle: Map[String, String] = Map(
+    "bucketed_join" ->
+      s"""SELECT o_orderkey, o_orderpriority, count(*) AS n_lines,
+         |  CAST(round(sum($revenueSql), 2) AS DOUBLE) AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderkey, o_orderpriority
+         |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin,
     "partitioned_scan" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)

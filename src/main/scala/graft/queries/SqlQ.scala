@@ -298,7 +298,34 @@ object SqlQ {
       .orderBy(col("z"), col("p_partkey"))
   }
 
+  /** SCD type-2 dimension history reconstructed from the fact stream: each
+    * customer's order-priority timeline, run-compressed into validity
+    * intervals — the warehouse change-capture pattern (detect change with
+    * `lag`, open an interval per change, close it with `lead`; the last
+    * interval stays open/NULL). One shuffle keyed on the dimension key
+    * drives both window passes (same partitioning and sort, sorted once);
+    * at 100 TB this is the canonical merge-into-history layout. Ties on
+    * (custkey, date) are pinned by orderkey so run compression is
+    * deterministic on both engines. */
+  val scd2History: QFn = (s, dir) => {
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("d"), col("o_orderkey"))
+    val changes = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderpriority"),
+        col("o_orderdate").cast("date").as("d"), col("o_orderkey"))
+      .withColumn("prev", lag(col("o_orderpriority"), 1).over(wc))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+    changes
+      .withColumn("valid_to", lead(col("d"), 1).over(wc))
+      .select(col("o_custkey"), col("o_orderpriority"),
+        col("d").as("valid_from"), col("valid_to"), col("o_orderkey")
+          .as("change_id"))
+      .orderBy(col("o_custkey"), col("valid_from"), col("change_id"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "scd2_history"       -> scd2History,
     "q21_sole_late"     -> q21SoleLate,
     "zorder_layout"     -> zorderLayout,
     "sample_stratified" -> sampleStratified,
@@ -333,6 +360,22 @@ object SqlQ {
   }
 
   val oracle: Map[String, String] = Map(
+    "scd2_history" ->
+      """WITH h AS (
+        |  SELECT o_custkey, o_orderpriority,
+        |    CAST(o_orderdate AS DATE) AS d, o_orderkey,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev
+        |  FROM orders),
+        |c AS (
+        |  SELECT * FROM h
+        |  WHERE prev IS NULL OR prev <> o_orderpriority)
+        |SELECT o_custkey, o_orderpriority, d AS valid_from,
+        |  lead(d) OVER (PARTITION BY o_custkey
+        |    ORDER BY d, o_orderkey) AS valid_to,
+        |  o_orderkey AS change_id
+        |FROM c
+        |ORDER BY o_custkey, valid_from, change_id""".stripMargin,
     "q21_sole_late" ->
       """WITH late AS (
         |  SELECT l.l_orderkey, l.l_suppkey,

@@ -33,6 +33,17 @@ class PlanSpec extends SparkSpec {
       p.take(1200))
   }
 
+  test("bucketed_join: SMJ over co-bucketed tables — zero Exchange, " +
+    "aggregate reuses bucket partitioning") {
+    val p = planOf("bucketed_join")
+    assert(p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("Exchange"),
+      "co-bucketed join+agg should run with no shuffle at all:\n" +
+        p.take(2000))
+    // both scans must really be bucket-aware reads, not plain file scans
+    assert("SelectedBucketsCount".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
   test("q01: partial+final hash aggregation") {
     val p = planOf("q01_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(500))
