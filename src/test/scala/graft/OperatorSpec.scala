@@ -163,4 +163,21 @@ class OperatorSpec extends SparkSpec {
     val got = SparkEntry.queries("qrollup_orders")(spark, sf).count()
     assert(got == full + s1 + 1)
   }
+
+  test("Observation metrics ride the job for free (no second pass)") {
+    // production guardrail pattern: row counts / null counts / sums are
+    // collected by the SAME action that writes the output, instead of a
+    // second scan of the pipeline
+    val obs = new org.apache.spark.sql.Observation("li_metrics")
+    val df = Tables(spark, sf, "lineitem")
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity").isNull, 1).otherwise(0)).as("null_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .filter(col("l_quantity") > 0)
+    val produced = df.count()
+    val m = obs.get
+    assert(m("n_rows").asInstanceOf[Long] >= produced)
+    assert(m("null_qty").asInstanceOf[Long] == 0L)
+    assert(m("max_qty").asInstanceOf[Double] > 0.0)
+  }
 }

@@ -31,6 +31,34 @@ class SourcesSpec extends SparkSpec {
       src.orderBy("r_regionkey").collect().toSeq)
   }
 
+  test("ORC round-trip preserves rows; filters push to the ORC scan") {
+    val dir = tmp("graft_orc")
+    val src = Tables(spark, sf, "supplier")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.orderBy("s_suppkey").collect().toSeq ==
+      src.orderBy("s_suppkey").collect().toSeq)
+    val filtered = back.filter(col("s_suppkey") < 10)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(s_suppkey), " +
+      "LessThan(s_suppkey,10)"), plan.take(800))
+  }
+
+  test("native XML: from_xml parses typed fields out of an xml column") {
+    // Spark 4 ships the donated spark-xml as a built-in expression family.
+    val xml = Tables(spark, sf, "region").select(
+      col("r_regionkey"),
+      concat(lit("<row><k>"), col("r_regionkey"),
+        lit("</k><n>"), col("r_name"), lit("</n></row>")).as("x"))
+    val parsed = xml.select(col("r_regionkey"),
+      from_xml(col("x"), lit("STRUCT<k: BIGINT, n: STRING>")).as("p"))
+      .select(col("r_regionkey"), col("p.k"), col("p.n"))
+    val rows = parsed.orderBy("r_regionkey").collect()
+    assert(rows.map(_.getLong(1)).toSeq ==
+      rows.map(_.getAs[Number](0).longValue).toSeq)
+    assert(rows.forall(r => r.getString(2).nonEmpty))
+  }
+
   test("partitioned parquet write → partition-pruned read") {
     val dir = tmp("graft_part")
     Tables(spark, sf, "orders")
