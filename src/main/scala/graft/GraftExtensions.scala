@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CharBigrams, DotProduct}
+import graft.expressions.{CharBigrams, DotProduct, TopKDoubles}
 
 /** SparkSessionExtensions entry point: injects the engine's custom
   * expressions at session build, so a user can enable everything with
@@ -26,6 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_bigrams"),
       new ExpressionInfo(classOf[CharBigrams].getName, "graft_bigrams"),
       (children: Seq[Expression]) => CharBigrams(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKDoubles].getName, "graft_topk"),
+      (children: Seq[Expression]) => TopKDoubles(children(0),
+        children(1).eval().asInstanceOf[Number].intValue)))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.ArraySimplification)
   }

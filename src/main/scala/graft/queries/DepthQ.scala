@@ -257,7 +257,28 @@ object DepthQ {
       .select(col("e.item").as("word"), col("e.count").as("cnt"))
       .orderBy(col("cnt").desc, col("word"))
 
+  /** Top-5 order totals per priority via the native `graft_topk`
+    * TypedImperativeAggregate (expressions/TopKDoubles.scala): a
+    * size-bounded min-heap buffer rides partial aggregation, so each
+    * partition ships k values per group instead of window-sorting every
+    * row through the shuffle — O(n log k) work, O(groups·k) shuffle
+    * bytes; the row_number formulation this replaces sorts the whole
+    * group. The oracle IS that window formulation — proving the heap
+    * aggregate ≡ sort-then-take on the value multiset. */
+  val aggTopkNative: QFn = (s, dir) => {
+    graft.expressions.TopKDoubles.register(s)
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(call_function("graft_topk", col("o_totalprice"), lit(5)).as("tp"))
+      .select(col("o_orderpriority"),
+        posexplode(col("tp")).as(Seq("rnk0", "price")))
+      .select(col("o_orderpriority"),
+        (col("rnk0") + 1).cast("long").as("rnk"), col("price"))
+      .orderBy(col("o_orderpriority"), col("rnk"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "agg_topk_native"    -> aggTopkNative,
     "bitmap_distinct"    -> bitmapDistinct,
     "approx_topk_words"  -> approxTopkWords,
     "pii_scrub"          -> piiScrub,
@@ -276,6 +297,14 @@ object DepthQ {
       |  '\d{3}-\d{4}', '<PHONE>', 'g')""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "agg_topk_native" ->
+      """SELECT o_orderpriority, rnk, price FROM (
+        |  SELECT o_orderpriority, o_totalprice AS price,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 5
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
     "bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type
