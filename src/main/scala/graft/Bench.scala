@@ -15,18 +15,21 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Truncation defense, v2 (BENCH_r02 and _r03 both lost their parse to
+    // the driver's TAIL capture window, ~4 KB): (a) per-query values are
+    // rounded to 3 decimals so the full line stays ~3 KB at 116 keys and
+    // survives the window intact; (b) the compact total goes out LAST so
+    // even if the full line's head is cut, the tail still ends with a
+    // complete parseable summary; (c) the full JSON is also written to disk.
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Truncation defense (BENCH_r02 lost its total to a capture cutoff):
-    // the compact summary line goes out FIRST so any tail truncation only
-    // costs per-query detail, and the full JSON is also written to disk.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(compact)
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(full)
+    println(compact)
     Seq("bench_summary.json", "/root/repo/bench_summary.json").distinct
       .foreach { p =>
         try java.nio.file.Files.writeString(java.nio.file.Paths.get(p),

@@ -355,12 +355,12 @@ object DepthQ {
         |  GROUP BY user_id, event_type)
         |SELECT user_id,
         |  count(*) AS n_types,
-        |  sum(cnt) AS total,
-        |  sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS n_heavy,
-        |  coalesce(sum(CASE WHEN event_type = 'purchase' THEN cnt END), 0)
-        |    AS purchases,
-        |  coalesce(sum(CASE WHEN event_type = 'view' THEN cnt * 2 END), 0)
-        |    AS views_x2
+        |  CAST(sum(cnt) AS BIGINT) AS total,
+        |  CAST(sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN cnt END),
+        |    0) AS BIGINT) AS purchases,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN cnt * 2 END),
+        |    0) AS BIGINT) AS views_x2
         |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
     "variant_extract" ->
       """SELECT event_id, event_type,
