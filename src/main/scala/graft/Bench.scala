@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Deterministic warm-up: touch every table once before the timed loop
+    // so one-time session costs (first parquet read per table, codegen/JIT
+    // of the scan path) don't land on whichever query map-order runs
+    // first — r2/r3 benches showed a ~5 s phantom "regression" migrating
+    // between unrelated keys as the inventory reshuffled. ~1-2 s, untimed;
+    // per-query numbers then measure the query, not session init.
+    Tables.names.foreach { n => Tables(spark, sfDir, n).count() }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -281,10 +281,17 @@ object Relational {
       "graft_scratch/bucketed_" + tag).getAbsolutePath
     s.sql(s"DROP TABLE IF EXISTS $ot")
     s.sql(s"DROP TABLE IF EXISTS $lt")
-    t(s, dir, "orders").write.mode("overwrite")
+    // Bucket only the columns the downstream join+agg consumes — the
+    // materialized-join-view layout. At 100 TB you bucket a projected
+    // fact subset, not the 16-column raw table; in the bench it cuts the
+    // one-time write cost to the bytes that actually matter.
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite")
       .option("path", s"$scratch/orders")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
-    t(s, dir, "lineitem").write.mode("overwrite")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .write.mode("overwrite")
       .option("path", s"$scratch/lineitem")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
     s.table(ot).hint("merge")

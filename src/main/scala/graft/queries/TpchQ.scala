@@ -1,0 +1,273 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import core._
+
+/** The wide-TPC-H family (SURVEY.md §2.14): the analytical join/agg shapes
+  * the earlier q01/q03/q04/q05/q06/q18/q21 set did not cover, each picked
+  * for the DISTINCT optimizer pattern it exercises at 100 TB:
+  *
+  *   - q07: fact ⋈ two independent dimension chains + cross-nation
+  *     disjunction — dims broadcast, ONE fact shuffle, per-year split.
+  *   - q10: returned-item revenue — selective fact filter, mid-size
+  *     customer join, global top-20 (TakeOrderedAndProject, no full sort).
+  *   - q14: promo revenue share — both conditional decimal sums in ONE
+  *     pass over the join (no numerator/denominator self-join).
+  *   - q15: top supplier by quarterly revenue — the per-supplier aggregate
+  *     reused as both the ranking input and the max side, equality-joined
+  *     on the exact cents-rounded revenue.
+  *   - q17: small-quantity parts — the per-part avg is a decorrelated
+  *     aggregate joined back to the same filtered fact (TPC-H's correlated
+  *     scalar subquery, in the shape Catalyst actually executes), with the
+  *     tiny part filter broadcast to both sides.
+  *   - q19: disjunctive brand/size/quantity predicates — an OR of
+  *     conjunctions as the residual filter of a broadcast hash join, with
+  *     the common quantity range conjunct pushed to the parquet scan.
+  *   - q22: customers above the positive-balance average with no orders —
+  *     broadcast scalar threshold + LEFT ANTI join against the fact.
+  *
+  * The corpus lacks partsupp/shipmode/container/phone, so q02/q09/q12/
+  * q16/q20 have no faithful shape here, and q17/q22 substitute p_type /
+  * c_nationkey for container / phone-prefix; the plan shapes (and what
+  * they prove about the optimizer) are unchanged. Determinism follows
+  * core.scala: decimal-before-sum, moneySum cents rounding, r6 on
+  * computed doubles, total ORDER BY with unique tiebreakers.
+  */
+object TpchQ {
+
+  /** Q7 volume shipping: revenue between NATION_1 and NATION_2 (both
+    * directions) by ship year. supplier/customer arrive pre-joined to
+    * their broadcast nation names; lineitem shuffles once on l_orderkey. */
+  val q07: QFn = (s, dir) => {
+    val sn = t(s, dir, "supplier")
+      .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cn = t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+      .filter(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(moneySum(revenue(col("l_extendedprice"), col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** Q10 returned items: revenue lost to returns per customer in one
+    * quarter, global top 20 — TakeOrderedAndProject, not a full sort. */
+  val q10: QFn = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-04-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(moneySum(revenue(col("l_extendedprice"), col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** Q14 promo revenue share for one month: numerator and denominator as
+    * two conditional sums of the SAME exact-decimal term in one pass. */
+  val q14: QFn = (s, dir) => {
+    val rev = revenue(col("l_extendedprice"), col("l_discount"))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-03-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0))).as("num"),
+        sum(rev).as("den"))
+      .select(r6(lit(100) * dbl(col("num")) / dbl(col("den")))
+        .as("promo_revenue"))
+  }
+
+  /** Q15 top supplier: quarterly revenue per supplier, keep the max.
+    * The aggregate is computed once and self-joined on its exact
+    * cents-rounded revenue — the equality is on identical doubles by
+    * construction, so the "ties allowed" TPC-H semantics carry over. */
+  val q15: QFn = (s, dir) => {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(moneySum(revenue(col("l_extendedprice"), col("l_discount")))
+        .as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("total_revenue"))
+    t(s, dir, "supplier")
+      .join(rev.join(broadcast(mx), Seq("total_revenue")),
+        col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Q17 small-quantity revenue: lineitems under 20% of their part's
+    * average quantity, for one brand+type slice — the correlated scalar
+    * subquery in decorrelated form (per-part agg joined back), part
+    * filter broadcast to both the fact scan and the agg. */
+  val q17: QFn = (s, dir) => {
+    val p = t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#3" && col("p_type") === "SMALL")
+      .select(col("p_partkey"))
+    val lp = t(s, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val av = lp.groupBy(col("l_partkey"))
+      .agg((dbl(sum(dec(col("l_quantity"), 12, 2))) / count(lit(1)))
+        .as("avg_qty"))
+    lp.join(av, "l_partkey")
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(coalesce(moneySum(dec(col("l_extendedprice"), 18, 4)), lit(0.0))
+        .as("loss"))
+      .select(r6(col("loss") / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** Q19 discounted revenue under an OR of brand/size/quantity
+    * conjunctions: the disjunction rides the broadcast hash join as a
+    * residual filter; the common `l_quantity <= 30` bound is a separate
+    * conjunct Catalyst pushes into the parquet scan. */
+  val q19: QFn = (s, dir) => {
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(coalesce(moneySum(revenue(col("l_extendedprice"), col("l_discount"))),
+        lit(0.0)).as("revenue"))
+  }
+
+  /** Q22 global sales opportunity: customers in 5 nations with balance
+    * above the positive-balance average of those nations AND no orders —
+    * broadcast one-row threshold, then LEFT ANTI against orders (the
+    * NOT-EXISTS plan), grouped per nation. */
+  val q22: QFn = (s, dir) => {
+    val nats = Seq(1, 3, 5, 7, 9).map(_.toLong)
+    val c = t(s, dir, "customer").filter(col("c_nationkey").isin(nats: _*))
+    val thr = c.filter(col("c_acctbal") > 0)
+      .agg((dbl(sum(dec(col("c_acctbal"), 14, 2))) / count(lit(1))).as("thr"))
+    c.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("thr"))
+      .join(t(s, dir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        moneySum(dec(col("c_acctbal"), 14, 2)).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "q07_volume_shipping" -> q07,
+    "q10_returned_items"  -> q10,
+    "q14_promo_share"     -> q14,
+    "q15_top_supplier"    -> q15,
+    "q17_small_qty"       -> q17,
+    "q19_disjunct_rev"    -> q19,
+    "q22_no_order_cust"   -> q22)
+
+  val oracle: Map[String, String] = Map(
+    "q07_volume_shipping" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |  year(l_shipdate) AS l_year,
+         |  CAST(round(sum($revenueSql), 2) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+         |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  CAST(round(sum($revenueSql), 2) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo_share" ->
+      s"""SELECT ${r6Sql(
+           s"100 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN $revenueSql ELSE 0 END) AS DOUBLE)" +
+           s" / CAST(sum($revenueSql) AS DOUBLE)")} AS promo_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+         |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    CAST(round(sum($revenueSql), 2) AS DOUBLE) AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_qty" ->
+      """WITH lp AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'),
+        |av AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |      / count(*) AS avg_qty
+        |  FROM lp GROUP BY l_partkey)
+        |SELECT floor((coalesce(CAST(round(sum(
+        |    CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE), 0.0)
+        |  / 7.0) * 1000000 + 0.5) / 1000000 AS avg_yearly
+        |FROM lp JOIN av USING (l_partkey)
+        |WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_qty""".stripMargin,
+    "q19_disjunct_rev" ->
+      s"""SELECT coalesce(CAST(round(sum($revenueSql), 2) AS DOUBLE), 0.0)
+         |  AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_quantity >= 1 AND l_quantity <= 30 AND (
+         |  (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         |    AND l_quantity BETWEEN 1 AND 11)
+         |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+         |    AND l_quantity BETWEEN 10 AND 20)
+         |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+         |    AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+    "q22_no_order_cust" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DOUBLE)
+        |    AS totacctbal
+        |FROM customer
+        |WHERE c_nationkey IN (1, 3, 5, 7, 9)
+        |  AND c_acctbal > (
+        |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+        |      / count(*)
+        |    FROM customer
+        |    WHERE c_nationkey IN (1, 3, 5, 7, 9) AND c_acctbal > 0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+}

@@ -133,7 +133,12 @@ object VectorQ {
     * threshold-grazing pairs (cos ≈ 0.45-0.6, isotropic noise — no true
     * duplicates exist at any sf; the exact-vs-banded delta is measured in
     * AnnQualitySpec, not assumed). */
-  val embedNeardup: QFn = (s, dir) => {
+  val embedNeardup: QFn = (s, dir) =>
+    embedNeardupCore(s, dir).orderBy(col("a_id"), col("b_id"))
+
+  /** The banded pipeline without the presentation sort (shared with
+    * neardupClusters, which consumes the pairs as an unordered graph). */
+  private def embedNeardupCore(s: SparkSession, dir: String) = {
     val base = unitBase(s, dir)
     val vecs = base
       .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
@@ -158,7 +163,6 @@ object VectorQ {
       .withColumn("cos_sim", r6(gdot(col("ua"), col("ub"))))
       .filter(col("cos_sim") >= 0.45)
       .select(col("a_id"), col("b_id"), col("cos_sim"))
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** The LSH index's bucket: sign bits of the first 8 components. Shared
@@ -297,7 +301,9 @@ object VectorQ {
     * vertex id — the standard iterative-join CC pattern. Lineage is cut
     * every round with localCheckpoint, so plan size stays O(1) in rounds. */
   val neardupClusters: QFn = (s, dir) => {
-    val pairs = embedNeardup(s, dir).select(col("a_id"), col("b_id"))
+    // The unsorted pair set: the propagation loop consumes it as a graph,
+    // so embedNeardup's presentation ORDER BY would be a wasted sort.
+    val pairs = embedNeardupCore(s, dir).select(col("a_id"), col("b_id"))
     val adj = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist()

@@ -19,7 +19,9 @@ class PlanSweepSpec extends SparkSpec {
     "tfidf_top_terms" -> "1-row corpus doc-count aggregate broadcast into idf",
     "pagerank_words" -> "1-row node-count aggregate broadcast into 0.15/n teleport term",
     "subq_in" -> ("NOT IN needs null-aware existence join; the broadcast " +
-      "IN-set is DISTINCT l_partkey, bounded by the part dimension"))
+      "IN-set is DISTINCT l_partkey, bounded by the part dimension"),
+    "q22_no_order_cust" ->
+      "1-row avg-balance threshold broadcast against the customer slice")
 
   test("no unlisted query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
