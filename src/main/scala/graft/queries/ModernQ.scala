@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import core._
+
+/** Round-4 modern-SQL + pipeline-maintenance operators (SURVEY.md §2.15):
+  *
+  *   - `recursive_org_depth`: Spark 4.1 `WITH RECURSIVE` driving a real
+  *     hierarchy walk (org-chart/BOM shape). The tree is derived
+  *     deterministically from supplier keys (parent = (k-1)/2, the binary
+  *     heap layout), so the walk's depth is ~log₂(n) and termination is
+  *     structural (child keys strictly grow), which is what makes the
+  *     UNION ALL-only restriction of Spark's rCTE safe here.
+  *   - `lateral_topn`: correlated LATERAL subquery with ORDER BY+LIMIT —
+  *     Catalyst decorrelates it to a partitioned window under the hood;
+  *     the oracle IS the window formulation, so the hash-match proves the
+  *     decorrelation equivalent.
+  *   - `ewma_trailing`: 7-term exponentially weighted moving average
+  *     (α = 1/2) over each event type's daily series — the time-series
+  *     smoothing primitive. Weights 0.5^k are exact 6-dp decimals and the
+  *     daily inputs exact 2-dp decimals, so the weighted sum is exact on
+  *     both engines; only the final normalize-and-round is double math.
+  *     Missing trailing days drop out of numerator AND denominator
+  *     (lag-null exclusion) — the standard irregular-series EWMA.
+  *   - `hist_value`: fixed-width histogram (`width_bucket`, 10 buckets)
+  *     per event type — the data-profiling primitive; the oracle mirrors
+  *     Spark's documented bucket formula in plain floor arithmetic.
+  *   - `merge_upsert`: MERGE-shape snapshot upsert WITHOUT a table format:
+  *     per-customer order rollup (updates) full-outer-joined into the
+  *     customer dimension (target), with a deterministic late-arriving-key
+  *     slice exercising the INSERT branch. At 100 TB this is one shuffle
+  *     on the merge key — exactly the join a Delta/Iceberg MERGE plans.
+  *
+  * Determinism follows core.scala (decimal-before-sum, r6 on computed
+  * doubles, total ORDER BY with unique keys).
+  */
+object ModernQ {
+
+  private def views(s: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+
+  /** Spark 4.1 recursive CTE: depth of every supplier in the derived
+    * parent=(k-1)/2 heap tree, walked root-down. */
+  val recursiveOrgDepth: QFn = (s, dir) => {
+    views(s, dir, "supplier")
+    s.sql("""
+      WITH RECURSIVE org(id, depth) AS (
+        SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS depth
+        UNION ALL
+        SELECT e.child, o.depth + 1
+        FROM (SELECT s_suppkey AS child, (s_suppkey - 1) div 2 AS parent
+              FROM supplier WHERE s_suppkey > 0) e
+        JOIN org o ON e.parent = o.id)
+      SELECT id AS s_suppkey, depth FROM org ORDER BY id""")
+  }
+
+  /** Correlated LATERAL with ORDER BY+LIMIT: top-2 orders per BUILDING
+    * customer. Decorrelates to a window — the oracle proves it. */
+  val lateralTopn: QFn = (s, dir) => {
+    views(s, dir, "customer", "orders")
+    s.sql("""
+      SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+      WHERE c.c_mktsegment = 'BUILDING'
+      ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey""")
+  }
+
+  /** 7-term α=1/2 EWMA over each event type's daily sums. The 0.5^k
+    * weights are exact decimals; a missing day-k term contributes to
+    * neither sum (standard irregular-series handling). */
+  val ewmaTrailing: QFn = (s, dir) => {
+    val e = t(s, dir, "events")
+      .withColumn("day", expr("ts_us div 86400000000"))
+    val daily = e.groupBy(col("event_type"), col("day"))
+      .agg(dbl(round(sum(dec(col("value"), 14, 4)), 2)).as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val terms = (0 to 6).map { k =>
+      val wt = lit(BigDecimal(0.5).pow(k)).cast("decimal(8,6)")
+      val vk = lag(col("v"), k).over(w)
+      (dec(vk, 14, 2) * wt, when(vk.isNotNull, wt).otherwise(lit(null)))
+    }
+    val num = terms.map(_._1).reduce((a, b) => coalesce(a + b, a, b))
+    val den = terms.map(_._2).reduce((a, b) => coalesce(a + b, a, b))
+    daily
+      .withColumn("ewma", r6(dbl(num) / dbl(den)))
+      .select(col("event_type"), col("day"), col("v"), col("ewma"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Fixed-width histogram of event values: width_bucket over [0, 500),
+    * 10 buckets, per event type, with per-bucket count and value range. */
+  val histValue: QFn = (s, dir) =>
+    t(s, dir, "events")
+      .withColumn("bucket",
+        expr("width_bucket(value, 0.0, 500.0, 10)").cast("long"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .orderBy(col("event_type"), col("bucket"))
+
+  /** MERGE-shape upsert: per-customer order rollup into the customer
+    * dimension via ONE full-outer join on the merge key; custkey%10==0
+    * rollups re-keyed +100000 act as the late-arriving INSERT slice. */
+  val mergeUpsert: QFn = (s, dir) => {
+    val roll = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), max(col("o_orderdate")).as("last_odate"))
+    val updates = roll.select(col("o_custkey").as("uid"),
+        col("n_orders"), col("last_odate"))
+      .union(roll.filter(col("o_custkey") % 10 === 0)
+        .select((col("o_custkey") + 100000).as("uid"),
+          col("n_orders"), col("last_odate")))
+    t(s, dir, "customer")
+      .join(updates, col("c_custkey") === col("uid"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("uid")).as("id"),
+        col("c_mktsegment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("last_odate"))
+      .orderBy(col("id"))
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "recursive_org_depth" -> recursiveOrgDepth,
+    "lateral_topn"        -> lateralTopn,
+    "ewma_trailing"       -> ewmaTrailing,
+    "hist_value"          -> histValue,
+    "merge_upsert"        -> mergeUpsert)
+
+  private val ewmaTermSql: String = {
+    val num = (0 to 6).map(k =>
+      s"CAST(lag(v, $k) OVER w AS DECIMAL(14,2)) * CAST(${BigDecimal(0.5).pow(k)} AS DECIMAL(8,6))")
+      .mkString(",\n        ")
+    val den = (0 to 6).map(k =>
+      s"CASE WHEN lag(v, $k) OVER w IS NOT NULL THEN CAST(${BigDecimal(0.5).pow(k)} AS DECIMAL(8,6)) END")
+      .mkString(",\n        ")
+    s"""list_sum(list_filter([$num], x -> x IS NOT NULL)) AS num,
+       |      list_sum(list_filter([$den], x -> x IS NOT NULL)) AS den""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "recursive_org_depth" ->
+      """WITH RECURSIVE org(id, depth) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT e.child, o.depth + 1
+        |  FROM (SELECT s_suppkey AS child, (s_suppkey - 1) // 2 AS parent
+        |        FROM supplier WHERE s_suppkey > 0) e
+        |  JOIN org o ON e.parent = o.id)
+        |SELECT id AS s_suppkey, depth FROM org ORDER BY id""".stripMargin,
+    "lateral_topn" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY c.c_custkey
+        |      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment = 'BUILDING')
+        |WHERE rn <= 2
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+    "ewma_trailing" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(round(sum(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE) AS v
+         |  FROM events GROUP BY 1, 2),
+         |terms AS (
+         |  SELECT event_type, day, v,
+         |      $ewmaTermSql
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day))
+         |SELECT event_type, day, v,
+         |  ${r6Sql("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)")} AS ewma
+         |FROM terms ORDER BY event_type, day""".stripMargin,
+    "hist_value" ->
+      """SELECT event_type,
+        |  CAST(CASE WHEN value < 0 THEN 0
+        |            WHEN value >= 500 THEN 11
+        |            ELSE floor((value - 0.0) / ((500.0 - 0.0) / 10)) + 1
+        |       END AS BIGINT) AS bucket,
+        |  count(*) AS n, min(value) AS lo, max(value) AS hi
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+    "merge_upsert" ->
+      """WITH roll AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    max(o_orderdate) AS last_odate
+        |  FROM orders GROUP BY o_custkey),
+        |updates AS (
+        |  SELECT o_custkey AS uid, n_orders, last_odate FROM roll
+        |  UNION ALL
+        |  SELECT o_custkey + 100000, n_orders, last_odate FROM roll
+        |  WHERE o_custkey % 10 = 0)
+        |SELECT coalesce(c_custkey, uid) AS id, c_mktsegment,
+        |  coalesce(n_orders, 0) AS n_orders, last_odate
+        |FROM customer FULL OUTER JOIN updates ON c_custkey = uid
+        |ORDER BY id""".stripMargin)
+}
