@@ -22,7 +22,8 @@ object SparkEntry {
     Relational.queries ++ WindowsQ.queries ++ EventsQ.queries ++
       TextQ.queries ++ VectorQ.queries ++ FunctionsQ.queries ++
       MultimodalQ.queries ++ StatsQ.queries ++ SqlQ.queries ++
-      DepthQ.queries ++ GraphQ.queries ++ TpchQ.queries ++ ModernQ.queries
+      DepthQ.queries ++ GraphQ.queries ++ TpchQ.queries ++ ModernQ.queries ++
+      CurationQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
     Relational.oracle ++ WindowsQ.oracle ++ EventsQ.oracle ++
       TextQ.oracle ++ VectorQ.oracle ++ FunctionsQ.oracle ++
       MultimodalQ.oracle ++ StatsQ.oracle ++ SqlQ.oracle ++
-      DepthQ.oracle ++ GraphQ.oracle ++ TpchQ.oracle ++ ModernQ.oracle
+      DepthQ.oracle ++ GraphQ.oracle ++ TpchQ.oracle ++ ModernQ.oracle ++
+      CurationQ.oracle
 }

@@ -1,0 +1,318 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+import core._
+
+/** Round-4 LLM-data-curation depth operators (SURVEY.md §2.16) — the
+  * steps a training-data pipeline runs AFTER the per-document features
+  * and near-dup detection the earlier families cover:
+  *
+  *   - `contamination_overlap`: train/eval benchmark-contamination check.
+  *     The corpus is split deterministically (doc_id % 17 = 0 → eval);
+  *     every eval document reports how many of its distinct word-5-grams
+  *     also appear anywhere in the train split. At 100 TB this is ONE
+  *     equi-join of the eval n-gram stream against the distinct train
+  *     n-gram set on a fixed-width md5 key (md5 so the oracle joins on
+  *     the identical function) — candidates never fan out beyond the
+  *     eval side's own n-gram count, and the train set is the classic
+  *     build side for a shuffled hash join.
+  *   - `lm_bigram_score`: add-one-smoothed bigram language-model scoring —
+  *     the KenLM-style quality/perplexity proxy. Counts come from the
+  *     train split only; each eval document's mean log-probability
+  *     Σ ln((c(w₁w₂)+1)/(c(w₁)+V)) / n is computed with every ln term
+  *     pinned to DECIMAL(14,10) before the exact sum (token_entropy's
+  *     libm-skew defense). V rides a 1-row broadcast (allowlisted NLJ,
+  *     the bigram_pmi pattern); everything else is equi-joins on words.
+  *   - `quantize_embed`: symmetric int8 embedding quantization (the
+  *     vector-storage compression step): per-vector max-abs scale,
+  *     q = floor(x·127/scale + 0.5), saturation count, exact-decimal
+  *     reconstruction SSE. Pure per-row map — shuffle-free at any scale;
+  *     all double math is the shared-floor-formula kind the oracle
+  *     mirrors bit-for-bit.
+  *   - `dedup_pipeline_e2e`: the dedup stages composed end to end —
+  *     MinHash-LSH candidates → exact Jaccard verify (≥ 0.8) →
+  *     connected components (pointer-jumping, detected fixpoint) →
+  *     keep-best representative (longest text, lowest id) → per-cluster
+  *     summary. Candidates stay bucket-bounded, CC is O(log n) rounds of
+  *     keyed shuffles, and the representative choice is one window over
+  *     the cluster key — no stage is quadratic.
+  *   - `union_by_name_evolve`: schema-evolution append — an old-schema
+  *     slice unioned BY NAME (allowMissingColumns) with a new-schema
+  *     slice whose columns are reordered and extended; missing column
+  *     null-fills, then one aggregate over the merged log. DuckDB's
+  *     `UNION ALL BY NAME` is the exact oracle counterpart.
+  *   - `collate_group`: Spark-4 collation surface — grouping a
+  *     deliberately case-mixed column under UTF8_LCASE so distinct
+  *     spellings merge; the oracle proves the semantics via the
+  *     lower() formulation. Output keys are lowercased (the grouped
+  *     representative spelling is engine-internal, so it never leaves
+  *     the query).
+  *
+  * Determinism follows core.scala (decimal-before-sum, shared floor
+  * rounding, total ORDER BY with unique keys).
+  */
+object CurationQ {
+
+  /** Eval split predicate: deterministic, ~6% of docs. */
+  private def isEval(id: org.apache.spark.sql.Column) = id % 17 === 0
+
+  /** Distinct word-5-grams per doc as (doc_id, h = md5(shingle)). */
+  private def gram5(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"), 5)).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+
+  val contaminationOverlap: QFn = (s, dir) => {
+    val g = gram5(s, dir)
+    val train = g.filter(!isEval(col("doc_id")))
+      .select(col("h").as("th")).distinct()
+    g.filter(isEval(col("doc_id")))
+      .join(train, col("h") === col("th"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"), count(col("th")).as("n_hit"))
+      .withColumn("rate", r6(dbl(col("n_hit")) / col("n_ngrams")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Consecutive token pairs of a doc as (doc_id, w1, w2). */
+  private def bigramRows(s: SparkSession, dir: String): DataFrame = {
+    val ws = col("ws")
+    val pairs = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+  }
+
+  val lmBigramScore: QFn = (s, dir) => {
+    val bg = bigramRows(s, dir)
+    val trainBg = bg.filter(!isEval(col("doc_id")))
+    val c2 = trainBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = t(s, dir, "documents")
+      .filter(!isEval(col("doc_id")))
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val v = c1.agg(count(lit(1)).as("v"))
+    bg.filter(isEval(col("doc_id")))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        dec(log(dbl(coalesce(col("c2"), lit(0L)) + 1) /
+          dbl(coalesce(col("c1"), lit(0L)) + col("v"))), 14, 10).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("ll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        r6(dbl(col("ll")) / col("n_bigrams")).as("avg_ll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val quantizeEmbed: QFn = (s, dir) => {
+    val x = transform(col("embedding"), e => e.cast("double"))
+    val scale = array_max(transform(col("x"), e => abs(e)))
+    val sc = col("sc")
+    def q(e: org.apache.spark.sql.Column) = floor(e * 127.0 / sc + 0.5)
+    def recon(e: org.apache.spark.sql.Column) = q(e) * sc / 127.0
+    // Each squared-error term is pure double arithmetic on identical
+    // inputs (bit-identical cross-engine), and both engines fold the
+    // array sequentially (aggregate / list_reduce) — so the double sum
+    // is bit-identical too; no decimal pinning needed.
+    val errsq = transform(col("x"),
+      e => (e - recon(e)) * (e - recon(e)))
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), x.as("x"))
+      .withColumn("scale", scale)
+      .withColumn("sc", when(col("scale") === 0.0, 1.0).otherwise(col("scale")))
+      .select(col("vec_id"), col("scale"),
+        aggregate(transform(col("x"), e => q(e)), lit(0L), (a, b) => a + b)
+          .as("q_sum"),
+        size(filter(col("x"), e => abs(q(e)) === 127)).cast("long").as("n_sat"),
+        rd(aggregate(errsq, lit(0.0), (a, b) => a + b), 9).as("sse"))
+      .orderBy(col("vec_id"))
+  }
+
+  val dedupPipeline: QFn = (s, dir) => {
+    val pairs = TextQ.minhashVerifiedPairs(s, dir) // (a_id, b_id, jac ≥ 0.8)
+    val edges = pairs.select(col("a_id"), col("b_id")).localCheckpoint()
+    val cc = graft.operators.ConnectedComponents.run(edges)
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val labeled = docs
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    labeled
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(when(col("rn") === 1, col("doc_id"))).as("rep_doc"),
+        min(when(col("rn") === 1, col("n_chars"))).as("rep_chars"))
+      .orderBy(col("cluster"))
+  }
+
+  val unionByNameEvolve: QFn = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val v1 = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val v2 = o.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy(coalesce(col("o_orderpriority"), lit("<legacy>")).as("prio"))
+      .agg(count(lit(1)).as("n"),
+        moneySum(dec(col("o_totalprice"), 18, 4)).as("total_price"))
+      .orderBy(col("prio"))
+  }
+
+  val collateGroup: QFn = (s, dir) => {
+    val seg = when(col("c_custkey") % 3 === 0, lower(col("c_mktsegment")))
+      .otherwise(col("c_mktsegment"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), seg.as("seg_m"))
+      .groupBy(collate(col("seg_m"), "UTF8_LCASE").as("k"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("seg_m")).as("n_forms"),
+        moneySum(dec(col("c_acctbal"), 18, 4)).as("bal"))
+      .select(lower(col("k")).cast("string").as("segment"),
+        col("n"), col("n_forms"), col("bal"))
+      .orderBy(col("segment"))
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "contamination_overlap" -> contaminationOverlap,
+    "lm_bigram_score"       -> lmBigramScore,
+    "quantize_embed"        -> quantizeEmbed,
+    "dedup_pipeline_e2e"    -> dedupPipeline,
+    "union_by_name_evolve"  -> unionByNameEvolve,
+    "collate_group"         -> collateGroup)
+
+  private val wordsCte =
+    """words AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |    w -> w <> '') AS ws FROM documents)""".stripMargin
+
+  /** Distinct word-5-gram md5 per doc, mirroring TextOps.shingles(_, 5). */
+  private val gram5Cte =
+    s"""$wordsCte,
+       |g5 AS (
+       |  SELECT DISTINCT doc_id,
+       |    md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+       |        ws[i+3] || ' ' || ws[i+4]) AS h
+       |  FROM words,
+       |    (SELECT unnest(range(1, (SELECT max(len(ws)) FROM words) + 1)) AS i)
+       |  WHERE i + 4 <= len(ws))""".stripMargin
+
+  private val bigramCte =
+    s"""$wordsCte,
+       |bg AS (
+       |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+       |  FROM words,
+       |    (SELECT unnest(range(1, (SELECT max(len(ws)) FROM words) + 1)) AS i)
+       |  WHERE i + 1 <= len(ws))""".stripMargin
+
+  private val quantSq =
+    "(e - CAST(floor(e * 127.0 / sc + 0.5) AS BIGINT) * sc / 127.0)"
+
+  val oracle: Map[String, String] = Map(
+    "contamination_overlap" ->
+      s"""WITH $gram5Cte,
+         |train AS (SELECT DISTINCT h FROM g5 WHERE doc_id % 17 <> 0),
+         |ev AS (SELECT doc_id, h FROM g5 WHERE doc_id % 17 = 0)
+         |SELECT ev.doc_id, count(*) AS n_ngrams, count(train.h) AS n_hit,
+         |  ${r6Sql("CAST(count(train.h) AS DOUBLE) / count(*)")} AS rate
+         |FROM ev LEFT JOIN train ON ev.h = train.h
+         |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin,
+    "lm_bigram_score" ->
+      s"""WITH $bigramCte,
+         |uni AS (
+         |  SELECT w, count(*) AS c1 FROM (
+         |    SELECT unnest(ws) AS w FROM words WHERE doc_id % 17 <> 0)
+         |  GROUP BY w),
+         |vv AS (SELECT count(*) AS v FROM uni),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg
+         |       WHERE doc_id % 17 <> 0 GROUP BY w1, w2),
+         |terms AS (
+         |  SELECT bg.doc_id, CAST(ln(
+         |      CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE) /
+         |      CAST(coalesce(uni.c1, 0) + vv.v AS DOUBLE))
+         |    AS DECIMAL(14,10)) AS term
+         |  FROM bg
+         |  LEFT JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+         |  LEFT JOIN uni ON bg.w1 = uni.w
+         |  CROSS JOIN vv
+         |  WHERE bg.doc_id % 17 = 0)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  ${r6Sql("CAST(sum(term) AS DOUBLE) / count(*)")} AS avg_ll
+         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "quantize_embed" ->
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, e -> CAST(e AS DOUBLE)) AS x
+         |  FROM embeddings),
+         |sc1 AS (
+         |  SELECT vec_id, x,
+         |    list_max(list_transform(x, e -> abs(e))) AS scale FROM v),
+         |g AS (
+         |  SELECT vec_id, x, scale,
+         |    CASE WHEN scale = 0 THEN 1.0 ELSE scale END AS sc FROM sc1)
+         |SELECT vec_id, scale,
+         |  CAST(list_sum(list_transform(x,
+         |    e -> CAST(floor(e * 127.0 / sc + 0.5) AS BIGINT))) AS BIGINT)
+         |    AS q_sum,
+         |  CAST(len(list_filter(x,
+         |    e -> abs(floor(e * 127.0 / sc + 0.5)) = 127)) AS BIGINT) AS n_sat,
+         |  floor(list_reduce(list_transform(x,
+         |    e -> $quantSq * $quantSq), (a, b) -> a + b)
+         |    * 1000000000 + 0.5) / 1000000000 AS sse
+         |FROM g ORDER BY vec_id""".stripMargin,
+    "dedup_pipeline_e2e" ->
+      s"""WITH RECURSIVE ${TextQ.minhashPairsCtes},
+         |adj AS (SELECT a_id AS src, b_id AS dst FROM verified
+         |        UNION ALL SELECT b_id, a_id FROM verified),
+         |walk(id, r) AS (
+         |  SELECT DISTINCT src, src FROM adj
+         |  UNION
+         |  SELECT a.src, w.r FROM adj a JOIN walk w ON a.dst = w.id),
+         |comp AS (SELECT id, min(r) AS cluster FROM walk GROUP BY id),
+         |labeled AS (
+         |  SELECT d.doc_id, d.n_chars,
+         |    coalesce(c.cluster, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |ranked AS (
+         |  SELECT doc_id, n_chars, cluster,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM labeled)
+         |SELECT cluster, count(*) AS n_docs,
+         |  min(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc,
+         |  min(CASE WHEN rn = 1 THEN n_chars END) AS rep_chars
+         |FROM ranked GROUP BY cluster ORDER BY cluster""".stripMargin,
+    "union_by_name_evolve" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+        |v2 AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 <> 0),
+        |m AS (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2)
+        |SELECT coalesce(o_orderpriority, '<legacy>') AS prio, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS total_price
+        |FROM m GROUP BY prio ORDER BY prio""".stripMargin,
+    "collate_group" ->
+      """WITH mixed AS (
+        |  SELECT c_custkey, c_acctbal,
+        |    CASE WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+        |         ELSE c_mktsegment END AS seg_m
+        |  FROM customer)
+        |SELECT lower(seg_m) AS segment, count(*) AS n,
+        |  count(DISTINCT seg_m) AS n_forms,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS bal
+        |FROM mixed GROUP BY lower(seg_m) ORDER BY segment""".stripMargin)
+}

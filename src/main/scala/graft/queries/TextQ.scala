@@ -128,8 +128,10 @@ object TextQ {
 
   /** MinHash(8) + LSH(4 bands × 2 rows) near-dup: md5-based signatures are
     * engine-agnostic; candidates from band-bucket joins only, then exact
-    * Jaccard verification on the candidate set — the 100 TB-scale dedup. */
-  val minhashLsh: QFn = (s, dir) => {
+    * Jaccard verification on the candidate set — the 100 TB-scale dedup.
+    * Exposed unsorted so CurationQ's end-to-end dedup pipeline can consume
+    * the same verified pairs without re-deriving the pipeline. */
+  private[queries] def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleRows(s, dir)
     // Signatures hash the STRING shingle (oracle parity); the Jaccard
     // verification set + band-bucket join keys use xxhash64 longs — Spark
@@ -170,8 +172,10 @@ object TextQ {
         r6(col("inter") / (col("na") + col("nb") - col("inter"))))
       .filter(col("jac") >= 0.8)
       .select(col("a_id"), col("b_id"), col("jac"))
-      .orderBy(col("a_id"), col("b_id"))
   }
+
+  val minhashLsh: QFn = (s, dir) =>
+    minhashVerifiedPairs(s, dir).orderBy(col("a_id"), col("b_id"))
 
   /** 32-bit SimHash per document as (doc_id, sig bitstring, num).
     *
@@ -514,6 +518,32 @@ object TextQ {
        |    (SELECT unnest(range(1, (SELECT max(len(ws)) FROM words) + 1)) AS i)
        |  WHERE i + 2 <= len(ws))""".stripMargin
 
+  /** Shared oracle CTE chain for the MinHash-LSH verified near-dup pairs
+    * (ends in `verified(a_id, b_id, jac)` with jac ≥ 0.8) — used by the
+    * `minhash_lsh_pairs` key and by CurationQ's end-to-end dedup oracle. */
+  private[queries] val minhashPairsCtes: String =
+    s"""$shCte,
+       |sig AS (SELECT doc_id, count(*) AS n, list(shingle) AS shl,
+       |  ${(0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")}
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, i AS band_idx,
+       |    CASE i WHEN 0 THEN mh0 || mh1 WHEN 1 THEN mh2 || mh3
+       |           WHEN 2 THEN mh4 || mh5 ELSE mh6 || mh7 END AS bucket
+       |  FROM sig, (SELECT unnest(range(4)) AS i)),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b USING (band_idx, bucket)
+       |  WHERE a.doc_id < b.doc_id),
+       |sc AS (SELECT a_id, b_id,
+       |    CAST(len(list_intersect(sa.shl, sb.shl)) AS BIGINT) AS inter,
+       |    sa.n AS na, sb.n AS nb
+       |  FROM cand JOIN sig sa ON a_id = sa.doc_id
+       |            JOIN sig sb ON b_id = sb.doc_id),
+       |verified AS (
+       |  SELECT a_id, b_id,
+       |    floor((inter / (na + nb - inter)) * 1000000 + 0.5) / 1000000 AS jac
+       |  FROM sc
+       |  WHERE floor((inter / (na + nb - inter)) * 1000000 + 0.5) / 1000000 >= 0.8)""".stripMargin
+
   /** DuckDB SimHash mirror, generated by the same loop as the Spark side. */
   private def simhashSql: String = {
     val bits = (0 until 32).map { k =>
@@ -670,24 +700,8 @@ object TextQ {
          |WHERE floor((inter / (sa.n + sb.n - inter)) * 1000000 + 0.5) / 1000000 >= 0.8
          |ORDER BY a_id, b_id""".stripMargin,
     "minhash_lsh_pairs" ->
-      s"""WITH $shCte,
-         |sig AS (SELECT doc_id, count(*) AS n, list(shingle) AS shl,
-         |  ${(0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")}
-         |  FROM sh GROUP BY doc_id),
-         |bands AS (SELECT doc_id, i AS band_idx,
-         |    CASE i WHEN 0 THEN mh0 || mh1 WHEN 1 THEN mh2 || mh3
-         |           WHEN 2 THEN mh4 || mh5 ELSE mh6 || mh7 END AS bucket
-         |  FROM sig, (SELECT unnest(range(4)) AS i)),
-         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b USING (band_idx, bucket)
-         |  WHERE a.doc_id < b.doc_id),
-         |sc AS (SELECT a_id, b_id,
-         |    CAST(len(list_intersect(sa.shl, sb.shl)) AS BIGINT) AS inter,
-         |    sa.n AS na, sb.n AS nb
-         |  FROM cand JOIN sig sa ON a_id = sa.doc_id
-         |            JOIN sig sb ON b_id = sb.doc_id)
-         |SELECT a_id, b_id, floor((inter / (na + nb - inter)) * 1000000 + 0.5) / 1000000 AS jac
-         |FROM sc WHERE floor((inter / (na + nb - inter)) * 1000000 + 0.5) / 1000000 >= 0.8
+      s"""WITH $minhashPairsCtes
+         |SELECT a_id, b_id, jac FROM verified
          |ORDER BY a_id, b_id""".stripMargin,
     "simhash_docs" -> simhashSql,
     "text_fingerprint" ->

@@ -21,7 +21,9 @@ class PlanSweepSpec extends SparkSpec {
     "subq_in" -> ("NOT IN needs null-aware existence join; the broadcast " +
       "IN-set is DISTINCT l_partkey, bounded by the part dimension"),
     "q22_no_order_cust" ->
-      "1-row avg-balance threshold broadcast against the customer slice")
+      "1-row avg-balance threshold broadcast against the customer slice",
+    "lm_bigram_score" ->
+      "1-row train-vocabulary-size aggregate broadcast into the smoothing term")
 
   test("no unlisted query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
