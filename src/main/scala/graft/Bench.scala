@@ -17,6 +17,11 @@ object Bench {
     // between unrelated keys as the inventory reshuffled. ~1-2 s, untimed;
     // per-query numbers then measure the query, not session init.
     Tables.names.foreach { n => Tables(spark, sfDir, n).count() }
+    // Collation machinery (collator factories + ICU tables) is another
+    // one-time session cost (~2-7 s measured on first collate() use);
+    // evaluate one collated comparison untimed so collate_group measures
+    // the query, not the init.
+    spark.sql("SELECT 'a' = 'A' COLLATE UTF8_LCASE").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import core._
+
+/** Round-4 source-format round-trips as CONTRACT keys (SURVEY.md §2.17) —
+  * graduating the csv/json/orc demos from SourcesSpec into the graded,
+  * oracle-checked surface, the same move partitioned_scan/bucketed_join
+  * made for layouts. Each key writes a slice of a parquet table in the
+  * target format, reads it back (explicit schema for the text formats —
+  * schema inference is a scan of its own and is banned on the 100 TB
+  * path), and aggregates the re-read data; the oracle runs the same
+  * aggregate on the ORIGINAL parquet, so a hash-match proves the format
+  * round-trip lossless end to end (layout is access path, not semantics).
+  *
+  * Losslessness notes (why the hash-match is achievable at all):
+  *   - Spark writes doubles as their shortest decimal representation and
+  *     parses that back to the identical bit pattern (Double.toString /
+  *     parseDouble are inverses), so even pre-aggregation double values
+  *     survive CSV/JSON exactly.
+  *   - Timestamps are carried as ts_us longs (the loader's normalized
+  *     form) rather than formatted strings — format-pattern drift can't
+  *     touch them.
+  *   - ORC is binary columnar: exact by construction; the read-back also
+  *     exercises ORC predicate pushdown on the status filter.
+  */
+object FormatsQ {
+
+  private def scratch(dir: String, tag: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_scratch/${tag}_" + Integer.toHexString(dir.hashCode))
+      .getAbsolutePath
+
+  val csvRoundtrip: QFn = (s, dir) => {
+    val path = scratch(dir, "lineitem_csv")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"),
+        year(col("l_shipdate")).as("ship_year"))
+      .write.mode("overwrite").option("header", "true").csv(path)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+      StructField("l_returnflag", StringType), StructField("ship_year", IntegerType)))
+    s.read.schema(schema).option("header", "true").csv(path)
+      .groupBy(col("l_returnflag"), col("ship_year"))
+      .agg(count(lit(1)).as("n"),
+        moneySum(dec(col("l_extendedprice"), 18, 4)).as("sum_price"),
+        dbl(round(sum(dec(col("l_quantity"), 14, 4)), 2)).as("sum_qty"))
+      .orderBy(col("l_returnflag"), col("ship_year"))
+  }
+
+  val jsonRoundtrip: QFn = (s, dir) => {
+    val path = scratch(dir, "events_json")
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts_us"))
+      .write.mode("overwrite").json(path)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("ts_us", LongType)))
+    s.read.schema(schema).json(path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        dbl(round(sum(dec(col("value"), 14, 4)), 2)).as("sum_value"),
+        min(col("ts_us")).as("min_ts_us"), max(col("ts_us")).as("max_ts_us"))
+      .orderBy(col("event_type"))
+  }
+
+  val orcRoundtrip: QFn = (s, dir) => {
+    val path = scratch(dir, "orders_orc")
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        moneySum(dec(col("o_totalprice"), 18, 4)).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "csv_roundtrip"  -> csvRoundtrip,
+    "json_roundtrip" -> jsonRoundtrip,
+    "orc_roundtrip"  -> orcRoundtrip)
+
+  val oracle: Map[String, String] = Map(
+    "csv_roundtrip" ->
+      """SELECT l_returnflag, CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+        |    AS DOUBLE) AS sum_price,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(14,4))), 2) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, ship_year""".stripMargin,
+    "json_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE)
+        |    AS sum_value,
+        |  min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "orc_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS total_price
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+}
