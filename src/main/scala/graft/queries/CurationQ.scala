@@ -77,17 +77,19 @@ object CurationQ {
       .orderBy(col("doc_id"))
   }
 
-  /** Consecutive token pairs of a doc as (doc_id, w1, w2). */
+  /** Consecutive token pairs of a doc as (doc_id, w1, w2). Index-explode
+    * + O(1) array indexing, NOT a struct-array transform — the struct
+    * form pays the interpreted-HOF + generator-filter-inlining tax
+    * (35× at sf0.1; see GraphQ.edgesOf). */
   private def bigramRows(s: SparkSession, dir: String): DataFrame = {
     val ws = col("ws")
-    val pairs = when(size(ws) >= 2,
-      transform(sequence(lit(1), size(ws) - 1),
-        i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
     t(s, dir, "documents")
       .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
-      .select(col("doc_id"), explode(pairs).as("p"))
-      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      .select(col("doc_id"), ws, explode(when(size(ws) >= 2,
+        sequence(lit(1), size(ws) - 1))
+        .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"), element_at(ws, col("i")).as("w1"),
+        element_at(ws, col("i") + 1).as("w2"))
   }
 
   val lmBigramScore: QFn = (s, dir) => {

@@ -234,7 +234,51 @@ object EventsQ {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Linear-interpolation gap fill — gap_fill_ffill's spine, but missing
+    * days are interpolated between the surrounding observations:
+    * v = pv + (nv − pv)·(day − pd)/(nd − pd), with edge policy backfill
+    * before the first observation and forward-fill after the last. The
+    * prev/next lookups are the two canonical one-pass window frames
+    * (unbounded-preceding last IGNORE NULLS / unbounded-following first
+    * IGNORE NULLS) over the same event_type partition — still exactly
+    * one shuffle on the series key. Daily values are exact 2-dp
+    * decimals-as-doubles and day ids are integers, so the interpolation
+    * arithmetic is structurally identical double math on both engines. */
+  val gapFillInterp: QFn = (s, dir) => {
+    val e = t(s, dir, "events").withColumn("day", expr("ts_us div 86400000000"))
+    // The fixture's daily series is dense at every sf, so gaps are
+    // INJECTED deterministically (every day ≡ 3 mod 7 is dropped before
+    // filling) — otherwise the interpolation branch would be dead code
+    // the oracle never actually checks.
+    val daily = e.groupBy(col("event_type"), col("day"))
+      .agg(dbl(round(sum(dec(col("value"), 14, 4)), 2)).as("v"))
+      .filter(col("day") % 7 =!= 3)
+    val days = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+    val types = e.select(col("event_type")).distinct()
+    val wp = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("v").isNotNull, col("day"))
+    types.crossJoin(days)
+      .join(daily, Seq("event_type", "day"), "left")
+      .withColumn("pd", last(obsDay, ignoreNulls = true).over(wp))
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+      .withColumn("nd", first(obsDay, ignoreNulls = true).over(wf))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wf))
+      .withColumn("v_li",
+        when(col("v").isNotNull, col("v"))
+          .when(col("pd").isNull, col("nv"))
+          .when(col("nd").isNull, col("pv"))
+          .otherwise(r6(col("pv") + (col("nv") - col("pv")) *
+            dbl(col("day") - col("pd")) / dbl(col("nd") - col("pd")))))
+      .select(col("event_type"), col("day"), col("v"), col("v_li"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "gap_fill_interp"       -> gapFillInterp,
     "gap_fill_ffill"        -> gapFillFfill,
     "session_window_native" -> sessionWindowNative,
     "event_funnel"          -> eventFunnel,
@@ -254,6 +298,42 @@ object EventsQ {
     "approx_percentile"    -> approxPercentile)
 
   val oracle: Map[String, String] = Map(
+    "gap_fill_interp" ->
+      s"""WITH e AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(value AS DECIMAL(14,4)) AS v FROM events),
+         |daily AS (
+         |  SELECT event_type, day,
+         |    CAST(round(sum(v), 2) AS DOUBLE) AS v
+         |  FROM e GROUP BY event_type, day
+         |  HAVING day % 7 <> 3),
+         |days AS (
+         |  SELECT unnest(range((SELECT min(day) FROM e),
+         |    (SELECT max(day) FROM e) + 1)) AS day),
+         |types AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, day FROM types, days),
+         |fr AS (
+         |  SELECT s.event_type, s.day, d.v,
+         |    last_value(CASE WHEN d.v IS NOT NULL THEN s.day END IGNORE NULLS)
+         |      OVER wp AS pd,
+         |    last_value(d.v IGNORE NULLS) OVER wp AS pv,
+         |    first_value(CASE WHEN d.v IS NOT NULL THEN s.day END IGNORE NULLS)
+         |      OVER wf AS nd,
+         |    first_value(d.v IGNORE NULLS) OVER wf AS nv
+         |  FROM spine s LEFT JOIN daily d
+         |    ON s.event_type = d.event_type AND s.day = d.day
+         |  WINDOW
+         |    wp AS (PARTITION BY s.event_type ORDER BY s.day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wf AS (PARTITION BY s.event_type ORDER BY s.day
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT event_type, day, v,
+         |  CASE WHEN v IS NOT NULL THEN v
+         |       WHEN pd IS NULL THEN nv
+         |       WHEN nd IS NULL THEN pv
+         |       ELSE ${r6Sql("pv + (nv - pv) * CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE)")}
+         |  END AS v_li
+         |FROM fr ORDER BY event_type, day""".stripMargin,
     "gap_fill_ffill" ->
       """WITH e AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

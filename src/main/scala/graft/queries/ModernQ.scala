@@ -125,12 +125,54 @@ object ModernQ {
       .orderBy(col("id"))
   }
 
+  /** Incremental re-aggregation from mergeable partials — the 100 TB
+    * rollup contract: daily partial aggregates (count + EXACT decimal
+    * sum, the mergeable state) are combined into 30-day periods without
+    * ever touching raw rows again. The oracle aggregates the raw table
+    * directly, so the hash-match PROVES partial+merge ≡ direct — which
+    * holds exactly because the partial sums stay decimal (associative)
+    * until the final round-and-cast. */
+  val incrementalAgg: QFn = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .withColumn("day", expr("ts_us div 86400000000"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"), 14, 4)).as("sv"))
+    daily
+      .withColumn("period", expr("day div 30"))
+      .groupBy(col("event_type"), col("period"))
+      .agg(sum(col("n")).as("n"),
+        dbl(round(sum(col("sv")), 2)).as("sum_value"))
+      .select(col("event_type"), col("period"), col("n"), col("sum_value"),
+        r6(col("sum_value") / col("n")).as("avg_value"))
+      .orderBy(col("event_type"), col("period"))
+  }
+
+  /** Null-safe join semantics (`<=>` / IS NOT DISTINCT FROM): a fact
+    * keyed on a NULLABLE derived key joined to its distinct key set —
+    * under plain equality the NULL slice silently drops; null-safe
+    * equality keeps it as a real group. Spark plans EqualNullSafe as an
+    * ordinary hash-join key (coalesced comparison), so this stays an
+    * equi-join at scale. */
+  val joinNullSafe: QFn = (s, dir) => {
+    val c = t(s, dir, "customer")
+      .select(nullif(col("c_mktsegment"), lit("BUILDING")).as("k"),
+        col("c_acctbal"))
+    val dim = c.select(col("k").as("dk")).distinct()
+    c.join(dim, col("k") <=> col("dk"))
+      .groupBy(col("dk"))
+      .agg(count(lit(1)).as("n"),
+        moneySum(dec(col("c_acctbal"), 18, 4)).as("bal"))
+      .orderBy(col("dk").asc_nulls_first)
+  }
+
   val queries: Map[String, QFn] = Map(
     "recursive_org_depth" -> recursiveOrgDepth,
     "lateral_topn"        -> lateralTopn,
     "ewma_trailing"       -> ewmaTrailing,
     "hist_value"          -> histValue,
-    "merge_upsert"        -> mergeUpsert)
+    "merge_upsert"        -> mergeUpsert,
+    "incremental_agg"     -> incrementalAgg,
+    "join_null_safe"      -> joinNullSafe)
 
   private val ewmaTermSql: String = {
     val num = (0 to 6).map(k =>
@@ -184,6 +226,25 @@ object ModernQ {
         |  count(*) AS n, min(value) AS lo, max(value) AS hi
         |FROM events
         |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+    "incremental_agg" ->
+      s"""SELECT event_type,
+         |  (epoch_us(ts) // 86400000000) // 30 AS period,
+         |  count(*) AS n,
+         |  CAST(round(sum(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE)
+         |    AS sum_value,
+         |  ${r6Sql("CAST(round(sum(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE) / count(*)")}
+         |    AS avg_value
+         |FROM events GROUP BY 1, 2 ORDER BY event_type, period""".stripMargin,
+    "join_null_safe" ->
+      """WITH c AS (
+        |  SELECT nullif(c_mktsegment, 'BUILDING') AS k, c_acctbal
+        |  FROM customer),
+        |dim AS (SELECT DISTINCT k AS dk FROM c)
+        |SELECT dk, count(*) AS n,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS bal
+        |FROM c JOIN dim ON c.k IS NOT DISTINCT FROM dim.dk
+        |GROUP BY dk ORDER BY dk NULLS FIRST""".stripMargin,
     "merge_upsert" ->
       """WITH roll AS (
         |  SELECT o_custkey, count(*) AS n_orders,

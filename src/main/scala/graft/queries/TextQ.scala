@@ -57,21 +57,26 @@ object TextQ {
 
   /** Per-doc distinct 3-gram shingles, exploded to (doc_id, shingle).
     *
-    * The token array is materialized in its own projection first: shingle
-    * assembly reads `ws` as a bound attribute. Building shingles directly
-    * over `tokens(text)` re-evaluates the regex split once per element_at
-    * inside the interpreted HOF chain — measured ~25 s of pure
-    * Pattern.split at sf0.1 before this split (3 regex splits per shingle). */
+    * The token array is materialized in its own projection and the
+    * shingle positions come from an INDEX-SEQUENCE explode with the
+    * 3-token concat as a codegen'd top-level projection; per-doc shingle
+    * dedup is a relational distinct on (doc_id, shingle). The earlier
+    * shapes both lost badly: building shingles over inline tokens(text)
+    * re-ran the regex split per element_at (~25 s of Pattern.split at
+    * sf0.1), and a transform-lambda string array paid the interpreted-HOF
+    * + generator-filter-inlining tax (see GraphQ.edgesOf, 35× on the
+    * same corpus). */
   private def shingleRows(s: SparkSession, dir: String): DataFrame = {
     val ws = col("ws")
-    val sh = when(size(ws) >= 3,
-      array_distinct(transform(sequence(lit(0), size(ws) - 3),
-        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
-          element_at(ws, i + 3)))))
-      .otherwise(array().cast("array<string>"))
     t(s, dir, "documents")
       .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
-      .select(col("doc_id"), explode(sh).as("shingle"))
+      .select(col("doc_id"), ws, explode(when(size(ws) >= 3,
+        sequence(lit(0), size(ws) - 3))
+        .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"), concat_ws(" ", element_at(ws, col("i") + 1),
+        element_at(ws, col("i") + 2), element_at(ws, col("i") + 3))
+        .as("shingle"))
+      .distinct()
   }
 
   /** Exact near-dup pairs: word-3-gram Jaccard ≥ 0.8, found with prefix

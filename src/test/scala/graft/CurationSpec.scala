@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the round-4 curation/graph keys — properties the
+  * golden/oracle gates can't see because they hold for ANY input, not
+  * just the fixture: quantization range/error bounds, contamination-rate
+  * bounds and split soundness, triangle-count consistency against the
+  * naive all-triples definition, and interpolation staying inside the
+  * surrounding observation envelope.
+  */
+class CurationSpec extends SparkSpec {
+
+  test("quantize_embed: q in [-127,127], saturation consistent, sse bounded") {
+    val rows = SparkEntry.queries("quantize_embed")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val scale = r.getAs[Double]("scale")
+      val nSat = r.getAs[Long]("n_sat")
+      val sse = r.getAs[Double]("sse")
+      assert(scale > 0, "fixture has no zero vectors")
+      assert(nSat >= 1, "the max-abs element must saturate to ±127")
+      assert(nSat <= 64)
+      // per-element |err| ≤ step/2 with step = scale/127 ⇒
+      // sse ≤ 64·(scale/254)² (+ rounding slack)
+      val bound = 64 * math.pow(scale / 254.0, 2) + 1e-9
+      assert(sse >= 0 && sse <= bound, s"sse $sse above bound $bound")
+    }
+  }
+
+  test("contamination_overlap: rates in [0,1], hits never exceed ngrams, eval split only") {
+    val rows = SparkEntry.queries("contamination_overlap")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("doc_id") % 17 == 0, "only eval docs may appear")
+      val n = r.getAs[Long]("n_ngrams"); val h = r.getAs[Long]("n_hit")
+      val rate = r.getAs[Double]("rate")
+      assert(h >= 0 && h <= n)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
+  test("triangle_count matches the naive all-triples definition") {
+    val r = SparkEntry.queries("triangle_count")(spark, sf).collect().head
+    // Naive mirror: undirected edge set as a local set, count all
+    // vertex triples pairwise connected. Vocabulary is tiny at sf0.001,
+    // so the O(V³) check is cheap — and it exercises a completely
+    // different counting path than the degree-oriented wedge join.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val toks = docs.select(col("text")).collect().flatMap(
+      _.getString(0).toLowerCase.split("\\s+").filter(_.nonEmpty).sliding(2)
+        .collect { case Array(a, b) if a != b => if (a < b) (a, b) else (b, a) })
+    val edges = toks.toSet
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val naive = (for {
+      i <- verts.indices; j <- (i + 1) until verts.size
+      if edges.contains((verts(i), verts(j)))
+      k <- (j + 1) until verts.size
+      if edges.contains((verts(j), verts(k))) &&
+        edges.contains((verts(i), verts(k)))
+    } yield 1).size.toLong
+    assert(r.getAs[Long]("n_triangles") == naive)
+    assert(r.getAs[Long]("n_edges") == edges.size.toLong)
+    assert(r.getAs[Long]("n_verts") == verts.size.toLong)
+  }
+
+  test("gap_fill_interp: interpolated values stay inside the observation envelope") {
+    val rows = SparkEntry.queries("gap_fill_interp")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    for ((_, rs) <- byType) {
+      val obs = rs.filter(!_.isNullAt(2)).map(_.getAs[Double]("v"))
+      val lo = obs.min; val hi = obs.max
+      for (r <- rs) {
+        val vli = r.getAs[Double]("v_li")
+        assert(vli >= lo - 1e-6 && vli <= hi + 1e-6,
+          "interpolation cannot leave the min/max envelope of observations")
+      }
+      // filled series is complete: no nulls remain
+      assert(rs.forall(!_.isNullAt(3)))
+      // the injected day%7==3 gaps mean interpolation must actually fire
+      assert(rs.exists(r => r.isNullAt(2)),
+        "gap injection must leave missing days for the fill to repair")
+    }
+  }
+
+  test("dedup pipeline: clusters partition the corpus; reps are members") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val rows = SparkEntry.queries("dedup_pipeline_e2e")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs,
+      "cluster sizes must sum to the corpus size (a partition)")
+    assert(rows.forall(r => r.getAs[Long]("n_docs") >= 1))
+    // representative of a singleton cluster is the cluster id itself
+    rows.filter(_.getAs[Long]("n_docs") == 1).foreach { r =>
+      assert(r.getAs[Long]("rep_doc") == r.getAs[Long]("cluster"))
+    }
+  }
+}

@@ -23,7 +23,11 @@ class PlanSweepSpec extends SparkSpec {
     "q22_no_order_cust" ->
       "1-row avg-balance threshold broadcast against the customer slice",
     "lm_bigram_score" ->
-      "1-row train-vocabulary-size aggregate broadcast into the smoothing term")
+      "1-row train-vocabulary-size aggregate broadcast into the smoothing term",
+    "gap_fill_interp" ->
+      "1-row bounds aggregate crossed with the day spine — O(days)",
+    "triangle_count" ->
+      "three 1-row aggregates (edge/vertex/triangle counts) crossed for the summary row")
 
   test("no unlisted query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
