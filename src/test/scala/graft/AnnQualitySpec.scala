@@ -93,6 +93,19 @@ class AnnQualitySpec extends SparkSpec {
     } yield (unit(i)._1, unit(j)._1)).toSet
   }
 
+  test("SQ8 rerank kNN: recall@5 vs brute force is near-perfect") {
+    // An 8-bit quantized dot over isotropic unit-scale vectors keeps
+    // relative error ~1/254 per component — with a 4× candidate cushion
+    // (top-20 → top-5) the exact rerank should recover essentially the
+    // whole brute-force top-5.
+    val sq = knnPairs("ann_sq_knn", 5)
+    val brute = knnPairs("qknn_cosine_top5", 5)
+    val recall = (sq intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.95,
+      f"SQ8 recall@5=$recall%.3f — quantized candidate stage is losing " +
+        "true neighbors the 4x cushion should keep")
+  }
+
   test("banded near-dup: measured recall and candidate fraction vs exact") {
     val banded = SparkEntry.queries("embed_neardup")(spark, sf).collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet

@@ -11,6 +11,7 @@ class PlanSweepSpec extends SparkSpec {
   // key -> why an unbounded-join shape is acceptable there
   private val allowed: Map[String, String] = Map(
     "qknn_cosine_top5" -> "brute tier BY DESIGN: 50-query bounded side × base",
+    "ann_sq_knn" -> "SQ8 scan tier: 50-query bounded side broadcast over the quantized base",
     "join_theta_range" -> "pure inequality predicate; small side bounded & documented",
     "kmeans_embed" -> "centroids (k=8) broadcast against corpus — bounded build side",
     "ann_ivf_knn" -> "centroid set (10) broadcast for cell assignment — bounded",
