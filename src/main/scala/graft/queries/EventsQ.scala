@@ -277,7 +277,30 @@ object EventsQ {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Time-bounded interval join — the batch expression of a
+    * stream-stream join with a relative time bound: for every click,
+    * count the same user's views in the preceding 10 minutes. Planned
+    * as ONE user_id shuffle (sort-merge equi-join) with the time window
+    * as residual — the same shape Structured Streaming gives the
+    * equivalent watermarked stream-stream join, and per-user fan-out is
+    * bounded by that user's own event density, never the corpus. */
+  val intervalJoin10m: QFn = (s, dir) => {
+    val e = t(s, dir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("vuid"), col("ts_us").as("vts"))
+    clicks
+      .join(views, col("user_id") === col("vuid") &&
+        col("vts") >= col("ts_us") - 600000000L &&
+        col("vts") < col("ts_us"), "left")
+      .groupBy(col("event_id"), col("user_id"), col("ts_us"))
+      .agg(count(col("vts")).as("n_prior_views"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "interval_join_10m"     -> intervalJoin10m,
     "gap_fill_interp"       -> gapFillInterp,
     "gap_fill_ffill"        -> gapFillFfill,
     "session_window_native" -> sessionWindowNative,
@@ -298,6 +321,19 @@ object EventsQ {
     "approx_percentile"    -> approxPercentile)
 
   val oracle: Map[String, String] = Map(
+    "interval_join_10m" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT user_id AS vuid, epoch_us(ts) AS vts FROM events
+        |  WHERE event_type = 'view')
+        |SELECT c.event_id, c.user_id, c.ts_us,
+        |  count(v.vts) AS n_prior_views
+        |FROM c LEFT JOIN v ON c.user_id = v.vuid
+        |  AND v.vts >= c.ts_us - 600000000 AND v.vts < c.ts_us
+        |GROUP BY c.event_id, c.user_id, c.ts_us
+        |ORDER BY c.event_id""".stripMargin,
     "gap_fill_interp" ->
       s"""WITH e AS (
          |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

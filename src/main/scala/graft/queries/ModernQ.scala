@@ -165,7 +165,46 @@ object ModernQ {
       .orderBy(col("dk").asc_nulls_first)
   }
 
+  /** SQL-defined scalar function (Spark 4 `CREATE FUNCTION ... RETURN
+    * expr`): the exact-decimal revenue term packaged as a reusable SQL
+    * UDF — declarative, so Catalyst inlines the body and the plan is
+    * identical to writing the expression inline (no black-box UDF tax);
+    * the oracle IS the inlined form, so the hash-match proves the
+    * inlining semantics. */
+  val sqlUdf: QFn = (s, dir) => {
+    views(s, dir, "lineitem")
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_rev(
+            |  p DECIMAL(18,4), d DECIMAL(9,4)) RETURNS DECIMAL(28,8)
+            |RETURN p * (1 - d)""".stripMargin)
+    s.sql("""
+      SELECT l_returnflag, count(*) AS n,
+        CAST(round(sum(graft_rev(CAST(l_extendedprice AS DECIMAL(18,4)),
+          CAST(l_discount AS DECIMAL(9,4)))), 2) AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+
+  /** Named-parameter-marker SQL (`spark.sql(text, args)`): the
+    * date-window + threshold slice parameterized the way a dashboard or
+    * scheduled job would issue it; binding happens at parse time, so
+    * constant folding and scan pushdown see real literals. The oracle is
+    * the same text with the literals inlined. */
+  val paramQuery: QFn = (s, dir) => {
+    views(s, dir, "orders")
+    s.sql("""
+      SELECT o_orderpriority, count(*) AS n,
+        CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+          AS total
+      FROM orders
+      WHERE o_orderdate >= :lo AND o_orderdate < :hi
+        AND o_totalprice > :minp
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+      Map("lo" -> "1995-01-01", "hi" -> "1996-01-01",
+        "minp" -> Double.box(1000.0)))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "sql_udf"             -> sqlUdf,
+    "param_query"         -> paramQuery,
     "recursive_org_depth" -> recursiveOrgDepth,
     "lateral_topn"        -> lateralTopn,
     "ewma_trailing"       -> ewmaTrailing,
@@ -226,6 +265,18 @@ object ModernQ {
         |  count(*) AS n, min(value) AS lo, max(value) AS hi
         |FROM events
         |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+    "sql_udf" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  CAST(round(sum($revenueSql), 2) AS DOUBLE) AS revenue
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "param_query" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS total
+        |FROM orders
+        |WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
+        |  AND o_totalprice > 1000.0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "incremental_agg" ->
       s"""SELECT event_type,
          |  (epoch_us(ts) // 86400000000) // 30 AS period,

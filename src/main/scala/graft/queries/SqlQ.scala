@@ -324,7 +324,21 @@ object SqlQ {
       .orderBy(col("o_custkey"), col("valid_from"), col("change_id"))
   }
 
+  /** Keyset-free pagination: total ORDER BY (unique tiebreaker) +
+    * LIMIT/OFFSET — page 3 of the price-ranked orders. Spark plans the
+    * offset into the global TakeOrdered boundary (limit+offset rows
+    * collected, offset dropped), so no full sort materializes. */
+  val limitOffset: QFn = (s, dir) => {
+    views(s, dir, "orders")
+    s.sql("""
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 50 OFFSET 100""")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "limit_offset"    -> limitOffset,
     "scd2_history"       -> scd2History,
     "q21_sole_late"     -> q21SoleLate,
     "zorder_layout"     -> zorderLayout,
@@ -360,6 +374,11 @@ object SqlQ {
   }
 
   val oracle: Map[String, String] = Map(
+    "limit_offset" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 50 OFFSET 100""".stripMargin,
     "scd2_history" ->
       """WITH h AS (
         |  SELECT o_custkey, o_orderpriority,
