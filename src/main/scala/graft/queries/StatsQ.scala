@@ -176,7 +176,25 @@ object StatsQ {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Top-3 orders by price per priority via the custom MERGEABLE top-k
+    * Aggregator (operators/TopKAgg) instead of a row_number window: only
+    * k rows per group per map partition cross the shuffle (ObjectHash
+    * partial+final, asserted in PlanSpec) — the aggregate formulation of
+    * top-k-per-group for 100 TB groups. The oracle is the window
+    * formulation, so the hash-match proves the two equivalent. */
+  val topkPerGroupAgg: QFn = (s, dir) => {
+    val topk = graft.operators.TopKByScore(3) _
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("o_orderkey"), col("col.score").as("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rnk"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "topk_per_group_agg" -> topkPerGroupAgg,
     "agg_regression"     -> aggRegression,
     "date_spine_fill"    -> dateSpineFill,
     "agg_stats"          -> aggStats,
@@ -189,6 +207,13 @@ object StatsQ {
     "win_range_frame"    -> winRangeFrame)
 
   val oracle: Map[String, String] = Map(
+    "topk_per_group_agg" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
     "agg_regression" -> {
       val (n, sx, sy) = ("CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)",
         "CAST(sy AS DOUBLE)")

@@ -180,4 +180,33 @@ class OperatorSpec extends SparkSpec {
     assert(m("null_qty").asInstanceOf[Long] == 0L)
     assert(m("max_qty").asInstanceOf[Double] > 0.0)
   }
+
+  test("TopKByScore aggregate is partitioning-invariant and matches the window form") {
+    val o = Tables(spark, sf, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+    def run(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val topk = graft.operators.TopKByScore(3) _
+      df.groupBy(col("o_orderpriority"))
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"), col("pos"), col("col.id"), col("col.score"))
+        .orderBy(col("o_orderpriority"), col("pos"))
+        .collect().map(_.toString).toSeq
+    }
+    // adversarial partitionings: single partition, many tiny, value-clustered
+    val base = run(o)
+    assert(base == run(o.repartition(1)))
+    assert(base == run(o.repartition(17)))
+    assert(base == run(o.repartitionByRange(5, col("o_totalprice"))))
+    // window mirror
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val win = o.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), (col("rn") - 1).cast("int").as("pos"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("pos"))
+      .collect().map(_.toString).toSeq
+    assert(base == win)
+  }
 }

@@ -167,4 +167,13 @@ class PlanSpec extends SparkSpec {
       .contains("SortMergeJoin"))
     assert(hashed.count() == merged.count())
   }
+
+  test("topk aggregate plans mergeable ObjectHashAggregate partial+final, no Window") {
+    val plan = SparkEntry.queries("topk_per_group_agg")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      "custom Aggregator should plan as ObjectHashAggregate")
+    assert(!plan.contains("Window"),
+      "the aggregate formulation must not fall back to a window")
+  }
 }
