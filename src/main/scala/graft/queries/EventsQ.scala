@@ -117,6 +117,28 @@ object EventsQ {
       .orderBy(col("user_id"))
   }
 
+  /** INTERSECT ALL — bag semantics: each user keeps min(clicks, views)
+    * copies, so multiplicity carries through (the DISTINCT variants above
+    * can't express "how many times both"). Spark plans this as a
+    * count-compare aggregate + generate, one user_id shuffle. */
+  val setIntersectAll: QFn = (s, dir) => {
+    val e = t(s, dir, "events")
+    e.filter(col("event_type") === "click").select(col("user_id"))
+      .intersectAll(
+        e.filter(col("event_type") === "view").select(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+
+  /** EXCEPT ALL — bag semantics: views minus purchases per user keeps
+    * max(views − purchases, 0) copies. */
+  val setExceptAll: QFn = (s, dir) => {
+    val e = t(s, dir, "events")
+    e.filter(col("event_type") === "view").select(col("user_id"))
+      .exceptAll(
+        e.filter(col("event_type") === "purchase").select(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+
   /** Stream-style dedup: keep the first event per (user, type) in event-time
     * order — the deterministic batch twin of dropDuplicates on a stream. */
   val streamDedup: QFn = (s, dir) => {
@@ -315,6 +337,8 @@ object EventsQ {
     "set_union_dedup"      -> setUnion,
     "set_intersect"        -> setIntersect,
     "set_except"           -> setExcept,
+    "set_intersect_all"    -> setIntersectAll,
+    "set_except_all"       -> setExceptAll,
     "stream_dedup"         -> streamDedup,
     "win_sliding"          -> slidingWindows,
     "approx_distinct"      -> approxDistinct,
@@ -497,6 +521,16 @@ object EventsQ {
     "set_except" ->
       """SELECT user_id FROM events WHERE event_type = 'view'
         |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT ALL
+        |SELECT user_id FROM events WHERE event_type = 'view'
+        |ORDER BY user_id""".stripMargin,
+    "set_except_all" ->
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |EXCEPT ALL
         |SELECT user_id FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id""".stripMargin,
     "stream_dedup" ->

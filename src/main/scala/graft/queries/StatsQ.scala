@@ -4,6 +4,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import core._
 
+/** Typed-API row for typed_reduce_groups (top-level for Encoder derivation). */
+case class OrderSlim(o_orderkey: Long, o_totalprice: Double,
+  o_orderpriority: String)
+
 /** Statistical / advanced aggregation surface (SURVEY.md §2.4/§2.5
   * extensions): moment statistics, median/mode, FILTER-style conditional
   * aggregates, ordered string aggregation, bitwise aggregates, and the
@@ -193,7 +197,29 @@ object StatsQ {
       .orderBy(col("o_orderpriority"), col("rnk"))
   }
 
+  /** The typed Dataset surface as a contract key: case-class rows,
+    * `groupByKey` + `reduceGroups` champion-select (max price, unique-key
+    * tiebreak — associative AND commutative, so Spark plans it as a
+    * partial+final object aggregate: only one champion per group per map
+    * partition crosses the shuffle, never the rows). The oracle is the
+    * row_number-window argmax, proving the typed reduction equivalent. */
+  val typedReduceGroups: QFn = (s, dir) => {
+    import s.implicits._
+    val ds = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .as[OrderSlim]
+    ds.groupByKey(_.o_orderpriority)
+      .reduceGroups((a, b) =>
+        if (a.o_totalprice > b.o_totalprice ||
+          (a.o_totalprice == b.o_totalprice && a.o_orderkey < b.o_orderkey)) a
+        else b)
+      .map { case (k, r) => (k, r.o_orderkey, r.o_totalprice) }
+      .toDF("o_orderpriority", "best_key", "best_price")
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "typed_reduce_groups" -> typedReduceGroups,
     "topk_per_group_agg" -> topkPerGroupAgg,
     "agg_regression"     -> aggRegression,
     "date_spine_fill"    -> dateSpineFill,
@@ -207,6 +233,14 @@ object StatsQ {
     "win_range_frame"    -> winRangeFrame)
 
   val oracle: Map[String, String] = Map(
+    "typed_reduce_groups" ->
+      """SELECT o_orderpriority, best_key, best_price FROM (
+        |  SELECT o_orderpriority, o_orderkey AS best_key,
+        |    o_totalprice AS best_price,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
     "topk_per_group_agg" ->
       """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
