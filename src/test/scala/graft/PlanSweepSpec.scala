@@ -28,7 +28,9 @@ class PlanSweepSpec extends SparkSpec {
     "gap_fill_interp" ->
       "1-row bounds aggregate crossed with the day spine — O(days)",
     "triangle_count" ->
-      "three 1-row aggregates (edge/vertex/triangle counts) crossed for the summary row")
+      "three 1-row aggregates (edge/vertex/triangle counts) crossed for the summary row",
+    "dq_referential" ->
+      "two 1-row orphan-count aggregates crossed for the report row")
 
   test("no unlisted query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
