@@ -202,7 +202,38 @@ object ModernQ {
         "minp" -> Double.box(1000.0)))
   }
 
+  /** Snapshot diff — the CDC classification primitive: two versions of
+    * the customer dimension (the "new" one derived deterministically:
+    * custkey%50=0 deleted, %7=0 rebalanced, %40=0 re-keyed inserts)
+    * full-outer-joined on the key and every row classified
+    * added/removed/changed/unchanged, aggregated to a change report.
+    * ONE shuffle on the diff key — the same join a table-format
+    * snapshot-compare plans; downstream `merge_upsert` is the apply
+    * side of this read side. */
+  val snapshotDiff: QFn = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val old = c.select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+    val nw = c
+      .filter(col("c_custkey") % 50 =!= 0)
+      .select(col("c_custkey").as("k"),
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")).as("bal"))
+      .union(c.filter(col("c_custkey") % 40 === 0)
+        .select((col("c_custkey") + 200000).as("k"), col("c_acctbal").as("bal")))
+    old.select(col("k"), col("bal").as("old_bal"))
+      .join(nw.select(col("k"), col("bal").as("new_bal")), Seq("k"), "full_outer")
+      .select(
+        when(col("old_bal").isNull, "added")
+          .when(col("new_bal").isNull, "removed")
+          .when(col("old_bal") =!= col("new_bal"), "changed")
+          .otherwise("unchanged").as("change_type"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("change_type"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "snapshot_diff"       -> snapshotDiff,
     "sql_udf"             -> sqlUdf,
     "param_query"         -> paramQuery,
     "recursive_org_depth" -> recursiveOrgDepth,
@@ -265,6 +296,23 @@ object ModernQ {
         |  count(*) AS n, min(value) AS lo, max(value) AS hi
         |FROM events
         |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+    "snapshot_diff" ->
+      """WITH old AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+        |nw AS (
+        |  SELECT c_custkey AS k,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS bal
+        |  FROM customer WHERE c_custkey % 50 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 200000, c_acctbal FROM customer
+        |  WHERE c_custkey % 40 = 0)
+        |SELECT change_type, count(*) AS n FROM (
+        |  SELECT CASE WHEN o.bal IS NULL THEN 'added'
+        |              WHEN n.bal IS NULL THEN 'removed'
+        |              WHEN o.bal <> n.bal THEN 'changed'
+        |              ELSE 'unchanged' END AS change_type
+        |  FROM old o FULL OUTER JOIN nw n ON o.k = n.k)
+        |GROUP BY change_type ORDER BY change_type""".stripMargin,
     "sql_udf" ->
       s"""SELECT l_returnflag, count(*) AS n,
          |  CAST(round(sum($revenueSql), 2) AS DOUBLE) AS revenue
