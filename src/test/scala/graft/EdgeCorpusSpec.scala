@@ -79,4 +79,47 @@ class EdgeCorpusSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(ids == Set(1L, 2L, 3L, 4L))
   }
+
+  test("round-4 text/graph keys survive the edge corpus") {
+    // lm/contamination: no doc_id%17==0 doc exists -> empty eval split;
+    // surviving the <2-token guard paths IS the assertion
+    assert(SparkEntry.queries("lm_bigram_score")(spark, edgeDir).count() == 0)
+    assert(SparkEntry.queries("contamination_overlap")(spark, edgeDir).count() == 0)
+    // path graph a-b-c-d-e: 4 edges, 0 triangles
+    val tri = SparkEntry.queries("triangle_count")(spark, edgeDir).collect().head
+    assert(tri.getAs[Long]("n_edges") == 4L)
+    assert(tri.getAs[Long]("n_triangles") == 0L)
+    // dedup pipeline: everything is its own singleton cluster
+    val clusters = SparkEntry.queries("dedup_pipeline_e2e")(spark, edgeDir).collect()
+    assert(clusters.length == 4)
+    assert(clusters.forall(_.getAs[Long]("n_docs") == 1L))
+  }
+
+  private lazy val edgeVecDir: String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("edge_vecs").toString
+    Seq(
+      (0L, Seq(0.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(1.0f, -2.0f, 0.5f, 0.25f), 1),
+      (2L, Seq(-0.125f, 0.0f, 4.0f, -1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("quantize_embed zero-vector guard: scale 0 quantizes to all-zero, sse 0") {
+    val rows = SparkEntry.queries("quantize_embed")(spark, edgeVecDir)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L))
+    val z = rows(0L)
+    assert(z.getAs[Double]("scale") == 0.0)
+    assert(z.getAs[Long]("q_sum") == 0L)
+    assert(z.getAs[Long]("n_sat") == 0L)
+    assert(z.getAs[Double]("sse") == 0.0)
+    // exactly-representable components (powers of two) quantize losslessly:
+    // x*127/scale is exact when x/scale is a small dyadic rational
+    val v1 = rows(1L)
+    assert(v1.getAs[Double]("scale") == 2.0)
+    assert(v1.getAs[Long]("n_sat") == 1L)
+  }
 }
