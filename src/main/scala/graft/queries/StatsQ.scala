@@ -218,7 +218,21 @@ object StatsQ {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Contingency table via the df.stat surface: order priority ×
+    * status counts. `crosstab` pivots the second column's values into
+    * columns (one count aggregate, statuses bounded by the domain);
+    * column order is pinned by re-selecting the known domain so the
+    * output schema is deterministic. */
+  val statCrosstab: QFn = (s, dir) => {
+    t(s, dir, "orders")
+      .stat.crosstab("o_orderpriority", "o_orderstatus")
+      .select(col("o_orderpriority_o_orderstatus").as("o_orderpriority"),
+        col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "stat_crosstab"       -> statCrosstab,
     "typed_reduce_groups" -> typedReduceGroups,
     "topk_per_group_agg" -> topkPerGroupAgg,
     "agg_regression"     -> aggRegression,
@@ -233,6 +247,13 @@ object StatsQ {
     "win_range_frame"    -> winRangeFrame)
 
   val oracle: Map[String, String] = Map(
+    "stat_crosstab" ->
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "typed_reduce_groups" ->
       """SELECT o_orderpriority, best_key, best_price FROM (
         |  SELECT o_orderpriority, o_orderkey AS best_key,
