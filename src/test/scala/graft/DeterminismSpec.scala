@@ -15,9 +15,18 @@ class DeterminismSpec extends SparkSpec {
       val a = fn(spark, sf).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "13")
       val b = fn(spark, sf).collect().toSeq
+      // third axis: input-split perturbation — a tiny maxPartitionBytes
+      // multiplies scan partitions, stressing map-side partials, object
+      // aggregates, and iterative loops under a different input layout
+      // (the speculative-retry / cluster-vs-local hazard the shuffle
+      // axis alone can't reach)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      val c = fn(spark, sf).collect().toSeq
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
       spark.conf.set("spark.sql.shuffle.partitions", "4")
       assert(a.size == b.size, s"row counts differ: ${a.size} vs ${b.size}")
-      assert(a == b, "rows differ between partition counts")
+      assert(a == b, "rows differ between shuffle partition counts")
+      assert(a == c, "rows differ under input-split perturbation")
     }
   }
 }
