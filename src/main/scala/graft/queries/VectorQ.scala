@@ -354,7 +354,10 @@ object VectorQ {
     * 100 TB this is the canonical Lloyd layout; iteration count is a fixed
     * budget (3), which is how production pipelines run it (convergence to
     * tolerance is a stopping-rule refinement, not a different plan). */
-  val kmeansEmbed: QFn = (s, dir) => {
+  /** The shared kmeans pipeline ending in the FINAL assignment
+    * (vec_id, v, cl, dist) — consumed by kmeans_embed and by the
+    * SemDeDup composition in semdedup_prune. */
+  private def kmeansAssignFinal(s: SparkSession, dir: String) = {
     val e = unitBase(s, dir).select(col("vec_id"), col("v"))
     val dist = r6(gdot(col("v"), col("v")) - lit(2) * gdot(col("v"), col("cvec")) +
       gdot(col("cvec"), col("cvec")))
@@ -382,8 +385,40 @@ object VectorQ {
           x => x.getField("c")).as("cvec"))
     }
     assign(cents)
+  }
+
+  val kmeansEmbed: QFn = (s, dir) =>
+    kmeansAssignFinal(s, dir)
       .select(col("vec_id"), col("cl").as("cluster"), col("dist"))
       .orderBy(col("vec_id"))
+
+  /** SemDeDup (Abbas et al., 2023 — public paper) composed end to end:
+    * k-means clusters the corpus, then near-duplicate pruning runs ONLY
+    * within each cluster — a vector is pruned iff a lower-id cluster-mate
+    * has cosine ≥ 0.3 with it (keep-lowest-representative). The
+    * within-cluster pair join is the point of the design: quadratic only
+    * in the cluster size, which real deployments bound by scaling k with
+    * the corpus — never corpus². Output is the per-cluster prune report. */
+  val semdedupPrune: QFn = (s, dir) => {
+    val asg = kmeansAssignFinal(s, dir)
+      .withColumn("nrm", sqrt(gdot(col("v"), col("v"))))
+      .localCheckpoint() // consumed by both pair legs + the per-cluster count
+    val a = asg.select(col("cl"), col("vec_id").as("a_id"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = asg.select(col("cl"), col("vec_id").as("b_id"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val pruned = a.join(b, Seq("cl"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim",
+        r6(gdot(col("av"), col("bv")) / (col("an") * col("bn"))))
+      .filter(col("cos_sim") >= 0.3)
+      .groupBy(col("cl")).agg(countDistinct(col("b_id")).as("n_pruned"))
+    asg.groupBy(col("cl")).agg(count(lit(1)).as("n_vecs"))
+      .join(pruned, Seq("cl"), "left")
+      .select(col("cl").as("cluster"), col("n_vecs"),
+        coalesce(col("n_pruned"), lit(0L)).as("n_pruned"),
+        (col("n_vecs") - coalesce(col("n_pruned"), lit(0L))).as("n_kept"))
+      .orderBy(col("cluster"))
   }
 
   /** Scalar-quantization (SQ8) kNN with exact re-rank — the
@@ -431,6 +466,7 @@ object VectorQ {
 
   val queries: Map[String, QFn] = Map(
     "ann_sq_knn"         -> annSqKnn,
+    "semdedup_prune"     -> semdedupPrune,
     "kmeans_embed"       -> kmeansEmbed,
     "neardup_clusters"   -> neardupClusters,
     "qknn_cosine_top5"   -> knnTop5,
@@ -488,7 +524,9 @@ object VectorQ {
   /** k-means oracle: the 3 Lloyd iterations unrolled as CTEs. `distSql`
     * and the mean computation mirror the Spark side's r6/DECIMAL(12,9)
     * conventions exactly (proven cross-engine by ann_ivf_knn). */
-  private def kmeansSql: String = {
+  /** The kmeans CTE chain ending in the final assignment `a3(vec_id, v,
+    * cl, dist)` — shared by the kmeans_embed and semdedup_prune oracles. */
+  private def kmeansCtes: String = {
     def distSql(cv: String) = r6Sql(
       s"list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, $cv) " +
         s"+ list_dot_product($cv, $cv)")
@@ -508,19 +546,40 @@ object VectorQ {
          |  GROUP BY cl, pos),
          |$cents AS (SELECT cl, list(c ORDER BY pos) AS cvec FROM $m
          |           GROUP BY cl)""".stripMargin
-    s"""WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    s"""ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |            FROM embeddings),
        |c0 AS (SELECT vec_id AS cl, v AS cvec FROM ex WHERE vec_id < 8),
        |${assignCte("a1", "c0")},
        |${meanCte("a1", "m1", "c1")},
        |${assignCte("a2", "c1")},
        |${meanCte("a2", "m2", "c2")},
-       |${assignCte("a3", "c2")}
-       |SELECT vec_id, cl AS cluster, dist FROM a3 ORDER BY vec_id""".stripMargin
+       |${assignCte("a3", "c2")}""".stripMargin
   }
+
+  private def kmeansSql: String =
+    s"""WITH $kmeansCtes
+       |SELECT vec_id, cl AS cluster, dist FROM a3 ORDER BY vec_id""".stripMargin
+
+  private def semdedupSql: String =
+    s"""WITH $kmeansCtes,
+       |nn AS (SELECT vec_id, v, cl, sqrt(list_dot_product(v, v)) AS nrm
+       |       FROM a3),
+       |pp AS (
+       |  SELECT x.cl, y.vec_id AS pruned
+       |  FROM nn x JOIN nn y ON x.cl = y.cl AND x.vec_id < y.vec_id
+       |  WHERE ${r6Sql("list_dot_product(x.v, y.v) / (x.nrm * y.nrm)")}
+       |    >= 0.3),
+       |pd AS (SELECT cl, count(DISTINCT pruned) AS n_pruned FROM pp
+       |       GROUP BY cl)
+       |SELECT a.cl AS cluster, count(*) AS n_vecs,
+       |  coalesce(any_value(pd.n_pruned), 0) AS n_pruned,
+       |  count(*) - coalesce(any_value(pd.n_pruned), 0) AS n_kept
+       |FROM a3 a LEFT JOIN pd ON a.cl = pd.cl
+       |GROUP BY a.cl ORDER BY cluster""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "kmeans_embed" -> kmeansSql,
+    "semdedup_prune" -> semdedupSql,
     "neardup_clusters" -> neardupClustersSql,
     "ann_sq_knn" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -14,6 +14,9 @@ class PlanSweepSpec extends SparkSpec {
     "ann_sq_knn" -> "SQ8 scan tier: 50-query bounded side broadcast over the quantized base",
     "join_theta_range" -> "pure inequality predicate; small side bounded & documented",
     "kmeans_embed" -> "centroids (k=8) broadcast against corpus — bounded build side",
+    // semdedup_prune inherits kmeans' bounded broadcast too, but its
+    // localCheckpoint truncates the visible plan before the sweep sees it
+    // — no allowlist entry needed (or permitted: the shape-check would rot)
     "ann_ivf_knn" -> "centroid set (10) broadcast for cell assignment — bounded",
     "gap_fill_ffill" -> "1-row bounds aggregate crossed with the day spine — O(days)",
     "bigram_pmi" -> "1-row corpus-total aggregate broadcast into the PMI formula",
