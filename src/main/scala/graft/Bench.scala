@@ -27,33 +27,45 @@ object Bench {
     // driver captures replayed 35-40% faster idle — see BASELINE.md). The
     // min of two interleaved passes measures the query, not the burst;
     // anchors recorded after 2026-08-13 use this protocol.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // A key that THROWS must surface as a failure, not masquerade as a
+    // fast time (the old catch-all timed the no-op): failed keys collect
+    // into an errors list and are excluded from the timings.
+    val errors = scala.collection.mutable.ListBuffer[String]()
+    val results = SparkEntry.queries.flatMap { case (name, fn) =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
       }
-      name -> times.min
+      if (times.isEmpty) { errors += name; None } else Some(name -> times.min)
     }
-    // Truncation defense, v2 (BENCH_r02 and _r03 both lost their parse to
-    // the driver's TAIL capture window, ~4 KB): (a) per-query values are
-    // rounded to 3 decimals so the full line stays ~3 KB at 116 keys and
-    // survives the window intact; (b) the compact total goes out LAST so
-    // even if the full line's head is cut, the tail still ends with a
-    // complete parseable summary; (c) the full JSON is also written to disk.
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    // Truncation defense, v3 (BENCH_r02-_r04 all lost their parse to the
+    // driver's TAIL capture window, ~4 KB): (a) per-query values are
+    // rounded to 2 decimals and keys < 0.05 s fold into one bucketed
+    // remainder, keeping the full line well under the window at any
+    // inventory size; (b) the compact total goes out LAST so even if the
+    // full line's head is cut, the tail still ends with a complete
+    // parseable summary; (c) the untruncated 3-decimal JSON goes to disk.
+    val (small, big) = results.partition(_._2 < 0.05)
+    val qsCompact = (big.toSeq.map { case (k, v) => f""""$k":$v%.2f""" } :+
+      f""""_rest_lt50ms":{"n":${small.size},"sum":${small.values.sum}%.2f}""")
       .mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"errors":$errJson,"sf":"$sfDir"}"""
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"errors":$errJson,"sf":"$sfDir"}"""
+    val fullDisk =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"errors":$errJson,"sf":"$sfDir"}"""
     println(full)
     println(compact)
     Seq("bench_summary.json", "/root/repo/bench_summary.json").distinct
       .foreach { p =>
         try java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
-          full + "\n")
+          fullDisk + "\n")
         catch { case _: Throwable => () }
       }
     spark.stop()

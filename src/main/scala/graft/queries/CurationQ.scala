@@ -59,11 +59,25 @@ object CurationQ {
   /** Eval split predicate: deterministic, ~6% of docs. */
   private def isEval(id: org.apache.spark.sql.Column) = id % 17 === 0
 
-  /** Distinct word-5-grams per doc as (doc_id, h = md5(shingle)). */
-  private def gram5(s: SparkSession, dir: String): DataFrame =
+  /** Distinct word-5-grams per doc as (doc_id, h = md5(shingle)).
+    * Index-explode over the materialized token array + O(1) element_at,
+    * NOT a transform-lambda over the inline tokens() — the struct/HOF
+    * form pays the interpreted-HOF + generator-inlining tax (35× at
+    * sf0.1; see GraphQ.edgesOf and TextQ.shingleRows, the same rewrite).
+    * Per-doc distinctness moves from array_distinct to a relational
+    * DISTINCT — same set, map-side-combinable. */
+  private def gram5(s: SparkSession, dir: String): DataFrame = {
+    val ws = col("ws")
     t(s, dir, "documents")
-      .select(col("doc_id"), explode(TextOps.shingles(col("text"), 5)).as("sh"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), ws, explode(when(size(ws) >= 5,
+        sequence(lit(1), size(ws) - 4))
+        .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        (0 until 5).map(k => element_at(ws, col("i") + k)): _*).as("sh"))
+      .distinct()
       .select(col("doc_id"), md5(col("sh")).as("h"))
+  }
 
   val contaminationOverlap: QFn = (s, dir) => {
     val g = gram5(s, dir)

@@ -28,11 +28,6 @@ import core._
   */
 object FormatsQ {
 
-  private def scratch(dir: String, tag: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_scratch/${tag}_" + Integer.toHexString(dir.hashCode))
-      .getAbsolutePath
-
   val csvRoundtrip: QFn = (s, dir) => {
     val path = scratch(dir, "lineitem_csv")
     t(s, dir, "lineitem")

@@ -86,12 +86,19 @@ object QualityQ {
         |  count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS price_nulls
         |FROM orders""".stripMargin,
     "dq_referential" ->
+      // NOT EXISTS (correlated equality), not NOT IN: on data with NULL FK
+      // values — exactly what a referential check exists to catch — NOT IN
+      // returns UNKNOWN and silently drops the row, while the Spark side's
+      // LEFT ANTI join counts null-key rows as orphans. NOT EXISTS matches
+      // the anti-join semantics on both engines unconditionally.
       """SELECT
-        |  (SELECT count(*) FROM lineitem
-        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_orderkey = l.l_orderkey))
         |    AS n_orphan_lineitem,
-        |  (SELECT count(*) FROM orders
-        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |  (SELECT count(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                     WHERE c.c_custkey = o.o_custkey))
         |    AS n_orphan_order""".stripMargin,
     "dq_uniqueness" ->
       """SELECT * FROM (

@@ -17,6 +17,19 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 object core {
   type QFn = (SparkSession, String) => DataFrame
 
+  /** Per-JVM unique scratch root. Two JVMs benching the same fixture dir
+    * concurrently (the co-tenant scenario BASELINE.md documents) must not
+    * race one process's overwrite against the other's read — and
+    * String.hashCode of the dir alone can collide across dirs. */
+  val scratchRoot: String = new java.io.File(sys.props("java.io.tmpdir"),
+    "graft_scratch_" + java.util.UUID.randomUUID().toString.take(8))
+    .getAbsolutePath
+
+  /** Scratch path unique to (this JVM, fixture dir, tag). */
+  def scratch(dir: String, tag: String): String =
+    new java.io.File(scratchRoot,
+      s"${tag}_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables(s, dir, name)
 

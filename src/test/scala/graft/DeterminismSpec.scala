@@ -19,11 +19,16 @@ class DeterminismSpec extends SparkSpec {
       // multiplies scan partitions, stressing map-side partials, object
       // aggregates, and iterative loops under a different input layout
       // (the speculative-retry / cluster-vs-local hazard the shuffle
-      // axis alone can't reach)
-      spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
-      val c = fn(spark, sf).collect().toSeq
-      spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      // axis alone can't reach). try/finally: a throwing collect must
+      // not leak the 64 KiB split size into every later test.
+      val priorSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      val c = try {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        fn(spark, sf).collect().toSeq
+      } finally {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", priorSplit)
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+      }
       assert(a.size == b.size, s"row counts differ: ${a.size} vs ${b.size}")
       assert(a == b, "rows differ between shuffle partition counts")
       assert(a == c, "rows differ under input-split perturbation")
