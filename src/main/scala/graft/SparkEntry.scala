@@ -23,7 +23,8 @@ object SparkEntry {
       TextQ.queries ++ VectorQ.queries ++ FunctionsQ.queries ++
       MultimodalQ.queries ++ StatsQ.queries ++ SqlQ.queries ++
       DepthQ.queries ++ GraphQ.queries ++ TpchQ.queries ++ ModernQ.queries ++
-      CurationQ.queries ++ FormatsQ.queries ++ QualityQ.queries
+      CurationQ.queries ++ FormatsQ.queries ++ QualityQ.queries ++
+      StreamQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       TextQ.oracle ++ VectorQ.oracle ++ FunctionsQ.oracle ++
       MultimodalQ.oracle ++ StatsQ.oracle ++ SqlQ.oracle ++
       DepthQ.oracle ++ GraphQ.oracle ++ TpchQ.oracle ++ ModernQ.oracle ++
-      CurationQ.oracle ++ FormatsQ.oracle ++ QualityQ.oracle
+      CurationQ.oracle ++ FormatsQ.oracle ++ QualityQ.oracle ++
+      StreamQ.oracle
 }

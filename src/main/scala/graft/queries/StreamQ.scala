@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import core._
+
+/** Structured-Streaming EXECUTION as oracle-checked contract keys
+  * (SURVEY.md §2.19) — closing the round-4 verdict's largest unverified
+  * surface: §2.9 proved the *semantics* of the stream operators through
+  * their batch twins, but no CORRECTNESS row ever drove `readStream`.
+  * These keys run the real streaming engine end to end — file source →
+  * micro-batch execution (`Trigger.AvailableNow`) → stateful operator →
+  * sink → re-read — and hash-check the result against the same DuckDB
+  * oracles that grade the batch formulations. A green row here proves the
+  * streaming ENGINE (source tracking, state store, sink commit), not just
+  * the window arithmetic.
+  *
+  * Execution shape per key:
+  *   - the events parquet is staged once per (JVM, fixture dir) into a
+  *     scratch "inbox" directory (file streams read directories);
+  *   - each invocation runs a FRESH query (own checkpoint + output dir),
+  *     so the timed/benched unit is the whole streaming execution, and
+  *     repeated runs can't alias through stale sink state;
+  *   - aggregations sink via `foreachBatch` in Complete mode (the file
+  *     sink is append-only by design; Complete + overwrite-per-batch is
+  *     the standard bounded-cardinality pattern — state is one row per
+  *     (window × type) or session, NOT per event, so it holds at 100 TB
+  *     exactly where the batch twin's shuffle does);
+  *   - the dedup key uses the append-mode file sink directly — streaming
+  *     `dropDuplicates` state emits each key once, and the output
+  *     projects ONLY the dedup key columns, so the result is a set and
+  *     arrival order (which the engine does not define) can't leak into
+  *     the hash.
+  *
+  * Late data / watermark-drop behavior has no batch oracle by definition
+  * (SURVEY §2.9 `late_data_policy`) and stays scalatest-graded in
+  * StreamingSpec; these keys grade the on-time path cross-engine.
+  */
+object StreamQ {
+
+  /** Stage `$dir/events.parquet` into a per-(JVM, dir) inbox directory —
+    * the file-source layout — once; later invocations reuse it. */
+  private def inbox(s: SparkSession, dir: String): String = synchronized {
+    val box = new java.io.File(scratch(dir, "stream_inbox"))
+    val staged = new java.io.File(box, "events.parquet")
+    if (!staged.exists()) {
+      box.mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), staged.toPath)
+    }
+    box.getAbsolutePath
+  }
+
+  /** The streaming events source with the same ts normalization as the
+    * batch loader (nanos → ts_us µs long → TimestampType). */
+  private def sourceEvents(s: SparkSession, dir: String): DataFrame = {
+    // Resolving the batch table first also sets the nanosAsLong conf the
+    // raw schema read depends on (Tables.apply).
+    t(s, dir, "events")
+    val raw = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream.schema(raw).parquet(inbox(s, dir))
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
+
+  /** Run `plan` to a parquet directory with Trigger.AvailableNow and a
+    * fresh checkpoint, then return the re-read result. Complete mode via
+    * foreachBatch: each micro-batch overwrites the output with the full
+    * current state; the final batch leaves exactly the converged result. */
+  private def runComplete(s: SparkSession, plan: DataFrame, tag: String)
+      : DataFrame = {
+    val run = s"$tag/" + java.util.UUID.randomUUID().toString.take(8)
+    val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
+    val q = plan.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(out); ()
+      }
+      .outputMode("complete")
+      .option("checkpointLocation",
+        new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+  }
+
+  /** qtumble_hourly's aggregation executed BY the streaming engine;
+    * oracle is qtumble_hourly's SQL verbatim. */
+  val streamTumbleExec: QFn = (s, dir) =>
+    runComplete(s,
+      sourceEvents(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dbl(sum(dec(col("value"), 14, 4))).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("bucket_ts"),
+          col("event_type"), col("n"), col("sum_value")),
+      "stream_tumble")
+      .orderBy(col("bucket_ts"), col("event_type"))
+
+  /** Native session_window executed by the streaming engine; oracle is
+    * the lag/cumsum sessionization (session_window_native's contract). */
+  val streamSessionExec: QFn = (s, dir) =>
+    runComplete(s,
+      sourceEvents(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events")),
+      "stream_session")
+      .orderBy(col("user_id"), col("start_us"))
+
+  /** Streaming dropDuplicates state → append-mode FILE sink (the real
+    * streaming parquet sink with its _spark_metadata commit log). Output
+    * projects only the dedup key, so the engine's arrival-order choice of
+    * representative row cannot reach the hash. */
+  val streamDedupExec: QFn = (s, dir) => {
+    val run = "stream_dedup/" + java.util.UUID.randomUUID().toString.take(8)
+    val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
+    val q = sourceEvents(s, dir)
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation",
+        new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out).orderBy(col("user_id"), col("event_type"))
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "stream_tumble_exec"  -> streamTumbleExec,
+    "stream_session_exec" -> streamSessionExec,
+    "stream_dedup_exec"   -> streamDedupExec)
+
+  val oracle: Map[String, String] = Map(
+    // Identical to qtumble_hourly's oracle — the point: same answer, the
+    // streaming engine did the computing.
+    "stream_tumble_exec" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_ts, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_ts, event_type""".stripMargin,
+    // session_window_native's oracle (sans the value sum — the streaming
+    // key keeps the state minimal): lag/cumsum sessionization with the
+    // `>=` boundary matching session_window's [start, start+gap) windows.
+    "stream_session_exec" ->
+      """WITH m AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |), s AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM m)
+        |SELECT user_id, min(ts_us) AS start_us,
+        |  max(ts_us) + 1800000000 AS end_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, start_us""".stripMargin,
+    "stream_dedup_exec" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin)
+}
