@@ -338,8 +338,9 @@ object VectorQ {
       .orderBy(col("vec_id"))
   }
 
-  /** Distributed k-means over the embedding corpus (k = 8, 3 Lloyd
-    * iterations) — the semantic-curation primitive: cluster-then-sample /
+  /** Distributed k-means over the embedding corpus (k = ceil(n/64)
+    * derived from the corpus count, 3 Lloyd iterations) — the
+    * semantic-curation primitive: cluster-then-sample /
     * cluster-then-dedup (SemDeDup-style) pipelines run exactly this before
     * any per-cluster policy. Deterministic end to end, so it carries a
     * full DuckDB oracle (the 3 iterations unrolled as a CTE chain):
@@ -357,8 +358,19 @@ object VectorQ {
   /** The shared kmeans pipeline ending in the FINAL assignment
     * (vec_id, v, cl, dist) — consumed by kmeans_embed and by the
     * SemDeDup composition in semdedup_prune. */
+  /** Target mean cluster size for the corpus-scaled k (SemDeDup scales k
+    * with corpus size so within-cluster pair work stays O(n·target), not
+    * O(n²/k) with a frozen k — the round-4 verdict's one scale-killer). */
+  val KmeansTarget = 64
+
   private def kmeansAssignFinal(s: SparkSession, dir: String) = {
     val e = unitBase(s, dir).select(col("vec_id"), col("v"))
+    // k = ceil(n / target): derived relationally from the corpus count
+    // (one O(1)-to-driver metadata aggregate, the CC-convergence pattern),
+    // mirrored verbatim in the oracle CTE. vec_ids are 0..n-1, so the k
+    // lowest ids = vec_id < k.
+    val k = math.ceil(
+      e.count().toDouble / KmeansTarget).toLong
     val dist = r6(gdot(col("v"), col("v")) - lit(2) * gdot(col("v"), col("cvec")) +
       gdot(col("cvec"), col("cvec")))
     // argmin via min(struct(dist, cl, v)) — lexicographic struct ordering
@@ -372,7 +384,7 @@ object VectorQ {
         .agg(min(struct(col("dist"), col("cl"), col("v"))).as("m"))
         .select(col("vec_id"), col("m.v").as("v"), col("m.cl").as("cl"),
           col("m.dist").as("dist"))
-    var cents = e.filter(col("vec_id") < 8)
+    var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cl"), col("v").as("cvec"))
     for (_ <- 1 to 2) { // 2 re-estimations; the 3rd assignment is final
       cents = assign(cents)
@@ -397,8 +409,9 @@ object VectorQ {
     * within each cluster — a vector is pruned iff a lower-id cluster-mate
     * has cosine ≥ 0.3 with it (keep-lowest-representative). The
     * within-cluster pair join is the point of the design: quadratic only
-    * in the cluster size, which real deployments bound by scaling k with
-    * the corpus — never corpus². Output is the per-cluster prune report. */
+    * in the cluster size, and k = ceil(n/64) scales with the corpus, so
+    * pair work grows as O(n·64), never corpus². A spec gates Σ|cluster|²
+    * (AnnQualitySpec). Output is the per-cluster prune report. */
   val semdedupPrune: QFn = (s, dir) => {
     val asg = kmeansAssignFinal(s, dir)
       .withColumn("nrm", sqrt(gdot(col("v"), col("v"))))
@@ -548,7 +561,9 @@ object VectorQ {
          |           GROUP BY cl)""".stripMargin
     s"""ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |            FROM embeddings),
-       |c0 AS (SELECT vec_id AS cl, v AS cvec FROM ex WHERE vec_id < 8),
+       |c0 AS (SELECT vec_id AS cl, v AS cvec FROM ex
+       |       WHERE vec_id < (SELECT CAST(ceil(count(*) / $KmeansTarget.0)
+       |                                   AS BIGINT) FROM ex)),
        |${assignCte("a1", "c0")},
        |${meanCte("a1", "m1", "c1")},
        |${assignCte("a2", "c1")},

@@ -173,6 +173,21 @@ class AnnQualitySpec extends SparkSpec {
       f"injected cos out of near-dup range: min=${cos.min}%.3f max=${cos.max}%.3f")
   }
 
+  test("semdedup cluster pair volume stays O(n * target), not O(n^2)") {
+    // k = ceil(n/64) must keep the within-cluster pair join linear in the
+    // corpus: sum over clusters of |c|^2 <= n * target * slack. With a
+    // frozen k this sum grows quadratically (the round-4 scale-killer).
+    val sizes = SparkEntry.queries("kmeans_embed")(spark, sf)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getAs[Long]("n"))
+    val n = sizes.sum
+    val pairVolume = sizes.map(s => s * s).sum
+    val bound = n * graft.queries.VectorQ.KmeansTarget * 4
+    assert(pairVolume <= bound,
+      s"sum(|cluster|^2)=$pairVolume exceeds $bound (n=$n, " +
+        s"sizes max=${sizes.max}) — k is not scaling with the corpus")
+  }
+
   test("count_min_sketch aggregate estimates within epsilon of exact") {
     val ev = Tables(spark, sf, "events")
     val sketchBytes = ev.agg(
