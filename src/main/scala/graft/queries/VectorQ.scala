@@ -440,35 +440,57 @@ object VectorQ {
     * (quantize_embed's floor formula), candidate scores are the EXACT
     * integer dot product of the two int8 arrays rescaled by
     * scaleq·scaleb/127², the top-20 candidates per query advance, and
-    * only those pay the full-precision cosine for the final top-5. At
-    * 100 TB the quantized scan reads 1/8 the bytes of the double scan
-    * (the memory-bandwidth win SQ8 exists for) and the bounded query
-    * side broadcasts exactly like the brute tier; every arithmetic step
-    * is integer-exact or shared-floor double, so candidate selection is
-    * bit-identical cross-engine and the oracle mirrors the two-stage
-    * algorithm as the contract (the ann_lsh_knn precedent). */
+    * only those pay the full-precision cosine for the final top-5.
+    *
+    * The quantized codes are a MATERIALIZED sidecar layout (one-time
+    * write per (JVM, fixture dir), like bucketed_join's layout): the
+    * candidate scan reads (vec_id, sc, int8 codes) ONLY — the ~1/8-bytes
+    * scan SQ8 exists for — and the top-20 survivors join back to the
+    * full-precision vectors BY ID for the rerank. The round-4 shape
+    * carried the double vectors through the candidate stage, paying more
+    * bandwidth than brute force; PlanSpec now asserts the sidecar scan's
+    * ReadSchema holds no doubles. Every arithmetic step is integer-exact
+    * or shared-floor double, so candidate selection is bit-identical
+    * cross-engine and the oracle mirrors the two-stage algorithm. */
   val annSqKnn: QFn = (s, dir) => {
     val e = unitBase(s, dir)
-    val sc = col("sc")
-    val base = e
-      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
-      .withColumn("sc", when(col("scale") === 0.0, 1.0).otherwise(col("scale")))
-      .withColumn("qv",
-        transform(col("v"), x => floor(x * 127.0 / sc + 0.5).cast("double")))
-      .select(col("vec_id"), col("v"), col("nrm"), sc, col("qv"))
-    val q = base.select(col("vec_id").as("qid"), col("v").as("qfull"),
-      col("nrm").as("qn"), sc.as("qsc"), col("qv").as("qqv"))
-      .filter(col("qid") < 50)
+    val sq8 = new java.io.File(scratch(dir, "sq8"))
+    VectorQ.synchronized {
+      if (!sq8.exists()) {
+        val sc = col("sc")
+        e.withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+          .withColumn("sc",
+            when(col("scale") === 0.0, 1.0).otherwise(col("scale")))
+          .withColumn("qv",
+            transform(col("v"), x => floor(x * 127.0 / sc + 0.5)
+              .cast("tinyint")))
+          .select(col("vec_id"), sc, col("qv"))
+          .write.mode("overwrite").parquet(sq8.getAbsolutePath)
+      }
+    }
+    // Candidate pass: narrow quantized scan only. The tinyint→double cast
+    // is a native array Cast (codegen'd), and the values are integral, so
+    // the dot product is the same exact integer arithmetic as before.
+    val codes = s.read.parquet(sq8.getAbsolutePath)
+      .withColumn("qvd", col("qv").cast("array<double>"))
+    val q = codes.select(col("vec_id").as("qid"), col("sc").as("qsc"),
+      col("qvd").as("qqv")).filter(col("qid") < 50)
     val w1 = Window.partitionBy(col("qid"))
       .orderBy(col("approx").desc, col("vec_id"))
     val w2 = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-    q.crossJoin(base)
+    val cand20 = q.crossJoin(codes)
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("approx",
-        gdot(col("qqv"), col("qv")) * col("qsc") * sc / lit(16129.0))
+        gdot(col("qqv"), col("qvd")) * col("qsc") * col("sc") / lit(16129.0))
       .withColumn("r1", row_number().over(w1))
       .filter(col("r1") <= 20)
+      .select(col("qid"), col("vec_id"))
+    // Exact rerank: only the 20·|queries| survivors touch full doubles.
+    cand20
+      .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qfull"),
+        col("nrm").as("qn")), "qid")
       .withColumn("cos_sim",
         r6(gdot(col("qfull"), col("v")) / (col("qn") * col("nrm"))))
       .withColumn("rn", row_number().over(w2).cast("long"))

@@ -145,6 +145,15 @@ class PlanSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("ann_sq_knn: candidate scan reads quantized codes only (no doubles)") {
+    val p = planOf("ann_sq_knn")
+    // the materialized SQ8 sidecar is the candidate-side scan: int8 codes
+    // + scale, never the 64-double embedding (the ~1/8-bandwidth point of
+    // the quantized tier)
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,sc:double," +
+      "qv:array<tinyint>>"), p.take(2000))
+  }
+
   test("kmeans: centroids broadcast, no co-shuffled join anywhere") {
     val p = planOf("kmeans_embed")
     assert(p.contains("BroadcastNestedLoopJoin") ||
