@@ -308,7 +308,39 @@ object Relational {
       .limit(20)
   }
 
+  /** Skew-mitigated big-join demonstration as a CONTRACT key — at 100 TB
+    * a heavy-tailed join key is the #1 production incident class
+    * (straggler tasks, executor OOM on one partition). A synthetic hot
+    * key concentrates ~90% of lineitem onto k=0; the join runs through
+    * operators/SkewJoin.saltedInner: the hot side scatters across 8 salt
+    * buckets (deterministic per-row hash), the dim side replicates 8×,
+    * and the join keys on (k, _salt) — per-task input is bounded by
+    * |hot key| / 8 regardless of skew. The `merge` hint pins the
+    * sort-merge path (a broadcast would sidestep the skew and
+    * demonstrate nothing; the real use case is big⋈big where broadcast
+    * is impossible). Salting is access path, not semantics: the oracle
+    * runs the same join UNSALTED, and the salt column never escapes.
+    * SkewJoinSpec asserts the plan shape (salted SMJ keys, replicated
+    * dim, no broadcast). */
+  val skewJoinSalted: QFn = (s, dir) => {
+    val hot = when(pmod(col("l_orderkey"), lit(10)) < 9, 0L)
+      .otherwise(pmod(col("l_orderkey"), lit(1000)) + 1)
+    val left = t(s, dir, "lineitem")
+      .select(hot.as("k"),
+        revenue(col("l_extendedprice"), col("l_discount")).as("rev"))
+    val dim = t(s, dir, "orders")
+      .select((pmod(col("o_orderkey"), lit(1000)) + 1).as("k")).distinct()
+      .union(s.range(1).select(lit(0L).as("k")))
+      .withColumn("grp", pmod(col("k"), lit(7)))
+      .hint("merge")
+    graft.operators.SkewJoin.saltedInner(left, dim, "k", 8)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), moneySum(col("rev")).as("revenue"))
+      .orderBy(col("grp"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "skew_join_salted"    -> skewJoinSalted,
     "bucketed_join"       -> bucketedJoin,
     "partitioned_scan"    -> partitionedScan,
     "scan_lineitem"       -> scanLineitem,
@@ -331,6 +363,21 @@ object Relational {
     "sort_multi_key"      -> sortMultiKey)
 
   val oracle: Map[String, String] = Map(
+    // Salting is access path, not semantics: the oracle joins UNSALTED.
+    "skew_join_salted" ->
+      s"""WITH l AS (
+         |  SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0
+         |              ELSE l_orderkey % 1000 + 1 END AS k,
+         |    $revenueSql AS rev
+         |  FROM lineitem),
+         |d AS (
+         |  SELECT DISTINCT o_orderkey % 1000 + 1 AS k FROM orders
+         |  UNION SELECT 0),
+         |g AS (SELECT k, k % 7 AS grp FROM d)
+         |SELECT grp, count(*) AS n,
+         |  CAST(round(sum(rev), 2) AS DOUBLE) AS revenue
+         |FROM l JOIN g USING (k)
+         |GROUP BY grp ORDER BY grp""".stripMargin,
     "bucketed_join" ->
       s"""SELECT o_orderkey, o_orderpriority, count(*) AS n_lines,
          |  CAST(round(sum($revenueSql), 2) AS DOUBLE) AS revenue

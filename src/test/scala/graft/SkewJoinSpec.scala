@@ -19,6 +19,18 @@ class SkewJoinSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("skew_join_salted plan: salted SMJ keys, replicated dim, no broadcast") {
+    val p = SparkEntry.queries("skew_join_salted")(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // the join must key on (k, _salt) — bounded per-task input by salt —
+    // through the pinned sort-merge path, with the dim side replicated by
+    // the explode Generate; a broadcast would sidestep the skew entirely
+    assert(p.contains("SortMergeJoin"), p.take(1200))
+    assert(p.contains("_salt"), p.take(1200))
+    assert(p.contains("Generate"), p.take(1200))
+    assert(!p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
   test("salt scatters the hot key across buckets") {
     import spark.implicits._
     val hot = spark.range(10000).select(lit(1L).as("k"), col("id").as("v"))
