@@ -44,6 +44,55 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // The 3 ⊘ sketch keys have no bit-comparable oracle; without this
+    // their CORRECTNESS rows read `err: no_oracle`, indistinguishable
+    // from a broken query. Emit the measured error bounds (the same
+    // bounds OperatorSpec gates) so the round artifacts carry the
+    // evidence, archived both beside the verify output and in-repo.
+    if (only.isEmpty) {
+      try {
+        val bounds = sketchBounds(spark, sfDir)
+        Seq(s"$outDir/SKETCH_BOUNDS.json", "/root/repo/SKETCH_BOUNDS.json")
+          .foreach(p => Files.writeString(Paths.get(p), bounds + "\n"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] sketch bounds failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
+  }
+
+  /** Measured sketch error vs exact, as one JSON line:
+    * approx_distinct / hll_sketch_union → max relative error per group
+    * (bound 0.05, the HLL default-rsd gate); approx_percentile → count of
+    * values outside the exact [q−1%, q+1%] rank window (bound 0). */
+  private def sketchBounds(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val e = Tables(spark, sfDir, "events")
+    val exactD = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def maxRelErr(rows: Array[(String, Long)], exact: Map[String, Long]) =
+      rows.map { case (k, a) =>
+        math.abs(a - exact(k).toDouble) / exact(k) }.max
+    val adErr = maxRelErr(
+      SparkEntry.queries("approx_distinct")(spark, sfDir).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("approx_users")), exactD)
+    val hllExact = exactD + ("ALL" -> e.select(col("user_id")).distinct().count())
+    val hllErr = maxRelErr(
+      SparkEntry.queries("hll_sketch_union")(spark, sfDir).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("approx_users")), hllExact)
+    val approxP = SparkEntry.queries("approx_percentile")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val windows = e.groupBy(col("event_type")).agg(
+      expr("percentile(value, array(0.49, 0.89, 0.98))").as("lo"),
+      expr("percentile(value, array(0.51, 0.91, 1.0))").as("hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1), r.getSeq[Double](2))).toMap
+    val pViolations = approxP.map { case (et, vals) =>
+      val (lo, hi) = windows(et)
+      vals.indices.count(i => vals(i) < lo(i) || vals(i) > hi(i))
+    }.sum
+    f"""{"approx_distinct":{"metric":"max_rel_err_vs_exact","value":$adErr%.4f,"bound":0.05,"pass":${adErr <= 0.05}},"hll_sketch_union":{"metric":"max_rel_err_vs_exact","value":$hllErr%.4f,"bound":0.05,"pass":${hllErr <= 0.05}},"approx_percentile":{"metric":"values_outside_1pct_rank_window","value":$pViolations,"bound":0,"pass":${pViolations == 0}}}"""
   }
 }
