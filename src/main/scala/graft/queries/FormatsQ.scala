@@ -79,10 +79,38 @@ object FormatsQ {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** XML round-trip (r5): Spark 4 ships the XML source in sql/core —
+    * no external spark-xml jar. Same contract as the text formats:
+    * explicit schema on read (inference banned), doubles survive via
+    * shortest-repr round-trip, and the aggregate over the re-read rows
+    * must hash-match the oracle running on the ORIGINAL parquet. */
+  val xmlRoundtrip: QFn = (s, dir) => {
+    val path = scratch(dir, "customer_xml")
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+      .write.mode("overwrite").option("rowTag", "customer")
+      .format("xml").save(path)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    s.read.schema(schema).option("rowTag", "customer").format("xml")
+      .load(path)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        moneySum(dec(col("c_acctbal"), 14, 2)).as("sum_bal"),
+        min(col("c_custkey")).as("min_key"),
+        max(col("c_custkey")).as("max_key"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "csv_roundtrip"  -> csvRoundtrip,
     "json_roundtrip" -> jsonRoundtrip,
-    "orc_roundtrip"  -> orcRoundtrip)
+    "orc_roundtrip"  -> orcRoundtrip,
+    "xml_roundtrip"  -> xmlRoundtrip)
 
   val oracle: Map[String, String] = Map(
     "csv_roundtrip" ->
@@ -104,5 +132,12 @@ object FormatsQ {
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
         |    AS total_price
         |FROM orders WHERE o_orderstatus = 'O'
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "xml_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DOUBLE)
+        |    AS sum_bal,
+        |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
 }

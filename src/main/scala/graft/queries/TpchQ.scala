@@ -26,10 +26,20 @@ import core._
   *   - q22: customers above the positive-balance average with no orders —
   *     broadcast scalar threshold + LEFT ANTI join against the fact.
   *
+  *   - q08: national market share — the deepest join tree in the suite
+  *     (fact ⋈ part ⋈ orders ⋈ customer→nation→region ⋈ supplier→nation),
+  *     every dimension chain pre-collapsed and broadcast so the fact
+  *     still shuffles ONCE, share as two conditional sums in one pass.
+  *   - q13: customer order-count distribution — LEFT OUTER with an
+  *     ON-clause filter (zero-order customers must survive), then a
+  *     re-aggregation of the aggregate; the per-customer count reuses
+  *     the join's hash partitioning (one exchange total).
+  *
   * The corpus lacks partsupp/shipmode/container/phone, so q02/q09/q12/
-  * q16/q20 have no faithful shape here, and q17/q22 substitute p_type /
-  * c_nationkey for container / phone-prefix; the plan shapes (and what
-  * they prove about the optimizer) are unchanged. Determinism follows
+  * q16/q20 have no faithful shape here, and q17/q22/q13 substitute
+  * p_type / c_nationkey / o_orderpriority for container / phone-prefix /
+  * the o_comment NOT-LIKE predicate; the plan shapes (and what they
+  * prove about the optimizer) are unchanged. Determinism follows
   * core.scala: decimal-before-sum, moneySum cents rounding, r6 on
   * computed doubles, total ORDER BY with unique tiebreakers.
   */
@@ -60,6 +70,69 @@ object TpchQ {
       .agg(moneySum(revenue(col("l_extendedprice"), col("l_discount")))
         .as("revenue"))
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** Q8 national market share: NATION_1's share of STANDARD-part revenue
+    * delivered into ASIA customers, by order year. Every dimension chain
+    * (part filter; supplier→nation names; customer→nation→region filter)
+    * collapses to a narrow broadcast side BEFORE touching the fact, so
+    * lineitem shuffles exactly once (on l_orderkey for the orders join);
+    * numerator and denominator are conditional decimal sums in the same
+    * single aggregation pass — no share self-join. */
+  val q08: QFn = (s, dir) => {
+    val p = t(s, dir, "part").filter(col("p_type") === "STANDARD")
+      .select(col("p_partkey"))
+    val sn = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cr = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("c_custkey"))
+    val rev = revenue(col("l_extendedprice"), col("l_discount"))
+    t(s, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cr), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_1", rev).otherwise(lit(0)))
+          .as("num"),
+        sum(rev).as("den"))
+      .select(col("o_year"),
+        r6(dbl(col("num")) / dbl(col("den"))).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Q13 customer order-count distribution: LEFT OUTER join with the
+    * filter in the ON clause (customers with zero qualifying orders must
+    * appear with c_count = 0 — a WHERE would drop them), per-customer
+    * count(o_orderkey) ignoring the null-extended rows, then the
+    * distribution of those counts. The per-customer aggregate groups on
+    * the join key, so it reuses the join's hash partitioning — one
+    * exchange over orders total; the second aggregate runs on ≤|distinct
+    * counts| rows. o_orderpriority stands in for the reference's
+    * o_comment NOT-LIKE predicate (no o_comment in the corpus). */
+  val q13: QFn = (s, dir) => {
+    t(s, dir, "customer").select(col("c_custkey"))
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
   /** Q10 returned items: revenue lost to returns per customer in one
@@ -176,6 +249,8 @@ object TpchQ {
 
   val queries: Map[String, QFn] = Map(
     "q07_volume_shipping" -> q07,
+    "q08_market_share"    -> q08,
+    "q13_cust_distribution" -> q13,
     "q10_returned_items"  -> q10,
     "q14_promo_share"     -> q14,
     "q15_top_supplier"    -> q15,
@@ -199,6 +274,34 @@ object TpchQ {
          |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
          |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q08_market_share" ->
+      s"""SELECT year(o_orderdate) AS o_year,
+         |  ${r6Sql(
+             s"CAST(sum(CASE WHEN sn.n_name = 'NATION_1' THEN $revenueSql" +
+             s" ELSE 0 END) AS DOUBLE) / CAST(sum($revenueSql) AS DOUBLE)")}
+         |    AS mkt_share
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN region ON cn.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_cust_distribution" ->
+      """WITH co AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM co GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q10_returned_items" ->
       s"""SELECT c_custkey, c_name, n_name,
          |  CAST(round(sum($revenueSql), 2) AS DOUBLE) AS revenue
