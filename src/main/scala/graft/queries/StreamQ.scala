@@ -133,10 +133,53 @@ object StreamQ {
     s.read.parquet(out).orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Stream-stream interval join through the real engine — the stateful
+    * symmetric hash join, the hardest streaming operator: clicks ⋈ views
+    * on user_id with views in the 4 hours before each click (the
+    * batch `interval_join_10m` shape at a window dense enough to grade —
+    * 159 pairs at sf0.01 — executed by streaming). Both
+    * sides carry watermarks and the join carries the time-bound range
+    * condition, so state for both inputs is provably evictable — the
+    * production pattern; without the bound, join state grows without
+    * limit at 100 TB/day. Append mode + file sink; output projects only
+    * the two event ids (a set — arrival order can't reach the hash).
+    * Single AvailableNow batch over the staged file ⇒ no row can be
+    * late relative to the watermark, so the on-time path is exactly the
+    * batch join and the DuckDB oracle grades it. */
+  val streamJoinExec: QFn = (s, dir) => {
+    val run = "stream_join/" + java.util.UUID.randomUUID().toString.take(8)
+    val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
+    val clicks = sourceEvents(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "8 hours")
+    val views = sourceEvents(s, dir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vuser"),
+        col("ts").as("vts"))
+      .withWatermark("vts", "8 hours")
+    val q = clicks.join(views,
+        col("user_id") === col("vuser") &&
+          col("vts") >= col("cts") - expr("INTERVAL 4 HOURS") &&
+          col("vts") <= col("cts"))
+      .select(col("click_id"), col("view_id"))
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation",
+        new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out).orderBy(col("click_id"), col("view_id"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "stream_tumble_exec"  -> streamTumbleExec,
     "stream_session_exec" -> streamSessionExec,
-    "stream_dedup_exec"   -> streamDedupExec)
+    "stream_dedup_exec"   -> streamDedupExec,
+    "stream_join_exec"    -> streamJoinExec)
 
   val oracle: Map[String, String] = Map(
     // Identical to qtumble_hourly's oracle — the point: same answer, the
@@ -167,5 +210,15 @@ object StreamQ {
         |ORDER BY user_id, start_us""".stripMargin,
     "stream_dedup_exec" ->
       """SELECT DISTINCT user_id, event_type FROM events
-        |ORDER BY user_id, event_type""".stripMargin)
+        |ORDER BY user_id, event_type""".stripMargin,
+    // The batch interval join on the same µs arithmetic — the streaming
+    // engine's symmetric hash join must reproduce it exactly.
+    "stream_join_exec" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id
+        |FROM events c JOIN events v
+        |  ON v.user_id = c.user_id
+        |  AND epoch_us(v.ts) >= epoch_us(c.ts) - 14400000000
+        |  AND epoch_us(v.ts) <= epoch_us(c.ts)
+        |WHERE c.event_type = 'click' AND v.event_type = 'view'
+        |ORDER BY click_id, view_id""".stripMargin)
 }
