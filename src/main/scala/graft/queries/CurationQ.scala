@@ -200,13 +200,61 @@ object CurationQ {
       .orderBy(col("segment"))
   }
 
+  /** Domain-mixture sampling (r5) — the data-mixing step of training-set
+    * assembly: each source gets a target retention rate (w/4 with
+    * w = src_index % 4 + 1, a deterministic stand-in for the mixture
+    * weights a curation run would configure), and the kept subset is
+    * chosen by per-source rank over md5(doc_id) — a stable
+    * pseudo-random priority both engines compute identically, so the
+    * sample is reproducible run to run and machine to machine (the
+    * property that matters when the mixture is re-materialized at
+    * 100 TB). One window over source (rank + per-source count share the
+    * partition — one shuffle); no driver-side quota loop. */
+  val domainMixSample: QFn = (s, dir) => {
+    val w = Window.partitionBy(col("source"))
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        (regexp_extract(col("source"), "(\\d+)$", 1).cast("int") % 4 + 1)
+          .as("w"))
+      .withColumn("rk", row_number().over(
+        w.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .withColumn("n_src", count(lit(1)).over(w))
+    d.filter(col("rk") <= ceil(col("w") * col("n_src") / lit(4)))
+      .select(col("source"), col("doc_id"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  /** Greedy sequence packing (r5) — the batch-assembly step before LLM
+    * training: documents concatenate in doc_id order into fixed
+    * token-budget bins (512 tokens); a doc starting at running offset o
+    * lands in bin o div 512 (contiguous packing — long docs span bins,
+    * the standard treatment). The running offset is ONE prefix-sum
+    * window per lang shard, so packing parallelizes across shards and
+    * never serializes through the driver; at 100 TB the shard key is a
+    * hash bucket and the shape is identical. Output is the per-bin
+    * manifest (doc span, doc count, token count). */
+  val packSequences: QFn = (s, dir) => {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("tok"))
+      .withColumn("bin", floor((sum(col("tok")).over(w) - col("tok"))
+        / lit(512L)))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "contamination_overlap" -> contaminationOverlap,
     "lm_bigram_score"       -> lmBigramScore,
     "quantize_embed"        -> quantizeEmbed,
     "dedup_pipeline_e2e"    -> dedupPipeline,
     "union_by_name_evolve"  -> unionByNameEvolve,
-    "collate_group"         -> collateGroup)
+    "collate_group"         -> collateGroup,
+    "domain_mix_sample"     -> domainMixSample,
+    "pack_sequences"        -> packSequences)
 
   private val wordsCte =
     """words AS (
@@ -330,5 +378,33 @@ object CurationQ {
         |  count(DISTINCT seg_m) AS n_forms,
         |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
         |    AS bal
-        |FROM mixed GROUP BY lower(seg_m) ORDER BY segment""".stripMargin)
+        |FROM mixed GROUP BY lower(seg_m) ORDER BY segment""".stripMargin,
+    "domain_mix_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    (CAST(regexp_extract(source, '(\d+)$', 1) AS INTEGER) % 4) + 1
+        |      AS w,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM documents)
+        |SELECT source, doc_id, rk FROM d
+        |WHERE rk <= ceil(w * n_src / 4.0)
+        |ORDER BY source, rk""".stripMargin,
+    "pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> w <> '')) AS BIGINT) AS tok
+        |  FROM documents),
+        |off AS (
+        |  SELECT doc_id, lang, tok,
+        |    sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - tok AS o
+        |  FROM toks)
+        |SELECT lang, o // 512 AS bin, count(*) AS n_docs,
+        |  sum(tok) AS sum_tok,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM off GROUP BY lang, o // 512
+        |ORDER BY lang, bin""".stripMargin)
 }

@@ -106,11 +106,39 @@ object FormatsQ {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Small-file compaction (r5) — the housekeeping pass every long-lived
+    * 100 TB table needs: a fragmented layout (64 files here, standing in
+    * for the thousands a streaming sink or over-parallel writer leaves)
+    * is rewritten to a handful of right-sized files with `coalesce`,
+    * which PACKS partitions without a shuffle — the whole rewrite is a
+    * read + write, no exchange (vs `repartition`, which would shuffle
+    * every byte; compaction must be cheaper than the data it tidies).
+    * The aggregate runs on the compacted layout and must hash-match the
+    * oracle on the ORIGINAL parquet: compaction is access path, not
+    * semantics. FormatsSpec asserts the file count actually dropped. */
+  val compactSmallFiles: QFn = (s, dir) => {
+    val small  = scratch(dir, "orders_small")
+    val packed = scratch(dir, "orders_packed")
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(small)
+    s.read.parquet(small).coalesce(2)
+      .write.mode("overwrite").parquet(packed)
+    s.read.parquet(packed)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        moneySum(dec(col("o_totalprice"), 18, 4)).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "csv_roundtrip"  -> csvRoundtrip,
     "json_roundtrip" -> jsonRoundtrip,
     "orc_roundtrip"  -> orcRoundtrip,
-    "xml_roundtrip"  -> xmlRoundtrip)
+    "xml_roundtrip"  -> xmlRoundtrip,
+    "compact_small_files" -> compactSmallFiles)
 
   val oracle: Map[String, String] = Map(
     "csv_roundtrip" ->
@@ -139,5 +167,11 @@ object FormatsQ {
         |    AS sum_bal,
         |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
         |FROM customer GROUP BY c_mktsegment
-        |ORDER BY c_mktsegment""".stripMargin)
+        |ORDER BY c_mktsegment""".stripMargin,
+    "compact_small_files" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS total
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
 }

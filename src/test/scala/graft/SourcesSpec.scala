@@ -137,4 +137,16 @@ class SourcesSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_bo")
     }
   }
+
+  test("small-file compaction actually reduces the file count") {
+    graft.queries.FormatsQ.compactSmallFiles(spark, sf).collect()
+    def nParquet(p: String): Int = {
+      val fs = Option(new java.io.File(p).listFiles()).getOrElse(Array())
+      fs.count(_.getName.endsWith(".parquet"))
+    }
+    val small  = nParquet(graft.queries.core.scratch(sf, "orders_small"))
+    val packed = nParquet(graft.queries.core.scratch(sf, "orders_packed"))
+    assert(small > 16, s"fragmented layout expected >16 files, got $small")
+    assert(packed <= 2, s"compacted layout expected <=2 files, got $packed")
+  }
 }
