@@ -64,6 +64,22 @@ object StreamQ {
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }
 
+  /** Pin shuffle partitions for the duration of one streaming run — the
+    * standard streaming-job tuning: state-store count = shuffle
+    * partitions is FROZEN into the checkpoint at first batch, and every
+    * micro-batch pays per-store open/commit/snapshot overhead, so a
+    * stateful query sizes partitions to its state cardinality and
+    * throughput, not to the batch session's scan parallelism (32 here).
+    * 8 partitions ≈ 4× less fixed state overhead per batch; at real
+    * scale the same knob goes UP with state size — the point is that
+    * it is a per-query decision, which each fresh checkpoint makes
+    * safely. Restored in finally; runs are sequential in Verify/Bench. */
+  private def withStreamPartitions[T](s: SparkSession)(body: => T): T = {
+    val prior = s.conf.get("spark.sql.shuffle.partitions")
+    try { s.conf.set("spark.sql.shuffle.partitions", "8"); body }
+    finally s.conf.set("spark.sql.shuffle.partitions", prior)
+  }
+
   /** Run `plan` to a parquet directory with Trigger.AvailableNow and a
     * fresh checkpoint, then return the re-read result. Complete mode via
     * foreachBatch: each micro-batch overwrites the output with the full
@@ -72,16 +88,18 @@ object StreamQ {
       : DataFrame = {
     val run = s"$tag/" + java.util.UUID.randomUUID().toString.take(8)
     val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
-    val q = plan.writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("overwrite").parquet(out); ()
-      }
-      .outputMode("complete")
-      .option("checkpointLocation",
-        new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(s) {
+      val q = plan.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(out); ()
+        }
+        .outputMode("complete")
+        .option("checkpointLocation",
+          new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(out)
   }
 
@@ -119,17 +137,19 @@ object StreamQ {
   val streamDedupExec: QFn = (s, dir) => {
     val run = "stream_dedup/" + java.util.UUID.randomUUID().toString.take(8)
     val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
-    val q = sourceEvents(s, dir)
-      .dropDuplicates("user_id", "event_type")
-      .select(col("user_id"), col("event_type"))
-      .writeStream.format("parquet")
-      .option("path", out)
-      .option("checkpointLocation",
-        new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(s) {
+      val q = sourceEvents(s, dir)
+        .dropDuplicates("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+          new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(out).orderBy(col("user_id"), col("event_type"))
   }
 
@@ -159,19 +179,21 @@ object StreamQ {
       .select(col("event_id").as("view_id"), col("user_id").as("vuser"),
         col("ts").as("vts"))
       .withWatermark("vts", "8 hours")
-    val q = clicks.join(views,
-        col("user_id") === col("vuser") &&
-          col("vts") >= col("cts") - expr("INTERVAL 4 HOURS") &&
-          col("vts") <= col("cts"))
-      .select(col("click_id"), col("view_id"))
-      .writeStream.format("parquet")
-      .option("path", out)
-      .option("checkpointLocation",
-        new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(s) {
+      val q = clicks.join(views,
+          col("user_id") === col("vuser") &&
+            col("vts") >= col("cts") - expr("INTERVAL 4 HOURS") &&
+            col("vts") <= col("cts"))
+        .select(col("click_id"), col("view_id"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+          new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(out).orderBy(col("click_id"), col("view_id"))
   }
 

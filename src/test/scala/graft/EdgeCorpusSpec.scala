@@ -122,4 +122,19 @@ class EdgeCorpusSpec extends SparkSpec {
     assert(v1.getAs[Double]("scale") == 2.0)
     assert(v1.getAs[Long]("n_sat") == 1L)
   }
+
+  test("pack_sequences: token-less docs pack without advancing the offset") {
+    val bins = SparkEntry.queries("pack_sequences")(spark, edgeDir).collect()
+    assert(bins.map(_.getAs[Long]("n_docs")).sum == 4)
+    // "hello" = 1 token, "a b c d e" = 5; empty/whitespace docs = 0
+    assert(bins.map(_.getAs[Long]("sum_tok")).sum == 6)
+  }
+
+  test("domain_mix_sample: quota math holds on 2-doc sources") {
+    // src0: w=1, n=2 -> ceil(2/4)=1 kept; src1: w=2, n=2 -> ceil(4/4)=1
+    val kept = SparkEntry.queries("domain_mix_sample")(spark, edgeDir)
+      .collect()
+    assert(kept.length == 2, kept.mkString(","))
+    assert(kept.map(_.getAs[String]("source")).toSet == Set("src0", "src1"))
+  }
 }
