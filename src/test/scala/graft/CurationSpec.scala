@@ -96,4 +96,41 @@ class CurationSpec extends SparkSpec {
       assert(r.getAs[Long]("rep_doc") == r.getAs[Long]("cluster"))
     }
   }
+
+  test("pack_sequences: bins partition the corpus and conserve tokens") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val total = docs.count()
+    val totalTok = docs
+      .select(size(graft.operators.TextOps.tokens(col("text")))
+        .cast("long").as("tok"))
+      .agg(sum(col("tok"))).collect()(0).getLong(0)
+    val bins = SparkEntry.queries("pack_sequences")(spark, sf).collect()
+    assert(bins.map(_.getAs[Long]("n_docs")).sum == total,
+      "every doc lands in exactly one bin (a partition)")
+    assert(bins.map(_.getAs[Long]("sum_tok")).sum == totalTok,
+      "packing conserves the token count")
+    // bins are contiguous doc_id ranges per lang: spans never interleave
+    bins.groupBy(_.getAs[String]("lang")).foreach { case (_, bs) =>
+      val spans = bs.sortBy(_.getAs[Long]("bin"))
+        .map(r => (r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc")))
+      spans.sliding(2).foreach {
+        case Array((_, aLast), (bFirst, _)) => assert(aLast < bFirst)
+        case _ =>
+      }
+    }
+  }
+
+  test("domain_mix_sample: per-source quota exact, ranks dense from 1") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val nBySrc = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val kept = SparkEntry.queries("domain_mix_sample")(spark, sf).collect()
+    kept.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val w = src.replaceAll("\\D+", "").toInt % 4 + 1
+      val quota = math.ceil(w * nBySrc(src) / 4.0).toLong
+      assert(rows.length == quota, s"$src kept ${rows.length} != $quota")
+      assert(rows.map(_.getAs[Int]("rk")).sorted.toSeq ==
+        (1 to rows.length).toSeq, s"$src ranks not dense")
+    }
+  }
 }
