@@ -77,9 +77,13 @@ object DepthQ {
     * sketches. ⊘ no oracle (estimate is engine-specific); rel-error vs
     * exact count_distinct bounded in OperatorSpec. */
   val hllSketchUnion: QFn = (s, dir) => {
+    // lgConfigK = 14 (16 K registers, σ ≈ 0.8%) instead of the default
+    // 12 (σ ≈ 1.6%): the 0.05 gate must be a multi-σ margin, not ~3σ —
+    // same reasoning as approx_distinct's rsd. 16 KB per sketch is the
+    // standard accuracy/size trade for rollup cells.
     val perType = t(s, dir, "events")
       .groupBy(col("event_type"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
     perType
       .select(col("event_type"),
         hll_sketch_estimate(col("sk")).as("approx_users"))

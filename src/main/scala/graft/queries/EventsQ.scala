@@ -163,11 +163,16 @@ object EventsQ {
       .orderBy(col("win_start"), col("event_type"))
 
   /** HLL approximate distinct — deliberately oracle-free (not
-    * bit-comparable); scalatest bounds its relative error instead. */
+    * bit-comparable); scalatest bounds its relative error instead.
+    * rsd = 0.01, NOT the 0.05 default: the gate (and SKETCH_BOUNDS
+    * artifact) bound max rel-error at 0.05, and a bound equal to the
+    * sketch's own σ is a coin flip per group — sf0.1 measured 6.7%
+    * under the default. At rsd 0.01 the same bound is a 5σ margin;
+    * the sketch stays mergeable and a few KB per group. */
   val approxDistinct: QFn = (s, dir) =>
     t(s, dir, "events")
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       .orderBy(col("event_type"))
 
   /** Approximate percentiles (Greenwald-Khanna-style sketch, mergeable
