@@ -44,6 +44,30 @@ class PlanSpec extends SparkSpec {
     assert("SelectedBucketsCount".r.findAllIn(p).size >= 2, p.take(2000))
   }
 
+  test("q08: every dimension chain broadcasts — the fact never shuffles " +
+    "for a join") {
+    val p = planOf("q08_market_share")
+    assert(!p.contains("SortMergeJoin"),
+      "q08's joins must all ride broadcasts at this sf:\n" + p.take(2000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(2000))
+  }
+
+  test("q13: per-customer aggregate reuses the join's partitioning " +
+    "(no extra exchange between join and count)") {
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = planOf("q13_cust_distribution")
+      assert(p.contains("SortMergeJoin LeftOuter"), p.take(1500))
+      // 2 join-input shuffles + 1 for the c_count re-agg + 1 final sort;
+      // a 5th exchange would mean the per-customer count re-shuffled the
+      // join output instead of reusing its c_custkey partitioning.
+      // (count the formatted-mode detail headers — each node prints once
+      // there, vs twice if the tree section were counted too)
+      assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 4,
+        "per-customer agg must reuse the join partitioning:\n" + p.take(2500))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("q01: partial+final hash aggregation") {
     val p = planOf("q01_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(500))
