@@ -31,12 +31,23 @@ object Bench {
     // fast time (the old catch-all timed the no-op): failed keys collect
     // into an errors list and are excluded from the timings.
     val errors = scala.collection.mutable.ListBuffer[String]()
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[Double] = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case _: Throwable => None }
+    }
     val results = SparkEntry.queries.flatMap { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
-      }
+      val base = (1 to 2).flatMap(_ => timed(fn))
+      // Burst detection: when the two passes disagree >2× (and the key is
+      // not trivially fast), BOTH may have been hit by a co-tenant burst
+      // of opposite phase — one extra pass costs little and min-of-3
+      // recovers the query's own time far more often (measured bursts
+      // inflate individual keys 1.3-10× on this box; see BASELINE.md).
+      val times =
+        if (base.size == 2 && base.min > 0.2 && base.max > 2 * base.min)
+          base ++ timed(fn)
+        else base
       if (times.isEmpty) { errors += name; None } else Some(name -> times.min)
     }
     // Truncation defense, v4 (BENCH_r02-_r04 all lost their parse to the
