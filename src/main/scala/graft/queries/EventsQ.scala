@@ -90,6 +90,27 @@ object EventsQ {
       .orderBy(col("p_event"))
   }
 
+  /** Forward as-of join (r5): each purchase matched to the user's NEXT
+    * click or error at-or-after it — the other as-of direction (pandas
+    * merge_asof direction='forward'); same scale shape as asofEvent:
+    * tag candidates, ONE window pass with first(_, ignoreNulls) over the
+    * forward frame — a single user_id shuffle, no inequality self-join. */
+  val asofForward: QFn = (s, dir) => {
+    val isCand = col("event_type").isin("click", "error")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    t(s, dir, "events")
+      .withColumn("cand_event", when(isCand, col("event_id")))
+      .withColumn("cand_ts", when(isCand, col("ts_us")))
+      .withColumn("n_event", first(col("cand_event"), ignoreNulls = true).over(w))
+      .withColumn("n_ts", first(col("cand_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event"),
+        col("ts_us").as("p_ts"), col("n_event"), col("n_ts"))
+      .orderBy(col("p_event"))
+  }
+
   /** UNION with dedup: purchasers ∪ signup users. */
   val setUnion: QFn = (s, dir) => {
     val e = t(s, dir, "events")
@@ -339,6 +360,7 @@ object EventsQ {
     "qsession_gap30m"      -> sessionGap30m,
     "qjson_props"          -> jsonProps,
     "join_asof_event"      -> asofEvent,
+    "join_asof_forward"    -> asofForward,
     "set_union_dedup"      -> setUnion,
     "set_intersect"        -> setIntersect,
     "set_except"           -> setExcept,
@@ -511,6 +533,24 @@ object EventsQ {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
         |    ROWS UNBOUNDED PRECEDING))
         |SELECT user_id, event_id AS p_event, ts_us AS p_ts, c_event, c_ts
+        |FROM filled WHERE event_type = 'purchase'
+        |ORDER BY p_event""".stripMargin,
+    "join_asof_forward" ->
+      """WITH tagged AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type IN ('click','error') THEN event_id END
+        |      AS cand_event,
+        |    CASE WHEN event_type IN ('click','error') THEN epoch_us(ts) END
+        |      AS cand_ts
+        |  FROM events),
+        |filled AS (
+        |  SELECT *,
+        |    first_value(cand_event IGNORE NULLS) OVER w AS n_event,
+        |    first_value(cand_ts IGNORE NULLS) OVER w AS n_ts
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, event_id AS p_event, ts_us AS p_ts, n_event, n_ts
         |FROM filled WHERE event_type = 'purchase'
         |ORDER BY p_event""".stripMargin,
     "set_union_dedup" ->

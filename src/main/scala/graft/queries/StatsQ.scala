@@ -231,7 +231,42 @@ object StatsQ {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Distribution-drift chi-square (r5) — the statistical monitoring op a
+    * production pipeline runs between corpus snapshots: does the
+    * event-type mix of week 1 differ from week 4? Observed counts per
+    * (type, period) → expected under independence e = row·col/grand →
+    * per-type chi-square contribution (na−ea)²/ea + (nb−eb)²/eb. One
+    * groupBy shuffle on event_type; the 1-row margin totals ride a
+    * broadcast (the q22/bigram pattern). All arithmetic is counts →
+    * double with IDENTICAL operation order in the oracle, so the doubles
+    * match bit-for-bit before the shared r6 floor-rounding. Per-type
+    * rows only — no cross-row double sum whose addition order could
+    * differ between engines. */
+  val driftChi2: QFn = (s, dir) => {
+    val cells = t(s, dir, "events")
+      .filter(col("ts_us") < lit(1704672000000000L) ||
+        col("ts_us") >= lit(1705881600000000L))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("ts_us") < lit(1704672000000000L), 1L).otherwise(0L))
+          .as("n_a"),
+        sum(when(col("ts_us") >= lit(1705881600000000L), 1L).otherwise(0L))
+          .as("n_b"))
+    val tot = cells.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    val g  = dbl(col("ta")) + dbl(col("tb"))
+    val r  = dbl(col("n_a")) + dbl(col("n_b"))
+    val ea = r * dbl(col("ta")) / g
+    val eb = r * dbl(col("tb")) / g
+    val da = dbl(col("n_a")) - ea
+    val db = dbl(col("n_b")) - eb
+    cells.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        r6(da * da / ea + db * db / eb).as("chi2_part"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "drift_chi2"          -> driftChi2,
     "stat_crosstab"       -> statCrosstab,
     "typed_reduce_groups" -> typedReduceGroups,
     "topk_per_group_agg" -> topkPerGroupAgg,
@@ -247,6 +282,30 @@ object StatsQ {
     "win_range_frame"    -> winRangeFrame)
 
   val oracle: Map[String, String] = Map(
+    "drift_chi2" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN epoch_us(ts) < 1704672000000000 THEN 1
+        |        ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN epoch_us(ts) >= 1705881600000000 THEN 1
+        |        ELSE 0 END) AS n_b
+        |  FROM events
+        |  WHERE epoch_us(ts) < 1704672000000000
+        |     OR epoch_us(ts) >= 1705881600000000
+        |  GROUP BY event_type),
+        |tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM cells),
+        |ex AS (
+        |  SELECT event_type, n_a, n_b,
+        |    (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) * CAST(ta AS DOUBLE)
+        |      / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)) AS ea,
+        |    (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) * CAST(tb AS DOUBLE)
+        |      / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)) AS eb
+        |  FROM cells, tot)
+        |SELECT event_type, n_a, n_b,
+        |  floor(((CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea) / ea
+        |       + (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb) / eb)
+        |    * 1000000 + 0.5) / 1000000 AS chi2_part
+        |FROM ex ORDER BY event_type""".stripMargin,
     "stat_crosstab" ->
       """SELECT o_orderpriority,
         |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,

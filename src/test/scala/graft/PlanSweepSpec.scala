@@ -33,7 +33,9 @@ class PlanSweepSpec extends SparkSpec {
     "triangle_count" ->
       "three 1-row aggregates (edge/vertex/triangle counts) crossed for the summary row",
     "dq_referential" ->
-      "two 1-row orphan-count aggregates crossed for the report row")
+      "two 1-row orphan-count aggregates crossed for the report row",
+    "drift_chi2" ->
+      "1-row margin-totals aggregate broadcast into the expected-count formula")
 
   test("no unlisted query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
