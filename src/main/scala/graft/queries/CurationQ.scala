@@ -246,7 +246,33 @@ object CurationQ {
       .orderBy(col("lang"), col("bin"))
   }
 
+  /** Deterministic stratified train/valid/test split (r5) — the last step
+    * before training-set hand-off: an 80/10/10 split assigned by the
+    * first 4 hex digits of md5(doc_id) compared against the fixed string
+    * thresholds 'cccc'/'e666' (equal-width lowercase hex compares
+    * lexicographically == numerically, and md5 is engine-agnostic — the
+    * md5-priority trick the mixture sampler already uses). The split is a
+    * pure per-row function of doc_id: reproducible across engines, runs,
+    * and machines, stable under corpus growth (a doc never changes
+    * split), and shuffle-free until the per-(source, split) audit
+    * aggregate — at 100 TB the assignment itself costs one codegen'd
+    * projection. Output is the audit manifest: per-stratum doc count,
+    * char volume, first id. */
+  val trainTestSplit: QFn = (s, dir) => {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 4)
+    val split = when(h < "cccc", "train")
+      .when(h < "e666", "valid").otherwise("test")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"), split.as("split"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"), col("split"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "train_test_split"      -> trainTestSplit,
     "contamination_overlap" -> contaminationOverlap,
     "lm_bigram_score"       -> lmBigramScore,
     "quantize_embed"        -> quantizeEmbed,
@@ -284,6 +310,19 @@ object CurationQ {
     "(e - CAST(floor(e * 127.0 / sc + 0.5) AS BIGINT) * sc / 127.0)"
 
   val oracle: Map[String, String] = Map(
+    "train_test_split" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+        |           THEN 'train'
+        |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+        |           THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT source, split, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  min(doc_id) AS first_doc
+        |FROM d GROUP BY source, split
+        |ORDER BY source, split""".stripMargin,
     "contamination_overlap" ->
       s"""WITH $gram5Cte,
          |train AS (SELECT DISTINCT h FROM g5 WHERE doc_id % 17 <> 0),

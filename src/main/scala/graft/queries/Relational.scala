@@ -339,7 +339,44 @@ object Relational {
       .orderBy(col("grp"))
   }
 
+  /** Bloom-prefiltered shuffle join — the runtime-filter / semi-join
+    * reduction pattern, built from this library's own mergeable
+    * Bloom aggregate (operators/BloomBitset) instead of relying on the
+    * optimizer to inject one.
+    *
+    * The dim side (PROMO parts, ~20% of the part table) folds to an 8 KB
+    * bitset via a partial+final ObjectHashAggregate; the bitset rides a
+    * 1-row broadcast and the probe predicate — pure codegen'd built-ins
+    * (pmod/shiftright/bitwiseAND over xxhash64) — drops non-matching fact
+    * rows BEFORE the fact side's exchange, so at 100 TB the shuffle
+    * volume tracks the ~20% match rate, not the fact size. The `merge`
+    * hint pins the real join to SMJ precisely because a broadcastable dim
+    * would hide what the bloom buys: with a broadcast join there is no
+    * fact exchange to protect. False positives (≈0.4% at 3 hashes,
+    * 16 bits/key) are swept out by the exact join, so the result — and
+    * the oracle — is the plain join. */
+  val bloomPrefilterJoin: QFn = (s, dir) => {
+    val bits = 65536
+    val dim = t(s, dir, "part").filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"), col("p_brand"))
+    val bloom = dim.agg(
+      graft.operators.BloomBitset.agg(bits)(col("p_partkey")).as("bf"))
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .crossJoin(broadcast(bloom))
+      .filter(graft.operators.BloomBitset.mightContain(
+        col("bf"), col("l_partkey"), bits))
+      .drop("bf")
+      .join(dim.hint("merge"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(revenue(col("l_extendedprice"), col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "bloom_prefilter_join" -> bloomPrefilterJoin,
     "skew_join_salted"    -> skewJoinSalted,
     "bucketed_join"       -> bucketedJoin,
     "partitioned_scan"    -> partitionedScan,
@@ -363,6 +400,14 @@ object Relational {
     "sort_multi_key"      -> sortMultiKey)
 
   val oracle: Map[String, String] = Map(
+    // The bloom prefilter is access path, not semantics: false positives
+    // are removed by the exact join, so the oracle is the plain join.
+    "bloom_prefilter_join" ->
+      s"""SELECT p_brand, count(*) AS n_items,
+         |  CAST(round(sum($revenueSql), 2) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_type = 'PROMO'
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     // Salting is access path, not semantics: the oracle joins UNSALTED.
     "skew_join_salted" ->
       s"""WITH l AS (

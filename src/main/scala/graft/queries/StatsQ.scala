@@ -265,7 +265,42 @@ object StatsQ {
       .orderBy(col("event_type"))
   }
 
+  /** Robust per-source outlier detection (r5) via MAD — median absolute
+    * deviation, the monitoring statistic that survives the heavy-tailed
+    * length distributions real corpora have (mean/stddev z-scores get
+    * dragged by the very outliers they're meant to find; the median pair
+    * doesn't). A doc is an outlier when |x − med| > 3·1.4826·mad (1.4826
+    * scales MAD to σ under normality; the product is written as the
+    * single literal 4.4478 on BOTH engines so the threshold double is
+    * bit-identical).
+    *
+    * Scale shape: both medians ride whole-partition window aggregates
+    * over the SAME source partitioning, and the final groupBy(source)
+    * reuses it — ONE shuffle total for a two-pass dependent statistic
+    * (pass 2's input, |x − med|, needs pass 1's median). n_chars values
+    * are small ints and med/mad land on exact halves, so every double
+    * here is exact in both engines — no rounding ambiguity can flip an
+    * outlier across the threshold. At 100 TB the exact median would
+    * yield to the approx_percentile sketch; the window shape is
+    * unchanged. */
+  val outlierMad: QFn = (s, dir) => {
+    val w = Window.partitionBy(col("source"))
+    t(s, dir, "documents")
+      .select(col("source"), dbl(col("n_chars")).as("x"))
+      .withColumn("med", median(col("x")).over(w))
+      .withColumn("absdev", abs(col("x") - col("med")))
+      .withColumn("mad", median(col("absdev")).over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("absdev") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        r6(max(col("med"))).as("med"),
+        r6(max(col("mad"))).as("mad"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "outlier_mad"         -> outlierMad,
     "drift_chi2"          -> driftChi2,
     "stat_crosstab"       -> statCrosstab,
     "typed_reduce_groups" -> typedReduceGroups,
@@ -282,6 +317,23 @@ object StatsQ {
     "win_range_frame"    -> winRangeFrame)
 
   val oracle: Map[String, String] = Map(
+    "outlier_mad" ->
+      s"""WITH d AS (
+         |  SELECT source, CAST(n_chars AS DOUBLE) AS x,
+         |    median(CAST(n_chars AS DOUBLE))
+         |      OVER (PARTITION BY source) AS med
+         |  FROM documents),
+         |d2 AS (SELECT source, med, abs(x - med) AS absdev FROM d),
+         |d3 AS (
+         |  SELECT source, med, absdev,
+         |    median(absdev) OVER (PARTITION BY source) AS mad
+         |  FROM d2)
+         |SELECT source, count(*) AS n_docs,
+         |  sum(CASE WHEN absdev > 4.4478 * mad THEN 1 ELSE 0 END)
+         |    AS n_outliers,
+         |  ${r6Sql("max(med)")} AS med,
+         |  ${r6Sql("max(mad)")} AS mad
+         |FROM d3 GROUP BY source ORDER BY source""".stripMargin,
     "drift_chi2" ->
       """WITH cells AS (
         |  SELECT event_type,

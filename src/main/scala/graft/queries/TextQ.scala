@@ -489,7 +489,37 @@ object TextQ {
       .orderBy(col("lang"))
   }
 
+  /** Skip-gram co-occurrence pairs (r5) — the word2vec/GloVe training-pair
+    * extraction step: every ordered token pair within a forward window of
+    * 2, counted corpus-wide, top 20. Bigram_pmi covers distance 1 only;
+    * embedding training needs the wider context window.
+    *
+    * Scale shape: the window expansion is TWO chained index-sequence
+    * explodes over the materialized token array (positions i, then
+    * distances d ≤ min(2, n−1−i)) with element_at projections — linear in
+    * tokens × window, codegen'd end-to-end, no self-join on doc_id (which
+    * would be O(len²) per doc) and no interpreted HOF (the 35× trap
+    * §7.3 documents). One shuffle for the global count; the top-20 fuses
+    * to TakeOrderedAndProject. */
+  val skipgramPairs: QFn = (s, dir) => {
+    val ws = col("ws")
+    t(s, dir, "documents")
+      .select(TextOps.tokens(col("text")).as("ws"))
+      .select(ws, explode(when(size(ws) >= 2, sequence(lit(0), size(ws) - 2))
+        .otherwise(array().cast("array<int>"))).as("i"))
+      .select(ws, col("i"),
+        explode(sequence(lit(1), least(lit(2), size(ws) - 1 - col("i"))))
+          .as("d"))
+      .select(concat_ws(" ", element_at(ws, col("i") + 1),
+        element_at(ws, col("i") + 1 + col("d"))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+  }
+
   val queries: Map[String, QFn] = Map(
+    "skipgram_pairs"     -> skipgramPairs,
     "token_entropy"      -> tokenEntropy,
     "typo_neardup_words" -> typoNeardupWords,
     "doc_chunks"        -> docChunks,
@@ -588,6 +618,18 @@ object TextQ {
   }
 
   val oracle: Map[String, String] = Map(
+    "skipgram_pairs" ->
+      s"""WITH $wordsCte,
+         |idx AS (
+         |  SELECT ws, unnest(range(0, len(ws) - 1)) AS i
+         |  FROM words WHERE len(ws) >= 2),
+         |pairs AS (
+         |  SELECT ws[i + 1] || ' ' || ws[i + 1 + d] AS pair
+         |  FROM (SELECT ws, i,
+         |          unnest(range(1, least(2, len(ws) - 1 - i) + 1)) AS d
+         |        FROM idx))
+         |SELECT pair, count(*) AS cnt FROM pairs
+         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "token_entropy" ->
       s"""WITH counts AS (
          |  SELECT lang, w AS word, count(*) AS c FROM (

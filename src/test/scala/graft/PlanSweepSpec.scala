@@ -35,7 +35,9 @@ class PlanSweepSpec extends SparkSpec {
     "dq_referential" ->
       "two 1-row orphan-count aggregates crossed for the report row",
     "drift_chi2" ->
-      "1-row margin-totals aggregate broadcast into the expected-count formula")
+      "1-row margin-totals aggregate broadcast into the expected-count formula",
+    "bloom_prefilter_join" ->
+      "1-row bloom-bitset aggregate broadcast as the fact-side pre-filter")
 
   test("no unlisted query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
