@@ -518,7 +518,82 @@ object TextQ {
       .limit(20)
   }
 
+  /** Within-doc repetition audit (r5) — the Gopher/MassiveText repetition
+    * filter family (Rae et al. 2021 §A.1.1): a doc whose word 3-grams
+    * repeat internally is boilerplate/spam-shaped, and the statistic is
+    * the duplicate-gram fraction 1 − distinct/total. Output is the
+    * per-(lang, source) audit manifest: docs measured, docs with ANY
+    * internal repeat, worst duplicate count, mean duplicate fraction.
+    *
+    * Scale shape: one index-sequence explode (linear in tokens), then a
+    * per-doc count/count-distinct pair — Spark plans the distinct via
+    * Expand + partial agg keyed on (doc_id, gram), so dedup happens
+    * map-side before the doc_id shuffle; the final (lang, source) rollup
+    * moves one row per doc. Docs under 3 tokens have no 3-gram and are
+    * out of scope on both engines by the same predicate. */
+  val repNgramAudit: QFn = (s, dir) => {
+    val ws = col("ws")
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextOps.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("lang"), col("source"), ws,
+        explode(when(size(ws) >= 3, sequence(lit(0), size(ws) - 3))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        concat_ws(" ", element_at(ws, col("i") + 1),
+          element_at(ws, col("i") + 2), element_at(ws, col("i") + 3))
+          .as("g"))
+    grams.groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("g")).as("n_uniq"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_grams") > col("n_uniq"), 1L).otherwise(0L))
+          .as("n_rep_docs"),
+        max(col("n_grams") - col("n_uniq")).as("max_dup"),
+        // exact integer sums; ONE double division per output row keeps
+        // the fraction bit-identical cross-engine (a mean of per-doc
+        // double fractions would be summation-order-dependent)
+        sum(col("n_grams") - col("n_uniq")).as("sum_dup"),
+        sum(col("n_grams")).as("sum_grams"))
+      .withColumn("dup_frac", r6(dbl(col("sum_dup")) / col("sum_grams")))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Cross-doc repeated 10-token sequences (r5) — the signal behind
+    * substring-level exact dedup (Lee et al. ACL'22, "Deduplicating
+    * Training Data Makes Language Models Better"): long verbatim spans
+    * shared across documents are memorization fuel even when the docs
+    * as wholes are distinct. Reports the top-20 most-shared sequences
+    * (doc spread, total occurrences).
+    *
+    * Scale shape: one index-sequence explode (linear in tokens ×
+    * window 10), one groupBy — at 100 TB the shuffle key would be
+    * xxhash64(seq) with min(seq) carried as representative (8-byte keys
+    * instead of ~60-byte strings); the string key keeps the oracle
+    * byte-comparable here and the plan shape is identical. The ≥2-docs
+    * HAVING prunes the long singleton tail before the top-20 sort. */
+  val dupSequences: QFn = (s, dir) => {
+    val ws = col("ws")
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), ws,
+        explode(when(size(ws) >= 10, sequence(lit(0), size(ws) - 10))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        (0 until 10).map(k => element_at(ws, col("i") + 1 + k)): _*)
+        .as("seq"))
+      .groupBy(col("seq"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("seq"))
+      .limit(20)
+  }
+
   val queries: Map[String, QFn] = Map(
+    "rep_ngram_audit"    -> repNgramAudit,
+    "dup_sequences"      -> dupSequences,
     "skipgram_pairs"     -> skipgramPairs,
     "token_entropy"      -> tokenEntropy,
     "typo_neardup_words" -> typoNeardupWords,
@@ -618,6 +693,45 @@ object TextQ {
   }
 
   val oracle: Map[String, String] = Map(
+    "rep_ngram_audit" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, source,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> x <> '') AS ws
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, lang, source,
+         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+         |  FROM w, (SELECT unnest(range(1,
+         |      (SELECT max(len(ws)) FROM w) + 1)) AS i)
+         |  WHERE i + 2 <= len(ws)),
+         |per AS (
+         |  SELECT doc_id, lang, source, count(*) AS n_grams,
+         |    count(DISTINCT g) AS n_uniq
+         |  FROM g GROUP BY doc_id, lang, source)
+         |SELECT lang, source, count(*) AS n_docs,
+         |  sum(CASE WHEN n_grams > n_uniq THEN 1 ELSE 0 END) AS n_rep_docs,
+         |  max(n_grams - n_uniq) AS max_dup,
+         |  sum(n_grams - n_uniq) AS sum_dup,
+         |  sum(n_grams) AS sum_grams,
+         |  ${r6Sql("CAST(sum(n_grams - n_uniq) AS DOUBLE) / sum(n_grams)")}
+         |    AS dup_frac
+         |FROM per GROUP BY lang, source
+         |ORDER BY lang, source""".stripMargin,
+    "dup_sequences" ->
+      s"""WITH $wordsCte,
+         |s AS (
+         |  SELECT doc_id,
+         |    ws[i]   || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+         |    ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+         |    ws[i+6] || ' ' || ws[i+7] || ' ' || ws[i+8] || ' ' || ws[i+9]
+         |      AS seq
+         |  FROM words, (SELECT unnest(range(1,
+         |      (SELECT max(len(ws)) FROM words) + 1)) AS i)
+         |  WHERE i + 9 <= len(ws))
+         |SELECT seq, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+         |FROM s GROUP BY seq HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY n_docs DESC, n_occ DESC, seq LIMIT 20""".stripMargin,
     "skipgram_pairs" ->
       s"""WITH $wordsCte,
          |idx AS (
