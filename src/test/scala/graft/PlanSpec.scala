@@ -68,6 +68,29 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("bloom_prefilter_join: probe predicate drops fact rows BELOW the " +
+    "fact-side exchange; real join stays SMJ") {
+    val p = planOf("bloom_prefilter_join")
+    // The merge hint must hold — a broadcast join would leave no fact
+    // exchange for the bloom to protect.
+    assert(p.contains("SortMergeJoin"), p.take(1500))
+    // The 1-row bitset broadcast plans as a BNLJ whose join condition IS
+    // the codegen'd probe (xxhash64/pmod/shiftright built-ins).
+    val bnlj = """\((\d+)\) BroadcastNestedLoopJoin""".r
+      .findFirstMatchIn(p).map(_.group(1).toInt)
+    assert(bnlj.nonEmpty, "bloom probe BNLJ missing:\n" + p.take(2000))
+    assert(p.contains("xxhash64(l_partkey"), p.take(2000))
+    // Formatted-mode node ids increase toward the root, so the probe
+    // filters pre-shuffle iff its id is SMALLER than the fact exchange's.
+    val factEx = """\((\d+)\) Exchange\nInput.*\nArguments: hashpartitioning\(l_partkey"""
+      .r.findFirstMatchIn(p).map(_.group(1).toInt)
+    assert(factEx.nonEmpty, "fact-side exchange missing:\n" + p.take(2500))
+    assert(bnlj.get < factEx.get,
+      s"bloom probe (node ${bnlj.get}) must sit below the fact exchange " +
+        s"(node ${factEx.get}) so shuffle volume tracks the match rate:\n" +
+        p.take(2500))
+  }
+
   test("q01: partial+final hash aggregation") {
     val p = planOf("q01_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(500))
