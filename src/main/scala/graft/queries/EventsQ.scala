@@ -347,7 +347,44 @@ object EventsQ {
       .orderBy(col("event_id"))
   }
 
+  /** MATCH_RECOGNIZE-lite event-sequence pattern matching (r5) — the CEP
+    * surface: each user's event history collapses to an ordered
+    * type-initial signature string (c/e/p/s/v), and patterns run as
+    * regexes over it: non-overlapping view→…→click→…→purchase funnels
+    * (`v[^p]*c[^p]*p` — greedy, identical non-overlapping left-to-right
+    * scan semantics in Java regex and RE2) and the longest consecutive
+    * view run. This expresses ORDERED multi-event patterns that
+    * per-event aggregation (event_funnel's stage counts) cannot.
+    *
+    * Scale shape: ONE user_id shuffle; the signature is per-user
+    * bounded (a user's event count, not the corpus), and the regex work
+    * is per-group post-aggregation. The sort_array(struct) +
+    * transform run on aggregated per-user arrays — no explode follows,
+    * so the §7.3 generator-inlining trap does not apply. At 100 TB the
+    * same shape holds with a time-bucketed session key bounding the
+    * signature length. */
+  val eventPatternMatch: QFn = (s, dir) => {
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ini"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(transform(
+          array_sort(collect_list(
+            struct(col("ts_us"), col("event_id"), col("ini")))),
+          x => x.getField("ini")), "").as("sig"))
+      .select(col("user_id"), col("n_events"),
+        substring(col("sig"), 1, 20).as("sig20"),
+        size(regexp_extract_all(col("sig"), lit("v[^p]*c[^p]*p"), lit(0)))
+          .cast("long").as("n_funnels"),
+        coalesce(array_max(transform(
+          regexp_extract_all(col("sig"), lit("v+"), lit(0)),
+          x => length(x).cast("long"))), lit(0L)).as("max_view_run"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "event_pattern_match"   -> eventPatternMatch,
     "interval_join_10m"     -> intervalJoin10m,
     "gap_fill_interp"       -> gapFillInterp,
     "gap_fill_ffill"        -> gapFillFfill,
@@ -372,6 +409,17 @@ object EventsQ {
     "approx_percentile"    -> approxPercentile)
 
   val oracle: Map[String, String] = Map(
+    "event_pattern_match" ->
+      """WITH sig AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    string_agg(substring(event_type, 1, 1), ''
+        |      ORDER BY epoch_us(ts), event_id) AS sig
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events, substring(sig, 1, 20) AS sig20,
+        |  len(regexp_extract_all(sig, 'v[^p]*c[^p]*p')) AS n_funnels,
+        |  coalesce(list_max(list_transform(
+        |    regexp_extract_all(sig, 'v+'), x -> len(x))), 0) AS max_view_run
+        |FROM sig ORDER BY user_id""".stripMargin,
     "interval_join_10m" ->
       """WITH c AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
