@@ -281,7 +281,57 @@ object DepthQ {
       .orderBy(col("o_orderpriority"), col("rnk"))
   }
 
+  /** Frequent co-occurring item pairs with lift (r5) — the association-
+    * mining / market-basket surface: parts bought together in the same
+    * order, ranked by support, scored by lift = P(ab)/(P(a)·P(b)).
+    *
+    * Scale shape: pair fan-out is C(d,2) for d = distinct parts per
+    * order — d is bounded by order size (≤13 here, ≤7-line orders in
+    * TPC-H proper), NOT by catalog size, so candidate volume is linear
+    * in orders. The expansion runs as collect_set per order (one keyed
+    * shuffle, map-side-combinable) + two chained index-sequence
+    * explodes over the sorted per-order array — one shuffle fewer than
+    * the classic op⋈op self-join, and the §7.3-safe expansion idiom.
+    * The oracle IS the self-join formulation, so the hash-match proves
+    * explode-over-set ≡ self-join. Lift joins happen AFTER the top-20
+    * cut (20 rows against the per-part count dim — broadcast); the
+    * 1-row order-total aggregate rides an allowlisted broadcast. One
+    * double expression per output row, r6 floor-rounded, identical op
+    * order both engines. */
+  val copurchasePairs: QFn = (s, dir) => {
+    val op = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val ps = col("ps")
+    val pairs = op.groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(ps, explode(when(size(ps) >= 2, sequence(lit(0), size(ps) - 2))
+        .otherwise(array().cast("array<int>"))).as("i"))
+      .select(ps, col("i"),
+        explode(sequence(col("i") + 1, size(ps) - 1)).as("j"))
+      .select(element_at(ps, col("i") + 1).as("pa"),
+        element_at(ps, col("j") + 1).as("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .orderBy(col("n_ab").desc, col("pa"), col("pb"))
+      .limit(20)
+    val pc = op.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+    val tot = op.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    pairs
+      .join(pc.select(col("pk").as("pk_a"), col("n").as("n_a")),
+        col("pa") === col("pk_a"))
+      .join(pc.select(col("pk").as("pk_b"), col("n").as("n_b")),
+        col("pb") === col("pk_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+        r6(dbl(col("n_ab")) * col("n_orders") / (col("n_a") * col("n_b")))
+          .as("lift"))
+      .orderBy(col("n_ab").desc, col("pa"), col("pb"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "copurchase_pairs"   -> copurchasePairs,
     "agg_topk_native"    -> aggTopkNative,
     "bitmap_distinct"    -> bitmapDistinct,
     "approx_topk_words"  -> approxTopkWords,
@@ -301,6 +351,21 @@ object DepthQ {
       |  '\d{3}-\d{4}', '<PHONE>', 'g')""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "copurchase_pairs" ->
+      s"""WITH op AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |pairs AS (
+         |  SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_ab
+         |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY a.pk, b.pk),
+         |top AS (SELECT * FROM pairs ORDER BY n_ab DESC, pa, pb LIMIT 20),
+         |pc AS (SELECT pk, count(*) AS n FROM op GROUP BY pk),
+         |tot AS (SELECT count(DISTINCT ok) AS n_orders FROM op)
+         |SELECT pa, pb, n_ab, pca.n AS n_a, pcb.n AS n_b,
+         |  ${r6Sql("CAST(n_ab AS DOUBLE) * n_orders / (pca.n * pcb.n)")}
+         |    AS lift
+         |FROM top JOIN pc pca ON pa = pca.pk JOIN pc pcb ON pb = pcb.pk, tot
+         |ORDER BY n_ab DESC, pa, pb""".stripMargin,
     "agg_topk_native" ->
       """SELECT o_orderpriority, rnk, price FROM (
         |  SELECT o_orderpriority, o_totalprice AS price,

@@ -299,7 +299,51 @@ object StatsQ {
       .orderBy(col("source"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic (r5) — the NUMERIC
+    * complement to drift_chi2's categorical test: per event type, the
+    * max vertical gap between the week-1 and week-4 empirical CDFs of
+    * `value`. The pooled-sample formulation makes it relational: sort
+    * the union, take running conditional counts, KS = max|cA/nA − cB/nB|.
+    *
+    * Determinism: the cumulative counts use a RANGE frame, so value-ties
+    * contribute identically regardless of row order (the CDF is
+    * evaluated at each distinct value including all its peers — the
+    * mathematically correct tie handling, and the frame semantics
+    * win_range_frame already proves cross-engine). Each per-row double
+    * is one division of exact ints, computed identically both engines;
+    * max is order-independent.
+    *
+    * Scale shape: both windows and the final rollup share the ONE
+    * event_type partitioning — a per-key sorted scan, the same shape a
+    * 1000-executor run gets per key group. At 100 TB the exact CDF
+    * yields to a KLL/t-digest sketch comparison; the single-shuffle
+    * shape is unchanged. */
+  val driftKs: QFn = (s, dir) => {
+    val isA = col("ts_us") < lit(1704672000000000L)
+    val isB = col("ts_us") >= lit(1705881600000000L)
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .filter((isA || isB) && col("value").isNotNull)
+      .select(col("event_type"), col("value"),
+        when(isA, 1L).otherwise(0L).as("ia"),
+        when(isB, 1L).otherwise(0L).as("ib"))
+      .withColumn("ca", sum(col("ia")).over(wCum))
+      .withColumn("cb", sum(col("ib")).over(wCum))
+      .withColumn("na", sum(col("ia"))
+        .over(Window.partitionBy(col("event_type"))))
+      .withColumn("nb", sum(col("ib"))
+        .over(Window.partitionBy(col("event_type"))))
+      .withColumn("gap",
+        abs(dbl(col("ca")) / col("na") - dbl(col("cb")) / col("nb")))
+      .groupBy(col("event_type"))
+      .agg(sum(col("ia")).as("n_a"), sum(col("ib")).as("n_b"),
+        r6(max(col("gap"))).as("ks"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "drift_ks"            -> driftKs,
     "outlier_mad"         -> outlierMad,
     "drift_chi2"          -> driftChi2,
     "stat_crosstab"       -> statCrosstab,
@@ -317,6 +361,30 @@ object StatsQ {
     "win_range_frame"    -> winRangeFrame)
 
   val oracle: Map[String, String] = Map(
+    "drift_ks" ->
+      s"""WITH e AS (
+         |  SELECT event_type, value,
+         |    CASE WHEN epoch_us(ts) < 1704672000000000 THEN 1 ELSE 0 END
+         |      AS ia,
+         |    CASE WHEN epoch_us(ts) >= 1705881600000000 THEN 1 ELSE 0 END
+         |      AS ib
+         |  FROM events
+         |  WHERE (epoch_us(ts) < 1704672000000000
+         |      OR epoch_us(ts) >= 1705881600000000)
+         |    AND value IS NOT NULL),
+         |c AS (
+         |  SELECT event_type, ia, ib,
+         |    sum(ia) OVER (PARTITION BY event_type ORDER BY value
+         |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         |    sum(ib) OVER (PARTITION BY event_type ORDER BY value
+         |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         |    sum(ia) OVER (PARTITION BY event_type) AS na,
+         |    sum(ib) OVER (PARTITION BY event_type) AS nb
+         |  FROM e)
+         |SELECT event_type, sum(ia) AS n_a, sum(ib) AS n_b,
+         |  ${r6Sql("max(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb))")}
+         |    AS ks
+         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "outlier_mad" ->
       s"""WITH d AS (
          |  SELECT source, CAST(n_chars AS DOUBLE) AS x,

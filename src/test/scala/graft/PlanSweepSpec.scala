@@ -37,7 +37,9 @@ class PlanSweepSpec extends SparkSpec {
     "drift_chi2" ->
       "1-row margin-totals aggregate broadcast into the expected-count formula",
     "bloom_prefilter_join" ->
-      "1-row bloom-bitset aggregate broadcast as the fact-side pre-filter")
+      "1-row bloom-bitset aggregate broadcast as the fact-side pre-filter",
+    "copurchase_pairs" ->
+      "1-row order-total aggregate broadcast into the lift formula")
 
   test("no unlisted query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
