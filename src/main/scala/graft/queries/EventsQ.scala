@@ -383,7 +383,73 @@ object EventsQ {
       .orderBy(col("user_id"))
   }
 
+  /** Nearest-in-time as-of join (r5) — the bidirectional variant: each
+    * purchase pairs with its temporally CLOSEST view (either direction),
+    * ties preferring the earlier (backward) candidate. Completes the
+    * as-of family: backward (join_asof_event), forward
+    * (join_asof_forward), nearest (here). Same single-pass shape — both
+    * directions ride ONE (user_id)-partitioned window sort, no
+    * event×event join; the pick is a per-row conditional. */
+  val asofNearest: QFn = (s, dir) => {
+    val isCand = col("event_type") === "view"
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    t(s, dir, "events")
+      .withColumn("cand_event", when(isCand, col("event_id")))
+      .withColumn("cand_ts", when(isCand, col("ts_us")))
+      .withColumn("b_event", last(col("cand_event"), ignoreNulls = true).over(wB))
+      .withColumn("b_ts", last(col("cand_ts"), ignoreNulls = true).over(wB))
+      .withColumn("f_event", first(col("cand_event"), ignoreNulls = true).over(wF))
+      .withColumn("f_ts", first(col("cand_ts"), ignoreNulls = true).over(wF))
+      .filter(col("event_type") === "purchase")
+      .withColumn("pick_b",
+        col("f_ts").isNull ||
+          (col("b_ts").isNotNull &&
+            (col("ts_us") - col("b_ts")) <= (col("f_ts") - col("ts_us"))))
+      .select(col("user_id"), col("event_id").as("p_event"),
+        col("ts_us").as("p_ts"),
+        when(col("pick_b"), col("b_event")).otherwise(col("f_event"))
+          .as("n_event"),
+        (when(col("pick_b"), col("b_ts")).otherwise(col("f_ts")) -
+          col("ts_us")).as("delta_us"))
+      .orderBy(col("p_event"))
+  }
+
+  /** Rolling active users (r5) — the DAU/WAU engagement report: per day,
+    * distinct actives that day and over the trailing 7 days, plus the
+    * stickiness ratio. The sliding DISTINCT cannot ride a window frame;
+    * the relational form is dedup-then-expand: activity collapses to
+    * distinct (user, day) FIRST (the big shuffle, map-side-combinable),
+    * then fans out at most 7× onto the day spine via a range join, and
+    * the per-day distinct count dedups users active several times in a
+    * window. Fan-out is bounded by the window length, never by event
+    * volume — and the expansion is an EXPLODE of each activity day onto
+    * the ≤7 spine days it serves (all-equi plan; a spine×activity range
+    * join would plan a nested loop). Days past the corpus edge drop out
+    * in the equi-join with the observed spine. At 100 TB the expand
+    * swaps for per-day HLL sketches merged over the trailing window —
+    * same spine, sketch-sized state. */
+  val rollingActiveUsers: QFn = (s, dir) => {
+    val act = t(s, dir, "events")
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct()
+    val dau = act.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = act
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("d"))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("day") === col("d"))
+      .select(col("day"), col("dau"), col("wau"),
+        r6(dbl(col("dau")) / col("wau")).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "join_asof_nearest"     -> asofNearest,
+    "rolling_active_users"  -> rollingActiveUsers,
     "event_pattern_match"   -> eventPatternMatch,
     "interval_join_10m"     -> intervalJoin10m,
     "gap_fill_interp"       -> gapFillInterp,
@@ -409,6 +475,45 @@ object EventsQ {
     "approx_percentile"    -> approxPercentile)
 
   val oracle: Map[String, String] = Map(
+    "join_asof_nearest" ->
+      """WITH tagged AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type = 'view' THEN event_id END AS cand_event,
+        |    CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS cand_ts
+        |  FROM events),
+        |filled AS (
+        |  SELECT *,
+        |    last_value(cand_event IGNORE NULLS) OVER wb AS b_event,
+        |    last_value(cand_ts IGNORE NULLS) OVER wb AS b_ts,
+        |    first_value(cand_event IGNORE NULLS) OVER wf AS f_event,
+        |    first_value(cand_ts IGNORE NULLS) OVER wf AS f_ts
+        |  FROM tagged
+        |  WINDOW
+        |    wb AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING),
+        |    wf AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |picked AS (
+        |  SELECT *,
+        |    (f_ts IS NULL OR (b_ts IS NOT NULL
+        |      AND (ts_us - b_ts) <= (f_ts - ts_us))) AS pick_b
+        |  FROM filled WHERE event_type = 'purchase')
+        |SELECT user_id, event_id AS p_event, ts_us AS p_ts,
+        |  CASE WHEN pick_b THEN b_event ELSE f_event END AS n_event,
+        |  (CASE WHEN pick_b THEN b_ts ELSE f_ts END) - ts_us AS delta_us
+        |FROM picked ORDER BY p_event""".stripMargin,
+    "rolling_active_users" ->
+      s"""WITH act AS (
+         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+         |  FROM events),
+         |dau AS (SELECT day, count(*) AS dau FROM act GROUP BY day),
+         |ex AS (
+         |  SELECT user_id, unnest(range(day, day + 7)) AS d FROM act),
+         |wau AS (SELECT d, count(DISTINCT user_id) AS wau FROM ex GROUP BY d)
+         |SELECT day, dau, wau,
+         |  ${r6Sql("CAST(dau AS DOUBLE) / wau")} AS stickiness
+         |FROM dau JOIN wau ON day = d
+         |ORDER BY day""".stripMargin,
     "event_pattern_match" ->
       """WITH sig AS (
         |  SELECT user_id, count(*) AS n_events,
