@@ -342,7 +342,70 @@ object StatsQ {
       .orderBy(col("event_type"))
   }
 
+  /** Kaplan–Meier survival curve (r5) — time-to-event analysis with
+    * right-censoring, the conversion-latency statistic: time from a
+    * user's first signup to their first subsequent purchase; users who
+    * never convert are censored at their last observed event. Per
+    * distinct day-duration: at-risk count, events, censored, and the KM
+    * estimate S(d) = Π_{d'≤d} (1 − ev/risk).
+    *
+    * Determinism: the running product rides LOG SPACE with each ln term
+    * pinned DECIMAL(14,10) before the exact cumulative decimal sum
+    * (token_entropy/lm_bigram's libm defense — the 1e-10 rounding
+    * absorbs last-bit ln() differences between engines), then one exp
+    * per output row under r6. When the last at-risk cohort fully
+    * events, 1−ev/risk = 0: a running max flag pins S = 0 exactly from
+    * that row on (no ln(0)).
+    *
+    * Scale shape: two user-keyed aggregations + one left join build the
+    * per-user duration table (all map-side-combinable); everything
+    * after runs on the per-DURATION aggregate — cardinality = distinct
+    * durations (≤ observation days), so the unpartitioned cumulative
+    * windows cost nothing at any corpus size. */
+  val survivalKm: QFn = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("ts_us"), col("event_type"))
+    val su = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ts_us"))).as("t0"),
+        max(col("ts_us")).as("tmax"))
+      .filter(col("t0").isNotNull)
+    val pu = ev.filter(col("event_type") === "purchase")
+      .join(su.select(col("user_id").as("su_uid"), col("t0")),
+        col("user_id") === col("su_uid"))
+      .filter(col("ts_us") >= col("t0"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("te"))
+    val per = su
+      .join(pu.select(col("user_id").as("pu_uid"), col("te")),
+        col("user_id") === col("pu_uid"), "left")
+      .select(expr("(coalesce(te, tmax) - t0) div 86400000000").as("dur"),
+        col("te").isNotNull.as("is_ev"))
+      .groupBy(col("dur"))
+      .agg(sum(when(col("is_ev"), 1L).otherwise(0L)).as("n_ev"),
+        count(lit(1)).as("n_all"))
+    val wPrev = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("n_risk", sum(col("n_all")).over(wTot) -
+        coalesce(sum(col("n_all")).over(wPrev), lit(0L)))
+      .withColumn("term", when(col("n_ev") < col("n_risk"),
+        log(lit(1.0) - dbl(col("n_ev")) / dbl(col("n_risk"))))
+        .otherwise(lit(0.0)).cast("decimal(14,10)"))
+      .withColumn("zflag", max(when(col("n_ev") >= col("n_risk"), 1)
+        .otherwise(0)).over(wCum))
+      .withColumn("cum_ln", sum(col("term")).over(wCum))
+      .select(col("dur"), col("n_risk"), col("n_ev"),
+        (col("n_all") - col("n_ev")).as("n_cens"),
+        when(col("zflag") === 1, lit(0.0))
+          .otherwise(r6(exp(dbl(col("cum_ln"))))).as("survival"))
+      .orderBy(col("dur"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "survival_km"         -> survivalKm,
     "drift_ks"            -> driftKs,
     "outlier_mad"         -> outlierMad,
     "drift_chi2"          -> driftChi2,
@@ -361,6 +424,48 @@ object StatsQ {
     "win_range_frame"    -> winRangeFrame)
 
   val oracle: Map[String, String] = Map(
+    "survival_km" ->
+      s"""WITH su AS (
+         |  SELECT user_id,
+         |    min(CASE WHEN event_type='signup' THEN epoch_us(ts) END) AS t0,
+         |    max(epoch_us(ts)) AS tmax
+         |  FROM events GROUP BY user_id),
+         |s2 AS (SELECT * FROM su WHERE t0 IS NOT NULL),
+         |pu AS (
+         |  SELECT e.user_id, min(epoch_us(e.ts)) AS te
+         |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+         |  WHERE e.event_type='purchase' AND epoch_us(e.ts) >= s2.t0
+         |  GROUP BY e.user_id),
+         |d AS (
+         |  SELECT (coalesce(te, tmax) - t0) // 86400000000 AS dur,
+         |    (te IS NOT NULL) AS is_ev
+         |  FROM s2 LEFT JOIN pu ON s2.user_id = pu.user_id),
+         |per AS (
+         |  SELECT dur, sum(CASE WHEN is_ev THEN 1 ELSE 0 END) AS n_ev,
+         |    count(*) AS n_all
+         |  FROM d GROUP BY dur),
+         |risk AS (
+         |  SELECT dur, n_ev, n_all,
+         |    sum(n_all) OVER () - coalesce(sum(n_all) OVER (ORDER BY dur
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS n_risk
+         |  FROM per),
+         |terms AS (
+         |  SELECT dur, n_risk, n_ev, n_all,
+         |    CAST(CASE WHEN n_ev < n_risk
+         |      THEN ln(1.0 - CAST(n_ev AS DOUBLE) / CAST(n_risk AS DOUBLE))
+         |      ELSE 0.0 END AS DECIMAL(14,10)) AS term,
+         |    max(CASE WHEN n_ev >= n_risk THEN 1 ELSE 0 END)
+         |      OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS zflag
+         |  FROM risk),
+         |cum AS (
+         |  SELECT dur, n_risk, n_ev, n_all, zflag,
+         |    sum(term) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS cum_ln
+         |  FROM terms)
+         |SELECT dur, n_risk, n_ev, n_all - n_ev AS n_cens,
+         |  CASE WHEN zflag = 1 THEN 0.0
+         |    ELSE ${r6Sql("exp(CAST(cum_ln AS DOUBLE))")} END AS survival
+         |FROM cum ORDER BY dur""".stripMargin,
     "drift_ks" ->
       s"""WITH e AS (
          |  SELECT event_type, value,
