@@ -404,7 +404,89 @@ object StatsQ {
       .orderBy(col("dur"))
   }
 
+  /** First-order Markov transition matrix (r5) — the user-behavior model
+    * estimate: P(next event type | current type), from per-user ordered
+    * event pairs. One user_id window shuffle for the lead(), one pair
+    * groupBy; probability = pair count / from-type total (exact ints,
+    * ONE double division per output row under r6 — nothing
+    * order-dependent). Session boundary = user boundary (lead stops at
+    * the partition edge), the standard estimation cut. */
+  val markovTransitions: QFn = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val wFrom = Window.partitionBy(col("from_type"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", r6(dbl(col("n")) / sum(col("n")).over(wFrom)))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** CUSUM change-point detection (r5) — where did the daily event-rate
+    * level shift? Per type, the cumulative sum of deviations from the
+    * overall daily mean peaks at the change point. Exactness: daily
+    * counts are ints, so cusum_i = cum_i − i·(total/n_days) is ONE
+    * division + one multiply + one subtract per row, identical op order
+    * both engines — no running double sum anywhere. The peak row (max
+    * |cusum|, earliest day on ties) is picked by a window rank over the
+    * per-DAY aggregate (cardinality = observation days — tiny at any
+    * corpus size); the daily count aggregate is the only data-sized
+    * shuffle. */
+  val cusumChangepoint: QFn = (s, dir) => {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val daily = t(s, dir, "events")
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    daily
+      .withColumn("i", row_number().over(wOrd))
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      .withColumn("cum", sum(col("c")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("mean", dbl(sum(col("c")).over(wAll)) / col("n_days"))
+      .withColumn("cusum", dbl(col("cum")) - col("i") * col("mean"))
+      .withColumn("rk", row_number().over(Window
+        .partitionBy(col("event_type"))
+        .orderBy(abs(col("cusum")).desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n_days"),
+        col("day").as("peak_day"), r6(col("cusum")).as("peak_cusum"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Gini concentration index per source (r5) — the corpus-balance audit:
+    * how unequally is char volume distributed across a source's docs?
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending-sorted sizes —
+    * the sort-based estimator. Value-ties make rank assignment among
+    * equal x irrelevant (Σ i·xᵢ is tie-invariant), so row_number
+    * needs no tiebreaker for determinism; all sums are exact ints, the
+    * final expression is a fixed handful of double ops mirrored
+    * verbatim. One source-partitioned window sort — the same per-key
+    * sorted-scan shape at any scale. */
+  val giniConcentration: QFn = (s, dir) => {
+    val wOrd = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+    t(s, dir, "documents")
+      .select(col("source"), col("n_chars"))
+      .withColumn("i", row_number().over(wOrd))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        sum(col("i") * col("n_chars")).as("iwx"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        r6(lit(2.0) * dbl(col("iwx")) /
+          (dbl(col("n_docs")) * dbl(col("total_chars"))) -
+          (dbl(col("n_docs")) + 1.0) / dbl(col("n_docs"))).as("gini"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "markov_transitions"  -> markovTransitions,
+    "cusum_changepoint"   -> cusumChangepoint,
+    "gini_concentration"  -> giniConcentration,
     "survival_km"         -> survivalKm,
     "drift_ks"            -> driftKs,
     "outlier_mad"         -> outlierMad,
@@ -424,6 +506,59 @@ object StatsQ {
     "win_range_frame"    -> winRangeFrame)
 
   val oracle: Map[String, String] = Map(
+    "markov_transitions" ->
+      s"""WITH seq AS (
+         |  SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS to_type
+         |  FROM events),
+         |pairs AS (
+         |  SELECT from_type, to_type, count(*) AS n
+         |  FROM seq WHERE to_type IS NOT NULL
+         |  GROUP BY from_type, to_type)
+         |SELECT from_type, to_type, n,
+         |  ${r6Sql("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)")}
+         |    AS p
+         |FROM pairs ORDER BY from_type, to_type""".stripMargin,
+    "cusum_changepoint" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    count(*) AS c
+         |  FROM events GROUP BY event_type, day),
+         |aug AS (
+         |  SELECT event_type, day,
+         |    row_number() OVER w AS i,
+         |    count(*) OVER (PARTITION BY event_type) AS n_days,
+         |    sum(c) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    CAST(sum(c) OVER (PARTITION BY event_type) AS DOUBLE)
+         |      / count(*) OVER (PARTITION BY event_type) AS mean
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         |cs AS (
+         |  SELECT event_type, day, n_days,
+         |    CAST(cum AS DOUBLE) - i * mean AS cusum
+         |  FROM aug),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY abs(cusum) DESC, day) AS rk
+         |  FROM cs)
+         |SELECT event_type, n_days, day AS peak_day,
+         |  ${r6Sql("cusum")} AS peak_cusum
+         |FROM rk WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    "gini_concentration" ->
+      s"""WITH ranked AS (
+         |  SELECT source, n_chars,
+         |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS i
+         |  FROM documents),
+         |agg AS (
+         |  SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+         |    sum(i * n_chars) AS iwx
+         |  FROM ranked GROUP BY source)
+         |SELECT source, n_docs, total_chars,
+         |  ${r6Sql("2.0 * CAST(iwx AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(total_chars AS DOUBLE)) - (CAST(n_docs AS DOUBLE) + 1.0) / CAST(n_docs AS DOUBLE)")}
+         |    AS gini
+         |FROM agg ORDER BY source""".stripMargin,
     "survival_km" ->
       s"""WITH su AS (
          |  SELECT user_id,
