@@ -141,7 +141,44 @@ object GraphQ {
         r6(dbl(col("n_triangles") * 3) / col("n_wedges")).as("clustering"))
   }
 
+  /** BFS hop-distance profile (r5) — reachability, the third member of
+    * the iterative-graph family (PageRank = value iteration, CC =
+    * fixpoint labels, BFS = frontier expansion): min hop distance from a
+    * deterministic seed (the alphabetically first vocabulary word) over
+    * the UNDIRECTED word graph, capped at 4 hops, reported as the
+    * per-distance profile (word count + first word).
+    *
+    * Scale shape: each round is ONE keyed join (settled frontier ⋈
+    * edges) + a min-groupBy — the textbook distributed BFS layout;
+    * rounds are a fixed budget (like the PageRank key), so the plan is
+    * a straight-line 4-round unroll with no driver-side convergence
+    * loop. The 1-row seed aggregate rides an allowlisted broadcast.
+    * The oracle is a recursive CTE with per-level dedup — the
+    * hash-match proves unrolled-joins ≡ recursive closure. */
+  val bfsDistance: QFn = (s, dir) => {
+    val e0 = edgesOf(s, dir)
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val seed = und.agg(min(col("src")).as("seedw"))
+    var d = und.select(col("src").as("w")).distinct()
+      .crossJoin(broadcast(seed))
+      .select(col("w"),
+        when(col("w") === col("seedw"), 0)
+          .otherwise(lit(null).cast("int")).as("d"))
+    for (_ <- 1 to 4) {
+      val next = d.filter(col("d").isNotNull)
+        .join(und, col("w") === col("src"))
+        .select(col("dst").as("w"), (col("d") + 1).as("d"))
+      d = d.union(next).groupBy(col("w")).agg(min(col("d")).as("d"))
+    }
+    d.filter(col("d").isNotNull)
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_words"), min(col("w")).as("first_word"))
+      .orderBy(col("d"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "bfs_distance"   -> bfsDistance,
     "pagerank_words" -> pagerankWords,
     "triangle_count" -> triangleCount)
 
@@ -212,7 +249,29 @@ object GraphQ {
        |FROM stats, tri""".stripMargin
   }
 
+  private def bfsSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |    w -> w <> '') AS ws FROM documents),
+      |e0 AS (
+      |  SELECT DISTINCT ws[i] AS src, ws[i+1] AS dst
+      |  FROM toks,
+      |    (SELECT unnest(range(1, (SELECT max(len(ws)) FROM toks))) AS i)
+      |  WHERE i + 1 <= len(ws) AND ws[i] <> ws[i+1]),
+      |und AS (
+      |  SELECT src, dst FROM e0
+      |  UNION SELECT dst AS src, src AS dst FROM e0),
+      |walk(w, d) AS (
+      |  SELECT min(src), 0 FROM und
+      |  UNION
+      |  SELECT und.dst, walk.d + 1 FROM walk JOIN und ON walk.w = und.src
+      |  WHERE walk.d < 4),
+      |best AS (SELECT w, min(d) AS d FROM walk GROUP BY w)
+      |SELECT d, count(*) AS n_words, min(w) AS first_word
+      |FROM best GROUP BY d ORDER BY d""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "bfs_distance"   -> bfsSql,
     "pagerank_words" -> pagerankSql,
     "triangle_count" -> triangleSql)
 }

@@ -39,7 +39,9 @@ class PlanSweepSpec extends SparkSpec {
     "bloom_prefilter_join" ->
       "1-row bloom-bitset aggregate broadcast as the fact-side pre-filter",
     "copurchase_pairs" ->
-      "1-row order-total aggregate broadcast into the lift formula")
+      "1-row order-total aggregate broadcast into the lift formula",
+    "bfs_distance" ->
+      "1-row seed-word aggregate broadcast into the distance init")
 
   test("no unlisted query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
