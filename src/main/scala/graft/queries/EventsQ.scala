@@ -447,7 +447,30 @@ object EventsQ {
       .orderBy(col("day"))
   }
 
+  /** Exponentially time-decayed counts (r5) — the freshness-weighted
+    * popularity score (half-life = 1 day): score = Σ 0.5^age_days per
+    * event type, anchored at the corpus max day. The decay terms are
+    * EXACT doubles (0.5^k is a power of two; every partial sum is a
+    * multiple of 2⁻³⁰ bounded far below 2⁵³⁻³⁰), so the double sum is
+    * order-independent WITHOUT a decimal pin — the one aggregation
+    * whose float exactness comes from the mantissa argument rather
+    * than decimal arithmetic, asserted under partition perturbation by
+    * DeterminismSpec like every key. One groupBy shuffle; the 1-row
+    * anchor aggregate rides an allowlisted broadcast. */
+  val decayedCounts: QFn = (s, dir) => {
+    val days = t(s, dir, "events")
+      .select(expr("ts_us div 86400000000").as("day"), col("event_type"))
+    val ref = days.agg(max(col("day")).as("ref_day"))
+    days.crossJoin(broadcast(ref))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(pow(lit(0.5), dbl(col("ref_day") - col("day"))))
+          .as("decayed"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "decayed_counts"        -> decayedCounts,
     "join_asof_nearest"     -> asofNearest,
     "rolling_active_users"  -> rollingActiveUsers,
     "event_pattern_match"   -> eventPatternMatch,
@@ -475,6 +498,14 @@ object EventsQ {
     "approx_percentile"    -> approxPercentile)
 
   val oracle: Map[String, String] = Map(
+    "decayed_counts" ->
+      """WITH days AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, event_type
+        |  FROM events),
+        |ref AS (SELECT max(day) AS ref_day FROM days)
+        |SELECT event_type, count(*) AS n_events,
+        |  sum(power(0.5, CAST(ref_day - day AS DOUBLE))) AS decayed
+        |FROM days, ref GROUP BY event_type ORDER BY event_type""".stripMargin,
     "join_asof_nearest" ->
       """WITH tagged AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,

@@ -591,7 +591,31 @@ object TextQ {
       .limit(20)
   }
 
+  /** Inverted-index build (r5) — the IR/search indexing step: per term,
+    * document frequency and the sorted posting list, for the 20
+    * highest-df terms. Postings materialize as a comma-joined sorted
+    * doc_id string so the oracle can byte-compare them.
+    *
+    * Scale shape: (doc, term) dedup + df groupBy are the standard keyed
+    * shuffles; the posting string is collect_set + sort_array per term
+    * (order restored deterministically after any partitioning). At
+    * 100 TB posting lists shard by (term, bucket) with delta-encoded
+    * int arrays — the top-20 cap here keeps the demo string bounded;
+    * the plan shape below the cap is the real index build. */
+  val invertedPostings: QFn = (s, dir) => {
+    val tw = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .distinct()
+    tw.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"),
+        array_join(sort_array(collect_set(col("doc_id"))), ",")
+          .as("postings"))
+      .orderBy(col("df").desc, col("w"))
+      .limit(20)
+  }
+
   val queries: Map[String, QFn] = Map(
+    "inverted_postings"  -> invertedPostings,
     "rep_ngram_audit"    -> repNgramAudit,
     "dup_sequences"      -> dupSequences,
     "skipgram_pairs"     -> skipgramPairs,
@@ -693,6 +717,13 @@ object TextQ {
   }
 
   val oracle: Map[String, String] = Map(
+    "inverted_postings" ->
+      s"""WITH $wordsCte,
+         |tw AS (SELECT DISTINCT doc_id, unnest(ws) AS w FROM words)
+         |SELECT w, count(*) AS df,
+         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         |    AS postings
+         |FROM tw GROUP BY w ORDER BY df DESC, w LIMIT 20""".stripMargin,
     "rep_ngram_audit" ->
       s"""WITH w AS (
          |  SELECT doc_id, lang, source,

@@ -41,7 +41,9 @@ class PlanSweepSpec extends SparkSpec {
     "copurchase_pairs" ->
       "1-row order-total aggregate broadcast into the lift formula",
     "bfs_distance" ->
-      "1-row seed-word aggregate broadcast into the distance init")
+      "1-row seed-word aggregate broadcast into the distance init",
+    "decayed_counts" ->
+      "1-row max-day aggregate broadcast into the decay exponent")
 
   test("no unlisted query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
