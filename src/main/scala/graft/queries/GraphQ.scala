@@ -157,8 +157,12 @@ object GraphQ {
     * hash-match proves unrolled-joins ≡ recursive closure. */
   val bfsDistance: QFn = (s, dir) => {
     val e0 = edgesOf(s, dir)
+    // The edge set is referenced by all 4 rounds + the init; without a
+    // lineage cut each reference re-tokenizes the corpus (the
+    // neardup_clusters pattern — materialize iteration state once).
     val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .localCheckpoint()
     val seed = und.agg(min(col("src")).as("seedw"))
     var d = und.select(col("src").as("w")).distinct()
       .crossJoin(broadcast(seed))
