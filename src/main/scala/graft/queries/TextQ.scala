@@ -614,7 +614,70 @@ object TextQ {
       .limit(20)
   }
 
+  /** Language-ID confusion matrix (r5) — the classifier-audit step:
+    * labeled lang × predicted lang counts with per-label row fractions.
+    * One (lang, pred) groupBy; the row fraction reuses the lang
+    * partitioning. The audit the langid heuristic ships with. */
+  val langidConfusion: QFn = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_frac", r6(dbl(col("n")) /
+        sum(col("n")).over(Window.partitionBy(col("lang")))))
+      .orderBy(col("lang"), col("lang_pred"))
+
+  /** End-to-end curation pipeline (r5) — the capstone composition: the
+    * full pre-training data path as ONE dataflow. Stages: (1) language
+    * gate — keep docs whose predicted lang matches the label; (2)
+    * quality gate — ≥10 tokens and type-token ratio ≥ 0.3; (3) exact
+    * dedup — lowest doc_id per md5(normalized text); (4) mixture cap —
+    * per source keep the top ⌈n/2⌉ by md5(doc_id) priority (stable
+    * pseudo-random, reproducible across engines/runs); (5) stratified
+    * 80/10/10 split by md5 hex-prefix. Output: the hand-off manifest
+    * per (source, split).
+    *
+    * Scale shape: stages 1-2 are per-row projections/filters (no
+    * shuffle); stage 3 shuffles once on the 16-byte content hash;
+    * stages 4-5 share ONE source-partitioned window; the manifest
+    * rollup reuses the source key. Three shuffles total for the whole
+    * pipeline — each stage's trick is individually oracle-checked by
+    * its standalone key (text_langid, quality_score, qdedup_docs,
+    * domain_mix_sample, train_test_split); this key proves the
+    * COMPOSITION. */
+  val curationPipelineE2e: QFn = (s, dir) => {
+    val ws = TextOps.tokens(col("text"))
+    val base = t(s, dir, "documents")
+      .withColumn("lang_pred", TextOps.langId(col("text")))
+      .filter(col("lang_pred") === col("lang"))
+      .withColumn("n_tok", size(ws))
+      .withColumn("ttr",
+        dbl(size(array_distinct(ws))) / nullif(size(ws), lit(0)))
+      .filter(col("n_tok") >= 10 && col("ttr") >= 0.3)
+      .withColumn("h", md5(TextOps.normText(col("text"))))
+    val dedup = base
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1)
+    val wSrc = Window.partitionBy(col("source"))
+    val capped = dedup
+      .withColumn("pri", md5(col("doc_id").cast("string")))
+      .withColumn("srk", row_number().over(
+        wSrc.orderBy(col("pri"), col("doc_id"))))
+      .withColumn("scnt", count(lit(1)).over(wSrc))
+      .filter(col("srk") <= expr("(scnt + 1) div 2"))
+    val h4 = substring(md5(col("doc_id").cast("string")), 1, 4)
+    capped
+      .withColumn("split", when(h4 < "cccc", "train")
+        .when(h4 < "e666", "valid").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"), col("split"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "langid_confusion"   -> langidConfusion,
+    "curation_pipeline_e2e" -> curationPipelineE2e,
     "inverted_postings"  -> invertedPostings,
     "rep_ngram_audit"    -> repNgramAudit,
     "dup_sequences"      -> dupSequences,
@@ -716,7 +779,59 @@ object TextQ {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  private val langPredSql =
+    """CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+      |     WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+      |     WHEN regexp_matches(text, '[áéíóúñ]') THEN 'es'
+      |     WHEN regexp_matches(text, '[àâçèêîôû]') THEN 'fr'
+      |     ELSE 'en' END""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "langid_confusion" ->
+      s"""WITH p AS (
+         |  SELECT lang, $langPredSql AS lang_pred FROM documents),
+         |g AS (
+         |  SELECT lang, lang_pred, count(*) AS n
+         |  FROM p GROUP BY lang, lang_pred)
+         |SELECT lang, lang_pred, n,
+         |  ${r6Sql("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang)")}
+         |    AS row_frac
+         |FROM g ORDER BY lang, lang_pred""".stripMargin,
+    "curation_pipeline_e2e" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, source, n_chars, lang, text,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> x <> '') AS ws
+         |  FROM documents),
+         |f1 AS (
+         |  SELECT * FROM w WHERE ($langPredSql) = lang),
+         |f2 AS (
+         |  SELECT * FROM f1
+         |  WHERE len(ws) >= 10
+         |    AND len(list_distinct(ws)) / nullif(len(ws), 0) >= 0.3),
+         |d AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+         |    ORDER BY doc_id) AS rk
+         |  FROM f2),
+         |f3 AS (SELECT * FROM d WHERE rk = 1),
+         |c AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS srk,
+         |    count(*) OVER (PARTITION BY source) AS scnt
+         |  FROM f3),
+         |f4 AS (SELECT * FROM c WHERE srk <= (scnt + 1) // 2),
+         |sp AS (
+         |  SELECT *, CASE
+         |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+         |      THEN 'train'
+         |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+         |      THEN 'valid'
+         |    ELSE 'test' END AS split
+         |  FROM f4)
+         |SELECT source, split, count(*) AS n_docs, sum(n_chars) AS sum_chars
+         |FROM sp GROUP BY source, split ORDER BY source, split""".stripMargin,
     "inverted_postings" ->
       s"""WITH $wordsCte,
          |tw AS (SELECT DISTINCT doc_id, unnest(ws) AS w FROM words)
