@@ -483,7 +483,42 @@ object StatsQ {
       .orderBy(col("source"))
   }
 
+  /** Winsorized robust scaling (r5) — the outlier-clamping step quality
+    * pipelines run before computing summary statistics: per lang, clamp
+    * doc sizes to the exact [p05, p95] ranks and report the raw vs
+    * winsorized mean and the clipped counts. Percentiles are RANK-BASED
+    * (value at row_number = ceil(q·n), the discrete estimator) — exact
+    * int selection, no interpolation, so both engines agree by
+    * construction; ties in the sort can't matter because equal values
+    * at the boundary rank clamp identically. Means are exact int sums
+    * with ONE final division each. One lang window sort; the rollup
+    * reuses the lang partitioning. */
+  val winsorizeStats: QFn = (s, dir) => {
+    val wLang = Window.partitionBy(col("lang"))
+    val wOrd = wLang.orderBy(col("n_chars"))
+    t(s, dir, "documents")
+      .select(col("lang"), col("n_chars"))
+      .withColumn("i", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wLang))
+      .withColumn("lo", max(when(col("i") === ceil(col("n") * 0.05),
+        col("n_chars"))).over(wLang))
+      .withColumn("hi", max(when(col("i") === ceil(col("n") * 0.95),
+        col("n_chars"))).over(wLang))
+      .withColumn("wz", least(greatest(col("n_chars"), col("lo")), col("hi")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars") < col("lo"), 1L).otherwise(0L))
+          .as("n_clip_lo"),
+        sum(when(col("n_chars") > col("hi"), 1L).otherwise(0L))
+          .as("n_clip_hi"),
+        max(col("lo")).as("p05"), max(col("hi")).as("p95"),
+        r6(dbl(sum(col("n_chars"))) / count(lit(1))).as("mean_raw"),
+        r6(dbl(sum(col("wz"))) / count(lit(1))).as("mean_winsor"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "winsorize_stats"     -> winsorizeStats,
     "markov_transitions"  -> markovTransitions,
     "cusum_changepoint"   -> cusumChangepoint,
     "gini_concentration"  -> giniConcentration,
@@ -506,6 +541,27 @@ object StatsQ {
     "win_range_frame"    -> winRangeFrame)
 
   val oracle: Map[String, String] = Map(
+    "winsorize_stats" ->
+      s"""WITH r AS (
+         |  SELECT lang, n_chars,
+         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS i,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM documents),
+         |b AS (
+         |  SELECT *,
+         |    max(CASE WHEN i = ceil(n * 0.05) THEN n_chars END)
+         |      OVER (PARTITION BY lang) AS lo,
+         |    max(CASE WHEN i = ceil(n * 0.95) THEN n_chars END)
+         |      OVER (PARTITION BY lang) AS hi
+         |  FROM r),
+         |w AS (SELECT *, least(greatest(n_chars, lo), hi) AS wz FROM b)
+         |SELECT lang, count(*) AS n_docs,
+         |  sum(CASE WHEN n_chars < lo THEN 1 ELSE 0 END) AS n_clip_lo,
+         |  sum(CASE WHEN n_chars > hi THEN 1 ELSE 0 END) AS n_clip_hi,
+         |  max(lo) AS p05, max(hi) AS p95,
+         |  ${r6Sql("CAST(sum(n_chars) AS DOUBLE) / count(*)")} AS mean_raw,
+         |  ${r6Sql("CAST(sum(wz) AS DOUBLE) / count(*)")} AS mean_winsor
+         |FROM w GROUP BY lang ORDER BY lang""".stripMargin,
     "markov_transitions" ->
       s"""WITH seq AS (
          |  SELECT event_type AS from_type,

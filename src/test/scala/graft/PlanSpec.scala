@@ -91,6 +91,20 @@ class PlanSpec extends SparkSpec {
         p.take(2500))
   }
 
+  test("curation_pipeline_e2e: three shuffles end to end; rank filters " +
+    "push down as group-limits") {
+    val p = planOf("curation_pipeline_e2e")
+    // content-hash dedup + shared source window (the (source, split)
+    // rollup reuses hashpartitioning(source) — ClusteredDistribution on
+    // a grouping-key superset) + the final presentation sort. A 4th
+    // exchange means a stage stopped reusing its upstream partitioning.
+    assert("""\([0-9]+\) Exchange""".r.findAllIn(p).size == 3,
+      "whole-pipeline shuffle budget is 3:\n" + p.take(2500))
+    // row_number = 1 / <= k filters must plan as WindowGroupLimit so
+    // per-group state is bounded before the full window runs
+    assert(p.contains("WindowGroupLimit"), p.take(2500))
+  }
+
   test("q01: partial+final hash aggregation") {
     val p = planOf("q01_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(500))
