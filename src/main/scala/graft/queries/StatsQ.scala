@@ -261,7 +261,10 @@ object StatsQ {
     val db = dbl(col("n_b")) - eb
     cells.crossJoin(broadcast(tot))
       .select(col("event_type"), col("n_a"), col("n_b"),
-        r6(da * da / ea + db * db / eb).as("chi2_part"))
+        // nullif: a zero expected count (one period empty) must yield a
+        // NULL contribution, not an ANSI divide-by-zero (EdgeCorpusSpec)
+        r6(da * da / nullif(ea, lit(0.0)) + db * db / nullif(eb, lit(0.0)))
+          .as("chi2_part"))
       .orderBy(col("event_type"))
   }
 
@@ -334,8 +337,11 @@ object StatsQ {
         .over(Window.partitionBy(col("event_type"))))
       .withColumn("nb", sum(col("ib"))
         .over(Window.partitionBy(col("event_type"))))
+      // nullif: an EMPTY side (first week of a new corpus) must yield a
+      // NULL ks, not an ANSI divide-by-zero crash (EdgeCorpusSpec)
       .withColumn("gap",
-        abs(dbl(col("ca")) / col("na") - dbl(col("cb")) / col("nb")))
+        abs(dbl(col("ca")) / nullif(col("na"), lit(0L)) -
+          dbl(col("cb")) / nullif(col("nb"), lit(0L))))
       .groupBy(col("event_type"))
       .agg(sum(col("ia")).as("n_a"), sum(col("ib")).as("n_b"),
         r6(max(col("gap"))).as("ks"))
@@ -678,7 +684,7 @@ object StatsQ {
          |    sum(ib) OVER (PARTITION BY event_type) AS nb
          |  FROM e)
          |SELECT event_type, sum(ia) AS n_a, sum(ib) AS n_b,
-         |  ${r6Sql("max(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb))")}
+         |  ${r6Sql("max(abs(CAST(ca AS DOUBLE) / nullif(na, 0) - CAST(cb AS DOUBLE) / nullif(nb, 0)))")}
          |    AS ks
          |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "outlier_mad" ->
@@ -718,8 +724,10 @@ object StatsQ {
         |      / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)) AS eb
         |  FROM cells, tot)
         |SELECT event_type, n_a, n_b,
-        |  floor(((CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea) / ea
-        |       + (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb) / eb)
+        |  floor(((CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea)
+        |         / nullif(ea, 0)
+        |       + (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb)
+        |         / nullif(eb, 0))
         |    * 1000000 + 0.5) / 1000000 AS chi2_part
         |FROM ex ORDER BY event_type""".stripMargin,
     "stat_crosstab" ->

@@ -137,4 +137,72 @@ class EdgeCorpusSpec extends SparkSpec {
     assert(kept.length == 2, kept.mkString(","))
     assert(kept.map(_.getAs[String]("source")).toSet == Set("src0", "src1"))
   }
+
+  test("round-5 doc keys survive the edge corpus") {
+    // token-less docs, <n-gram-length docs, 2-doc sources: the guards in
+    // every index-explode and rank window get exercised; no-throw IS the
+    // assertion for the aggregate keys, plus shape checks where cheap
+    for (q <- Seq("rep_ngram_audit", "dup_sequences", "skipgram_pairs",
+        "inverted_postings", "gini_concentration", "winsorize_stats",
+        "train_test_split", "langid_confusion", "curation_pipeline_e2e"))
+      SparkEntry.queries(q)(spark, edgeDir).collect()
+    // 5-token doc 3 yields exactly 4 distance-1 + 3 distance-2 pairs
+    assert(SparkEntry.queries("skipgram_pairs")(spark, edgeDir)
+      .collect().map(_.getAs[Long]("cnt")).sum == 7L)
+    // no 10-token doc exists -> no cross-doc sequence candidates
+    assert(SparkEntry.queries("dup_sequences")(spark, edgeDir).count() == 0)
+  }
+
+  /** Events with a censored user (signup, no purchase), an excluded user
+    * (purchase with no signup), and a converting user — ts stored as
+    * nanos longs to match the driver fixture's nanosAsLong read path. */
+  private lazy val edgeEvDir: String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("edge_events").toString
+    val us = 1704067200000000L
+    def ns(addUs: Long): Long = (us + addUs) * 1000L
+    Seq(
+      (1L, ns(0L), 10L, "signup", 1.0, "{}"),
+      (2L, ns(1000000L), 11L, "purchase", 2.0, "{}"),
+      (3L, ns(2000000L), 12L, "signup", 3.0, "{}"),
+      (4L, ns(86400000000L + 2000000L), 12L, "purchase", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("survival_km: censored, excluded, and converting users classify " +
+    "correctly on the edge events") {
+    val rows = SparkEntry.queries("survival_km")(spark, edgeEvDir).collect()
+    val byDur = rows.map(r => r.getAs[Long]("dur") -> r).toMap
+    // user 10 censored at dur 0; user 12 events at dur 1; user 11 (no
+    // signup) excluded entirely
+    assert(byDur.keySet == Set(0L, 1L), rows.mkString(","))
+    assert(byDur(0L).getAs[Long]("n_cens") == 1L)
+    assert(byDur(0L).getAs[Long]("n_ev") == 0L)
+    assert(byDur(0L).getAs[Double]("survival") == 1.0)
+    assert(byDur(1L).getAs[Long]("n_ev") == 1L)
+    // the last at-risk cohort fully events -> S pinned to exactly 0
+    assert(byDur(1L).getAs[Double]("survival") == 0.0)
+  }
+
+  test("round-5 event keys survive single-event users and one-sided periods") {
+    // markov: only user 12 has a consecutive pair
+    val mk = SparkEntry.queries("markov_transitions")(spark, edgeEvDir)
+      .collect()
+    assert(mk.length == 1 && mk.head.getAs[String]("from_type") == "signup"
+      && mk.head.getAs[Double]("p") == 1.0, mk.mkString(","))
+    // all events fall in drift_chi2/ks's week-1 period: the week-4 side
+    // is empty -> no crash; ks gap is null-divided, chi2 keeps rows
+    SparkEntry.queries("drift_ks")(spark, edgeEvDir).collect()
+    SparkEntry.queries("drift_chi2")(spark, edgeEvDir).collect()
+    for (q <- Seq("event_pattern_match", "rolling_active_users",
+        "decayed_counts", "join_asof_nearest", "cusum_changepoint"))
+      SparkEntry.queries(q)(spark, edgeEvDir).collect()
+    // rolling: day 1 has 3 actives, day 2 has 1 active but WAU 3
+    val rau = SparkEntry.queries("rolling_active_users")(spark, edgeEvDir)
+      .collect().sortBy(_.getAs[Long]("day"))
+    assert(rau.map(_.getAs[Long]("dau")).toSeq == Seq(3L, 1L))
+    assert(rau.map(_.getAs[Long]("wau")).toSeq == Seq(3L, 3L))
+  }
 }
