@@ -483,8 +483,10 @@ object StatsQ {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
         sum(col("i") * col("n_chars")).as("iwx"))
       .select(col("source"), col("n_docs"), col("total_chars"),
+        // nullif: a source of only empty docs has total_chars 0 — NULL
+        // gini, not an ANSI divide-by-zero
         r6(lit(2.0) * dbl(col("iwx")) /
-          (dbl(col("n_docs")) * dbl(col("total_chars"))) -
+          nullif(dbl(col("n_docs")) * dbl(col("total_chars")), lit(0.0)) -
           (dbl(col("n_docs")) + 1.0) / dbl(col("n_docs"))).as("gini"))
       .orderBy(col("source"))
   }
@@ -618,7 +620,7 @@ object StatsQ {
          |    sum(i * n_chars) AS iwx
          |  FROM ranked GROUP BY source)
          |SELECT source, n_docs, total_chars,
-         |  ${r6Sql("2.0 * CAST(iwx AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(total_chars AS DOUBLE)) - (CAST(n_docs AS DOUBLE) + 1.0) / CAST(n_docs AS DOUBLE)")}
+         |  ${r6Sql("2.0 * CAST(iwx AS DOUBLE) / nullif(CAST(n_docs AS DOUBLE) * CAST(total_chars AS DOUBLE), 0) - (CAST(n_docs AS DOUBLE) + 1.0) / CAST(n_docs AS DOUBLE)")}
          |    AS gini
          |FROM agg ORDER BY source""".stripMargin,
     "survival_km" ->
