@@ -525,7 +525,41 @@ object StatsQ {
       .orderBy(col("lang"))
   }
 
+  /** Two-proportion z-test (r5) — the A/B-test readout: per event type,
+    * is the high-value rate (value > 250) of week 1 different from
+    * week 4? z = (p₁−p₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) with the pooled p̂.
+    * Deterministic WITHOUT pinning: every input is an exact int count,
+    * each division/multiply is mirrored in identical order, and IEEE-754
+    * sqrt is CORRECTLY ROUNDED on both engines (unlike ln/exp, sqrt has
+    * no libm latitude) — so the z doubles match bit-for-bit before r6.
+    * One groupBy shuffle; nullif guards empty sides (EdgeCorpusSpec's
+    * one-sided-period scenario). */
+  val abtestZtest: QFn = (s, dir) => {
+    val isA = col("ts_us") < lit(1704672000000000L)
+    val isB = col("ts_us") >= lit(1705881600000000L)
+    val hi = (col("value") > 250.0).cast("long")
+    val cells = t(s, dir, "events")
+      .filter(isA || isB)
+      .groupBy(col("event_type"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("n1"),
+        sum(when(isA, hi).otherwise(0L)).as("k1"),
+        sum(when(isB, 1L).otherwise(0L)).as("n2"),
+        sum(when(isB, hi).otherwise(0L)).as("k2"))
+    val p1 = dbl(col("k1")) / nullif(col("n1"), lit(0L))
+    val p2 = dbl(col("k2")) / nullif(col("n2"), lit(0L))
+    val pp = dbl(col("k1") + col("k2")) / nullif(col("n1") + col("n2"), lit(0L))
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / nullif(col("n1"), lit(0L)) +
+        lit(1.0) / nullif(col("n2"), lit(0L))))
+    cells
+      .select(col("event_type"), col("n1"), col("k1"), col("n2"), col("k2"),
+        r6(p1).as("p1"), r6(p2).as("p2"),
+        r6((p1 - p2) / nullif(se, lit(0.0))).as("z"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "abtest_ztest"        -> abtestZtest,
     "winsorize_stats"     -> winsorizeStats,
     "markov_transitions"  -> markovTransitions,
     "cusum_changepoint"   -> cusumChangepoint,
@@ -549,6 +583,33 @@ object StatsQ {
     "win_range_frame"    -> winRangeFrame)
 
   val oracle: Map[String, String] = Map(
+    "abtest_ztest" ->
+      s"""WITH cells AS (
+         |  SELECT event_type,
+         |    sum(CASE WHEN epoch_us(ts) < 1704672000000000
+         |        THEN 1 ELSE 0 END) AS n1,
+         |    sum(CASE WHEN epoch_us(ts) < 1704672000000000 AND value > 250
+         |        THEN 1 ELSE 0 END) AS k1,
+         |    sum(CASE WHEN epoch_us(ts) >= 1705881600000000
+         |        THEN 1 ELSE 0 END) AS n2,
+         |    sum(CASE WHEN epoch_us(ts) >= 1705881600000000 AND value > 250
+         |        THEN 1 ELSE 0 END) AS k2
+         |  FROM events
+         |  WHERE epoch_us(ts) < 1704672000000000
+         |     OR epoch_us(ts) >= 1705881600000000
+         |  GROUP BY event_type),
+         |z AS (
+         |  SELECT event_type, n1, k1, n2, k2,
+         |    CAST(k1 AS DOUBLE) / nullif(n1, 0) AS p1,
+         |    CAST(k2 AS DOUBLE) / nullif(n2, 0) AS p2,
+         |    sqrt((CAST(k1 + k2 AS DOUBLE) / nullif(n1 + n2, 0))
+         |      * (1.0 - CAST(k1 + k2 AS DOUBLE) / nullif(n1 + n2, 0))
+         |      * (1.0 / nullif(n1, 0) + 1.0 / nullif(n2, 0))) AS se
+         |  FROM cells)
+         |SELECT event_type, n1, k1, n2, k2,
+         |  ${r6Sql("p1")} AS p1, ${r6Sql("p2")} AS p2,
+         |  ${r6Sql("(p1 - p2) / nullif(se, 0)")} AS z
+         |FROM z ORDER BY event_type""".stripMargin,
     "winsorize_stats" ->
       s"""WITH r AS (
          |  SELECT lang, n_chars,
