@@ -271,7 +271,44 @@ object CurationQ {
       .orderBy(col("source"), col("split"))
   }
 
+  /** Incremental ingestion dedup (r5) — the daily-batch pattern: only the
+    * NEW batch (doc_id ≡ 0 mod 4, the deterministic stand-in for "today's
+    * crawl") is hashed and joined against the standing history index;
+    * history is never re-scanned for its own dups. Per new doc:
+    * dup_of_history (content hash exists in history), dup_in_batch
+    * (another batch doc shares the hash, lowest id is the keeper).
+    * Output: the per-source ingestion report (accepted / rejected-history
+    * / rejected-batch counts).
+    *
+    * Scale shape: at 100 TB the history side is a pre-built hash index
+    * (bucketed by hash); the batch-side probe shuffles ONLY the delta —
+    * cost tracks batch size, not corpus size. Here both sides derive from
+    * the same table split, and the joins are semi/left on the 16-byte
+    * md5 — the probe pattern is the real one. */
+  val incrementalDedup: QFn = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(TextOps.normText(col("text"))).as("h"))
+    val hist = docs.filter(col("doc_id") % 4 =!= 0)
+      .select(col("h").as("hh")).distinct()
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+    val wH = Window.partitionBy(col("h"))
+    batch
+      .join(hist, col("h") === col("hh"), "left")
+      .withColumn("dup_hist", col("hh").isNotNull)
+      .withColumn("keeper", min(col("doc_id")).over(wH))
+      .withColumn("dup_batch", !col("dup_hist") && col("doc_id") =!= col("keeper"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_batch"),
+        sum(when(col("dup_hist"), 1L).otherwise(0L)).as("n_rej_hist"),
+        sum(when(col("dup_batch"), 1L).otherwise(0L)).as("n_rej_batch"),
+        sum(when(!col("dup_hist") && !col("dup_batch"), 1L).otherwise(0L))
+          .as("n_accepted"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "incremental_dedup"     -> incrementalDedup,
     "train_test_split"      -> trainTestSplit,
     "contamination_overlap" -> contaminationOverlap,
     "lm_bigram_score"       -> lmBigramScore,
@@ -310,6 +347,27 @@ object CurationQ {
     "(e - CAST(floor(e * 127.0 / sc + 0.5) AS BIGINT) * sc / 127.0)"
 
   val oracle: Map[String, String] = Map(
+    "incremental_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h
+        |  FROM documents),
+        |hist AS (SELECT DISTINCT h AS hh FROM docs WHERE doc_id % 4 <> 0),
+        |batch AS (SELECT * FROM docs WHERE doc_id % 4 = 0),
+        |j AS (
+        |  SELECT b.doc_id, b.source, b.h,
+        |    (hh IS NOT NULL) AS dup_hist,
+        |    min(b.doc_id) OVER (PARTITION BY b.h) AS keeper
+        |  FROM batch b LEFT JOIN hist ON b.h = hh),
+        |c AS (
+        |  SELECT *, (NOT dup_hist AND doc_id <> keeper) AS dup_batch
+        |  FROM j)
+        |SELECT source, count(*) AS n_batch,
+        |  sum(CASE WHEN dup_hist THEN 1 ELSE 0 END) AS n_rej_hist,
+        |  sum(CASE WHEN dup_batch THEN 1 ELSE 0 END) AS n_rej_batch,
+        |  sum(CASE WHEN NOT dup_hist AND NOT dup_batch THEN 1 ELSE 0 END)
+        |    AS n_accepted
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "train_test_split" ->
       """WITH d AS (
         |  SELECT doc_id, source, n_chars,
