@@ -68,12 +68,67 @@ object QualityQ {
       .orderBy(col("tbl"))
   }
 
+  /** Embedding-table expectations (r5) — the DQ layer for the vector
+    * side: per label, dimension uniformity (min = max = the model's
+    * output width), zero-vector and NaN/null-element counts, and the
+    * mean L2 norm (collapsed or exploded norms flag a bad encoder run).
+    *
+    * Determinism: each norm is sqrt (correctly rounded IEEE) of a
+    * SEQUENTIAL array fold (both engines left-fold — the quantize_embed
+    * precedent), then pinned to an exact nano-scaled LONG via the r6
+    * floor formula at 9 digits; the cross-row mean sums those integers
+    * exactly and divides once under r6. No decimal casts anywhere.
+    * One label-keyed groupBy — a single shuffle at any scale. */
+  val dqEmbeddings: QFn = (s, dir) => {
+    val x = transform(col("embedding"), e => e.cast("double"))
+    val sq = aggregate(transform(col("x"), e => e * e),
+      lit(0.0), (a, b) => a + b)
+    t(s, dir, "embeddings")
+      .select(col("label"), x.as("x"))
+      .withColumn("dim", size(col("x")).cast("long"))
+      .withColumn("norm", sqrt(sq))
+      .withColumn("norm_nano", floor(col("norm") * 1e9 + 0.5).cast("long"))
+      .withColumn("has_bad",
+        exists(col("x"), e => e.isNull || isnan(e)))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"),
+        sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("has_bad"), 1L).otherwise(0L)).as("n_bad"),
+        r6(dbl(sum(col("norm_nano"))) / (lit(1e9) * count(lit(1))))
+          .as("mean_norm"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "dq_embeddings"  -> dqEmbeddings,
     "dq_profile"     -> dqProfile,
     "dq_referential" -> dqReferential,
     "dq_uniqueness"  -> dqUniqueness)
 
   val oracle: Map[String, String] = Map(
+    "dq_embeddings" ->
+      """WITH v AS (
+        |  SELECT label,
+        |    list_transform(embedding, e -> CAST(e AS DOUBLE)) AS x
+        |  FROM embeddings),
+        |f AS (
+        |  SELECT label, CAST(len(x) AS BIGINT) AS dim,
+        |    sqrt(list_reduce(list_transform(x, e -> e * e),
+        |      (a, b) -> a + b)) AS norm,
+        |    len(list_filter(x, e -> e IS NULL OR isnan(e))) > 0 AS has_bad
+        |  FROM v),
+        |g AS (
+        |  SELECT label, dim, has_bad, norm,
+        |    floor(norm * 1000000000 + 0.5) AS norm_nano
+        |  FROM f)
+        |SELECT label, count(*) AS n_vecs,
+        |  min(dim) AS dim_min, max(dim) AS dim_max,
+        |  sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS n_zero,
+        |  sum(CASE WHEN has_bad THEN 1 ELSE 0 END) AS n_bad,
+        |  floor(sum(norm_nano) / (1000000000.0 * count(*)) * 1000000 + 0.5)
+        |    / 1000000 AS mean_norm
+        |FROM g GROUP BY label ORDER BY label""".stripMargin,
     "dq_profile" ->
       """SELECT count(*) AS n_rows,
         |  count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS key_nulls,

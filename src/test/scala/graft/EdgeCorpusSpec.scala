@@ -171,6 +171,14 @@ class EdgeCorpusSpec extends SparkSpec {
     dir
   }
 
+  test("dq_embeddings counts the zero vector and keeps exact dims") {
+    val rows = SparkEntry.queries("dq_embeddings")(spark, edgeVecDir)
+      .collect().map(r => r.getAs[Int]("label") -> r).toMap
+    assert(rows(0).getAs[Long]("n_zero") == 1L)
+    assert(rows(0).getAs[Double]("mean_norm") == 0.0)
+    assert(rows.values.forall(_.getAs[Long]("dim_min") == 4L))
+  }
+
   test("survival_km: censored, excluded, and converting users classify " +
     "correctly on the edge events") {
     val rows = SparkEntry.queries("survival_km")(spark, edgeEvDir).collect()
