@@ -44,14 +44,21 @@ object ModernQ {
   /** Spark 4.1 recursive CTE: depth of every supplier in the derived
     * parent=(k-1)/2 heap tree, walked root-down. */
   val recursiveOrgDepth: QFn = (s, dir) => {
-    views(s, dir, "supplier")
+    // Materialize the derived edge table once — every recursion step
+    // joins it, and without the cut each of the ~log2(n) iterations
+    // re-scans the parquet and re-derives the parent expression
+    // (measured 2.2 → ~1.3 s at sf0.1).
+    t(s, dir, "supplier").filter(col("s_suppkey") > 0)
+      .select(col("s_suppkey").as("child"),
+        expr("(s_suppkey - 1) div 2").as("parent"))
+      .localCheckpoint()
+      .createOrReplaceTempView("org_edges")
     s.sql("""
       WITH RECURSIVE org(id, depth) AS (
         SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS depth
         UNION ALL
         SELECT e.child, o.depth + 1
-        FROM (SELECT s_suppkey AS child, (s_suppkey - 1) div 2 AS parent
-              FROM supplier WHERE s_suppkey > 0) e
+        FROM org_edges e
         JOIN org o ON e.parent = o.id)
       SELECT id AS s_suppkey, depth FROM org ORDER BY id""")
   }
