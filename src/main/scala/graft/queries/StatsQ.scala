@@ -558,7 +558,37 @@ object StatsQ {
       .orderBy(col("event_type"))
   }
 
+  /** Day-of-week seasonal decomposition (r5) — the seasonal-naive model
+    * behind traffic forecasting and anomaly baselines: per (event type,
+    * day-of-week), the seasonal index = mean daily count for that dow ÷
+    * overall mean daily count. Counts are exact ints; each index is a
+    * ratio of two exact means — computed as (sum_dow · n_days) /
+    * (n_dow_days · total), ONE double division per output row (the
+    * algebraic form that avoids dividing twice). One daily-count
+    * shuffle; everything after runs on the per-(type, dow) aggregate
+    * (≤ 7·types rows at any corpus size). */
+  val seasonalDow: QFn = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("dow", expr("(day + 4) % 7")) // epoch day 0 = Thursday
+    val wT = Window.partitionBy(col("event_type"))
+    daily
+      .withColumn("total", sum(col("c")).over(wT))
+      .withColumn("n_days", count(lit(1)).over(wT))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_dow_days"), sum(col("c")).as("sum_dow"),
+        max(col("total")).as("total"), max(col("n_days")).as("n_days"))
+      .select(col("event_type"), col("dow"), col("n_dow_days"),
+        col("sum_dow"),
+        r6(dbl(col("sum_dow") * col("n_days")) /
+          dbl(col("n_dow_days") * col("total"))).as("seasonal_idx"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "seasonal_dow"        -> seasonalDow,
     "abtest_ztest"        -> abtestZtest,
     "winsorize_stats"     -> winsorizeStats,
     "markov_transitions"  -> markovTransitions,
@@ -583,6 +613,22 @@ object StatsQ {
     "win_range_frame"    -> winRangeFrame)
 
   val oracle: Map[String, String] = Map(
+    "seasonal_dow" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    count(*) AS c
+         |  FROM events GROUP BY event_type, day),
+         |d2 AS (
+         |  SELECT event_type, (day + 4) % 7 AS dow, c,
+         |    sum(c) OVER (PARTITION BY event_type) AS total,
+         |    count(*) OVER (PARTITION BY event_type) AS n_days
+         |  FROM daily)
+         |SELECT event_type, dow, count(*) AS n_dow_days,
+         |  CAST(sum(c) AS BIGINT) AS sum_dow,
+         |  ${r6Sql("CAST(sum(c) * max(n_days) AS DOUBLE) / CAST(count(*) * max(total) AS DOUBLE)")}
+         |    AS seasonal_idx
+         |FROM d2 GROUP BY event_type, dow
+         |ORDER BY event_type, dow""".stripMargin,
     "abtest_ztest" ->
       s"""WITH cells AS (
          |  SELECT event_type,
