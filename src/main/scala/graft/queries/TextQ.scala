@@ -136,11 +136,14 @@ object TextQ {
     * Jaccard verification on the candidate set — the 100 TB-scale dedup.
     * Exposed unsorted so CurationQ's end-to-end dedup pipeline can consume
     * the same verified pairs without re-deriving the pipeline. */
-  private[queries] def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+  /** MinHash signatures (8 hashes) + LSH band rows (4 bands of 2) —
+    * shared by the global pair pipeline and the incremental probe.
+    * Signatures hash the STRING shingle (oracle parity); the Jaccard
+    * verification set + band-bucket join keys use xxhash64 longs — Spark
+    * internals only, so cheaper shuffles with identical results. */
+  private def minhashSigBands(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val sh = shingleRows(s, dir)
-    // Signatures hash the STRING shingle (oracle parity); the Jaccard
-    // verification set + band-bucket join keys use xxhash64 longs — Spark
-    // internals only, so cheaper shuffles with identical results.
     val sigAggs = Seq(collect_set(xxhash64(col("shingle"))).as("shset")) ++
       (0 until 8).map(i =>
         min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i"))
@@ -153,6 +156,11 @@ object TextQ {
             .as("bucket"))): _*))
         .as("b"))
       .select(col("doc_id"), col("b.band_idx"), col("b.bucket"))
+    (sig, bands)
+  }
+
+  private[queries] def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val (sig, bands) = minhashSigBands(s, dir)
     // Candidates via groupBy + per-bucket pair expansion instead of a
     // band self-join: one execution of the signature pipeline, not two
     // (AQE stage reuse is not guaranteed across join sides), and the
@@ -675,7 +683,47 @@ object TextQ {
       .orderBy(col("source"), col("split"))
   }
 
+  /** Incremental NEAR-dup detection (r5) — incremental_dedup's exact
+    * hash probe extended to near-duplicates: only the NEW batch's LSH
+    * band rows probe the standing history band index (equi join on
+    * (band_idx, bucket)); candidates verify with exact Jaccard ≥ 0.8.
+    * Per-source ingestion report: batch size, near-dups of history, net
+    * new. The crawl-dedup pattern at 100 TB — band-probe cost tracks
+    * BATCH size, history is a pre-built index, and no within-history or
+    * within-batch pair work happens at all. */
+  val incrementalNeardup: QFn = (s, dir) => {
+    val (sig, bands) = minhashSigBands(s, dir)
+    val isBatch = col("doc_id") % 4 === 0
+    val cand = bands.filter(isBatch)
+      .select(col("doc_id").as("b_id"), col("band_idx"), col("bucket"))
+      .join(bands.filter(!isBatch)
+        .select(col("doc_id").as("h_id"), col("band_idx"), col("bucket")),
+        Seq("band_idx", "bucket"))
+      .select(col("b_id"), col("h_id")).distinct()
+    val dup = cand
+      .join(sig.select(col("doc_id").as("b_id"), col("shset").as("sb"),
+        col("n").as("nb")), "b_id")
+      .join(sig.select(col("doc_id").as("h_id"), col("shset").as("sh2"),
+        col("n").as("nh")), "h_id")
+      .withColumn("inter",
+        size(array_intersect(col("sb"), col("sh2"))).cast("long"))
+      .filter(r6(col("inter") / (col("nb") + col("nh") - col("inter")))
+        >= 0.8)
+      .select(col("b_id")).distinct()
+      .withColumn("is_dup", lit(1L))
+    t(s, dir, "documents").filter(isBatch)
+      .select(col("doc_id"), col("source"))
+      .join(dup, col("doc_id") === col("b_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_batch"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_neardup_hist"),
+        (count(lit(1)) - sum(coalesce(col("is_dup"), lit(0L))))
+          .as("n_new"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "incremental_neardup" -> incrementalNeardup,
     "langid_confusion"   -> langidConfusion,
     "curation_pipeline_e2e" -> curationPipelineE2e,
     "inverted_postings"  -> invertedPostings,
@@ -787,6 +835,34 @@ object TextQ {
       |     ELSE 'en' END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "incremental_neardup" ->
+      s"""WITH $shCte,
+         |sig AS (SELECT doc_id, count(*) AS n, list(shingle) AS shl,
+         |  ${(0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")}
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (SELECT doc_id, i AS band_idx,
+         |    CASE i WHEN 0 THEN mh0 || mh1 WHEN 1 THEN mh2 || mh3
+         |           WHEN 2 THEN mh4 || mh5 ELSE mh6 || mh7 END AS bucket
+         |  FROM sig, (SELECT unnest(range(4)) AS i)),
+         |cand AS (SELECT DISTINCT b.doc_id AS b_id, h.doc_id AS h_id
+         |  FROM bands b JOIN bands h USING (band_idx, bucket)
+         |  WHERE b.doc_id % 4 = 0 AND h.doc_id % 4 <> 0),
+         |dup AS (SELECT DISTINCT b_id
+         |  FROM (SELECT b_id,
+         |      CAST(len(list_intersect(sb.shl, sh2.shl)) AS BIGINT) AS inter,
+         |      sb.n AS nb, sh2.n AS nh
+         |    FROM cand JOIN sig sb ON b_id = sb.doc_id
+         |              JOIN sig sh2 ON h_id = sh2.doc_id)
+         |  WHERE floor((inter / (nb + nh - inter)) * 1000000 + 0.5) / 1000000
+         |    >= 0.8)
+         |SELECT d.source, count(*) AS n_batch,
+         |  CAST(sum(CASE WHEN dup.b_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_neardup_hist,
+         |  CAST(count(*) - sum(CASE WHEN dup.b_id IS NOT NULL THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_new
+         |FROM documents d LEFT JOIN dup ON d.doc_id = dup.b_id
+         |WHERE d.doc_id % 4 = 0
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "langid_confusion" ->
       s"""WITH p AS (
          |  SELECT lang, $langPredSql AS lang_pred FROM documents),
