@@ -16,12 +16,19 @@ object Bench {
     // first — r2/r3 benches showed a ~5 s phantom "regression" migrating
     // between unrelated keys as the inventory reshuffled. ~1-2 s, untimed;
     // per-query numbers then measure the query, not session init.
-    Tables.names.foreach { n => Tables(spark, sfDir, n).count() }
+    // A broken table must cost its keys (they land in `errors` below), not
+    // the whole bench artifact — r5's fixture regeneration crashed the
+    // uncaught warm-up read and zeroed BENCH_r05 entirely.
+    Tables.names.foreach { n =>
+      try Tables(spark, sfDir, n).count()
+      catch { case _: Throwable => () }
+    }
     // Collation machinery (collator factories + ICU tables) is another
     // one-time session cost (~2-7 s measured on first collate() use);
     // evaluate one collated comparison untimed so collate_group measures
     // the query, not the init.
-    spark.sql("SELECT 'a' = 'A' COLLATE UTF8_LCASE").count()
+    try spark.sql("SELECT 'a' = 'A' COLLATE UTF8_LCASE").count()
+    catch { case _: Throwable => () }
     // Min-of-2 per key: this box shows bursty co-tenant interference that
     // has inflated single-pass captures 1.3-10× on individual keys (two
     // driver captures replayed 35-40% faster idle — see BASELINE.md). The

@@ -5,16 +5,22 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the 10 driver-generated parquet tables (TESTDATA.md).
   *
-  * `events.ts` is parquet `TIMESTAMP(NANOS)`, which Spark 4.x rejects by
-  * default (`[PARQUET_TYPE_ILLEGAL]`, SURVEY.md §7.3). The loader enables
-  * `spark.sql.legacy.parquet.nanosAsLong` (a dynamic SQLConf) so the column
-  * arrives as `LongType` nanoseconds, then derives:
-  *   - `ts_us`: epoch microseconds (exact integer division — the data is
-  *     µs-grain, so no precision is lost; DuckDB's `epoch_us(ts)` yields the
-  *     identical value, which is what makes events queries oracle-checkable)
+  * `events.ts` has shipped in two physical vintages: parquet
+  * `TIMESTAMP(NANOS)` (pre-2026-08-13 fixtures; Spark 4.x rejects it by
+  * default with `[PARQUET_TYPE_ILLEGAL]`, so the loader enables
+  * `spark.sql.legacy.parquet.nanosAsLong` and the column arrives as
+  * `LongType` nanos) and `timestamp[us]` without timezone (the regenerated
+  * fixtures; arrives as `TIMESTAMP_NTZ`). The loader branches on the
+  * OBSERVED footer type — an engine meant for 100 TB cannot hardcode one
+  * fixture vintage — and normalizes both to the same two columns:
+  *   - `ts_us`: epoch microseconds (exact in both vintages — the data is
+  *     µs-grain, so `div 1000` from nanos loses nothing, and `unix_micros`
+  *     of the UTC-cast NTZ value is exact by construction; DuckDB's
+  *     `epoch_us(ts)` yields the identical value either way, which is what
+  *     makes events queries oracle-checkable across vintages)
   *   - `ts`:    a real `TimestampType` column for window()/session logic
-  *     (session timezone is UTC everywhere, so bucket arithmetic matches the
-  *     oracle's naive timestamps).
+  *     (session timezone is pinned UTC below, so the NTZ cast and all
+  *     bucket arithmetic match the oracle's naive timestamps).
   *
   * All other tables read as-is: fixed schemas from parquet footers, never
   * `mergeSchema`. At cluster scale this loader is where partition-dir
@@ -44,13 +50,27 @@ object Tables {
     // first lower()-bearing query of a fresh JVM). JVM case mappings are
     // byte-identical to DuckDB's on this corpus, so pick them and skip init.
     spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
+    // Timestamp semantics (NTZ cast, window() bucketing, date_format) must
+    // be UTC for the oracle match; every entrypoint sets this, but pinning
+    // it at the loader makes it impossible for one (e.g. Bench) to drift.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     registry.getOrElseUpdate(
       (System.identityHashCode(spark).toString, sfDir, name), name match {
       case "events" =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$sfDir/events.parquet")
-          .withColumn("ts_us", expr("ts div 1000"))
-          .withColumn("ts", timestamp_micros(col("ts_us")))
+        val raw = spark.read.parquet(s"$sfDir/events.parquet")
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            // old vintage: TIMESTAMP(NANOS) surfaced as Long nanos
+            raw.withColumn("ts_us", expr("ts div 1000"))
+              .withColumn("ts", timestamp_micros(col("ts_us")))
+          case _ =>
+            // new vintage: timestamp[us] (NTZ); UTC session makes the cast
+            // exact. Normalize to TimestampType + epoch-micros ts_us so
+            // every downstream query sees one schema regardless of vintage.
+            raw.withColumn("ts", col("ts").cast("timestamp"))
+              .withColumn("ts_us", unix_micros(col("ts")))
+        }
       case n =>
         spark.read.parquet(s"$sfDir/$n.parquet")
     })

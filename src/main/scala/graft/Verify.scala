@@ -19,15 +19,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // One-line round-log summary: a systematic failure (e.g. a fixture
+    // schema drift breaking one table's whole key family) must be visible
+    // at a glance, not spread over 46 interleaved stack traces.
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size} keys FAILED: ${failed.sorted.mkString(",")}")
+    else System.err.println("[verify] all keys dumped ok")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -44,6 +53,11 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Unfiltered copy for dev tooling (oracle dtype scans etc.) so a
+    // filtered re-verify never clobbers the full SQL inventory.
+    val jsonAll = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_all.json"), jsonAll)
     // The 3 ⊘ sketch keys have no bit-comparable oracle; without this
     // their CORRECTNESS rows read `err: no_oracle`, indistinguishable
     // from a broken query. Emit the measured error bounds (the same

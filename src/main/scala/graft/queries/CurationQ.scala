@@ -363,10 +363,12 @@ object CurationQ {
         |  SELECT *, (NOT dup_hist AND doc_id <> keeper) AS dup_batch
         |  FROM j)
         |SELECT source, count(*) AS n_batch,
-        |  sum(CASE WHEN dup_hist THEN 1 ELSE 0 END) AS n_rej_hist,
-        |  sum(CASE WHEN dup_batch THEN 1 ELSE 0 END) AS n_rej_batch,
-        |  sum(CASE WHEN NOT dup_hist AND NOT dup_batch THEN 1 ELSE 0 END)
-        |    AS n_accepted
+        |  CAST(sum(CASE WHEN dup_hist THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_rej_hist,
+        |  CAST(sum(CASE WHEN dup_batch THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_rej_batch,
+        |  CAST(sum(CASE WHEN NOT dup_hist AND NOT dup_batch
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "train_test_split" ->
       """WITH d AS (
@@ -377,7 +379,8 @@ object CurationQ {
         |           THEN 'valid'
         |         ELSE 'test' END AS split
         |  FROM documents)
-        |SELECT source, split, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |SELECT source, split, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS first_doc
         |FROM d GROUP BY source, split
         |ORDER BY source, split""".stripMargin,
@@ -499,8 +502,8 @@ object CurationQ {
         |    sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
         |      ROWS UNBOUNDED PRECEDING) - tok AS o
         |  FROM toks)
-        |SELECT lang, o // 512 AS bin, count(*) AS n_docs,
-        |  sum(tok) AS sum_tok,
+        |SELECT lang, CAST(o // 512 AS BIGINT) AS bin, count(*) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS sum_tok,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM off GROUP BY lang, o // 512
         |ORDER BY lang, bin""".stripMargin)

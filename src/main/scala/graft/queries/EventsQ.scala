@@ -12,11 +12,12 @@ import core._
   *
   * All timestamps flow as `ts_us` epoch-microsecond BIGINTs in outputs:
   * exact on both engines (events data is µs-grain; DuckDB `epoch_us(ts)`
-  * equals Spark's `ts div 1000` of the nanos — verified).
+  * equals the loader's `ts_us` under either physical vintage — nanos-Long
+  * or timestamp[us] — see Tables.scala).
   */
 object EventsQ {
 
-  /** NANOS-timestamp scan + normalization (the SURVEY §7.3 trap, exercised). */
+  /** Events scan + vintage normalization (the SURVEY §7.3 trap, exercised). */
   val scanEvents: QFn = (s, dir) =>
     t(s, dir, "events")
       .select(col("event_id"), col("ts_us"), col("event_type"), col("value"))

@@ -124,8 +124,10 @@ object QualityQ {
         |  FROM f)
         |SELECT label, count(*) AS n_vecs,
         |  min(dim) AS dim_min, max(dim) AS dim_max,
-        |  sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS n_zero,
-        |  sum(CASE WHEN has_bad THEN 1 ELSE 0 END) AS n_bad,
+        |  CAST(sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero,
+        |  CAST(sum(CASE WHEN has_bad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bad,
         |  floor(sum(norm_nano) / (1000000000.0 * count(*)) * 1000000 + 0.5)
         |    / 1000000 AS mean_norm
         |FROM g GROUP BY label ORDER BY label""".stripMargin,

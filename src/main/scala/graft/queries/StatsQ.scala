@@ -632,14 +632,14 @@ object StatsQ {
     "abtest_ztest" ->
       s"""WITH cells AS (
          |  SELECT event_type,
-         |    sum(CASE WHEN epoch_us(ts) < 1704672000000000
-         |        THEN 1 ELSE 0 END) AS n1,
-         |    sum(CASE WHEN epoch_us(ts) < 1704672000000000 AND value > 250
-         |        THEN 1 ELSE 0 END) AS k1,
-         |    sum(CASE WHEN epoch_us(ts) >= 1705881600000000
-         |        THEN 1 ELSE 0 END) AS n2,
-         |    sum(CASE WHEN epoch_us(ts) >= 1705881600000000 AND value > 250
-         |        THEN 1 ELSE 0 END) AS k2
+         |    CAST(sum(CASE WHEN epoch_us(ts) < 1704672000000000
+         |        THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN epoch_us(ts) < 1704672000000000
+         |        AND value > 250 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+         |    CAST(sum(CASE WHEN epoch_us(ts) >= 1705881600000000
+         |        THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN epoch_us(ts) >= 1705881600000000
+         |        AND value > 250 THEN 1 ELSE 0 END) AS BIGINT) AS k2
          |  FROM events
          |  WHERE epoch_us(ts) < 1704672000000000
          |     OR epoch_us(ts) >= 1705881600000000
@@ -671,8 +671,10 @@ object StatsQ {
          |  FROM r),
          |w AS (SELECT *, least(greatest(n_chars, lo), hi) AS wz FROM b)
          |SELECT lang, count(*) AS n_docs,
-         |  sum(CASE WHEN n_chars < lo THEN 1 ELSE 0 END) AS n_clip_lo,
-         |  sum(CASE WHEN n_chars > hi THEN 1 ELSE 0 END) AS n_clip_hi,
+         |  CAST(sum(CASE WHEN n_chars < lo THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_clip_lo,
+         |  CAST(sum(CASE WHEN n_chars > hi THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_clip_hi,
          |  max(lo) AS p05, max(hi) AS p95,
          |  ${r6Sql("CAST(sum(n_chars) AS DOUBLE) / count(*)")} AS mean_raw,
          |  ${r6Sql("CAST(sum(wz) AS DOUBLE) / count(*)")} AS mean_winsor
@@ -723,8 +725,9 @@ object StatsQ {
          |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS i
          |  FROM documents),
          |agg AS (
-         |  SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
-         |    sum(i * n_chars) AS iwx
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |    CAST(sum(i * n_chars) AS BIGINT) AS iwx
          |  FROM ranked GROUP BY source)
          |SELECT source, n_docs, total_chars,
          |  ${r6Sql("2.0 * CAST(iwx AS DOUBLE) / nullif(CAST(n_docs AS DOUBLE) * CAST(total_chars AS DOUBLE), 0) - (CAST(n_docs AS DOUBLE) + 1.0) / CAST(n_docs AS DOUBLE)")}
@@ -747,14 +750,15 @@ object StatsQ {
          |    (te IS NOT NULL) AS is_ev
          |  FROM s2 LEFT JOIN pu ON s2.user_id = pu.user_id),
          |per AS (
-         |  SELECT dur, sum(CASE WHEN is_ev THEN 1 ELSE 0 END) AS n_ev,
+         |  SELECT dur,
+         |    CAST(sum(CASE WHEN is_ev THEN 1 ELSE 0 END) AS BIGINT) AS n_ev,
          |    count(*) AS n_all
          |  FROM d GROUP BY dur),
          |risk AS (
          |  SELECT dur, n_ev, n_all,
-         |    sum(n_all) OVER () - coalesce(sum(n_all) OVER (ORDER BY dur
+         |    CAST(sum(n_all) OVER () - coalesce(sum(n_all) OVER (ORDER BY dur
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |      AS n_risk
+         |      AS BIGINT) AS n_risk
          |  FROM per),
          |terms AS (
          |  SELECT dur, n_risk, n_ev, n_all,
@@ -792,7 +796,8 @@ object StatsQ {
          |    sum(ia) OVER (PARTITION BY event_type) AS na,
          |    sum(ib) OVER (PARTITION BY event_type) AS nb
          |  FROM e)
-         |SELECT event_type, sum(ia) AS n_a, sum(ib) AS n_b,
+         |SELECT event_type, CAST(sum(ia) AS BIGINT) AS n_a,
+         |  CAST(sum(ib) AS BIGINT) AS n_b,
          |  ${r6Sql("max(abs(CAST(ca AS DOUBLE) / nullif(na, 0) - CAST(cb AS DOUBLE) / nullif(nb, 0)))")}
          |    AS ks
          |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -808,18 +813,18 @@ object StatsQ {
          |    median(absdev) OVER (PARTITION BY source) AS mad
          |  FROM d2)
          |SELECT source, count(*) AS n_docs,
-         |  sum(CASE WHEN absdev > 4.4478 * mad THEN 1 ELSE 0 END)
-         |    AS n_outliers,
+         |  CAST(sum(CASE WHEN absdev > 4.4478 * mad THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_outliers,
          |  ${r6Sql("max(med)")} AS med,
          |  ${r6Sql("max(mad)")} AS mad
          |FROM d3 GROUP BY source ORDER BY source""".stripMargin,
     "drift_chi2" ->
       """WITH cells AS (
         |  SELECT event_type,
-        |    sum(CASE WHEN epoch_us(ts) < 1704672000000000 THEN 1
-        |        ELSE 0 END) AS n_a,
-        |    sum(CASE WHEN epoch_us(ts) >= 1705881600000000 THEN 1
-        |        ELSE 0 END) AS n_b
+        |    CAST(sum(CASE WHEN epoch_us(ts) < 1704672000000000 THEN 1
+        |        ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN epoch_us(ts) >= 1705881600000000 THEN 1
+        |        ELSE 0 END) AS BIGINT) AS n_b
         |  FROM events
         |  WHERE epoch_us(ts) < 1704672000000000
         |     OR epoch_us(ts) >= 1705881600000000

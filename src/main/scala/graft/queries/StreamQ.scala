@@ -53,15 +53,23 @@ object StreamQ {
   }
 
   /** The streaming events source with the same ts normalization as the
-    * batch loader (nanos → ts_us µs long → TimestampType). */
+    * batch loader: both physical vintages (Long nanos / timestamp[us] NTZ)
+    * converge on `ts: TimestampType` + `ts_us: Long` — Tables.scala has
+    * the vintage rationale. */
   private def sourceEvents(s: SparkSession, dir: String): DataFrame = {
     // Resolving the batch table first also sets the nanosAsLong conf the
     // raw schema read depends on (Tables.apply).
     t(s, dir, "events")
     val raw = s.read.parquet(s"$dir/events.parquet").schema
-    s.readStream.schema(raw).parquet(inbox(s, dir))
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val stream = s.readStream.schema(raw).parquet(inbox(s, dir))
+    raw("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case _ =>
+        stream.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_us", unix_micros(col("ts")))
+    }
   }
 
   /** Pin shuffle partitions for the duration of one streaming run — the

@@ -906,7 +906,8 @@ object TextQ {
          |      THEN 'valid'
          |    ELSE 'test' END AS split
          |  FROM f4)
-         |SELECT source, split, count(*) AS n_docs, sum(n_chars) AS sum_chars
+         |SELECT source, split, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM sp GROUP BY source, split ORDER BY source, split""".stripMargin,
     "inverted_postings" ->
       s"""WITH $wordsCte,
@@ -932,10 +933,11 @@ object TextQ {
          |    count(DISTINCT g) AS n_uniq
          |  FROM g GROUP BY doc_id, lang, source)
          |SELECT lang, source, count(*) AS n_docs,
-         |  sum(CASE WHEN n_grams > n_uniq THEN 1 ELSE 0 END) AS n_rep_docs,
+         |  CAST(sum(CASE WHEN n_grams > n_uniq THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_rep_docs,
          |  max(n_grams - n_uniq) AS max_dup,
-         |  sum(n_grams - n_uniq) AS sum_dup,
-         |  sum(n_grams) AS sum_grams,
+         |  CAST(sum(n_grams - n_uniq) AS BIGINT) AS sum_dup,
+         |  CAST(sum(n_grams) AS BIGINT) AS sum_grams,
          |  ${r6Sql("CAST(sum(n_grams - n_uniq) AS DOUBLE) / sum(n_grams)")}
          |    AS dup_frac
          |FROM per GROUP BY lang, source

@@ -63,6 +63,20 @@ def main(sfdir: str, outdir: str) -> int:
     for name in sorted(oracle):
         sql = oracle[name]
         try:
+            rel = con.sql(sql)
+            # Version-stability gate (r6): HUGEINT outputs convert to pandas
+            # float64 under DuckDB 1.0 but hash as non-int in other driver
+            # DuckDB versions — the root cause of r5's 9 driver-only hash
+            # fails. DECIMAL outputs are similarly conversion-dependent.
+            # Oracles must emit only BIGINT/DOUBLE/VARCHAR/BOOL/TIMESTAMP.
+            unstable = [f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+                        if str(t) in ("HUGEINT", "UHUGEINT")
+                        or str(t).startswith("DECIMAL")]
+            if unstable:
+                print(f"FAIL {name}: version-unstable oracle output dtypes "
+                      f"({'; '.join(unstable)}) — CAST to BIGINT/DOUBLE")
+                n_fail += 1
+                continue
             exp = con.execute(sql).fetch_df()
         except Exception as exc:
             print(f"FAIL {name}: oracle SQL error: {exc}")
