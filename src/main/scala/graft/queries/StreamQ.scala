@@ -33,9 +33,11 @@ import core._
   *     arrival order (which the engine does not define) can't leak into
   *     the hash.
   *
-  * Late data / watermark-drop behavior has no batch oracle by definition
-  * (SURVEY §2.9 `late_data_policy`) and stays scalatest-graded in
-  * StreamingSpec; these keys grade the on-time path cross-engine.
+  * Late data / watermark-drop behavior is graded two ways: the
+  * fixed-clock MemoryStream demo stays in StreamingSpec (SURVEY §2.9
+  * `late_data_policy` ⊘), and `late_data_exec` (r6) drives the SAME
+  * watermark semantics through the real engine deterministically enough
+  * to carry a DuckDB oracle — see its doc for the construction.
   */
 object StreamQ {
 
@@ -205,11 +207,87 @@ object StreamQ {
     s.read.parquet(out).orderBy(col("click_id"), col("view_id"))
   }
 
+  /** Stage events into 5 single-file micro-batches in a deterministic
+    * SCRAMBLED order (ntile over md5(event_id) — same expression the
+    * oracle replays), once per (JVM, dir). File order is pinned by both
+    * name and modification time, so `maxFilesPerTrigger=1` replays the
+    * same batch sequence every run. Staging is a one-time dev-scale sort;
+    * at production scale the equivalent is the ingest log's own arrival
+    * order — the point here is determinism, not the staging plan. */
+  private def lateInbox(s: SparkSession, dir: String): String = synchronized {
+    val box = new java.io.File(scratch(dir, "late_inbox"))
+    if (!new java.io.File(box, "batch-05.parquet").exists()) {
+      box.mkdirs()
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+      // one sort, checkpointed, then 5 cheap filtered writes
+      val batched = t(s, dir, "events")
+        .withColumn("b", ntile(5).over(w)).localCheckpoint()
+      for (i <- 1 to 5) {
+        val tmp = new java.io.File(box, s"_tmp$i")
+        batched.filter(col("b") === i).drop("b")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(box, f"batch-$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(1700000000000L + i * 60000L)
+        tmp.listFiles().foreach(_.delete()); tmp.delete()
+      }
+    }
+    box.getAbsolutePath
+  }
+
+  /** Watermark LATE-DROP through the real engine — graduating §2.9's
+    * scalatest-only `late_data_policy` into an oracle-graded key. The
+    * stream replays the staged scrambled batches one file per trigger
+    * with `withWatermark("ts", "1 hour")` and an hourly tumbling count
+    * in APPEND mode. Every nondeterminism source is pinned:
+    *   - batch membership and order: deterministic ntile staging (above);
+    *   - watermark in effect during batch k: max event time over batches
+    *     1..k-1 minus the delay (Spark commits the watermark at batch
+    *     boundaries) — a running max the oracle computes per batch;
+    *   - a late input row is DROPPED iff its window closed under that
+    *     batch's watermark; surviving rows merge into state;
+    *   - append mode emits a window exactly once, when the watermark
+    *     passes its end; windows the FINAL watermark (global max − delay,
+    *     advanced by the AvailableNow no-data batch) never passes are
+    *     never emitted — the oracle applies the same final filter.
+    * The scrambled order makes drops massive and data-dependent (batch 1
+    * alone advances the watermark near the global max), so a wrong drop
+    * rule cannot hash-match. Output projects (bucket_ts, event_type, n,
+    * sum_value) — a set, so engine arrival order can't reach the hash. */
+  val lateDataExec: QFn = (s, dir) => {
+    val box = lateInbox(s, dir)
+    val run = "late_data/" + java.util.UUID.randomUUID().toString.take(8)
+    val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
+    val schema = s.read.parquet(box).schema
+    withStreamPartitions(s) {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(box)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dbl(sum(dec(col("value"), 14, 4))).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("bucket_ts"),
+          col("event_type"), col("n"), col("sum_value"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+          new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out).orderBy(col("bucket_ts"), col("event_type"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "stream_tumble_exec"  -> streamTumbleExec,
     "stream_session_exec" -> streamSessionExec,
     "stream_dedup_exec"   -> streamDedupExec,
-    "stream_join_exec"    -> streamJoinExec)
+    "stream_join_exec"    -> streamJoinExec,
+    "late_data_exec"      -> lateDataExec)
 
   val oracle: Map[String, String] = Map(
     // Identical to qtumble_hourly's oracle — the point: same answer, the
@@ -250,5 +328,39 @@ object StreamQ {
         |  AND epoch_us(v.ts) >= epoch_us(c.ts) - 14400000000
         |  AND epoch_us(v.ts) <= epoch_us(c.ts)
         |WHERE c.event_type = 'click' AND v.event_type = 'view'
-        |ORDER BY click_id, view_id""".stripMargin)
+        |ORDER BY click_id, view_id""".stripMargin,
+    // Batch simulation of the engine's watermark protocol over the SAME
+    // deterministic 5-batch split (identical ntile expression). Spark's
+    // micro-batch engine carries TWO watermarks per batch (since 3.4):
+    // late-INPUT filtering uses the batch's STARTING watermark — the
+    // value committed before the previous batch ran, i.e. derived from
+    // batches ≤ k−2 (calibrated empirically: a 1-batch lag over-drops,
+    // 378 vs 197 groups at sf0.001) — while state EVICTION/emission uses
+    // the freshly advanced value. Hence: a row in batch k is dropped iff
+    // its hourly window closed under max event time of batches ≤ k−2
+    // (ms-truncated, as the engine tracks watermarks) minus the 1 h
+    // delay; append mode ultimately emits exactly the windows the FINAL
+    // watermark (global max − delay, advanced by AvailableNow's no-data
+    // batch) passed.
+    "late_data_exec" ->
+      """WITH e AS (
+        |  SELECT event_type, value, epoch_us(ts) AS us,
+        |    ntile(5) OVER (ORDER BY md5(CAST(event_id AS VARCHAR)),
+        |      event_id) AS b
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, value,
+        |    (us // 3600000000) * 3600000000 AS ws,
+        |    (us // 3600000000) * 3600000000 + 3600000000 AS we,
+        |    max(us) OVER (ORDER BY b RANGE BETWEEN UNBOUNDED PRECEDING
+        |      AND 2 PRECEDING) AS prevmax,
+        |    max(us) OVER () AS gmax
+        |  FROM e)
+        |SELECT ws // 1000000 AS bucket_ts, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+        |FROM w
+        |WHERE we > coalesce(prevmax // 1000 * 1000 - 3600000000, -1)
+        |  AND we <= gmax // 1000 * 1000 - 3600000000
+        |GROUP BY ws, event_type
+        |ORDER BY bucket_ts, event_type""".stripMargin)
 }
