@@ -44,7 +44,9 @@ def col_equal(a: pd.Series, b: pd.Series) -> tuple[bool, str]:
         bad = int((~eq).sum())
         with np.errstate(invalid="ignore"):
             md = np.nanmax(np.abs(av - bv))
-        return False, f"{bad} rows differ, max abs diff {md:.3e}"
+        i = int(np.argmax(~eq))
+        return False, (f"{bad} rows differ, max abs diff {md:.3e}, "
+                       f"first at {i}: spark={av[i]!r} oracle={bv[i]!r}")
     eq = (a.values == b.values) | (pd.isna(a).values & pd.isna(b).values)
     if eq.all():
         return True, ""
