@@ -282,12 +282,59 @@ object StreamQ {
     s.read.parquet(out).orderBy(col("bucket_ts"), col("event_type"))
   }
 
+  /** BOUNDED-STATE streaming dedup through the real engine:
+    * `dropDuplicatesWithinWatermark` — unlike plain streaming
+    * `dropDuplicates` (stream_dedup_exec), whose state grows with the
+    * number of distinct keys forever, this evicts a key once the
+    * watermark passes its event time + delay, which is the only dedup
+    * that survives an unbounded 100 TB/day stream (state tracks the
+    * lateness horizon, not stream history).
+    *
+    * Determinism construction: the dedup key is (user_id, event_type,
+    * hour-truncated ts) and the truncated ts IS the watermark column, so
+    * every occurrence of a key carries the SAME event time — whichever
+    * row the engine keeps as representative, the state timestamp (and
+    * hence eviction) is identical, removing the one nondeterminism
+    * `dropDuplicatesWithinWatermark` otherwise has. With the watermark
+    * monotone, a key whose earliest arrival is already late stays late
+    * forever, so the emitted set collapses to an exact rule the oracle
+    * replays: one row per key whose FIRST-arrival batch beat the
+    * watermark in force at that batch. Output projects only the key — a
+    * set, arrival order can't reach the hash. */
+  val streamDedupWmExec: QFn = (s, dir) => {
+    val box = lateInbox(s, dir)
+    val run = "dedup_wm/" + java.util.UUID.randomUUID().toString.take(8)
+    val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
+    val schema = s.read.parquet(box).schema
+    withStreamPartitions(s) {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(box)
+        .withColumn("bucket", date_trunc("hour", col("ts")))
+        .select(col("user_id"), col("event_type"), col("bucket"))
+        .withWatermark("bucket", "1 day")
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "bucket")
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("bucket")).as("bucket_ts"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+          new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out)
+      .orderBy(col("user_id"), col("event_type"), col("bucket_ts"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "stream_tumble_exec"  -> streamTumbleExec,
     "stream_session_exec" -> streamSessionExec,
     "stream_dedup_exec"   -> streamDedupExec,
     "stream_join_exec"    -> streamJoinExec,
-    "late_data_exec"      -> lateDataExec)
+    "late_data_exec"      -> lateDataExec,
+    "stream_dedup_wm_exec" -> streamDedupWmExec)
 
   val oracle: Map[String, String] = Map(
     // Identical to qtumble_hourly's oracle — the point: same answer, the
@@ -362,5 +409,34 @@ object StreamQ {
         |WHERE we > coalesce(prevmax // 1000 * 1000 - 3600000000, -1)
         |  AND we <= gmax // 1000 * 1000 - 3600000000
         |GROUP BY ws, event_type
-        |ORDER BY bucket_ts, event_type""".stripMargin)
+        |ORDER BY bucket_ts, event_type""".stripMargin,
+    // Exact replay of the bounded-state dedup (see streamDedupWmExec's
+    // determinism construction): emit one row per (user, type, hour
+    // bucket) whose FIRST-arrival batch beat the watermark in force
+    // during that batch — the starting watermark, i.e. max truncated
+    // event time over batches ≤ k−2 minus the 1-day delay. A key whose
+    // first arrival is late stays late under a monotone watermark, so
+    // no recurrence is needed.
+    "stream_dedup_wm_exec" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    ntile(5) OVER (ORDER BY md5(CAST(event_id AS VARCHAR)),
+        |      event_id) AS b
+        |  FROM events),
+        |k AS (
+        |  SELECT user_id, event_type, b,
+        |    (us // 3600000000) * 3600000000 AS bus,
+        |    max((us // 3600000000) * 3600000000) OVER (ORDER BY b
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+        |      AS prevmax
+        |  FROM e),
+        |f AS (
+        |  SELECT *, min(b) OVER (PARTITION BY user_id, event_type, bus)
+        |    AS b0
+        |  FROM k)
+        |SELECT DISTINCT user_id, event_type, bus // 1000000 AS bucket_ts
+        |FROM f
+        |WHERE b = b0
+        |  AND bus > coalesce(prevmax // 1000 * 1000 - 86400000000, -1)
+        |ORDER BY user_id, event_type, bucket_ts""".stripMargin)
 }
