@@ -328,13 +328,59 @@ object StreamQ {
       .orderBy(col("user_id"), col("event_type"), col("bucket_ts"))
   }
 
+  /** ARBITRARY stateful processing through the real engine:
+    * `flatMapGroupsWithState` (the API family `transformWithState`
+    * generalizes) keeping one running per-user event count, emitting the
+    * updated total each micro-batch the user appears in. This is the
+    * operator class behind custom sessionization, CDC folding, and
+    * incremental feature state at 100 TB — state is one row per active
+    * key, emission is append-final.
+    *
+    * Determinism: no watermark, no timeout — emissions depend ONLY on
+    * which batch each row lands in, which the staged 5-batch split pins.
+    * Output (user_id, cum_events) is a set: totals strictly increase per
+    * appearance, so arrival order within a batch cannot reach the hash.
+    * Oracle: per-user running count over the replayed batch assignment. */
+  val streamStateExec: QFn = (s, dir) => {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val box = lateInbox(s, dir)
+    val run = "state_exec/" + java.util.UUID.randomUUID().toString.take(8)
+    val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
+    val schema = s.read.parquet(box).schema
+    import s.implicits._
+    withStreamPartitions(s) {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(box)
+        .select(col("user_id")).as[Long]
+        .groupByKey(identity)
+        .flatMapGroupsWithState[Long, (Long, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+            val total = state.getOption.getOrElse(0L) + rows.size
+            state.update(total)
+            Iterator((uid, total))
+        }
+        .toDF("user_id", "cum_events")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+          new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out).orderBy(col("user_id"), col("cum_events"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "stream_tumble_exec"  -> streamTumbleExec,
     "stream_session_exec" -> streamSessionExec,
     "stream_dedup_exec"   -> streamDedupExec,
     "stream_join_exec"    -> streamJoinExec,
     "late_data_exec"      -> lateDataExec,
-    "stream_dedup_wm_exec" -> streamDedupWmExec)
+    "stream_dedup_wm_exec" -> streamDedupWmExec,
+    "stream_state_exec"   -> streamStateExec)
 
   val oracle: Map[String, String] = Map(
     // Identical to qtumble_hourly's oracle — the point: same answer, the
@@ -438,5 +484,19 @@ object StreamQ {
         |FROM f
         |WHERE b = b0
         |  AND bus > coalesce(prevmax // 1000 * 1000 - 86400000000, -1)
-        |ORDER BY user_id, event_type, bucket_ts""".stripMargin)
+        |ORDER BY user_id, event_type, bucket_ts""".stripMargin,
+    // Per-user running event count over the replayed batch assignment:
+    // one emission per (user, batch-with-rows), carrying the cumulative
+    // total through that batch.
+    "stream_state_exec" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    ntile(5) OVER (ORDER BY md5(CAST(event_id AS VARCHAR)),
+        |      event_id) AS b
+        |  FROM events),
+        |per AS (SELECT user_id, b, count(*) AS c FROM e GROUP BY user_id, b)
+        |SELECT user_id,
+        |  CAST(sum(c) OVER (PARTITION BY user_id ORDER BY b
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events
+        |FROM per ORDER BY user_id, cum_events""".stripMargin)
 }
