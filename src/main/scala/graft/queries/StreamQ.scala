@@ -84,9 +84,10 @@ object StreamQ {
     * scale the same knob goes UP with state size — the point is that
     * it is a per-query decision, which each fresh checkpoint makes
     * safely. Restored in finally; runs are sequential in Verify/Bench. */
-  private def withStreamPartitions[T](s: SparkSession)(body: => T): T = {
+  private def withStreamPartitions[T](s: SparkSession, n: Int = 8)
+      (body: => T): T = {
     val prior = s.conf.get("spark.sql.shuffle.partitions")
-    try { s.conf.set("spark.sql.shuffle.partitions", "8"); body }
+    try { s.conf.set("spark.sql.shuffle.partitions", n.toString); body }
     finally s.conf.set("spark.sql.shuffle.partitions", prior)
   }
 
@@ -261,7 +262,7 @@ object StreamQ {
     val run = "late_data/" + java.util.UUID.randomUUID().toString.take(8)
     val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
     val schema = s.read.parquet(box).schema
-    withStreamPartitions(s) {
+    withStreamPartitions(s, 4) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(box)
         .withWatermark("ts", "1 hour")
@@ -306,7 +307,7 @@ object StreamQ {
     val run = "dedup_wm/" + java.util.UUID.randomUUID().toString.take(8)
     val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
     val schema = s.read.parquet(box).schema
-    withStreamPartitions(s) {
+    withStreamPartitions(s, 4) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(box)
         .withColumn("bucket", date_trunc("hour", col("ts")))
@@ -348,7 +349,7 @@ object StreamQ {
     val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
     val schema = s.read.parquet(box).schema
     import s.implicits._
-    withStreamPartitions(s) {
+    withStreamPartitions(s, 4) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(box)
         .select(col("user_id")).as[Long]
