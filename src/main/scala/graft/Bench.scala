@@ -19,16 +19,19 @@ object Bench {
     // A broken table must cost its keys (they land in `errors` below), not
     // the whole bench artifact — r5's fixture regeneration crashed the
     // uncaught warm-up read and zeroed BENCH_r05 entirely.
+    // NonFatal only: a broken table costs its keys, but a dying JVM
+    // (OOM, interrupt) must fail fast, not proceed into the timed loop
+    // and produce a parseable-but-garbage artifact.
     Tables.names.foreach { n =>
       try Tables(spark, sfDir, n).count()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     // Collation machinery (collator factories + ICU tables) is another
     // one-time session cost (~2-7 s measured on first collate() use);
     // evaluate one collated comparison untimed so collate_group measures
     // the query, not the init.
     try spark.sql("SELECT 'a' = 'A' COLLATE UTF8_LCASE").count()
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     // Min-of-2 per key: this box shows bursty co-tenant interference that
     // has inflated single-pass captures 1.3-10× on individual keys (two
     // driver captures replayed 35-40% faster idle — see BASELINE.md). The
@@ -42,7 +45,7 @@ object Bench {
         : Option[Double] = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-      catch { case _: Throwable => None }
+      catch { case scala.util.control.NonFatal(_) => None }
     }
     val results = SparkEntry.queries.flatMap { case (name, fn) =>
       val base = (1 to 2).flatMap(_ => timed(fn))

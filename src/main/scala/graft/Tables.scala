@@ -59,20 +59,42 @@ object Tables {
       case "events" =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val raw = spark.read.parquet(s"$sfDir/events.parquet")
-        raw.schema("ts").dataType match {
-          case org.apache.spark.sql.types.LongType =>
-            // old vintage: TIMESTAMP(NANOS) surfaced as Long nanos
-            raw.withColumn("ts_us", expr("ts div 1000"))
-              .withColumn("ts", timestamp_micros(col("ts_us")))
-          case _ =>
-            // new vintage: timestamp[us] (NTZ); UTC session makes the cast
-            // exact. Normalize to TimestampType + epoch-micros ts_us so
-            // every downstream query sees one schema regardless of vintage.
-            raw.withColumn("ts", col("ts").cast("timestamp"))
-              .withColumn("ts_us", unix_micros(col("ts")))
-        }
+        normalizeEventsTs(raw, raw.schema("ts").dataType)
       case n =>
         spark.read.parquet(s"$sfDir/$n.parquet")
     })
+  }
+
+  /** The ONE dual-vintage `ts` normalization, shared by the batch loader,
+    * the streaming source (StreamQ.sourceEvents), and StreamingSpec's
+    * file-source test — teaching a new vintage happens here and nowhere
+    * else. Output contract either way: `ts: TimestampType` (UTC-exact) +
+    * `ts_us: Long` epoch-micros, `ts` in its original column position,
+    * `ts_us` appended last.
+    *
+    * KNOWN vintages only — an unrecognized physical type fails loudly
+    * right here rather than producing silently-wrong micros in 46 keys
+    * (the r5 failure mode). `Long` is trusted as nanos because the only
+    * Long-producing path is `nanosAsLong` over TIMESTAMP(NANOS); a future
+    * raw-int64 vintage must be taught explicitly (FixtureSpec's ts_us
+    * range check is the unit-slip backstop). */
+  def normalizeEventsTs(df: DataFrame,
+      tsType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    tsType match {
+      case LongType =>
+        // old vintage: TIMESTAMP(NANOS) surfaced as Long nanos
+        df.withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case TimestampNTZType | TimestampType =>
+        // new vintage: timestamp[us]; UTC session makes the NTZ cast exact
+        df.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_us", unix_micros(col("ts")))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unknown physical vintage $other — teach " +
+            "Tables.normalizeEventsTs the new vintage before any query " +
+            "touches it (see FIXTURES.md, fixture vintages)")
+    }
   }
 }

@@ -63,15 +63,8 @@ object StreamQ {
     // raw schema read depends on (Tables.apply).
     t(s, dir, "events")
     val raw = s.read.parquet(s"$dir/events.parquet").schema
-    val stream = s.readStream.schema(raw).parquet(inbox(s, dir))
-    raw("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        stream.withColumn("ts_us", expr("ts div 1000"))
-          .withColumn("ts", timestamp_micros(col("ts_us")))
-      case _ =>
-        stream.withColumn("ts", col("ts").cast("timestamp"))
-          .withColumn("ts_us", unix_micros(col("ts")))
-    }
+    graft.Tables.normalizeEventsTs(
+      s.readStream.schema(raw).parquet(inbox(s, dir)), raw("ts").dataType)
   }
 
   /** Pin shuffle partitions for the duration of one streaming run — the
@@ -217,23 +210,32 @@ object StreamQ {
     * order — the point here is determinism, not the staging plan. */
   private def lateInbox(s: SparkSession, dir: String): String = synchronized {
     val box = new java.io.File(scratch(dir, "late_inbox"))
-    if (!new java.io.File(box, "batch-05.parquet").exists()) {
+    // Idempotent re-entry: a partial staging (crash/interrupt mid-loop)
+    // must not wedge the three keys for the rest of the JVM, so every
+    // move REPLACE_EXISTINGs and completion is marked only after all 5
+    // batches landed — a retry restages cleanly over the debris.
+    val done = new java.io.File(box, "_staged")
+    if (!done.exists()) {
       box.mkdirs()
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(md5(col("event_id").cast("string")), col("event_id"))
-      // one sort, checkpointed, then 5 cheap filtered writes
+      // one sort, checkpointed for the 5 filtered writes, released after
       val batched = t(s, dir, "events")
         .withColumn("b", ntile(5).over(w)).localCheckpoint()
-      for (i <- 1 to 5) {
-        val tmp = new java.io.File(box, s"_tmp$i")
-        batched.filter(col("b") === i).drop("b")
-          .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dest = new java.io.File(box, f"batch-$i%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        dest.setLastModified(1700000000000L + i * 60000L)
-        tmp.listFiles().foreach(_.delete()); tmp.delete()
-      }
+      try {
+        for (i <- 1 to 5) {
+          val tmp = new java.io.File(box, s"_tmp$i")
+          batched.filter(col("b") === i).drop("b")
+            .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+          val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+          val dest = new java.io.File(box, f"batch-$i%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dest.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dest.setLastModified(1700000000000L + i * 60000L)
+          tmp.listFiles().foreach(_.delete()); tmp.delete()
+        }
+        java.nio.file.Files.createFile(done.toPath)
+      } finally batched.unpersist()
     }
     box.getAbsolutePath
   }

@@ -37,10 +37,16 @@ class AqeDeterminismSpec extends SparkSpec {
       spark.sparkContext.setLogLevel("WARN")
       val fn = SparkEntry.queries(name)
       val prior = spark.conf.get("spark.sql.adaptive.enabled")
+      // Drop memoized inputs so BOTH runs execute the full build path —
+      // a frozen checkpoint replayed under the second setting would make
+      // the invariance trivially true instead of proven.
+      def reset(): Unit = graft.queries.ModernQ.clearEdgeCache()
       try {
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        reset()
         val on = fn(spark, sf).collect().toSeq
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        reset()
         val off = fn(spark, sf).collect().toSeq
         assert(on.size == off.size,
           s"row counts differ under AQE toggle: ${on.size} vs ${off.size}")

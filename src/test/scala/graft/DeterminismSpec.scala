@@ -11,9 +11,14 @@ class DeterminismSpec extends SparkSpec {
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name is partition-count invariant") {
       spark.sparkContext.setLogLevel("WARN")
+      // Memoized inputs would replay one frozen checkpoint under every
+      // perturbation, making the axes vacuous for those keys — rebuild.
+      def reset(): Unit = graft.queries.ModernQ.clearEdgeCache()
       spark.conf.set("spark.sql.shuffle.partitions", "4")
+      reset()
       val a = fn(spark, sf).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "13")
+      reset()
       val b = fn(spark, sf).collect().toSeq
       // third axis: input-split perturbation — a tiny maxPartitionBytes
       // multiplies scan partitions, stressing map-side partials, object
@@ -24,6 +29,7 @@ class DeterminismSpec extends SparkSpec {
       val priorSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
       val c = try {
         spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        reset()
         fn(spark, sf).collect().toSeq
       } finally {
         spark.conf.set("spark.sql.files.maxPartitionBytes", priorSplit)

@@ -69,18 +69,10 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       inbox.resolve("events.parquet"))
     val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
-    val rawStream = spark.readStream.schema(rawSchema)
-      .parquet(inbox.toString)
-    // Same dual-vintage normalization as Tables/StreamQ (nanos-Long or
-    // timestamp[us] NTZ → ts TimestampType + ts_us epoch-micros).
-    val streamEvents = rawSchema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        rawStream.withColumn("ts_us", expr("ts div 1000"))
-          .withColumn("ts", timestamp_micros(col("ts_us")))
-      case _ =>
-        rawStream.withColumn("ts", col("ts").cast("timestamp"))
-          .withColumn("ts_us", unix_micros(col("ts")))
-    }
+    // The ONE shared dual-vintage normalization (Tables.normalizeEventsTs).
+    val streamEvents = Tables.normalizeEventsTs(
+      spark.readStream.schema(rawSchema).parquet(inbox.toString),
+      rawSchema("ts").dataType)
     val q = StreamingDemo.tumblingHourly(streamEvents)
       .writeStream.format("memory").queryName("file_out")
       .outputMode("complete")
