@@ -288,8 +288,11 @@ object VectorQ {
     *
     * Convergence is detected, not assumed: labels only decrease, so the
     * label sum strictly decreases every non-converged round — the loop
-    * stops when the sum is unchanged (one O(1)-to-driver aggregate per
-    * round; no data is collected). At the fixpoint every edge has equal
+    * stops when the sum is unchanged. The sum rides the SAME job that
+    * materializes the round's checkpoint (an `observe` metric collected
+    * by the checkpoint action), so each round costs exactly ONE job
+    * launch — no separate convergence aggregate, no data collected.
+    * At the fixpoint every edge has equal
     * labels on both ends, i.e. cluster_id = min vec_id of the connected
     * component — correct for ANY graph diameter, unlike a fixed unroll.
     * The oracle mirrors the fixpoint itself with a recursive CTE
@@ -312,26 +315,36 @@ object VectorQ {
     // groupBy (adj is symmetrized, so every vertex appears as src) —
     // replaces a distinct() shuffle + one full join round; near-clique
     // components then converge after a single loop iteration.
-    var labels = adj.groupBy(col("src")).agg(min(col("dst")).as("mn"))
-      .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl"))
-      .localCheckpoint()
-    var prevSum = labels.agg(coalesce(sum(col("lbl")), lit(0L)))
-      .head.getLong(0)
+    // One job per round: the label-sum convergence metric is an `observe`
+    // node inside the plan the eager localCheckpoint materializes, so the
+    // checkpoint action delivers both the cut lineage AND the sum.
+    def checkpointWithSum(df: org.apache.spark.sql.DataFrame, round: Int)
+        : (org.apache.spark.sql.DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation(s"cc_lblsum_r$round")
+      val ck = df.observe(obs, coalesce(sum(col("lbl")), lit(0L)).as("s"))
+        .localCheckpoint()
+      (ck, obs.get("s").asInstanceOf[Long])
+    }
+    var (labels, prevSum) = checkpointWithSum(
+      adj.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl")),
+      0)
     var converged = false
+    var round = 1
     while (!converged) {
       val nbr = adj
         .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
         .groupBy(col("src")).agg(min(col("dlbl")).as("nlbl"))
-      val next = labels
-        .join(nbr.select(col("src").as("id"), col("nlbl")), Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl")))
-          .as("lbl"))
-        .localCheckpoint()
-      val nextSum = next.agg(coalesce(sum(col("lbl")), lit(0L)))
-        .head.getLong(0)
+      val (next, nextSum) = checkpointWithSum(
+        labels
+          .join(nbr.select(col("src").as("id"), col("nlbl")), Seq("id"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")),
+        round)
       converged = nextSum == prevSum
       prevSum = nextSum
       labels = next
+      round += 1
     }
     adj.unpersist()
     labels.select(col("id").as("vec_id"), col("lbl").as("cluster_id"))
