@@ -85,7 +85,11 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"errors":$errJson,"sf":"$sfDir"}"""
     println(full)
     println(compact)
-    Seq("bench_summary.json", "/root/repo/bench_summary.json").distinct
+    // In-repo archive path is overridable (-Dgraft.benchSummary.path=…)
+    // so the harness runs unchanged outside this container layout.
+    Seq("bench_summary.json",
+        sys.props.getOrElse("graft.benchSummary.path",
+          "/root/repo/bench_summary.json")).distinct
       .foreach { p =>
         try java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
           fullDisk + "\n")

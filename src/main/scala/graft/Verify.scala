@@ -66,7 +66,11 @@ object Verify {
     if (only.isEmpty) {
       try {
         val bounds = sketchBounds(spark, sfDir)
-        Seq(s"$outDir/SKETCH_BOUNDS.json", "/root/repo/SKETCH_BOUNDS.json")
+        // In-repo archive path is overridable (-Dgraft.sketchBounds.path=…)
+        // so the harness runs unchanged outside this container layout.
+        val repoCopy = sys.props.getOrElse(
+          "graft.sketchBounds.path", "/root/repo/SKETCH_BOUNDS.json")
+        Seq(s"$outDir/SKETCH_BOUNDS.json", repoCopy)
           .foreach(p => Files.writeString(Paths.get(p), bounds + "\n"))
       } catch { case e: Throwable =>
         System.err.println(s"[verify] sketch bounds failed: ${e.getMessage}")

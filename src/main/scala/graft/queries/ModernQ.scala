@@ -41,25 +41,38 @@ object ModernQ {
   private def views(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
 
-  /** Memoized checkpointed edge table per (session, fixture dir): a fresh
-    * localCheckpoint per invocation both re-pays the materialization and
-    * strands the previous call's RDD blocks in storage memory until the
-    * ContextCleaner gets to them — measured as min-of-2 bench passes
-    * stuck at ~5 s while a standalone warm run took 1.3 s. One checkpoint
-    * reused across passes is the catalog-cache pattern Tables already
-    * uses, and is what a real deployment's materialized edge view is.
+  /** Memoized materialized edge table per (session, fixture dir): a fresh
+    * materialization per invocation both re-pays the build and strands the
+    * previous call's blocks in storage memory until the ContextCleaner gets
+    * to them — measured as min-of-2 bench passes stuck at ~5 s while a
+    * standalone warm run took 1.3 s. One materialization reused across
+    * passes is the catalog-cache pattern Tables already uses, and is what
+    * a real deployment's materialized edge view is.
+    * Blocks are held via persist() (not localCheckpoint) precisely so
+    * replacement and clearEdgeCache() can unpersist() them eagerly — the
+    * checkpointed-RDD handle is not reachable through public API, and
+    * relying on ContextCleaner GC recreates the stranded-block pressure
+    * this cache exists to avoid (determinism axes clear it 2-3× per key).
     * The cached DataFrame's OWN session is re-checked on every hit:
-    * identityHashCode can alias a GC'd session in a long JVM, and a
-    * checkpoint whose blocks belong to a stopped context must never be
-    * served to a new session — on mismatch the entry is rebuilt. */
+    * identityHashCode can alias a GC'd session in a long JVM, and blocks
+    * belonging to a stopped context must never be served to a new
+    * session — on mismatch the entry is rebuilt (old entry unpersisted;
+    * a no-op if its context is already down). */
   private val edgeCache =
     new scala.collection.concurrent.TrieMap[(String, String),
       org.apache.spark.sql.DataFrame]
 
-  /** Test hook: drop memoized edge checkpoints so determinism axes
-    * (AQE toggle, input-split perturbation) exercise the build path
-    * instead of trivially replaying a frozen checkpoint. */
-  private[graft] def clearEdgeCache(): Unit = edgeCache.clear()
+  private def dropEntry(df: org.apache.spark.sql.DataFrame): Unit =
+    try df.unpersist(blocking = false)
+    catch { case scala.util.control.NonFatal(_) => () } // stopped context
+
+  /** Test hook: drop memoized edge tables (unpersisting their blocks) so
+    * determinism axes (AQE toggle, input-split perturbation) exercise the
+    * build path instead of trivially replaying frozen storage. */
+  private[graft] def clearEdgeCache(): Unit = {
+    edgeCache.values.foreach(dropEntry)
+    edgeCache.clear()
+  }
 
   /** Spark 4.1 recursive CTE: depth of every supplier in the derived
     * parent=(k-1)/2 heap tree, walked root-down. */
@@ -69,14 +82,21 @@ object ModernQ {
     // re-scans the parquet and re-derives the parent expression
     // (measured 2.2 → ~1.3 s at sf0.1).
     val key = (System.identityHashCode(s).toString, dir)
-    def build() = t(s, dir, "supplier").filter(col("s_suppkey") > 0)
-      .select(col("s_suppkey").as("child"),
-        expr("(s_suppkey - 1) div 2").as("parent"))
-      .localCheckpoint()
+    def build() = {
+      val df = t(s, dir, "supplier").filter(col("s_suppkey") > 0)
+        .select(col("s_suppkey").as("child"),
+          expr("(s_suppkey - 1) div 2").as("parent"))
+        .persist()
+      df.count() // eager: materialize once, outside the recursion
+      df
+    }
     val cached = edgeCache.getOrElseUpdate(key, build())
     val edges =
       if (cached.sparkSession eq s) cached
-      else { val fresh = build(); edgeCache.put(key, fresh); fresh }
+      else {
+        dropEntry(cached)
+        val fresh = build(); edgeCache.put(key, fresh); fresh
+      }
     edges.createOrReplaceTempView("org_edges")
     s.sql("""
       WITH RECURSIVE org(id, depth) AS (

@@ -385,6 +385,16 @@ object StreamQ {
     "stream_dedup_wm_exec" -> streamDedupWmExec,
     "stream_state_exec"   -> streamStateExec)
 
+  /** SPARK-VERSION COUPLING (all three watermark goldens below): the
+    * two-watermark micro-batch protocol they replay — late-input filter
+    * from the batch's STARTING watermark (batches ≤ k−2 under the file
+    * source, ms-truncated), eviction/emission from the advanced value,
+    * inclusive `we <= wm` emission, strict `ts < wm` input drop — is
+    * Spark ≥3.4 behavior, calibrated and hash-verified on the 4.1 line.
+    * WatermarkTieSpec pins every boundary at an exact tie with a
+    * synthetic hour-aligned max event time; if a Spark upgrade changes
+    * the protocol, that spec fails FIRST — recalibrate these goldens
+    * before trusting any §2.19 hash. */
   val oracle: Map[String, String] = Map(
     // Identical to qtumble_hourly's oracle — the point: same answer, the
     // streaming engine did the computing.

@@ -57,6 +57,11 @@ def col_equal(a: pd.Series, b: pd.Series) -> tuple[bool, str]:
 
 def main(sfdir: str, outdir: str) -> int:
     con = duckdb.connect()
+    # Echo the oracle-client version into the output: r5's hash fails were
+    # DuckDB-version variance, invisible until a full round burned. A
+    # grader diffing two correctness artifacts sees the drift in one line.
+    print(f"oracle: duckdb {con.sql('SELECT version()').fetchone()[0]}"
+          f" (python pkg {duckdb.__version__})")
     for tname in TABLES:
         con.execute(f"CREATE VIEW {tname} AS SELECT * FROM "
                     f"'{sfdir}/{tname}.parquet'")
@@ -79,7 +84,7 @@ def main(sfdir: str, outdir: str) -> int:
                       f"({'; '.join(unstable)}) — CAST to BIGINT/DOUBLE")
                 n_fail += 1
                 continue
-            exp = con.execute(sql).fetch_df()
+            exp = rel.fetchdf()  # reuse the bound relation — no 2nd plan
         except Exception as exc:
             print(f"FAIL {name}: oracle SQL error: {exc}")
             n_fail += 1
