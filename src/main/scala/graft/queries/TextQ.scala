@@ -98,7 +98,11 @@ object TextQ {
     * ~2e-11, far below any bit of the result. Prefix length uses integer
     * arithmetic (⌈4n/5⌉ = (4n+4) div 5 for τ = 0.8) so no float rounding
     * can shorten a prefix and drop a true pair. */
-  val neardupPairs: QFn = (s, dir) => {
+  /** The prefix-filter candidate stage + per-doc shingle sets, split out
+    * so ScalingSpec can MEASURE candidate growth across sf tiers (the
+    * sub-quadratic claim below, as a regression gate, not narrative). */
+  private[graft] def neardupCandSets(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val sh = shingleRows(s, dir)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shash"))
     val dfs = sh.groupBy(col("shash")).agg(count(lit(1)).as("df"))
@@ -118,6 +122,11 @@ object TextQ {
       .join(pref.select(col("doc_id").as("b_id"), col("shash")), "shash")
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
+    (cand, docSets)
+  }
+
+  val neardupPairs: QFn = (s, dir) => {
+    val (cand, docSets) = neardupCandSets(s, dir)
     cand
       .join(docSets.select(col("doc_id").as("a_id"), col("ss").as("sa"),
         col("n").as("na")), "a_id")
@@ -159,7 +168,10 @@ object TextQ {
     (sig, bands)
   }
 
-  private[queries] def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+  /** The LSH band-bucket candidate stage + signatures, split out so
+    * ScalingSpec can measure candidate growth across sf tiers. */
+  private[graft] def minhashCandSets(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val (sig, bands) = minhashSigBands(s, dir)
     // Candidates via groupBy + per-bucket pair expansion instead of a
     // band self-join: one execution of the signature pipeline, not two
@@ -175,6 +187,11 @@ object TextQ {
       .select(explode(pairCombos).as("p"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .distinct()
+    (cand, sig)
+  }
+
+  private[queries] def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val (cand, sig) = minhashCandSets(s, dir)
     cand
       .join(sig.select(col("doc_id").as("a_id"), col("shset").as("sa"),
         col("n").as("na")), "a_id")

@@ -138,10 +138,13 @@ object VectorQ {
 
   /** The banded pipeline without the presentation sort (shared with
     * neardupClusters, which consumes the pairs as an unordered graph). */
-  private def embedNeardupCore(s: SparkSession, dir: String) = {
+  /** The banded sign-LSH candidate stage, split out so ScalingSpec can
+    * measure candidate growth across sf tiers (fixed 8-bit bands are the
+    * CONTRACT at these tiers; the log₂(n) band-width note above is the
+    * 100 TB knob — the spec measures what the contract shape does). */
+  private[graft] def embedNeardupCandidates(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
     val base = unitBase(s, dir)
-    val vecs = base
-      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
     val bands = base.select(col("vec_id"),
       explode(array((0 until NeardupBands).map(j =>
         struct(lit(j).as("band"), neardupBandBucket(col("v"), j).as("bucket"))): _*))
@@ -151,12 +154,19 @@ object VectorQ {
     val pairCombos = flatten(transform(sequence(lit(1), size(vs) - 1),
       i => transform(slice(vs, i + 1, size(vs) - i),
         x => struct(element_at(vs, i).as("a_id"), x.as("b_id")))))
-    val cand = bands.groupBy(col("band"), col("bucket"))
+    bands.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_set(col("vec_id"))).as("vs"))
       .filter(size(vs) >= 2)
       .select(explode(pairCombos).as("p"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .distinct()
+  }
+
+  private def embedNeardupCore(s: SparkSession, dir: String) = {
+    val base = unitBase(s, dir)
+    val vecs = base
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+    val cand = embedNeardupCandidates(s, dir)
     cand
       .join(vecs.select(col("vec_id").as("a_id"), col("u").as("ua")), "a_id")
       .join(vecs.select(col("vec_id").as("b_id"), col("u").as("ub")), "b_id")
@@ -376,7 +386,7 @@ object VectorQ {
     * O(n²/k) with a frozen k — the round-4 verdict's one scale-killer). */
   val KmeansTarget = 64
 
-  private def kmeansAssignFinal(s: SparkSession, dir: String) = {
+  private[graft] def kmeansAssignFinal(s: SparkSession, dir: String) = {
     val e = unitBase(s, dir).select(col("vec_id"), col("v"))
     // k = ceil(n / target): derived relationally from the corpus count
     // (one O(1)-to-driver metadata aggregate, the CC-convergence pattern),
