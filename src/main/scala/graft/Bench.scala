@@ -41,10 +41,51 @@ object Bench {
     // fast time (the old catch-all timed the no-op): failed keys collect
     // into an errors list and are excluded from the timings.
     val errors = scala.collection.mutable.ListBuffer[String]()
+    // Per-key execution metrics (shuffle bytes, spill, peak execution
+    // memory) via task metrics: what makes a future scale regression
+    // diagnosable from the round artifacts alone — a key whose TIME is
+    // flat but whose shuffle bytes doubled is a plan regression the
+    // timing columns can't see. Collected per pass (reset → run → drain
+    // the async listener bus → snapshot) and reported for the pass whose
+    // time the min-of-N keeps, so time and metrics describe the same run.
+    // The drain wait happens AFTER the timing stops — it inflates wall
+    // clock (~0.1 s/pass), never the per-key seconds the driver sums.
+    val mShufRead = new java.util.concurrent.atomic.AtomicLong
+    val mShufWrite = new java.util.concurrent.atomic.AtomicLong
+    val mSpill = new java.util.concurrent.atomic.AtomicLong
+    val mPeak = new java.util.concurrent.atomic.AtomicLong
+    val mTasks = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            mShufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            mShufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            mSpill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+            mPeak.updateAndGet(p => math.max(p, m.peakExecutionMemory))
+            mTasks.incrementAndGet()
+          }
+        }
+      })
+    case class Pass(sec: Double, shufRead: Long, shufWrite: Long,
+      spill: Long, peak: Long)
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Option[Double] = {
+        : Option[Pass] = {
+      mShufRead.set(0); mShufWrite.set(0); mSpill.set(0); mPeak.set(0)
+      mTasks.set(0)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      try {
+        fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // drain: the listener bus is async — poll task count until stable
+        var prev = -1L; var spins = 0
+        while (mTasks.get != prev && spins < 20) {
+          prev = mTasks.get; Thread.sleep(50); spins += 1
+        }
+        Some(Pass(sec, mShufRead.get, mShufWrite.get, mSpill.get, mPeak.get))
+      }
       catch { case scala.util.control.NonFatal(_) => None }
     }
     val results = SparkEntry.queries.flatMap { case (name, fn) =>
@@ -54,11 +95,13 @@ object Bench {
       // of opposite phase — one extra pass costs little and min-of-3
       // recovers the query's own time far more often (measured bursts
       // inflate individual keys 1.3-10× on this box; see BASELINE.md).
-      val times =
-        if (base.size == 2 && base.min > 0.2 && base.max > 2 * base.min)
+      val passes =
+        if (base.size == 2 && base.map(_.sec).min > 0.2 &&
+            base.map(_.sec).max > 2 * base.map(_.sec).min)
           base ++ timed(fn)
         else base
-      if (times.isEmpty) { errors += name; None } else Some(name -> times.min)
+      if (passes.isEmpty) { errors += name; None }
+      else Some(name -> passes.minBy(_.sec))
     }
     // Truncation defense, v4 (BENCH_r02-_r04 all lost their parse to the
     // driver's TAIL capture window, ~4 KB; v3's <0.05 s fold bounded
@@ -69,20 +112,28 @@ object Bench {
     // and load; (b) the compact total goes out LAST so even if the full
     // line's head is cut, the tail still ends with a complete parseable
     // summary; (c) the untruncated 3-decimal JSON goes to disk.
-    val (big, small) = results.toSeq.sortBy(-_._2).splitAt(40)
-    val qsCompact = (big.map { case (k, v) => f""""$k":$v%.2f""" } :+
-      f""""_rest":{"n":${small.size},"sum":${small.map(_._2).sum}%.2f}""")
+    val (big, small) = results.toSeq.sortBy(-_._2.sec).splitAt(40)
+    val qsCompact = (big.map { case (k, p) => f""""$k":${p.sec}%.2f""" } :+
+      f""""_rest":{"n":${small.size},"sum":${small.map(_._2.sec).sum}%.2f}""")
       .mkString("{", ",", "}")
-    val qsFull = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    val qsFull = results.map { case (k, p) => f""""$k":${p.sec}%.3f""" }
       .mkString("{", ",", "}")
+    // Per-key execution metrics (disk artifact only — the printed line
+    // must stay inside the driver's tail-capture window).
+    val qsMetrics = results.map { case (k, p) =>
+      s""""$k":{"shuffle_read_bytes":${p.shufRead},""" +
+        s""""shuffle_write_bytes":${p.shufWrite},""" +
+        s""""spilled_bytes":${p.spill},"peak_exec_mem_bytes":${p.peak}}"""
+    }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total =
+      if (results.nonEmpty) results.values.map(_.sec).sum else 0.0
     val compact =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"errors":$errJson,"sf":"$sfDir"}"""
     val full =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"errors":$errJson,"sf":"$sfDir"}"""
     val fullDisk =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"errors":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"metrics":$qsMetrics,"errors":$errJson,"sf":"$sfDir"}"""
     println(full)
     println(compact)
     // In-repo archive path is overridable (-Dgraft.benchSummary.path=…)
