@@ -1,9 +1,34 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import core._
+
+/** Cumulative (event count, exact scaled value sum) per user — the
+  * transformWithState processor behind `stream_tws_exec`. The value
+  * arrives pre-scaled to an exact BIGINT (decimal(14,4) · 10⁴), so the
+  * running sum is integer arithmetic: order-independent within a batch
+  * by construction, which is what lets a custom stateful operator carry
+  * a hash-checked oracle at all. */
+class CumTotalsProcessor
+  extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+  @transient private var totals: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Long)](
+      "cum_totals", Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    var (n, sv) = if (totals.exists()) totals.get() else (0L, 0L)
+    rows.foreach { r => n += 1; sv += r._2 }
+    totals.update((n, sv))
+    Iterator((key, n, sv))
+  }
+}
 
 /** Structured-Streaming EXECUTION as oracle-checked contract keys
   * (SURVEY.md §2.19) — closing the round-4 verdict's largest unverified
@@ -134,6 +159,63 @@ object StreamQ {
       "stream_session")
       .orderBy(col("user_id"), col("start_us"))
 
+  /** Sliding 1 h / 15 m windows executed by the streaming engine — each
+    * event merges into 4 overlapping window states (state cardinality =
+    * windows × types, bounded like the tumble key); oracle is
+    * `win_sliding`'s SQL verbatim: same answer, the engine's overlapping
+    * window assignment did the computing. */
+  val streamSlidingExec: QFn = (s, dir) =>
+    runComplete(s,
+      sourceEvents(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dbl(sum(dec(col("value"), 14, 4))).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n"), col("sum_value")),
+      "stream_sliding")
+      .orderBy(col("win_start"), col("event_type"))
+
+  /** UPDATE output mode through the real engine — the third and last
+    * output mode (§2.19 already grades Append and Complete): each
+    * micro-batch emits ONLY the groups that changed, carrying their new
+    * running aggregate — the mode a live dashboard or upsert sink
+    * consumes. Over the deterministic 5-batch replay the emission set is
+    * an exact rule: one row per (window, type, batch-with-rows) with the
+    * cumulative count through that batch — which the oracle replays. No
+    * watermark, so no drop/eviction nondeterminism; counts strictly
+    * increase per emission, so the output is a set and within-batch
+    * arrival order cannot reach the hash. foreachBatch appends each
+    * batch's update set — the streaming-upsert pattern (at scale the
+    * sink is a keyed store; the append log here keeps the emissions
+    * themselves gradable). */
+  val streamUpdateExec: QFn = (s, dir) => {
+    val box = lateInbox(s, dir)
+    val run = "update_exec/" + java.util.UUID.randomUUID().toString.take(8)
+    val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
+    val schema = s.read.parquet(box).schema
+    withStreamPartitions(s, 4) {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(box)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("bucket_ts"),
+          col("event_type"), col("n"))
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .outputMode("update")
+        .option("checkpointLocation",
+          new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out)
+      .orderBy(col("bucket_ts"), col("event_type"), col("n"))
+  }
+
   /** Streaming dropDuplicates state → append-mode FILE sink (the real
     * streaming parquet sink with its _spark_metadata commit log). Output
     * projects only the dedup key, so the engine's arrival-order choice of
@@ -188,6 +270,57 @@ object StreamQ {
           col("user_id") === col("vuser") &&
             col("vts") >= col("cts") - expr("INTERVAL 4 HOURS") &&
             col("vts") <= col("cts"))
+        .select(col("click_id"), col("view_id"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+          new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out).orderBy(col("click_id"), col("view_id"))
+  }
+
+  /** Stream-stream LEFT OUTER interval join through the real engine —
+    * the operator that completes the §2.19 join family. Inner results
+    * behave exactly like `stream_join_exec`; the new surface is the
+    * NULL-EXTENDED path: a click with no qualifying view may only be
+    * emitted once the watermark proves no matching view can still
+    * arrive (state eviction), because emitting earlier could produce a
+    * retraction append mode cannot express. That makes outer results
+    * inherently watermark-dependent — the production gotcha this key
+    * pins: clicks newer than the final watermark are STILL IN STATE
+    * when the query drains and are never null-emitted.
+    *
+    * Determinism: single AvailableNow data batch (no row is late), so
+    * the on-time inner join is the batch join; the closing no-data
+    * batch advances the watermark to global-max (ms-truncated) − 8 h,
+    * and the engine null-emits exactly the unmatched clicks whose
+    * cts < that final watermark (strict — same boundary rule as the
+    * late-input filter; the state eviction predicate is `cts < wm`
+    * since the latest qualifying view has vts = cts). The oracle
+    * replays that rule; output (click_id, view_id-nullable) is a set. */
+  val streamOuterJoinExec: QFn = (s, dir) => {
+    val run = "stream_ojoin/" + java.util.UUID.randomUUID().toString.take(8)
+    val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
+    val clicks = sourceEvents(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "8 hours")
+    val views = sourceEvents(s, dir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vuser"),
+        col("ts").as("vts"))
+      .withWatermark("vts", "8 hours")
+    withStreamPartitions(s) {
+      val q = clicks.join(views,
+          col("user_id") === col("vuser") &&
+            col("vts") >= col("cts") - expr("INTERVAL 4 HOURS") &&
+            col("vts") <= col("cts"),
+          "left_outer")
         .select(col("click_id"), col("view_id"))
         .writeStream.format("parquet")
         .option("path", out)
@@ -376,7 +509,63 @@ object StreamQ {
     s.read.parquet(out).orderBy(col("user_id"), col("cum_events"))
   }
 
+  /** Spark-4 `transformWithState` through the real engine as a GRADED
+    * key — the successor stateful API (typed named state handles, TTL,
+    * timers) that StreamingSpec previously exercised only as a demo.
+    * Per-user cumulative (event count, value sum) over the same staged
+    * deterministic 5-batch replay as `stream_state_exec`, one emission
+    * per (user, batch-with-rows).
+    *
+    * Determinism: no watermark/timers, so emissions depend only on the
+    * pinned batch assignment; the value sum is EXACT — decimal(14,4)
+    * scaled to BIGINT units before the processor, integer-summed in
+    * state — so within-batch arrival order cannot reach the hash, and
+    * cum_events strictly increases per appearance (the output is a set).
+    *
+    * transformWithState requires the RocksDB state store provider (also
+    * the 100 TB-state deployment choice), so THIS key grades the RocksDB
+    * physical layer in the contract path; the conf is pinned per-run and
+    * restored. */
+  val streamTwsExec: QFn = (s, dir) => {
+    val box = lateInbox(s, dir)
+    val run = "tws_exec/" + java.util.UUID.randomUUID().toString.take(8)
+    val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
+    val schema = s.read.parquet(box).schema
+    import s.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(providerKey)
+    s.conf.set(providerKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try withStreamPartitions(s, 4) {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(box)
+        .select(col("user_id"),
+          (dec(col("value"), 14, 4) * 10000).cast("long").as("v"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new CumTotalsProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF("user_id", "cum_events", "cum_scaled")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+          new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prior match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None => s.conf.unset(providerKey)
+    }
+    s.read.parquet(out).orderBy(col("user_id"), col("cum_events"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "stream_tws_exec"     -> streamTwsExec,
+    "stream_outer_join_exec" -> streamOuterJoinExec,
+    "stream_sliding_exec" -> streamSlidingExec,
+    "stream_update_exec"  -> streamUpdateExec,
     "stream_tumble_exec"  -> streamTumbleExec,
     "stream_session_exec" -> streamSessionExec,
     "stream_dedup_exec"   -> streamDedupExec,
@@ -396,6 +585,25 @@ object StreamQ {
     * the protocol, that spec fails FIRST — recalibrate these goldens
     * before trusting any §2.19 hash. */
   val oracle: Map[String, String] = Map(
+    // Per-user running (count, exact scaled value sum) over the replayed
+    // deterministic batch assignment — the transformWithState twin of
+    // stream_state_exec's oracle, extended with the integer-exact sum.
+    "stream_tws_exec" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(CAST(value AS DECIMAL(14,4)) * 10000 AS BIGINT) AS v,
+        |    ntile(5) OVER (ORDER BY md5(CAST(event_id AS VARCHAR)),
+        |      event_id) AS b
+        |  FROM events),
+        |per AS (SELECT user_id, b, count(*) AS c, sum(v) AS sv
+        |        FROM e GROUP BY user_id, b)
+        |SELECT user_id,
+        |  CAST(sum(c) OVER w AS BIGINT) AS cum_events,
+        |  CAST(sum(sv) OVER w AS BIGINT) AS cum_scaled
+        |FROM per
+        |WINDOW w AS (PARTITION BY user_id ORDER BY b
+        |  ROWS UNBOUNDED PRECEDING)
+        |ORDER BY user_id, cum_events""".stripMargin,
     // Identical to qtumble_hourly's oracle — the point: same answer, the
     // streaming engine did the computing.
     "stream_tumble_exec" ->
@@ -435,6 +643,57 @@ object StreamQ {
         |  AND epoch_us(v.ts) <= epoch_us(c.ts)
         |WHERE c.event_type = 'click' AND v.event_type = 'view'
         |ORDER BY click_id, view_id""".stripMargin,
+    // win_sliding's oracle verbatim — the engine's overlapping-window
+    // state must reproduce the batch expansion exactly.
+    "stream_sliding_exec" ->
+      """SELECT (epoch_us(ts) // 900000000 - i) * 900 AS win_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+        |FROM events CROSS JOIN (SELECT unnest(range(4)) AS i)
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // Update-mode emission replay: one row per (window, type,
+    // batch-with-rows) carrying the cumulative count through that batch.
+    "stream_update_exec" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |    ntile(5) OVER (ORDER BY md5(CAST(event_id AS VARCHAR)),
+        |      event_id) AS b
+        |  FROM events),
+        |per AS (
+        |  SELECT (us // 3600000000) * 3600 AS bucket_ts, event_type, b,
+        |    count(*) AS c
+        |  FROM e GROUP BY 1, 2, 3)
+        |SELECT bucket_ts, event_type,
+        |  CAST(sum(c) OVER (PARTITION BY bucket_ts, event_type ORDER BY b
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n
+        |FROM per ORDER BY bucket_ts, event_type, n""".stripMargin,
+    // Inner pairs = the batch interval join (single-batch run: nothing is
+    // late); null-extended clicks = unmatched AND evicted, i.e. cts
+    // strictly below the FINAL watermark (global max, ms-truncated, − 8 h
+    // — the AvailableNow no-data batch advances it; calibrated at
+    // sf0.001: 188/188 null clicks match the strict rule). NULLS FIRST
+    // mirrors Spark's ascending null ordering.
+    "stream_outer_join_exec" ->
+      """WITH wm AS (
+        |  SELECT max(epoch_us(ts)) // 1000 * 1000 - 28800000000 AS w
+        |  FROM events),
+        |inner_j AS (
+        |  SELECT c.event_id AS click_id, v.event_id AS view_id
+        |  FROM events c JOIN events v
+        |    ON v.user_id = c.user_id
+        |    AND epoch_us(v.ts) >= epoch_us(c.ts) - 14400000000
+        |    AND epoch_us(v.ts) <= epoch_us(c.ts)
+        |  WHERE c.event_type = 'click' AND v.event_type = 'view'),
+        |outer_j AS (
+        |  SELECT c.event_id AS click_id, CAST(NULL AS BIGINT) AS view_id
+        |  FROM events c, wm
+        |  WHERE c.event_type = 'click' AND epoch_us(c.ts) < wm.w
+        |    AND NOT EXISTS (SELECT 1 FROM events v
+        |      WHERE v.event_type = 'view' AND v.user_id = c.user_id
+        |      AND epoch_us(v.ts) >= epoch_us(c.ts) - 14400000000
+        |      AND epoch_us(v.ts) <= epoch_us(c.ts)))
+        |SELECT * FROM inner_j UNION ALL SELECT * FROM outer_j
+        |ORDER BY click_id, view_id NULLS FIRST""".stripMargin,
     // Batch simulation of the engine's watermark protocol over the SAME
     // deterministic 5-batch split (identical ntile expression). Spark's
     // micro-batch engine carries TWO watermarks per batch (since 3.4):

@@ -70,4 +70,64 @@ class WatermarkTieSpec extends SparkSpec {
       (hts(8), 1L, 1.0), (hts(9), 1L, 7.0), (hts(10), 1L, 1.0)),
       s"row at ts == watermark must be kept; got ${rows()}")
   }
+
+  /** The outer-join eviction tie `stream_outer_join_exec`'s oracle
+    * encodes: an unmatched left row null-emits only when the watermark
+    * STRICTLY passes its event time (`cts < wm`); a row exactly AT the
+    * watermark stays in state. Manufactured with an hour-aligned max
+    * event time on both streams (multi-watermark policy = min, so both
+    * sides must advance). */
+  test("outer-join null-extension tie: cts == watermark stays in state " +
+      "(strict eviction — protocol pin for stream_outer_join_exec)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    val left = clicks.toDF()
+      .select(col("user_id").as("cuid"), col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val right = views.toDF()
+      .select(col("user_id").as("vuid"), col("ts").as("vts"))
+      .withWatermark("vts", "1 hour")
+    val q = left.join(right,
+        col("cuid") === col("vuid") &&
+          col("vts") >= col("cts") - expr("INTERVAL 1 HOUR") &&
+          col("vts") <= col("cts"),
+        "left_outer")
+      .select(col("cuid"), col("cts"), col("vts"))
+      .writeStream.format("memory").queryName("ojoin_tie")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def rows() = spark.table("ojoin_tie")
+      .as[(Long, Timestamp, Option[Timestamp])]
+      .collect().sortBy(_._1).toList
+    // Batch 1. Clicks: u1@08:00 (unmatched, strictly below the coming
+    // watermark), u2@10:00 (unmatched, exactly AT it), u3@09:30 (matched
+    // by the u3@09:00 view), u9@11:00 (the max — sets click watermark).
+    // Views: u3@09:00 (the match), u8@11:00 (advances view watermark).
+    clicks.addData(Ev(hts(8), 1, "click", 0), Ev(hts(10), 2, "click", 0),
+      Ev(hts(9, 30), 3, "click", 0), Ev(hts(11), 9, "click", 0))
+    views.addData(Ev(hts(9), 3, "view", 0), Ev(hts(11), 8, "view", 0))
+    q.processAllAvailable()
+    // processAllAvailable drains the trailing no-data batch too, so the
+    // watermark is already 10:00 and eviction has run: the inner match
+    // plus u1's null-extension — and NOT u2, whose cts ties the watermark.
+    assert(rows() == List(
+      (1L, hts(8), None), (3L, hts(9, 30), Some(hts(9)))),
+      s"after batch 1 + eviction: inner match + strict null; got ${rows()}")
+    // Batches 2-3: dummy non-advancing data (both at the existing max) —
+    // the watermark stays 10:00, so the tie row must KEEP not emitting.
+    for (_ <- 1 to 2) {
+      clicks.addData(Ev(hts(11), 9, "click", 0))
+      views.addData(Ev(hts(11), 8, "view", 0))
+      q.processAllAvailable()
+    }
+    q.stop()
+    // u1 (08:00 < 10:00) null-emits; u2 (10:00 == wm) must STAY in state;
+    // u9/u3 never null-emit (above watermark / already matched).
+    assert(rows() == List(
+      (1L, hts(8), None), (3L, hts(9, 30), Some(hts(9)))),
+      "strict eviction: only the strictly-below-watermark unmatched " +
+        s"click may null-emit; got ${rows()}")
+  }
 }
