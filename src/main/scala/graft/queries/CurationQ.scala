@@ -307,7 +307,74 @@ object CurationQ {
       .orderBy(col("source"))
   }
 
+  /** URL canonicalization + dedup — the crawl-pipeline step that runs
+    * BEFORE content dedup: raw crawl URLs differ in scheme, www-prefix,
+    * default port, tracking parameters, fragments, and trailing slashes
+    * while naming the same resource, and deduplicating without
+    * canonicalizing inflates the corpus with byte-identical fetches.
+    *
+    * The fixtures carry no URL column, so (as with pii_scrub) the RAW
+    * side is deterministic synthesis on the RFC 2606 reserved
+    * documentation domain — two variants per doc: a messy one (scheme /
+    * www / :443 / utm_source / fbclid / fragment / trailing slash all
+    * varying by doc_id residues) and an already-canonical one. The
+    * OPERATOR under test is the canonicalizer: `parse_url` host/path/
+    * query split, lowercase + www-strip + default-port-strip, tracking
+    * params (utm_*, fbclid) dropped while real params (ref) survive,
+    * fragment dropped, trailing slash trimmed. Both variants of a doc
+    * must collapse to ONE canonical URL; the per-host manifest reports
+    * raw vs canonical counts and the dupe ratio.
+    *
+    * Scale shape: per-row expressions (codegen'd built-ins; the only
+    * HOF is in the synthesis, not the operator) + one host groupBy —
+    * ONE shuffle keyed by host, the partition key a crawl frontier
+    * shards by anyway. */
+  val urlCanonicalDedup: QFn = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val id = col("doc_id")
+    val host = concat(col("source"), lit(".example.com"))
+    val qMessy = array_join(filter(array(
+      when(id % 2 === 0, concat(lit("utm_source=feed"), id % 5))
+        .otherwise(lit("")),
+      when(id % 7 === 0, lit("ref=partner")).otherwise(lit("")),
+      when(id % 13 === 0, concat(lit("fbclid=x"), id)).otherwise(lit(""))),
+      x => x =!= ""), "&")
+    val messy = concat(
+      when(id % 2 === 0, lit("http")).otherwise(lit("https")), lit("://"),
+      when(id % 3 === 0, lit("www.")).otherwise(lit("")), host,
+      when(id % 11 === 0, lit(":443")).otherwise(lit("")),
+      lit("/docs/"), id,
+      when(id % 5 === 0, lit("/")).otherwise(lit("")),
+      when(qMessy =!= "", concat(lit("?"), qMessy)).otherwise(lit("")),
+      when(id % 3 === 1, concat(lit("#sec"), id % 4)).otherwise(lit("")))
+    val clean = concat(lit("https://"), host, lit("/docs/"), id,
+      when(id % 7 === 0, lit("?ref=partner")).otherwise(lit("")))
+    val raw = d.select(id.as("doc_id"),
+        explode(array(messy, clean)).as("url"))
+    // The canonicalizer — the operator under test.
+    val h = regexp_replace(lower(parse_url(col("url"), lit("HOST"))),
+      "^www\\.", "")
+    val p = regexp_replace(parse_url(col("url"), lit("PATH")), "/$", "")
+    val ref = regexp_extract(
+      coalesce(parse_url(col("url"), lit("QUERY")), lit("")),
+      "(?:^|&)(ref=[^&]*)", 1)
+    val canon = raw.select(col("doc_id"),
+      concat(lit("https://"), h, p,
+        when(ref =!= "", concat(lit("?"), ref)).otherwise(lit("")))
+        .as("canon_url"),
+      h.as("host"))
+    canon.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct(col("canon_url")).as("n_canonical"),
+        min(col("canon_url")).as("sample_url"))
+      .select(col("host"), col("n_raw"), col("n_canonical"),
+        (col("n_raw") - col("n_canonical")).as("n_dupes"),
+        col("sample_url"))
+      .orderBy(col("host"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "url_canonical_dedup"   -> urlCanonicalDedup,
     "incremental_dedup"     -> incrementalDedup,
     "train_test_split"      -> trainTestSplit,
     "contamination_overlap" -> contaminationOverlap,
@@ -347,6 +414,58 @@ object CurationQ {
     "(e - CAST(floor(e * 127.0 / sc + 0.5) AS BIGINT) * sc / 127.0)"
 
   val oracle: Map[String, String] = Map(
+    // Identical synthesis (doc_id residues on the RFC 2606 domain) and
+    // the same canonicalization rules via regex: lowercase host, strip
+    // :443 default port + www., trim trailing slash, keep only the ref
+    // param, drop fragments.
+    "url_canonical_dedup" ->
+      """WITH d AS (SELECT doc_id AS id, source FROM documents),
+        |qs AS (
+        |  SELECT id, source,
+        |    array_to_string(list_filter([
+        |      CASE WHEN id % 2 = 0 THEN 'utm_source=feed' || (id % 5)
+        |           ELSE '' END,
+        |      CASE WHEN id % 7 = 0 THEN 'ref=partner' ELSE '' END,
+        |      CASE WHEN id % 13 = 0 THEN 'fbclid=x' || id ELSE '' END
+        |    ], x -> x <> ''), '&') AS q
+        |  FROM d),
+        |raw AS (
+        |  SELECT id,
+        |    (CASE WHEN id % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+        |    (CASE WHEN id % 3 = 0 THEN 'www.' ELSE '' END) ||
+        |    source || '.example.com' ||
+        |    (CASE WHEN id % 11 = 0 THEN ':443' ELSE '' END) ||
+        |    '/docs/' || id ||
+        |    (CASE WHEN id % 5 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN q <> '' THEN '?' || q ELSE '' END) ||
+        |    (CASE WHEN id % 3 = 1 THEN '#sec' || (id % 4) ELSE '' END)
+        |      AS url
+        |  FROM qs
+        |  UNION ALL
+        |  SELECT id,
+        |    'https://' || source || '.example.com/docs/' || id ||
+        |    (CASE WHEN id % 7 = 0 THEN '?ref=partner' ELSE '' END)
+        |  FROM d),
+        |canon AS (
+        |  SELECT
+        |    regexp_replace(regexp_replace(lower(
+        |      regexp_extract(url, '^https?://([^/?#]+)', 1)),
+        |      ':443$', ''), '^www\.', '') AS host,
+        |    regexp_replace(
+        |      regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1),
+        |      '/$', '') AS path,
+        |    regexp_extract(regexp_extract(url, '\?([^#]*)', 1),
+        |      '(?:^|&)(ref=[^&]*)', 1) AS ref
+        |  FROM raw),
+        |c2 AS (
+        |  SELECT host, 'https://' || host || path ||
+        |    (CASE WHEN ref <> '' THEN '?' || ref ELSE '' END) AS canon_url
+        |  FROM canon)
+        |SELECT host, count(*) AS n_raw,
+        |  CAST(count(DISTINCT canon_url) AS BIGINT) AS n_canonical,
+        |  CAST(count(*) - count(DISTINCT canon_url) AS BIGINT) AS n_dupes,
+        |  min(canon_url) AS sample_url
+        |FROM c2 GROUP BY host ORDER BY host""".stripMargin,
     "incremental_dedup" ->
       """WITH docs AS (
         |  SELECT doc_id, source,

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import graft.queries.core.{dbl, dec}
 
 /** Mutable per-user state for the custom stateful operator. */
@@ -27,6 +27,57 @@ class UserTotalsProcessor
     rows.foreach(r => s = UserState(s.n + 1, s.sum + r._2))
     totals.update(s)
     Iterator((key, s.n, s.sum))
+  }
+}
+
+/** The remaining transformWithState state primitives in one processor —
+  * ListState (ordered per-key event log), MapState (per-key sub-keyed
+  * counters), and an EVENT-TIME TIMER: the first row for a key arms a
+  * timer at first-event-time + 1 h; when the watermark passes it, the
+  * session summary (event count from the list, distinct types from the
+  * map) is emitted and ALL state cleared — the arm/expire/clear cycle
+  * behind TTL-style session emission at scale, where state must not
+  * outlive its horizon. Emission happens ONLY from the timer path, so
+  * output timing is a pure function of event times and watermark — no
+  * wall clock anywhere. */
+class SessionAuditProcessor
+  extends StatefulProcessor[Long, (Long, String, Long), (Long, Long, Long)] {
+  @transient private var times: ListState[Long] = _
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    times = getHandle.getListState[Long](
+      "times", Encoders.scalaLong, TTLConfig.NONE)
+    counts = getHandle.getMapState[String, Long](
+      "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, String, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    val hadState = times.exists()
+    var firstTs = Long.MaxValue
+    rows.foreach { r =>
+      firstTs = math.min(firstTs, r._3)
+      times.appendValue(r._3)
+      val c = if (counts.containsKey(r._2)) counts.getValue(r._2) else 0L
+      counts.updateValue(r._2, c + 1L)
+    }
+    if (!hadState && firstTs != Long.MaxValue)
+      getHandle.registerTimer(firstTs + 3600000L)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(
+      key: Long,
+      timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+    val n = times.get().size.toLong
+    val distinctTypes = counts.keys().size.toLong
+    times.clear()
+    counts.clear()
+    Iterator((key, n, distinctTypes))
   }
 }
 
@@ -104,6 +155,22 @@ object StreamingDemo {
       .transformWithState(new UserTotalsProcessor,
         TimeMode.None(), OutputMode.Update())
       .toDF("user_id", "n_events", "sum_value")
+  }
+
+  /** SessionAuditProcessor wired to a stream: event-time mode (timers
+    * fire off the watermark), append output (emission only on expiry). */
+  def sessionAudit(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id").cast("long"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionAuditProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "n_events", "n_types")
   }
 
   /** Native session windows (30-minute gap) per user — the streaming twin

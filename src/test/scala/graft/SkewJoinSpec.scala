@@ -31,6 +31,63 @@ class SkewJoinSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"), p.take(1200))
   }
 
+  /** Set-and-restore helper for the AQE runtime-replan tests below. */
+  private def withConfs[T](kv: (String, String)*)(body: => T): T = {
+    val prior = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { kv.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE splits the skewed partition at runtime (the conf-driven " +
+      "complement to manual salting)") {
+    import spark.implicits._
+    // Same hot-key shape as the salted test. Thresholds are shrunk so the
+    // ~50k-row hot partition qualifies at test scale; in production only
+    // adaptive.skewJoin.enabled matters — the defaults (256 MB / 5×
+    // median) encode the same rule at cluster scale.
+    val left = spark.range(50000).select(lit(42L).as("k"), col("id").as("lv"))
+      .union(spark.range(100).select(col("id").as("k"), col("id").as("lv")))
+    val right = Seq((42L, "hot"), (7L, "cold"), (8L, "cold")).toDF("k", "rv")
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = left.join(right, "k")
+      // collect() executes THIS queryExecution (count() would plan a
+      // separate job and leave this adaptive plan unfinalized); matches:
+      // 50000 hot + tail ids 42/7/8.
+      assert(j.collect().length == 50003)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        "AQE must mark the hot-key join skew-handled:\n" + p.take(2000))
+    }
+  }
+
+  test("AQE coalesces small post-shuffle partitions at runtime") {
+    import spark.implicits._
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.shuffle.partitions" -> "32") {
+      // 5 groups over 32 shuffle partitions: 27+ partitions are empty —
+      // the runtime must read them back coalesced instead of launching
+      // 32 reducers (the small-stage tax at any scale).
+      val df = spark.range(1000).groupBy((col("id") % 5).as("g")).count()
+      assert(df.collect().length == 5)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("AQEShuffleRead") && p.contains("coalesced"),
+        "post-shuffle read must be a coalesced AQEShuffleRead:\n" +
+          p.take(2000))
+    }
+  }
+
   test("salt scatters the hot key across buckets") {
     import spark.implicits._
     val hot = spark.range(10000).select(lit(1L).as("k"), col("id").as("v"))
