@@ -55,4 +55,28 @@ class RocksDbStateSpec extends SparkSpec {
       }
     }
   }
+
+  test("changelog checkpointing axis: session windows under RocksDB " +
+      "with per-batch changelog commits match the golden") {
+    // Changelog checkpointing is the production RocksDB configuration —
+    // each commit uploads the batch's delta instead of a full snapshot,
+    // turning per-batch commit cost from O(state) to O(changed keys).
+    // Like the provider itself it is a physical-layer choice, so the
+    // result must be bit-identical.
+    val clKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prev = Seq(providerKey, clKey).map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(providerKey, rocksDb)
+    spark.conf.set(clKey, "true")
+    try {
+      val rows = graft.queries.StreamQ
+        .queries("stream_session_exec")(spark, sf).collect()
+      val (expN, expH) = golden("stream_session_exec")
+      assert(rows.length == expN && GoldenGen.digest(rows) == expH,
+        "changelog-checkpointed run must match the golden")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
