@@ -82,5 +82,5 @@ object ConnectedComponents {
   private def labelSum(labels: DataFrame): Long =
     labels.agg(coalesce(sum(col("lbl")), lit(0L)).as("s"),
         count(lit(1)).as("n"))
-      .selectExpr("s * 1000003 + n").head.getLong(0)
+      .selectExpr("s * 1000003 + n").head().getLong(0)
 }

@@ -141,7 +141,38 @@ object FormatsQ {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** The custom DataSource V2 WRITE path as a graded round-trip: the
+    * documents table flows through sources/AuditSink (task-temp →
+    * driver-publish two-phase commit, JSON-lines parts + manifest), is
+    * re-read with an explicit schema, and aggregated per source; the
+    * oracle aggregates the ORIGINAL parquet, so a hash-match proves the
+    * connector's write protocol lossless end to end. Fresh per-run
+    * output dir (UUID): append-mode V2 writes accumulate by design, and
+    * repeated bench/determinism invocations must not re-read prior
+    * runs' parts. */
+  val v2SinkRoundtrip: QFn = (s, dir) => {
+    val path = new java.io.File(core.scratchRoot,
+      "audit_sink/" + java.util.UUID.randomUUID().toString.take(8))
+      .getAbsolutePath
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .write.format("graft.sources.AuditSink")
+      .option("path", path).mode("append").save()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    s.read.schema(schema).json(s"$path/*.jsonl")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text"))).as("sum_text_len"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "v2_sink_roundtrip"   -> v2SinkRoundtrip,
     "csv_roundtrip"  -> csvRoundtrip,
     "json_roundtrip" -> jsonRoundtrip,
     "orc_roundtrip"  -> orcRoundtrip,
@@ -149,6 +180,14 @@ object FormatsQ {
     "compact_small_files" -> compactSmallFiles)
 
   val oracle: Map[String, String] = Map(
+    // The same aggregate on the ORIGINAL parquet — the V2 sink round-trip
+    // is access path, not semantics; sum_text_len proves the JSON-lines
+    // string escaping lossless (newlines/quotes/control chars survive).
+    "v2_sink_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "csv_roundtrip" ->
       """SELECT l_returnflag, CAST(year(l_shipdate) AS INTEGER) AS ship_year,
         |  count(*) AS n,

@@ -107,6 +107,16 @@ class EdgeCorpusSpec extends SparkSpec {
     dir
   }
 
+  test("url_canonical_dedup collapses both raw variants per doc on the " +
+      "edge corpus (canonicalization is text-independent)") {
+    val r = SparkEntry.queries("url_canonical_dedup")(spark, edgeDir)
+      .collect()
+      .map(x => (x.getAs[String]("host"), x.getAs[Long]("n_raw"),
+        x.getAs[Long]("n_canonical"), x.getAs[Long]("n_dupes"))).toSet
+    assert(r == Set(("src0.example.com", 4L, 2L, 2L),
+      ("src1.example.com", 4L, 2L, 2L)), r)
+  }
+
   test("quantize_embed zero-vector guard: scale 0 quantizes to all-zero, sse 0") {
     val rows = SparkEntry.queries("quantize_embed")(spark, edgeVecDir)
       .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
