@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import core._
 
 /** Cumulative (event count, exact scaled value sum) per user — the
@@ -27,6 +27,55 @@ class CumTotalsProcessor
     rows.foreach { r => n += 1; sv += r._2 }
     totals.update((n, sv))
     Iterator((key, n, sv))
+  }
+}
+
+/** Event-time-timer session processor behind `stream_timer_exec`: the
+  * first surviving row for a key arms a timer at that batch's minimum
+  * event time + 2 h; rows accumulate an exact count until the watermark
+  * passes the expiry, when the session (user, count, expiry) is emitted
+  * and state cleared — later rows start a fresh session. Everything is
+  * integer event-time arithmetic, so the emission set is a pure
+  * function of (batch assignment, watermark sequence), both of which
+  * the staged replay pins. */
+class TimerSessionProcessor
+  extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+  @transient private var nState: ValueState[Long] = _
+  @transient private var expState: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    nState = getHandle.getValueState[Long](
+      "n", Encoders.scalaLong, TTLConfig.NONE)
+    expState = getHandle.getValueState[Long](
+      "exp", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    val armed = expState.exists()
+    var n = if (nState.exists()) nState.get() else 0L
+    var firstTs = Long.MaxValue
+    rows.foreach { r => n += 1; firstTs = math.min(firstTs, r._2) }
+    nState.update(n)
+    if (!armed && firstTs != Long.MaxValue) {
+      val expiry = firstTs + 7200000L
+      expState.update(expiry)
+      getHandle.registerTimer(expiry)
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(
+      key: Long,
+      timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+    val n = if (nState.exists()) nState.get() else 0L
+    val expiry = if (expState.exists()) expState.get() else 0L
+    nState.clear()
+    expState.clear()
+    Iterator((key, n, expiry))
   }
 }
 
@@ -565,7 +614,56 @@ object StreamQ {
     s.read.parquet(out).orderBy(col("user_id"), col("cum_events"))
   }
 
+  /** EVENT-TIME TIMERS through the real engine as a graded key — the
+    * TTL/session-expiry mechanism behind every "emit when the key goes
+    * quiet" operator at scale. TimerSessionProcessor (above) arms a
+    * per-user timer at first-surviving-event-time + 2 h, accumulates an
+    * exact count, and emits (user, n, expiry) when the watermark passes
+    * the expiry, clearing state so later rows open a fresh session.
+    * Runs over the deterministic scrambled 5-batch replay with a 1 h
+    * watermark delay, so firing behavior is massively data-dependent
+    * (the protocol's full surface: late-input drops, mid-stream fires,
+    * re-arms, and the final AvailableNow flush) yet exactly replayable
+    * — the oracle encodes the calibrated micro-batch timer protocol.
+    * Requires RocksDB (transformWithState), pinned per-run. */
+  val streamTimerExec: QFn = (s, dir) => {
+    val box = lateInbox(s, dir)
+    val run = "timer_exec/" + java.util.UUID.randomUUID().toString.take(8)
+    val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
+    val schema = s.read.parquet(box).schema
+    import s.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(providerKey)
+    s.conf.set(providerKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try withStreamPartitions(s, 4) {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(box)
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new TimerSessionProcessor,
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF("user_id", "n_events", "expiry_ms")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+          new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prior match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None => s.conf.unset(providerKey)
+    }
+    s.read.parquet(out)
+      .orderBy(col("user_id"), col("expiry_ms"), col("n_events"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "stream_timer_exec"   -> streamTimerExec,
     "stream_tws_exec"     -> streamTwsExec,
     "stream_outer_join_exec" -> streamOuterJoinExec,
     "stream_sliding_exec" -> streamSlidingExec,
@@ -647,6 +745,127 @@ object StreamQ {
         |  AND epoch_us(v.ts) <= epoch_us(c.ts)
         |WHERE c.event_type = 'click' AND v.event_type = 'view'
         |ORDER BY click_id, view_id""".stripMargin,
+    // Unrolled 5-batch replay of the event-time TIMER protocol,
+    // calibrated against the engine at all three tiers (bit-exact):
+    //   - transformWithState receives ALL input rows — NO late-input
+    //     filter applies (unlike aggregation/dedup/join; late handling
+    //     is the processor's contract), verified by simulation: any
+    //     late-drop variant misses 45-60 of 60 engine rows at sf0.001;
+    //   - within a batch, input is processed FIRST, then expired timers
+    //     (so a timer can fire in its arming batch, counting that
+    //     batch's rows);
+    //   - a timer fires in batch k iff expiry <= the ADVANCED watermark
+    //     (max event time of batches ≤ k−1, ms-truncated, − 1 h delay) —
+    //     INCLUSIVE at the boundary, unlike the strict join-state
+    //     eviction: WatermarkTieSpec manufactures the exact tie and
+    //     pins the fire (the fixture tiers never tie, so only the tie
+    //     test distinguishes the rules);
+    //   - the AvailableNow no-data batch runs one final timer sweep at
+    //     the global watermark; unexpired timers never emit.
+    // s0→s5 carry per-user (count, armed expiry) state; f1..f6 are the
+    // per-batch fire sets.
+    "stream_timer_exec" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    ntile(5) OVER (ORDER BY md5(CAST(event_id AS VARCHAR)),
+        |      event_id) AS b
+        |  FROM events),
+        |per AS (
+        |  SELECT user_id, b, count(*) AS c, min(us) AS mts
+        |  FROM e GROUP BY user_id, b),
+        |wm AS (
+        |  SELECT b, max(mx) OVER (ORDER BY b) // 1000 - 3600000 AS w
+        |  FROM (SELECT b, max(us) AS mx FROM e GROUP BY b)),
+        |s0 AS (SELECT DISTINCT user_id, 0::BIGINT AS n,
+        |       CAST(NULL AS BIGINT) AS exp FROM e),
+        |i1 AS (
+        |  SELECT s.user_id,
+        |    s.n + coalesce(p.c, 0) AS n,
+        |    coalesce(s.exp,
+        |      CASE WHEN p.c IS NOT NULL THEN p.mts // 1000 + 7200000 END) AS exp,
+        |    NULL AS w
+        |  FROM s0 s LEFT JOIN (SELECT * FROM per WHERE b = 1) p
+        |    ON s.user_id = p.user_id),
+        |f1 AS (SELECT *, exp IS NOT NULL AND w IS NOT NULL AND exp <= w AS fire
+        |       FROM i1),
+        |s1 AS (
+        |  SELECT user_id,
+        |    CASE WHEN fire THEN 0 ELSE n END AS n,
+        |    CASE WHEN fire THEN NULL ELSE exp END AS exp
+        |  FROM f1),
+        |i2 AS (
+        |  SELECT s.user_id,
+        |    s.n + coalesce(p.c, 0) AS n,
+        |    coalesce(s.exp,
+        |      CASE WHEN p.c IS NOT NULL THEN p.mts // 1000 + 7200000 END) AS exp,
+        |    (SELECT w FROM wm WHERE b = 1) AS w
+        |  FROM s1 s LEFT JOIN (SELECT * FROM per WHERE b = 2) p
+        |    ON s.user_id = p.user_id),
+        |f2 AS (SELECT *, exp IS NOT NULL AND w IS NOT NULL AND exp <= w AS fire
+        |       FROM i2),
+        |s2 AS (
+        |  SELECT user_id,
+        |    CASE WHEN fire THEN 0 ELSE n END AS n,
+        |    CASE WHEN fire THEN NULL ELSE exp END AS exp
+        |  FROM f2),
+        |i3 AS (
+        |  SELECT s.user_id,
+        |    s.n + coalesce(p.c, 0) AS n,
+        |    coalesce(s.exp,
+        |      CASE WHEN p.c IS NOT NULL THEN p.mts // 1000 + 7200000 END) AS exp,
+        |    (SELECT w FROM wm WHERE b = 2) AS w
+        |  FROM s2 s LEFT JOIN (SELECT * FROM per WHERE b = 3) p
+        |    ON s.user_id = p.user_id),
+        |f3 AS (SELECT *, exp IS NOT NULL AND w IS NOT NULL AND exp <= w AS fire
+        |       FROM i3),
+        |s3 AS (
+        |  SELECT user_id,
+        |    CASE WHEN fire THEN 0 ELSE n END AS n,
+        |    CASE WHEN fire THEN NULL ELSE exp END AS exp
+        |  FROM f3),
+        |i4 AS (
+        |  SELECT s.user_id,
+        |    s.n + coalesce(p.c, 0) AS n,
+        |    coalesce(s.exp,
+        |      CASE WHEN p.c IS NOT NULL THEN p.mts // 1000 + 7200000 END) AS exp,
+        |    (SELECT w FROM wm WHERE b = 3) AS w
+        |  FROM s3 s LEFT JOIN (SELECT * FROM per WHERE b = 4) p
+        |    ON s.user_id = p.user_id),
+        |f4 AS (SELECT *, exp IS NOT NULL AND w IS NOT NULL AND exp <= w AS fire
+        |       FROM i4),
+        |s4 AS (
+        |  SELECT user_id,
+        |    CASE WHEN fire THEN 0 ELSE n END AS n,
+        |    CASE WHEN fire THEN NULL ELSE exp END AS exp
+        |  FROM f4),
+        |i5 AS (
+        |  SELECT s.user_id,
+        |    s.n + coalesce(p.c, 0) AS n,
+        |    coalesce(s.exp,
+        |      CASE WHEN p.c IS NOT NULL THEN p.mts // 1000 + 7200000 END) AS exp,
+        |    (SELECT w FROM wm WHERE b = 4) AS w
+        |  FROM s4 s LEFT JOIN (SELECT * FROM per WHERE b = 5) p
+        |    ON s.user_id = p.user_id),
+        |f5 AS (SELECT *, exp IS NOT NULL AND w IS NOT NULL AND exp <= w AS fire
+        |       FROM i5),
+        |s5 AS (
+        |  SELECT user_id,
+        |    CASE WHEN fire THEN 0 ELSE n END AS n,
+        |    CASE WHEN fire THEN NULL ELSE exp END AS exp
+        |  FROM f5),
+        |f6 AS (
+        |  SELECT s.*, (SELECT w FROM wm WHERE b = 5) AS w FROM s5 s),
+        |emits AS (
+        |  SELECT user_id, n, exp FROM f1 WHERE fire
+        |  UNION ALL SELECT user_id, n, exp FROM f2 WHERE fire
+        |  UNION ALL SELECT user_id, n, exp FROM f3 WHERE fire
+        |  UNION ALL SELECT user_id, n, exp FROM f4 WHERE fire
+        |  UNION ALL SELECT user_id, n, exp FROM f5 WHERE fire
+        |  UNION ALL SELECT user_id, n, exp FROM f6
+        |    WHERE exp IS NOT NULL AND exp <= w)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+        |  CAST(exp AS BIGINT) AS expiry_ms
+        |FROM emits ORDER BY user_id, expiry_ms, n_events""".stripMargin,
     // win_sliding's oracle verbatim — the engine's overlapping-window
     // state must reproduce the batch expansion exactly.
     "stream_sliding_exec" ->

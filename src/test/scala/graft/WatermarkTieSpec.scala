@@ -130,4 +130,56 @@ class WatermarkTieSpec extends SparkSpec {
       "strict eviction: only the strictly-below-watermark unmatched " +
         s"click may null-emit; got ${rows()}")
   }
+
+  /** The timer-fire tie `stream_timer_exec`'s oracle encodes: an
+    * event-time timer fires as soon as the watermark REACHES its expiry
+    * (`expiry <= wm`, INCLUSIVE — unlike the strict join-state eviction
+    * above; discovered by this tie, invisible at the fixture tiers where
+    * both rules agree). Below-expiry watermarks must not fire. Uses the
+    * same TimerSessionProcessor as the graded key (2 h horizon, run
+    * under the RocksDB provider transformWithState requires), with
+    * hour-aligned times manufacturing the exact boundary. */
+  test("event-time timer tie: expiry == watermark fires " +
+      "(inclusive fire — protocol pin for stream_timer_exec)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = mem.toDF()
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new graft.queries.TimerSessionProcessor,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF("user_id", "n_events", "expiry_ms")
+        .writeStream.format("memory").queryName("timer_tie")
+        .outputMode("append")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      def fired() = spark.table("timer_tie")
+        .as[(Long, Long, Long)].collect().toList.sortBy(_._1)
+      // u1 arms at 08:00 → expiry 10:00. The max event at 09:59:59 puts
+      // the watermark (delay 0) one second BELOW the expiry: no fire.
+      mem.addData(Ev(hts(8), 1, "view", 0), Ev(hts(9, 59, 59), 9, "view", 0))
+      q.processAllAvailable()
+      assert(fired().isEmpty,
+        s"watermark below expiry must not fire; got ${fired()}")
+      // A max event at EXACTLY 10:00 drives the watermark to == expiry —
+      // the inclusive rule fires the timer, counting u1's one row.
+      mem.addData(Ev(hts(10), 9, "view", 0))
+      q.processAllAvailable()
+      q.stop()
+      assert(fired() == List((1L, 1L, hts(10).getTime)),
+        s"expiry == watermark must fire (inclusive); got ${fired()}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
