@@ -373,7 +373,37 @@ object CurationQ {
       .orderBy(col("host"))
   }
 
+  /** Feature hashing (the "hashing trick") + collision audit — the
+    * vectorization step that turns unbounded vocabularies into a fixed
+    * feature dimension without a trained dictionary: every token maps to
+    * bucket = md5(token) prefix (256 buckets here; md5 so both engines
+    * compute the identical mapping — a production run would use
+    * xxhash64 mod 2^18, same shape). The audit output is what an ML
+    * engineer actually inspects before choosing the dimension: per
+    * bucket, total token mass, document frequency, and DISTINCT TERMS
+    * LANDING IN THE BUCKET — n_terms > 1 is a collision, and the
+    * distribution of n_terms across buckets is the collision-rate curve
+    * that says whether the dimension is large enough.
+    *
+    * Scale shape: linear explode + ONE bucket-keyed groupBy; partial
+    * aggregation compacts to ≤256 groups per map task regardless of
+    * corpus size (real dims are larger, which only helps parallelism). */
+  val featureHashAudit: QFn = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), col("tok"),
+        substring(md5(col("tok")), 1, 2).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("tok")).as("n_terms"),
+        min(col("tok")).as("sample_term"))
+      .orderBy(col("bucket"))
+
   val queries: Map[String, QFn] = Map(
+    "feature_hash_audit"    -> featureHashAudit,
     "url_canonical_dedup"   -> urlCanonicalDedup,
     "incremental_dedup"     -> incrementalDedup,
     "train_test_split"      -> trainTestSplit,
@@ -414,6 +444,20 @@ object CurationQ {
     "(e - CAST(floor(e * 127.0 / sc + 0.5) AS BIGINT) * sc / 127.0)"
 
   val oracle: Map[String, String] = Map(
+    // Identical tokenization (the qtext_wordcount contract) and the
+    // identical md5-prefix bucket mapping.
+    "feature_hash_audit" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |b AS (SELECT doc_id, tok, substr(md5(tok), 1, 2) AS bucket
+        |      FROM tok WHERE tok <> '')
+        |SELECT bucket, count(*) AS n_tokens,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT tok) AS BIGINT) AS n_terms,
+        |  min(tok) AS sample_term
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     // Identical synthesis (doc_id residues on the RFC 2606 domain) and
     // the same canonicalization rules via regex: lowercase host, strip
     // :443 default port + www., trim trailing slash, keep only the ref

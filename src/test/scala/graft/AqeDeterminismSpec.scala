@@ -30,7 +30,9 @@ class AqeDeterminismSpec extends SparkSpec {
     "dedup_pipeline_e2e", "curation_pipeline_e2e", "topk_per_group_agg",
     "qdedup_docs", "neardup_pairs", "minhash_lsh_pairs",
     // iterative / recursive plans under runtime re-planning
-    "recursive_org_depth", "bfs_distance", "neardup_clusters")
+    "recursive_org_depth", "bfs_distance", "neardup_clusters",
+    // r7: host-keyed canonicalization agg + DSv2 sink round-trip agg
+    "url_canonical_dedup", "v2_sink_roundtrip")
 
   for (name <- keys) {
     test(s"$name is AQE-toggle invariant") {
