@@ -79,10 +79,19 @@ object Bench {
       try {
         fn(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9
-        // drain: the listener bus is async — poll task count until stable
-        var prev = -1L; var spins = 0
-        while (mTasks.get != prev && spins < 20) {
-          prev = mTasks.get; Thread.sleep(50); spins += 1
+        // drain: the listener bus is async — poll the task counter until
+        // TWO consecutive 25 ms windows pass without change (one quiet
+        // window can be a gap inside a straggling burst, which would
+        // snapshot early AND leak the stragglers into the NEXT pass's
+        // reset counters — misattributing bytes across keys), capped at
+        // 3 s so a wedged bus can't stall the bench. 2×25 ms keeps the
+        // per-pass drain cost at the old single-50 ms-window level.
+        var prev = mTasks.get; var quiet = 0; var spins = 0
+        while (quiet < 2 && spins < 120) {
+          Thread.sleep(25)
+          val cur = mTasks.get
+          if (cur == prev) quiet += 1 else { quiet = 0; prev = cur }
+          spins += 1
         }
         Some(Pass(sec, mShufRead.get, mShufWrite.get, mSpill.get, mPeak.get))
       }

@@ -51,6 +51,11 @@ object Tables {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]))
 
+  private val pins = Seq(
+    "spark.sql.icu.caseMappings.enabled" -> "false",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
   /** One-time session preparation — the THREE conf pins every graft query
     * depends on, applied once per session (idempotent; re-entry is a no-op
     * set-membership check). Called by the loader so no entrypoint can
@@ -62,17 +67,28 @@ object Tables {
     *     lower()-bearing query of a fresh JVM). JVM case mappings are
     *     byte-identical to DuckDB's on this corpus, so pick them, skip init.
     *   - `spark.sql.session.timeZone=UTC` — NTZ casts, window() bucketing
-    *     and date_format must be UTC for the oracle match; every entrypoint
-    *     sets this, but pinning it here makes drift impossible.
+    *     and date_format must be UTC for the oracle match.
     *   - `spark.sql.legacy.parquet.nanosAsLong=true` — the pre-2026-08-13
     *     events vintage is TIMESTAMP(NANOS), which Spark 4.x otherwise
     *     rejects; see the vintage contract in the class doc. Harmless for
-    *     fixtures with no NANOS column. */
+    *     fixtures with no NANOS column.
+    *
+    * Later drift is an ERROR, not silently re-pinned: the pre-r7 loader
+    * re-set these on every table resolution, which hid any embedding code
+    * that mutated them (and would have "fixed" it only on the next load
+    * anyway). Now the first load pins, and every later load ASSERTS —
+    * a session that un-pins mid-run fails loudly at the next table
+    * resolution instead of producing silently wrong hashes. */
   def prepareSession(spark: SparkSession): Unit =
-    if (prepared.add(spark)) {
-      spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
-      spark.conf.set("spark.sql.session.timeZone", "UTC")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (prepared.add(spark))
+      pins.foreach { case (k, v) => spark.conf.set(k, v) }
+    else pins.foreach { case (k, v) =>
+      val cur = spark.conf.getOption(k)
+      require(cur.contains(v),
+        s"graft session pin drifted: $k = $cur (expected $v). Something " +
+          "mutated a conf the query contract depends on after " +
+          "Tables.prepareSession pinned it — fix the caller (or restore " +
+          "the value) rather than relying on the loader to re-pin.")
     }
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {

@@ -158,6 +158,20 @@ object StreamQ {
     finally s.conf.set("spark.sql.shuffle.partitions", prior)
   }
 
+  /** Pin the RocksDB state-store provider for one run — the provider
+    * transformWithState requires (and the one that holds 100 TB state);
+    * restored in finally so the session default is untouched. */
+  private def withRocksDb[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try body finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Run `plan` to a parquet directory with Trigger.AvailableNow and a
     * fresh checkpoint, then return the re-read result. Complete mode via
     * foreachBatch: each micro-batch overwrites the output with the full
@@ -585,11 +599,7 @@ object StreamQ {
     val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
     val schema = s.read.parquet(box).schema
     import s.implicits._
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prior = s.conf.getOption(providerKey)
-    s.conf.set(providerKey, "org.apache.spark.sql.execution.streaming." +
-      "state.RocksDBStateStoreProvider")
-    try withStreamPartitions(s, 4) {
+    withRocksDb(s) { withStreamPartitions(s, 4) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(box)
         .select(col("user_id"),
@@ -607,10 +617,7 @@ object StreamQ {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally prior match {
-      case Some(v) => s.conf.set(providerKey, v)
-      case None => s.conf.unset(providerKey)
-    }
+    } }
     s.read.parquet(out).orderBy(col("user_id"), col("cum_events"))
   }
 
@@ -632,11 +639,7 @@ object StreamQ {
     val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
     val schema = s.read.parquet(box).schema
     import s.implicits._
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prior = s.conf.getOption(providerKey)
-    s.conf.set(providerKey, "org.apache.spark.sql.execution.streaming." +
-      "state.RocksDBStateStoreProvider")
-    try withStreamPartitions(s, 4) {
+    withRocksDb(s) { withStreamPartitions(s, 4) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(box)
         .withWatermark("ts", "1 hour")
@@ -654,10 +657,7 @@ object StreamQ {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally prior match {
-      case Some(v) => s.conf.set(providerKey, v)
-      case None => s.conf.unset(providerKey)
-    }
+    } }
     s.read.parquet(out)
       .orderBy(col("user_id"), col("expiry_ms"), col("n_events"))
   }

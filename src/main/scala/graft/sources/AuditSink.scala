@@ -138,34 +138,60 @@ class AuditDataWriter(
     StandardCharsets.UTF_8)
   private var rows = 0L
 
-  private def jsonEscape(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
+  /** Escape only when needed: the common no-escape string returns
+    * itself (no per-char allocation on the per-row hot path). */
+  private def jsonEscape(s: String): String = {
+    var i = 0
+    while (i < s.length && s.charAt(i) >= ' ' &&
+      s.charAt(i) != '"' && s.charAt(i) != '\\') i += 1
+    if (i == s.length) return s
+    val b = new java.lang.StringBuilder(s.length + 8)
+    b.append(s, 0, i)
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"' => b.append("\\\"")
+        case '\\' => b.append("\\\\")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+        case c => b.append(c)
+      }
+      i += 1
+    }
+    b.toString
   }
 
-  override def write(row: InternalRow): Unit = {
-    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-      val v =
-        if (row.isNullAt(i)) "null"
-        else f.dataType match {
-          case LongType => row.getLong(i).toString
-          case IntegerType => row.getInt(i).toString
-          case DoubleType => row.getDouble(i).toString
-          case FloatType => row.getFloat(i).toString
-          case BooleanType => row.getBoolean(i).toString
-          case StringType => "\"" + jsonEscape(row.getUTF8String(i).toString) + "\""
-          case dt => throw new IllegalArgumentException(
-            s"graft.sources.AuditSink: unsupported type $dt for ${f.name}")
-        }
-      "\"" + jsonEscape(f.name) + "\":" + v
+  // Field plan resolved ONCE per writer, not per row: each entry is the
+  // pre-escaped "name": prefix plus a value renderer for the column.
+  private val fieldPlan: Array[(String, InternalRow => String)] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      val render: InternalRow => String = f.dataType match {
+        case LongType => r => r.getLong(i).toString
+        case IntegerType => r => r.getInt(i).toString
+        case DoubleType => r => r.getDouble(i).toString
+        case FloatType => r => r.getFloat(i).toString
+        case BooleanType => r => r.getBoolean(i).toString
+        case StringType =>
+          r => "\"" + jsonEscape(r.getUTF8String(i).toString) + "\""
+        case dt => throw new IllegalArgumentException(
+          s"graft.sources.AuditSink: unsupported type $dt for ${f.name}")
+      }
+      ("\"" + jsonEscape(f.name) + "\":",
+        (r: InternalRow) => if (r.isNullAt(i)) "null" else render(r))
     }
-    out.write(fields.mkString("{", ",", "}"))
-    out.write("\n")
+
+  override def write(row: InternalRow): Unit = {
+    val b = new java.lang.StringBuilder(64)
+    b.append('{')
+    var i = 0
+    while (i < fieldPlan.length) {
+      if (i > 0) b.append(',')
+      b.append(fieldPlan(i)._1).append(fieldPlan(i)._2(row))
+      i += 1
+    }
+    b.append("}\n")
+    out.write(b.toString)
     rows += 1
   }
 

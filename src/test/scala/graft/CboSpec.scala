@@ -96,18 +96,9 @@ class CboSpec extends SparkSpec with BeforeAndAfterAll {
        |JOIN $db.customer ON o_custkey = c_custkey
        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
-  private def withCbo[T](on: Boolean)(body: => T): T = {
-    val prior = (spark.conf.get("spark.sql.cbo.enabled"),
-      spark.conf.get("spark.sql.cbo.joinReorder.enabled"))
-    try {
-      spark.conf.set("spark.sql.cbo.enabled", on.toString)
-      spark.conf.set("spark.sql.cbo.joinReorder.enabled", on.toString)
-      body
-    } finally {
-      spark.conf.set("spark.sql.cbo.enabled", prior._1)
-      spark.conf.set("spark.sql.cbo.joinReorder.enabled", prior._2)
-    }
-  }
+  private def withCbo[T](on: Boolean)(body: => T): T =
+    withConfs("spark.sql.cbo.enabled" -> on.toString,
+      "spark.sql.cbo.joinReorder.enabled" -> on.toString)(body)
 
   private def plan(sql: String): String =
     spark.sql(sql).queryExecution

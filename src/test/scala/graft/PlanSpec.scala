@@ -248,13 +248,10 @@ class PlanSpec extends SparkSpec {
     // rejects it, so (as with the AQE skew thresholds) the ratio is
     // inflated for the test; production keeps the defaults, where a
     // 100 TB fact passes the benefit check trivially.
-    val ratioKey =
+    withConfs(
       "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio"
-    val statsKey = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
-    val prior = Seq(ratioKey, statsKey).map(k => k -> spark.conf.getOption(k))
-    try {
-      spark.conf.set(ratioKey, "1000000")
-      spark.conf.set(statsKey, "false")
+        -> "1000000",
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false") {
       val j = fact.join(dim, col("o_orderstatus") === col("st"))
         .filter(col("label") === "open")
         .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
@@ -268,9 +265,6 @@ class PlanSpec extends SparkSpec {
         .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
         .collect().toSet
       assert(j.select("o_orderpriority", "n").collect().toSet == expected)
-    } finally prior.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 

@@ -40,18 +40,13 @@ class RocksDbStateSpec extends SparkSpec {
 
   for ((name, fn) <- graft.queries.StreamQ.queries.toSeq.sortBy(_._1)) {
     test(s"$name produces the golden result under RocksDB state store") {
-      val prev = spark.conf.getOption(providerKey)
-      spark.conf.set(providerKey, rocksDb)
-      try {
+      withConfs(providerKey -> rocksDb) {
         val rows = fn(spark, sf).collect()
         val (expN, expH) = golden(name)
         assert(rows.length == expN,
           s"row count ${rows.length} != golden $expN under RocksDB")
         assert(GoldenGen.digest(rows) == expH,
           "content hash != golden under RocksDB state store")
-      } finally prev match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
       }
     }
   }
@@ -65,18 +60,12 @@ class RocksDbStateSpec extends SparkSpec {
     // result must be bit-identical.
     val clKey =
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-    val prev = Seq(providerKey, clKey).map(k => k -> spark.conf.getOption(k))
-    spark.conf.set(providerKey, rocksDb)
-    spark.conf.set(clKey, "true")
-    try {
+    withConfs(providerKey -> rocksDb, clKey -> "true") {
       val rows = graft.queries.StreamQ
         .queries("stream_session_exec")(spark, sf).collect()
       val (expN, expH) = golden("stream_session_exec")
       assert(rows.length == expN && GoldenGen.digest(rows) == expH,
         "changelog-checkpointed run must match the golden")
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 }

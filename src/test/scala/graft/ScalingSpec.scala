@@ -71,10 +71,12 @@ class ScalingSpec extends SparkSpec {
   private lazy val meas: Seq[Tier] = tiers.map { dir =>
     val docs = Tables(spark, dir, "documents").count()
     val emb = Tables(spark, dir, "embeddings").count()
-    val (ndCand, ndShuf) =
-      withShuffleRows(TextQ.neardupCandSets(spark, dir)._1.count())
+    val (ndCandDf, ndDocSets) = TextQ.neardupCandSets(spark, dir)
+    val (ndCand, ndShuf) = withShuffleRows(ndCandDf.count())
     // naive shingle self-join volume on the SAME corpus: Σ_shingle C(df,2)
-    val naive = TextQ.neardupCandSets(spark, dir)._2
+    // (outside withShuffleRows by design — it is the comparison quantity,
+    // not part of the candidate pipeline's measured shuffle)
+    val naive = ndDocSets
       .select(explode(col("ss")).as("shash"))
       .groupBy(col("shash")).agg(count(lit(1)).as("df"))
       .agg(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L)))

@@ -31,16 +31,6 @@ class SkewJoinSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"), p.take(1200))
   }
 
-  /** Set-and-restore helper for the AQE runtime-replan tests below. */
-  private def withConfs[T](kv: (String, String)*)(body: => T): T = {
-    val prior = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
-    try { kv.foreach { case (k, v) => spark.conf.set(k, v) }; body }
-    finally prior.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   test("AQE splits the skewed partition at runtime (the conf-driven " +
       "complement to manual salting)") {
     import spark.implicits._

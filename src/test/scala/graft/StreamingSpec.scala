@@ -111,11 +111,9 @@ class StreamingSpec extends SparkSpec {
     implicit val sq = spark.sqlContext
     // transformWithState requires the RocksDB state store provider — also
     // the provider a 100 TB deployment runs (state larger than heap).
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withConfs("spark.sql.streaming.stateStore.providerClass" ->
+      ("org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")) {
       val mem = MemoryStream[Ev]
       val q = StreamingDemo.runningUserTotalsTws(mem.toDF())
         .writeStream.format("memory").queryName("tws_out")
@@ -134,11 +132,6 @@ class StreamingSpec extends SparkSpec {
       val u2 = spark.table("tws_out").filter(col("user_id") === 2L).collect()
       assert(u2.map(r => (r.getLong(1), r.getDouble(2))).toSet ==
         Set((1L, 5.0)))
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
     }
   }
 
@@ -146,38 +139,34 @@ class StreamingSpec extends SparkSpec {
       "arm on first row, emit+clear on watermark expiry") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withConfs("spark.sql.streaming.stateStore.providerClass" ->
+      ("org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")) {
       val mem = MemoryStream[Ev]
       val q = StreamingDemo.sessionAudit(mem.toDF())
         .writeStream.format("memory").queryName("audit_out")
         .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
-      // Batch 1: user 1's session — 3 events, 2 distinct types, inside
-      // one hour. Timer armed at first event + 1 h; watermark only
-      // reaches ts(20*60) < expiry, so nothing may emit yet.
-      mem.addData(Ev(ts(0), 1, "view", 1.0), Ev(ts(10), 1, "view", 1.0),
-        Ev(ts(20), 1, "click", 1.0))
-      q.processAllAvailable()
-      assert(spark.table("audit_out").isEmpty,
-        "timer must not fire before the watermark passes expiry")
-      // Batch 2: user 2 two hours later pushes the watermark past user
-      // 1's expiry — the timer fires, emits the audit from List+Map
-      // state, and clears. User 2's own timer stays unexpired.
-      mem.addData(Ev(ts(120), 2, "view", 1.0))
-      q.processAllAvailable()
-      q.stop()
+      // stop() in finally: a failing mid-test assert must not leak a
+      // running query (and its queryName) into the shared session.
+      try {
+        // Batch 1: user 1's session — 3 events, 2 distinct types, inside
+        // one hour. Timer armed at first event + 1 h; watermark only
+        // reaches ts(20*60) < expiry, so nothing may emit yet.
+        mem.addData(Ev(ts(0), 1, "view", 1.0), Ev(ts(10), 1, "view", 1.0),
+          Ev(ts(20), 1, "click", 1.0))
+        q.processAllAvailable()
+        assert(spark.table("audit_out").isEmpty,
+          "timer must not fire before the watermark passes expiry")
+        // Batch 2: user 2 two hours later pushes the watermark past user
+        // 1's expiry — the timer fires, emits the audit from List+Map
+        // state, and clears. User 2's own timer stays unexpired.
+        mem.addData(Ev(ts(120), 2, "view", 1.0))
+        q.processAllAvailable()
+      } finally q.stop()
       val rows = spark.table("audit_out")
         .as[(Long, Long, Long)].collect().toList
       assert(rows == List((1L, 3L, 2L)),
         s"expected user 1's (n_events=3, n_types=2) audit only; got $rows")
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
     }
   }
 

@@ -101,28 +101,33 @@ class WatermarkTieSpec extends SparkSpec {
     def rows() = spark.table("ojoin_tie")
       .as[(Long, Timestamp, Option[Timestamp])]
       .collect().sortBy(_._1).toList
-    // Batch 1. Clicks: u1@08:00 (unmatched, strictly below the coming
-    // watermark), u2@10:00 (unmatched, exactly AT it), u3@09:30 (matched
-    // by the u3@09:00 view), u9@11:00 (the max — sets click watermark).
-    // Views: u3@09:00 (the match), u8@11:00 (advances view watermark).
-    clicks.addData(Ev(hts(8), 1, "click", 0), Ev(hts(10), 2, "click", 0),
-      Ev(hts(9, 30), 3, "click", 0), Ev(hts(11), 9, "click", 0))
-    views.addData(Ev(hts(9), 3, "view", 0), Ev(hts(11), 8, "view", 0))
-    q.processAllAvailable()
-    // processAllAvailable drains the trailing no-data batch too, so the
-    // watermark is already 10:00 and eviction has run: the inner match
-    // plus u1's null-extension — and NOT u2, whose cts ties the watermark.
-    assert(rows() == List(
-      (1L, hts(8), None), (3L, hts(9, 30), Some(hts(9)))),
-      s"after batch 1 + eviction: inner match + strict null; got ${rows()}")
-    // Batches 2-3: dummy non-advancing data (both at the existing max) —
-    // the watermark stays 10:00, so the tie row must KEEP not emitting.
-    for (_ <- 1 to 2) {
-      clicks.addData(Ev(hts(11), 9, "click", 0))
-      views.addData(Ev(hts(11), 8, "view", 0))
+    // stop() in finally: a failing mid-test assert must not leak a
+    // running query into the shared session.
+    try {
+      // Batch 1. Clicks: u1@08:00 (unmatched, strictly below the coming
+      // watermark), u2@10:00 (unmatched, exactly AT it), u3@09:30
+      // (matched by the u3@09:00 view), u9@11:00 (the max — sets click
+      // watermark). Views: u3@09:00 (the match), u8@11:00 (advances view
+      // watermark).
+      clicks.addData(Ev(hts(8), 1, "click", 0), Ev(hts(10), 2, "click", 0),
+        Ev(hts(9, 30), 3, "click", 0), Ev(hts(11), 9, "click", 0))
+      views.addData(Ev(hts(9), 3, "view", 0), Ev(hts(11), 8, "view", 0))
       q.processAllAvailable()
-    }
-    q.stop()
+      // processAllAvailable drains the trailing no-data batch too, so the
+      // watermark is already 10:00 and eviction has run: the inner match
+      // plus u1's null-extension — NOT u2, whose cts ties the watermark.
+      assert(rows() == List(
+        (1L, hts(8), None), (3L, hts(9, 30), Some(hts(9)))),
+        s"after batch 1 + eviction: inner match + strict null; got ${rows()}")
+      // Batches 2-3: dummy non-advancing data (both at the existing max)
+      // — the watermark stays 10:00, so the tie row must KEEP not
+      // emitting.
+      for (_ <- 1 to 2) {
+        clicks.addData(Ev(hts(11), 9, "click", 0))
+        views.addData(Ev(hts(11), 8, "view", 0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
     // u1 (08:00 < 10:00) null-emits; u2 (10:00 == wm) must STAY in state;
     // u9/u3 never null-emit (above watermark / already matched).
     assert(rows() == List(
@@ -144,11 +149,9 @@ class WatermarkTieSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     implicit val sq = spark.sqlContext
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
-      "state.RocksDBStateStoreProvider")
-    try {
+    withConfs("spark.sql.streaming.stateStore.providerClass" ->
+      ("org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")) {
       val mem = MemoryStream[Ev]
       val q = mem.toDF()
         .withWatermark("ts", "0 seconds")
@@ -164,22 +167,23 @@ class WatermarkTieSpec extends SparkSpec {
         .trigger(Trigger.ProcessingTime(0)).start()
       def fired() = spark.table("timer_tie")
         .as[(Long, Long, Long)].collect().toList.sortBy(_._1)
-      // u1 arms at 08:00 → expiry 10:00. The max event at 09:59:59 puts
-      // the watermark (delay 0) one second BELOW the expiry: no fire.
-      mem.addData(Ev(hts(8), 1, "view", 0), Ev(hts(9, 59, 59), 9, "view", 0))
-      q.processAllAvailable()
-      assert(fired().isEmpty,
-        s"watermark below expiry must not fire; got ${fired()}")
-      // A max event at EXACTLY 10:00 drives the watermark to == expiry —
-      // the inclusive rule fires the timer, counting u1's one row.
-      mem.addData(Ev(hts(10), 9, "view", 0))
-      q.processAllAvailable()
-      q.stop()
+      // stop() in finally: a failing mid-test assert must not leak a
+      // running query into the shared session.
+      try {
+        // u1 arms at 08:00 → expiry 10:00. The max event at 09:59:59
+        // puts the watermark (delay 0) one second BELOW the expiry.
+        mem.addData(Ev(hts(8), 1, "view", 0),
+          Ev(hts(9, 59, 59), 9, "view", 0))
+        q.processAllAvailable()
+        assert(fired().isEmpty,
+          s"watermark below expiry must not fire; got ${fired()}")
+        // A max event at EXACTLY 10:00 drives the watermark to == expiry
+        // — the inclusive rule fires the timer, counting u1's one row.
+        mem.addData(Ev(hts(10), 9, "view", 0))
+        q.processAllAvailable()
+      } finally q.stop()
       assert(fired() == List((1L, 1L, hts(10).getTime)),
         s"expiry == watermark must fire (inclusive); got ${fired()}")
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
     }
   }
 }
