@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TimeMode, TimerValues, TTLConfig, ValueState}
 import graft.queries.core.{dbl, dec}
 
 /** Mutable per-user state for the custom stateful operator. */
@@ -18,6 +18,35 @@ class UserTotalsProcessor
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     totals = getHandle.getValueState[UserState](
       "totals", Encoders.product[UserState], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Double)],
+      timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+    var s = if (totals.exists()) totals.get() else UserState(0L, 0.0)
+    rows.foreach(r => s = UserState(s.n + 1, s.sum + r._2))
+    totals.update(s)
+    Iterator((key, s.n, s.sum))
+  }
+}
+
+/** Warm-start variant of UserTotalsProcessor: per-key state is SEEDED
+  * from a batch-computed dataset before the first micro-batch — the
+  * migration path from an existing batch job's output into a live
+  * stream without reprocessing history (at 100 TB, reprocessing is not
+  * an option; the initial-state feed is how cutover works). */
+class UserTotalsWithInitProcessor
+  extends StatefulProcessorWithInitialState[
+    Long, (Long, Double), (Long, Long, Double), UserState] {
+  @transient private var totals: ValueState[UserState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[UserState](
+      "totals", Encoders.product[UserState], TTLConfig.NONE)
+
+  override def handleInitialState(
+      key: Long, initial: UserState, timerValues: TimerValues): Unit =
+    totals.update(initial)
 
   override def handleInputRows(
       key: Long,
@@ -154,6 +183,24 @@ object StreamingDemo {
       .groupByKey(_._1)
       .transformWithState(new UserTotalsProcessor,
         TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events", "sum_value")
+  }
+
+  /** runningUserTotalsTws warm-started from a batch-computed seed:
+    * `initialState` rows land in each key's state via
+    * handleInitialState before the first micro-batch processes input. */
+  def runningUserTotalsWarmStart(
+      events: DataFrame,
+      seed: org.apache.spark.sql.Dataset[(Long, UserState)]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserTotalsWithInitProcessor,
+        TimeMode.None(), OutputMode.Update(),
+        seed.groupByKey(_._1).mapValues(_._2))
       .toDF("user_id", "n_events", "sum_value")
   }
 

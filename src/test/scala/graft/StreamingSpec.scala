@@ -135,6 +135,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState initial state warm-starts keys from a batch " +
+      "seed (the batch-to-stream cutover path)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    withConfs("spark.sql.streaming.stateStore.providerClass" ->
+      ("org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")) {
+      // The seed stands in for a batch job's final per-user totals.
+      val seed = Seq((1L, graft.streaming.UserState(2L, 3.0))).toDS()
+      val mem = MemoryStream[Ev]
+      val q = StreamingDemo.runningUserTotalsWarmStart(mem.toDF(), seed)
+        .writeStream.format("memory").queryName("warm_out")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        // u1 continues FROM the seed (2 events / 3.0); u3 starts cold.
+        mem.addData(Ev(ts(0), 1, "view", 4.0), Ev(ts(1), 3, "view", 1.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("warm_out")
+        .as[(Long, Long, Double)].collect().toList.sortBy(_._1)
+      assert(rows == List((1L, 3L, 7.0), (3L, 1L, 1.0)),
+        s"seeded totals must carry into the first batch; got $rows")
+    }
+  }
+
   test("transformWithState ListState/MapState + event-time timer: " +
       "arm on first row, emit+clear on watermark expiry") {
     import spark.implicits._
