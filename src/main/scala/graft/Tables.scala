@@ -80,15 +80,22 @@ object Tables {
     * a session that un-pins mid-run fails loudly at the next table
     * resolution instead of producing silently wrong hashes. */
   def prepareSession(spark: SparkSession): Unit =
-    if (prepared.add(spark))
-      pins.foreach { case (k, v) => spark.conf.set(k, v) }
-    else pins.foreach { case (k, v) =>
-      val cur = spark.conf.getOption(k)
-      require(cur.contains(v),
-        s"graft session pin drifted: $k = $cur (expected $v). Something " +
-          "mutated a conf the query contract depends on after " +
-          "Tables.prepareSession pinned it — fix the caller (or restore " +
-          "the value) rather than relying on the loader to re-pin.")
+    // Synchronized as a unit: membership add and pin-set must be atomic,
+    // or a second thread resolving a table on a fresh session can reach
+    // the drift assertion between the first thread's `add` and its
+    // `conf.set`s and fail spuriously. Coarse lock is fine — after the
+    // first call per session this is a read-only membership check.
+    prepared.synchronized {
+      if (prepared.add(spark))
+        pins.foreach { case (k, v) => spark.conf.set(k, v) }
+      else pins.foreach { case (k, v) =>
+        val cur = spark.conf.getOption(k)
+        require(cur.contains(v),
+          s"graft session pin drifted: $k = $cur (expected $v). Something " +
+            "mutated a conf the query contract depends on after " +
+            "Tables.prepareSession pinned it — fix the caller (or restore " +
+            "the value) rather than relying on the loader to re-pin.")
+      }
     }
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {

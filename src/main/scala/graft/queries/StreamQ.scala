@@ -79,6 +79,57 @@ class TimerSessionProcessor
   }
 }
 
+/** ListState + MapState through the real engine — the two
+  * transformWithState state primitives ValueState/timer keys don't touch
+  * (graduating StreamingSpec's SessionAuditProcessor demo into the
+  * oracle-graded contract, round-8 verdict task #3). Per user:
+  *   - `log: ListState[Long]` appends each event's exact scaled value —
+  *     the per-key ordered event log (the shape behind replayable
+  *     feature windows / session payloads at scale);
+  *   - `type_counts: MapState[String, Long]` counts events per type —
+  *     per-key sub-keyed state without serializing a whole map per
+  *     update (the point of MapState over ValueState[Map]).
+  * Each batch a user appears in emits (user, list length, list sum,
+  * distinct types so far). All three are order-independent within a
+  * batch (count/integer-sum/set-size), so the staged 5-batch replay
+  * makes the emission set exact; list length strictly increases per
+  * appearance, so the output is a set and the hash can't see engine
+  * arrival order. The full-list rescan per emission is the GRADING
+  * construction (it proves the list actually persisted across batches
+  * and state-store commits); a production processor tracking only
+  * aggregates would carry them in ValueState and keep ListState for the
+  * payload replay path. */
+class ListMapAuditProcessor
+  extends StatefulProcessor[Long, (Long, String, Long), (Long, Long, Long, Long)] {
+  @transient private var log: org.apache.spark.sql.streaming.ListState[Long] = _
+  @transient private var typeCounts:
+    org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    log = getHandle.getListState[Long](
+      "log", Encoders.scalaLong, TTLConfig.NONE)
+    typeCounts = getHandle.getMapState[String, Long](
+      "type_counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, String, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    rows.foreach { r =>
+      log.appendValue(r._3)
+      val c =
+        if (typeCounts.containsKey(r._2)) typeCounts.getValue(r._2) else 0L
+      typeCounts.updateValue(r._2, c + 1L)
+    }
+    var n = 0L
+    var sv = 0L
+    log.get().foreach { v => n += 1; sv += v }
+    val types = typeCounts.keys().size.toLong
+    Iterator((key, n, sv, types))
+  }
+}
+
 /** Structured-Streaming EXECUTION as oracle-checked contract keys
   * (SURVEY.md §2.19) — closing the round-4 verdict's largest unverified
   * surface: §2.9 proved the *semantics* of the stream operators through
@@ -662,7 +713,67 @@ object StreamQ {
       .orderBy(col("user_id"), col("expiry_ms"), col("n_events"))
   }
 
+  /** ListState + MapState through the real engine as a GRADED key (see
+    * ListMapAuditProcessor above for the state design and determinism
+    * argument). Same staged deterministic 5-batch replay and RocksDB
+    * pinning as stream_tws_exec — this key completes the
+    * transformWithState primitive matrix in the contract: ValueState
+    * (stream_tws_exec), timers (stream_timer_exec), ListState + MapState
+    * (here). */
+  val streamListStateExec: QFn = (s, dir) => {
+    val box = lateInbox(s, dir)
+    val run = "list_state/" + java.util.UUID.randomUUID().toString.take(8)
+    val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
+    val schema = s.read.parquet(box).schema
+    import s.implicits._
+    withRocksDb(s) { withStreamPartitions(s, 4) {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(box)
+        .select(col("user_id"), col("event_type"),
+          (dec(col("value"), 14, 4) * 10000).cast("long").as("v"))
+        .as[(Long, String, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new ListMapAuditProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF("user_id", "cum_events", "cum_scaled", "n_types")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+          new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } }
+    s.read.parquet(out).orderBy(col("user_id"), col("cum_events"))
+  }
+
+  /** DSv2 MICRO-BATCH READ through the real engine as a graded key —
+    * the streaming half of the connector read lifecycle
+    * (sources/RangeSource.toMicroBatchStream): offset tracking in the id
+    * domain, rowsPerBatch admission per trigger, per-batch partition
+    * planning, AvailableNow drain. 20 000 ids arrive in ≥5 micro-batches
+    * of ≤4096; a Complete-mode aggregation (count / exact integer
+    * sum-of-squares / max per id%16 bucket) folds them through the state
+    * store, so the final answer is correct ONLY if every batch's offset
+    * range arrived exactly once — the property that grades offset
+    * planning. Batch boundaries can't reach the hash (Complete-mode agg
+    * is batch-assignment-invariant), which is what lets a synthetic
+    * stream carry a closed-form DuckDB oracle (range()). */
+  val rangeStreamExec: QFn = (s, _) =>
+    runComplete(s,
+      s.readStream.format("graft.sources.RangeSource")
+        .option("rows", 20000).option("rowsPerBatch", 4096)
+        .option("partitions", 8).load()
+        .groupBy((col("id") % 16).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("sq")).as("sum_sq"),
+          max(col("id")).as("max_id")),
+      "range_stream")
+      .orderBy(col("bucket"))
+
   val queries: Map[String, QFn] = Map(
+    "stream_list_state_exec" -> streamListStateExec,
+    "range_stream_exec"   -> rangeStreamExec,
     "stream_timer_exec"   -> streamTimerExec,
     "stream_tws_exec"     -> streamTwsExec,
     "stream_outer_join_exec" -> streamOuterJoinExec,
@@ -687,6 +798,41 @@ object StreamQ {
     * the protocol, that spec fails FIRST — recalibrate these goldens
     * before trusting any §2.19 hash. */
   val oracle: Map[String, String] = Map(
+    // Per-user running (list length = event count, list sum = exact
+    // scaled value sum, distinct types so far) over the replayed batch
+    // assignment: the cumulative columns replay stream_tws_exec's
+    // construction; n_types at batch b counts the types whose FIRST
+    // batch for that user is ≤ b (exactly the map's key-set size).
+    "stream_list_state_exec" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(14,4)) * 10000 AS BIGINT) AS v,
+        |    ntile(5) OVER (ORDER BY md5(CAST(event_id AS VARCHAR)),
+        |      event_id) AS b
+        |  FROM events),
+        |per AS (SELECT user_id, b, count(*) AS c, sum(v) AS sv
+        |        FROM e GROUP BY user_id, b),
+        |cum AS (
+        |  SELECT user_id, b,
+        |    CAST(sum(c) OVER w AS BIGINT) AS cum_events,
+        |    CAST(sum(sv) OVER w AS BIGINT) AS cum_scaled
+        |  FROM per
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY b
+        |    ROWS UNBOUNDED PRECEDING)),
+        |tf AS (SELECT user_id, event_type, min(b) AS b0
+        |       FROM e GROUP BY 1, 2)
+        |SELECT c.user_id, c.cum_events, c.cum_scaled,
+        |  (SELECT count(*) FROM tf
+        |   WHERE tf.user_id = c.user_id AND tf.b0 <= c.b) AS n_types
+        |FROM cum c ORDER BY user_id, cum_events""".stripMargin,
+    // Closed form of the synthetic range stream: same ids, same buckets
+    // — correct iff every micro-batch's offset range arrived exactly
+    // once through the state store.
+    "range_stream_exec" ->
+      """SELECT range % 16 AS bucket, count(*) AS n,
+        |  CAST(sum(range * range) AS BIGINT) AS sum_sq,
+        |  max(range) AS max_id
+        |FROM range(0, 20000) GROUP BY 1 ORDER BY bucket""".stripMargin,
     // Per-user running (count, exact scaled value sum) over the replayed
     // deterministic batch assignment — the transformWithState twin of
     // stream_state_exec's oracle, extended with the integer-exact sum.

@@ -5,6 +5,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -31,7 +32,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *     stats; complete pushdown, so no Aggregate node survives;
   *   - **partition planning**: the row range splits into `partitions`
   *     slices, each read by an independent `PartitionReader` — the unit the
-  *     scheduler distributes across a cluster.
+  *     scheduler distributes across a cluster;
+  *   - **micro-batch streaming** (`MicroBatchStream`): the same range
+  *     replays as a deterministic multi-batch stream — offset tracking in
+  *     the id domain, `rowsPerBatch` admission per trigger, per-batch
+  *     partition planning, restart-safe offset recovery (the read-side
+  *     twin of AuditSink's `StreamingWrite`).
   *
   * The table itself is a deterministic synthetic relation
   * `(id BIGINT, sq BIGINT, hex STRING)` with `sq = id*id`,
@@ -51,7 +57,8 @@ class RangeSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new RangeTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "4").toInt)
+      properties.getOrDefault("partitions", "4").toInt,
+      properties.getOrDefault("rowsPerBatch", "1000").toLong)
 }
 
 object RangeSource {
@@ -59,20 +66,40 @@ object RangeSource {
     StructField("id", LongType, nullable = false),
     StructField("sq", LongType, nullable = false),
     StructField("hex", StringType, nullable = false)))
+
+  /** Balanced split of [lo, hi) into at most `partitions` slices WITHOUT
+    * the i*n intermediate product, which would overflow Long once
+    * n > Long.MaxValue/slices: the first (n % slices) partitions take one
+    * extra row. Shared by the batch scan and the micro-batch stream —
+    * partition planning is the same job either way. */
+  def slices(lo: Long, hi: Long, partitions: Int): Array[InputPartition] = {
+    val n = math.max(0L, hi - lo)
+    if (n == 0) return Array.empty
+    val k = math.min(partitions.toLong, n).toInt
+    val base = n / k
+    val rem = n % k
+    (0 until k).map { i =>
+      val start = lo + base * i + math.min(i.toLong, rem)
+      val end = start + base + (if (i < rem) 1L else 0L)
+      RangePartition(start, end): InputPartition
+    }.toArray
+  }
 }
 
-class RangeTable(rows: Long, partitions: Int) extends Table with SupportsRead {
+class RangeTable(rows: Long, partitions: Int, rowsPerBatch: Long)
+  extends Table with SupportsRead {
   override def name(): String = s"graft_range($rows)"
   override def schema(): StructType = RangeSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RangeScanBuilder(rows, partitions)
+    new RangeScanBuilder(rows, partitions, rowsPerBatch)
 }
 
 /** Consumes id-range filters (start/end tightening), prunes columns, and
   * accepts limit pushdown. */
-class RangeScanBuilder(rows: Long, partitions: Int)
+class RangeScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownLimit
   with SupportsPushDownAggregates {
@@ -174,7 +201,7 @@ class RangeScanBuilder(rows: Long, partitions: Int)
 
   override def build(): Scan = aggRow match {
     case Some(values) => new RangeAggScan(lo, hi, values, aggSchema)
-    case None => new RangeScan(lo, hi, partitions, required)
+    case None => new RangeScan(lo, hi, partitions, rowsPerBatch, required)
   }
 }
 
@@ -203,7 +230,8 @@ class RangeAggReaderFactory(values: Seq[Any])
     }
 }
 
-class RangeScan(lo: Long, hi: Long, partitions: Int, required: StructType)
+class RangeScan(lo: Long, hi: Long, partitions: Int, rowsPerBatch: Long,
+    required: StructType)
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -211,24 +239,94 @@ class RangeScan(lo: Long, hi: Long, partitions: Int, required: StructType)
   override def description(): String =
     s"RangeScan lo=$lo hi=$hi cols=[${required.fieldNames.mkString(",")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(0L, hi - lo)
-    if (n == 0) return Array.empty
-    val slices = math.min(partitions.toLong, n).toInt
-    // Balanced split WITHOUT the i*n intermediate product, which would
-    // overflow Long once n > Long.MaxValue/slices: the first (n % slices)
-    // partitions take one extra row.
-    val base = n / slices
-    val rem = n % slices
-    (0 until slices).map { i =>
-      val start = lo + base * i + math.min(i.toLong, rem)
-      val end = start + base + (if (i < rem) 1L else 0L)
-      RangePartition(start, end): InputPartition
-    }.toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    RangeSource.slices(lo, hi, partitions)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RangeReaderFactory(required)
+
+  /** The STREAMING half of the read lifecycle (SURVEY round-8 seam):
+    * `readStream.format(...)` plans this instead of `toBatch`. Offsets
+    * live in the id domain, so the accepted filter-tightened [lo, hi)
+    * range bounds the stream exactly like the batch scan — accepted
+    * filters are never re-checked by Spark, streaming or not. */
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream =
+    new RangeMicroBatchStream(lo, hi, partitions, rowsPerBatch, required)
+}
+
+/** Offset = the exclusive upper id delivered so far. JSON form is the
+  * bare long — what lands in the checkpoint's offset log. */
+case class RangeStreamOffset(n: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
+}
+
+/** Micro-batch stream over the id range: each trigger admits up to
+  * `rowsPerBatch` new ids, so a bounded table replays as a deterministic
+  * multi-batch stream (the conformance shape `range_stream_exec` grades).
+  * The checkpointed offset log is the single source of truth — the
+  * stream holds NO mutable cursor:
+  *   - admission control (`latestOffset(start, limit)`) is a pure
+  *     function of the engine-supplied start offset, stepping
+  *     `rowsPerBatch` (or the engine's ReadLimit) toward `hi` — restart
+  *     recovery is automatic because the replayed start comes from the
+  *     checkpoint, never from instance memory;
+  *   - `SupportsTriggerAvailableNow` is declared natively: the range is
+  *     bounded and latestOffset converges on `hi`, so AvailableNow
+  *     drains the whole table across multiple batches (Spark's generic
+  *     wrapper would instead snapshot ONE latestOffset — a single
+  *     rowsPerBatch batch — as the target);
+  *   - `planInputPartitions(start, end)` splits [start, end) with the
+  *     same balanced slicing as the batch scan — per-batch partition
+  *     planning is the distributable unit either way;
+  *   - `commit` is a no-op: the source is synthetic/replayable, nothing
+  *     upstream needs acknowledging (a log-backed source would trim
+  *     here). */
+class RangeMicroBatchStream(lo: Long, hi: Long, partitions: Int,
+    rowsPerBatch: Long, required: StructType)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
+
+  require(rowsPerBatch > 0, "rowsPerBatch must be positive")
+
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(rowsPerBatch)
+
+  override def initialOffset(): Offset = RangeStreamOffset(lo)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[RangeStreamOffset].n
+    val step = limit match {
+      case mr: ReadMaxRows => mr.maxRows()
+      case _ => rowsPerBatch
+    }
+    // overflow-safe cap: hi - s is always a valid Long gap here
+    RangeStreamOffset(if (hi - s > step) s + step else hi)
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called with admission control")
+
+  override def deserializeOffset(json: String): Offset =
+    RangeStreamOffset(json.trim.toLong)
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] =
+    RangeSource.slices(
+      start.asInstanceOf[RangeStreamOffset].n,
+      end.asInstanceOf[RangeStreamOffset].n,
+      partitions)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RangeReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class RangePartition(start: Long, end: Long) extends InputPartition

@@ -89,4 +89,69 @@ class RangeSourceSpec extends SparkSpec {
     val joined = Tables(spark, sf, "nation").join(n, "n_nationkey")
     assert(joined.count() == 25)
   }
+
+  // ---- micro-batch streaming half (MicroBatchStream) -----------------
+
+  private def streamRanged(rows: Long, perBatch: Long, parts: Int = 4) =
+    spark.readStream.format("graft.sources.RangeSource")
+      .option("rows", rows).option("rowsPerBatch", perBatch)
+      .option("partitions", parts).load()
+
+  test("streaming read drains the range across multiple micro-batches") {
+    val name = "range_stream_conf"
+    val q = streamRanged(1000, 256)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // all rows exactly once, values intact
+    val got = spark.table(name)
+    assert(got.count() == 1000)
+    assert(got.agg(min("id"), max("id"), sum("sq")).collect()(0) match {
+      case r => r.getLong(0) == 0 && r.getLong(1) == 999 &&
+        r.getLong(2) == (0L until 1000L).map(i => i * i).sum
+    })
+    // AvailableNow drained in ceil(1000/256) = 4 data batches — the
+    // native SupportsTriggerAvailableNow path, not a one-shot snapshot
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches == 4, q.recentProgress.map(_.numInputRows).mkString(","))
+  }
+
+  test("streaming restart resumes from the checkpointed offset (no replay)") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("range_restart_out").toString
+    val ckpt = Files.createTempDirectory("range_restart_ckpt").toString
+    def run(): Unit = {
+      val q = streamRanged(900, 300)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run() // drains fully
+    run() // restart against the same checkpoint: offsets say "done"
+    val got = spark.read.parquet(out)
+    assert(got.count() == 900, "restart must not re-deliver committed offsets")
+    assert(got.select(countDistinct("id")).collect()(0).getLong(0) == 900)
+  }
+
+  test("streaming offsets are the id-domain longs in the checkpoint log") {
+    import java.nio.file.Files
+    val ckpt = Files.createTempDirectory("range_offsets_ckpt").toString
+    val q = streamRanged(500, 200)
+      .writeStream.format("memory").queryName("range_offsets")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // last committed offset file carries the bare long 500 (= hi)
+    val offsets = new java.io.File(s"$ckpt/offsets").listFiles()
+      .filter(!_.getName.startsWith(".")).sortBy(_.getName.toInt)
+    val last = new String(Files.readAllBytes(offsets.last.toPath))
+    assert(last.linesIterator.toSeq.last.trim == "500", last)
+  }
 }
