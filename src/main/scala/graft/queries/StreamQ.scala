@@ -79,6 +79,38 @@ class TimerSessionProcessor
   }
 }
 
+/** CumTotalsProcessor with a batch-seeded warm start — the
+  * `handleInitialState` surface behind `stream_init_state_exec`: a batch
+  * job's final per-user totals land in each key's state BEFORE the first
+  * micro-batch, and the stream continues the accumulation. This is the
+  * lambda-architecture handoff at scale (backfill batch → live stream)
+  * without replaying history through the stream. Same exact integer
+  * arithmetic as CumTotalsProcessor, so order cannot reach the hash. */
+class CumTotalsWithInitProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+    Long, (Long, Long), (Long, Long, Long), (Long, Long)] {
+  @transient private var totals: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Long)](
+      "cum_totals", Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+  override def handleInitialState(
+      key: Long, initial: (Long, Long),
+      timerValues: TimerValues): Unit =
+    totals.update(initial)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    var (n, sv) = if (totals.exists()) totals.get() else (0L, 0L)
+    rows.foreach { r => n += 1; sv += r._2 }
+    totals.update((n, sv))
+    Iterator((key, n, sv))
+  }
+}
+
 /** ListState + MapState through the real engine — the two
   * transformWithState state primitives ValueState/timer keys don't touch
   * (graduating StreamingSpec's SessionAuditProcessor demo into the
@@ -713,6 +745,88 @@ object StreamQ {
       .orderBy(col("user_id"), col("expiry_ms"), col("n_events"))
   }
 
+  /** Stage ONLY batches 3-5 of the deterministic ntile split (same
+    * expression as lateInbox — the two stagings agree on membership) —
+    * the STREAM side of the batch→stream handoff; batches 1-2 are the
+    * batch side, aggregated as the initial state. */
+  private def initInbox(s: SparkSession, dir: String): String = synchronized {
+    val box = new java.io.File(scratch(dir, "init_inbox"))
+    val done = new java.io.File(box, "_staged")
+    if (!done.exists()) {
+      box.mkdirs()
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+      val batched = t(s, dir, "events")
+        .withColumn("b", ntile(5).over(w)).localCheckpoint()
+      try {
+        for (i <- 3 to 5) {
+          val tmp = new java.io.File(box, s"_tmp$i")
+          batched.filter(col("b") === i).drop("b")
+            .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+          val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+          val dest = new java.io.File(box, f"batch-$i%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dest.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dest.setLastModified(1700000000000L + i * 60000L)
+          tmp.listFiles().foreach(_.delete()); tmp.delete()
+        }
+        java.nio.file.Files.createFile(done.toPath)
+      } finally batched.unpersist()
+    }
+    box.getAbsolutePath
+  }
+
+  /** BATCH-SEEDED INITIAL STATE through the real engine as a graded key
+    * — transformWithState's `handleInitialState`: the lambda-architecture
+    * handoff (a batch job's final per-user totals seed the stream's
+    * state, the stream continues WITHOUT replaying history). Batches 1-2
+    * of the deterministic split are aggregated in batch as the seed;
+    * batches 3-5 replay as the stream; every emission carries the
+    * seed-included cumulative (count, exact scaled sum), so a lost or
+    * double-applied seed cannot hash-match. Completes the
+    * transformWithState surface: ValueState (tws), timers (timer),
+    * ListState/MapState (list_state), initial state (here). RocksDB
+    * pinned as the API requires. */
+  val streamInitStateExec: QFn = (s, dir) => {
+    val box = initInbox(s, dir)
+    val run = "init_state/" + java.util.UUID.randomUUID().toString.take(8)
+    val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
+    val schema = s.read.parquet(box).schema
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+    val seed = t(s, dir, "events")
+      .withColumn("b", ntile(5).over(w))
+      .filter(col("b") <= 2)
+      .select(col("user_id"),
+        (dec(col("value"), 14, 4) * 10000).cast("long").as("v"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"), sum(col("v")).as("sv"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+    withRocksDb(s) { withStreamPartitions(s, 4) {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(box)
+        .select(col("user_id"),
+          (dec(col("value"), 14, 4) * 10000).cast("long").as("v"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new CumTotalsWithInitProcessor,
+          TimeMode.None(), OutputMode.Append(), seed)
+        .toDF("user_id", "cum_events", "cum_scaled")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+          new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } }
+    s.read.parquet(out).orderBy(col("user_id"), col("cum_events"))
+  }
+
   /** ListState + MapState through the real engine as a GRADED key (see
     * ListMapAuditProcessor above for the state design and determinism
     * argument). Same staged deterministic 5-batch replay and RocksDB
@@ -772,6 +886,7 @@ object StreamQ {
       .orderBy(col("bucket"))
 
   val queries: Map[String, QFn] = Map(
+    "stream_init_state_exec" -> streamInitStateExec,
     "stream_list_state_exec" -> streamListStateExec,
     "range_stream_exec"   -> rangeStreamExec,
     "stream_timer_exec"   -> streamTimerExec,
@@ -798,6 +913,27 @@ object StreamQ {
     * the protocol, that spec fails FIRST — recalibrate these goldens
     * before trusting any §2.19 hash. */
   val oracle: Map[String, String] = Map(
+    // Batch→stream handoff replay: batches 1-2 aggregate into the seed,
+    // batches 3-5 accumulate on top of it — one emission per (user,
+    // stream-batch-with-rows) carrying the seed-included cumulative.
+    "stream_init_state_exec" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(CAST(value AS DECIMAL(14,4)) * 10000 AS BIGINT) AS v,
+        |    ntile(5) OVER (ORDER BY md5(CAST(event_id AS VARCHAR)),
+        |      event_id) AS b
+        |  FROM events),
+        |seed AS (SELECT user_id, count(*) AS c0, sum(v) AS sv0
+        |         FROM e WHERE b <= 2 GROUP BY user_id),
+        |per AS (SELECT user_id, b, count(*) AS c, sum(v) AS sv
+        |        FROM e WHERE b >= 3 GROUP BY user_id, b)
+        |SELECT p.user_id,
+        |  CAST(coalesce(s.c0, 0) + sum(p.c) OVER w AS BIGINT) AS cum_events,
+        |  CAST(coalesce(s.sv0, 0) + sum(p.sv) OVER w AS BIGINT) AS cum_scaled
+        |FROM per p LEFT JOIN seed s ON s.user_id = p.user_id
+        |WINDOW w AS (PARTITION BY p.user_id ORDER BY p.b
+        |  ROWS UNBOUNDED PRECEDING)
+        |ORDER BY 1, 2""".stripMargin,
     // Per-user running (list length = event count, list sum = exact
     // scaled value sum, distinct types so far) over the replayed batch
     // assignment: the cumulative columns replay stream_tws_exec's

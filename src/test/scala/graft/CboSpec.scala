@@ -28,16 +28,20 @@ import org.scalatest.BeforeAndAfterAll
 class CboSpec extends SparkSpec with BeforeAndAfterAll {
 
   private val db = "graft_cbo"
+  /** Same tables analyzed WITH equi-height histograms (round-8 verdict
+    * task #6): r7 proved stats-robustness on row counts + basic column
+    * stats only; this db feeds FilterEstimation/JoinEstimation the
+    * per-bin distributions that drive selectivity on skewed and
+    * disjunctive predicates. */
+  private val dbH = "graft_cbo_h"
   private val tables =
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem")
 
-  override def beforeAll(): Unit = {
-    super.beforeAll()
-    graft.Tables.prepareSession(spark)
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+  private def analyzeInto(targetDb: String): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $targetDb")
     for (t <- tables) {
-      spark.sql(s"""CREATE TABLE IF NOT EXISTS $db.$t
+      spark.sql(s"""CREATE TABLE IF NOT EXISTS $targetDb.$t
                    |USING parquet LOCATION '$sf/$t.parquet'""".stripMargin)
       // FOR ALL COLUMNS would also collect stats on the timestamp-NTZ
       // date columns — and Spark's FilterEstimation.evaluateBinary has no
@@ -46,16 +50,26 @@ class CboSpec extends SparkSpec with BeforeAndAfterAll {
       // Collecting stats for every non-NTZ column keeps the join-reorder
       // inputs (keys, filter strings, numerics) while the date filters
       // fall back to default selectivity.
-      val cols = spark.table(s"$db.$t").schema.fields
+      val cols = spark.table(s"$targetDb.$t").schema.fields
         .filterNot(_.dataType.typeName.startsWith("timestamp"))
         .map(_.name).mkString(", ")
       spark.sql(
-        s"ANALYZE TABLE $db.$t COMPUTE STATISTICS FOR COLUMNS $cols")
+        s"ANALYZE TABLE $targetDb.$t COMPUTE STATISTICS FOR COLUMNS $cols")
+    }
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.Tables.prepareSession(spark)
+    analyzeInto(db)
+    withConfs("spark.sql.statistics.histogram.enabled" -> "true") {
+      analyzeInto(dbH)
     }
   }
 
   override def afterAll(): Unit = {
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    spark.sql(s"DROP DATABASE IF EXISTS $dbH CASCADE")
     super.afterAll()
   }
 
@@ -116,6 +130,106 @@ class CboSpec extends SparkSpec with BeforeAndAfterAll {
       val rc = spark.table(s"$db.lineitem").queryExecution.optimizedPlan
         .stats.rowCount
       assert(rc.exists(_.toLong > 0), s"rowCount stat missing: $rc")
+    }
+  }
+
+  /** Hint-free q19 (disjunctive brand/size/quantity) over a given db —
+    * histogram bins are exactly what a CBO needs to see through an OR of
+    * narrow range conjunctions. */
+  private def q19Sql(d: String) =
+    s"""SELECT coalesce(CAST(round(sum(
+       |    CAST(l_extendedprice AS DECIMAL(18,4))
+       |    * (1 - CAST(l_discount AS DECIMAL(9,4)))), 2) AS DOUBLE), 0.0)
+       |  AS revenue
+       |FROM $d.lineitem JOIN $d.part ON l_partkey = p_partkey
+       |WHERE l_quantity >= 1 AND l_quantity <= 30 AND (
+       |  (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       |    AND l_quantity BETWEEN 1 AND 11)
+       |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       |    AND l_quantity BETWEEN 10 AND 20)
+       |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       |    AND l_quantity BETWEEN 20 AND 30))""".stripMargin
+
+  /** Hint-free q21 (sole late supplier): the l_orderkey fact self-agg is
+    * the skewed-key join-estimation path histograms inform. */
+  private def q21Sql(d: String) =
+    s"""WITH late AS (
+       |  SELECT l_orderkey, l_suppkey,
+       |    l_shipdate > o_orderdate + INTERVAL 60 DAYS AS is_late
+       |  FROM $d.lineitem JOIN $d.orders ON o_orderkey = l_orderkey),
+       |per_supp AS (
+       |  SELECT l_orderkey, l_suppkey, max(is_late) AS sup_late
+       |  FROM late GROUP BY 1, 2),
+       |per_order AS (
+       |  SELECT l_orderkey, count(*) AS n_supp,
+       |    sum(CASE WHEN sup_late THEN 1L ELSE 0L END) AS n_late_supp,
+       |    max(CASE WHEN sup_late THEN l_suppkey END) AS sole_late_supp
+       |  FROM per_supp GROUP BY 1
+       |  HAVING count(*) >= 2
+       |    AND sum(CASE WHEN sup_late THEN 1L ELSE 0L END) = 1)
+       |SELECT s_name, count(*) AS numwait
+       |FROM per_order JOIN $d.supplier ON s_suppkey = sole_late_supp
+       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 50""".stripMargin
+
+  test("histogram-analyzed tables carry equi-height histograms") {
+    val stats = spark.sql(
+      s"DESCRIBE EXTENDED $dbH.lineitem l_quantity").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(stats.get("histogram").exists(h => h != null && h != "NULL"),
+      s"ANALYZE under histogram.enabled must persist a histogram: $stats")
+    // ...and the plain db must NOT have one (the axes stay distinct)
+    val plain = spark.sql(
+      s"DESCRIBE EXTENDED $db.lineitem l_quantity").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(plain.get("histogram").forall(h => h == null || h == "NULL"),
+      s"plain db unexpectedly has histograms: $plain")
+  }
+
+  test("q19 hint-free under CBO + histograms: part broadcasts through " +
+    "the disjunctive filter, quantity bound pushes to scan, rows match") {
+    withCbo(true) {
+      val p = plan(q19Sql(dbH))
+      assert(p.contains("BroadcastHashJoin"), p.take(1500))
+      assert(!p.contains("SortMergeJoin"),
+        "q19's dim join must stay broadcast under histogram stats:\n" +
+          p.take(2000))
+      // the common quantity conjunct reaches the parquet scan
+      assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") ||
+        p.contains("PushedFilters: [IsNotNull(l_quantity)"), p.take(3000))
+      val rows = spark.sql(q19Sql(dbH)).collect().toSeq
+      val contract = SparkEntry.queries("q19_disjunct_rev")(spark, sf)
+        .collect().toSeq
+      assert(rows == contract, s"q19 rows diverge under histograms: " +
+        s"$rows vs $contract")
+    }
+  }
+
+  test("q21 hint-free under CBO + histograms: supplier dim broadcasts, " +
+    "no cartesian, rows match contract") {
+    withCbo(true) {
+      val p = plan(q21Sql(dbH))
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+      assert(p.contains("BroadcastHashJoin"),
+        "supplier (tiny, fully analyzed) must broadcast:\n" + p.take(2000))
+      val rows = spark.sql(q21Sql(dbH)).collect().toSeq
+      val contract = SparkEntry.queries("q21_sole_late")(spark, sf)
+        .collect().toSeq
+      assert(rows == contract, s"q21 rows diverge under histograms")
+    }
+  }
+
+  test("q08/q18 plan shape is stable across the histogram axis") {
+    // the same assertions the plain-db tests pin, re-run with histogram
+    // stats feeding the estimators: richer stats must not flip the plan
+    withCbo(true) {
+      val p08 = plan(q08Sql.replace(s"$db.", s"$dbH."))
+      assert(!p08.contains("SortMergeJoin"), p08.take(2000))
+      assert("BroadcastHashJoin".r.findAllIn(p08).size >= 4, p08.take(2000))
+      val p18 = plan(q18Sql.replace(s"$db.", s"$dbH."))
+      assert(p18.contains("TakeOrderedAndProject"), p18.take(1500))
+      assert(p18.contains(
+        "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+        p18.take(2000))
     }
   }
 

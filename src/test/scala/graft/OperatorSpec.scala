@@ -209,4 +209,35 @@ class OperatorSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(base == win)
   }
+
+  test("custom object aggregates survive the sort-based spill fallback " +
+    "(identical output at fallbackThreshold=1)") {
+    // ObjectHashAggregateExec falls back to sort-based aggregation once a
+    // partition's in-memory map exceeds
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold — THE
+    // memory-pressure path a 100 TB run lives in. Threshold 1 forces the
+    // fallback on the very first distinct key, so every partial and final
+    // merge of the custom TypedImperativeAggregates (TopKDoubles behind
+    // topk_per_group_agg, the Bloom union behind bloom_prefilter_join)
+    // runs through sorted merge — serialize/deserialize + merge order
+    // differ from the hash path, which is exactly what could diverge.
+    val keys = Seq("topk_per_group_agg", "bloom_prefilter_join")
+    for (k <- keys) {
+      val normal = SparkEntry.queries(k)(spark, sf)
+        .collect().map(_.toString).toSeq
+      val spilled = withConfs(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "1") {
+        SparkEntry.queries(k)(spark, sf).collect().map(_.toString).toSeq
+      }
+      assert(spilled == normal,
+        s"$k diverges under the sort-based aggregate fallback")
+    }
+    // the conf actually gates the path: a plan using the object hash
+    // aggregate must still produce ObjectHashAggregate nodes (fallback is
+    // runtime, not a plan change) — guard against the conf being renamed
+    // out from under the test by a Spark upgrade.
+    val plan = SparkEntry.queries("topk_per_group_agg")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1200))
+  }
 }
