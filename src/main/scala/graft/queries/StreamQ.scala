@@ -827,6 +827,40 @@ object StreamQ {
     s.read.parquet(out).orderBy(col("user_id"), col("cum_events"))
   }
 
+  /** DSv2 STREAMING WRITE through the real engine as a graded key — the
+    * write-side twin of range_stream_exec: the staged 5-batch replay
+    * streams through AuditSink's `StreamingWrite` (per-epoch two-phase
+    * commit, manifest as the idempotent commit marker) and the key
+    * re-reads the JSON-lines output. No stateful operator in the middle
+    * — what is graded is the SINK: every epoch's rows must publish
+    * exactly once (a dropped epoch loses rows, a double-published epoch
+    * duplicates them; either breaks the hash). Output projects
+    * (event_id, user_id, event_type) — unique event_id makes the result
+    * a set, so arrival order can't reach the hash. */
+  val v2StreamSinkRoundtrip: QFn = (s, dir) => {
+    val box = lateInbox(s, dir)
+    val run = "v2_stream_sink/" + java.util.UUID.randomUUID().toString.take(8)
+    val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
+    val schema = s.read.parquet(box).schema
+    withStreamPartitions(s, 4) {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(box)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .writeStream.format("graft.sources.AuditSink")
+        .option("path", out)
+        .option("checkpointLocation",
+          new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.json(s"$out/*.jsonl")
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
   /** ListState + MapState through the real engine as a GRADED key (see
     * ListMapAuditProcessor above for the state design and determinism
     * argument). Same staged deterministic 5-batch replay and RocksDB
@@ -888,6 +922,7 @@ object StreamQ {
   val queries: Map[String, QFn] = Map(
     "stream_init_state_exec" -> streamInitStateExec,
     "stream_list_state_exec" -> streamListStateExec,
+    "v2_stream_sink_roundtrip" -> v2StreamSinkRoundtrip,
     "range_stream_exec"   -> rangeStreamExec,
     "stream_timer_exec"   -> streamTimerExec,
     "stream_tws_exec"     -> streamTwsExec,
@@ -913,6 +948,11 @@ object StreamQ {
     * the protocol, that spec fails FIRST — recalibrate these goldens
     * before trusting any §2.19 hash. */
   val oracle: Map[String, String] = Map(
+    // The sink only moves rows; the identity projection IS the oracle —
+    // wrong iff an epoch published zero or two times.
+    "v2_stream_sink_roundtrip" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin,
     // Batch→stream handoff replay: batches 1-2 aggregate into the seed,
     // batches 3-5 accumulate on top of it — one emission per (user,
     // stream-batch-with-rows) carrying the seed-included cumulative.
