@@ -522,7 +522,99 @@ object VectorQ {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** PQ geometry: 4 subspaces × 16 dims (the 64-d corpus), 16 codes per
+    * subspace — a 4×4-bit code per vector, the classic IVF-PQ residual
+    * shape minus the IVF stage (ann_ivf_knn already grades that). K is
+    * FIXED (codebook size does not scale with n — at 100 TB codebooks
+    * train on a sample and broadcast; the scan cost is what scales). */
+  val PqM = 4
+  val PqK = 16
+  private val PqSub = 16
+
+  /** Product-quantization (PQ) kNN with asymmetric-distance scan and
+    * exact re-rank — the remaining production ANN tier (brute → LSH →
+    * multiprobe → IVF → SQ8 → PQ): per-subspace k-means codebooks
+    * compress each base vector to 4 code ids; the candidate scan scores
+    * queries against the RECONSTRUCTION (concatenated winning centroids)
+    * — algebraically identical to the per-subspace ADC lookup-table sum,
+    * Σ_m ⟨q_m, c_m⟩ = ⟨q, concat(c_m)⟩ — and only the top-20 survivors
+    * pay the full-precision cosine for the final top-5.
+    *
+    * Codebook training reuses kmeans_embed's deterministic conventions
+    * wholesale (init = sub-vectors of the K lowest vec_ids, argmin of
+    * r6-rounded distances with cluster-id tie-break, DECIMAL(12,9)-exact
+    * means, 2 re-estimations), so the whole train → encode → ADC → rerank
+    * pipeline carries a full DuckDB oracle (generated per subspace).
+    * Scale shape: codebooks are 4×16×16 doubles (broadcast); encoding is
+    * one broadcast-join pass over the corpus; the ADC scan is the
+    * bounded 50-query side against reconstructed vectors — the same
+    * justified-bounded crossJoin as the SQ8 tier. */
+  val annPqKnn: QFn = (s, dir) => {
+    val e = unitBase(s, dir).select(col("vec_id"), col("v"), col("nrm"))
+    val dist = r6(gdot(col("sv"), col("sv")) -
+      lit(2) * gdot(col("sv"), col("cvec")) + gdot(col("cvec"), col("cvec")))
+    def assign(sub: org.apache.spark.sql.DataFrame,
+        cents: org.apache.spark.sql.DataFrame) =
+      sub.crossJoin(broadcast(cents))
+        .withColumn("dist", dist)
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cl"), col("sv"))).as("m"))
+        .select(col("vec_id"), col("m.sv").as("sv"), col("m.cl").as("cl"))
+    // per-subspace codebook + final winning-centroid per vector
+    def reconPart(m: Int): org.apache.spark.sql.DataFrame = {
+      val sub = e.select(col("vec_id"),
+        slice(col("v"), m * PqSub + 1, PqSub).as("sv"))
+      var cents = sub.filter(col("vec_id") < PqK)
+        .select(col("vec_id").as("cl"), col("sv").as("cvec"))
+      for (_ <- 1 to 2) {
+        cents = assign(sub, cents)
+          .select(col("cl"), posexplode(col("sv")).as(Seq("pos", "ev")))
+          .groupBy(col("cl"), col("pos"))
+          .agg(sum(dec(col("ev"), 12, 9)).as("sv"), count(lit(1)).as("n"))
+          .select(col("cl"), col("pos"), r6(dbl(col("sv")) / col("n")).as("c"))
+          .groupBy(col("cl"))
+          .agg(transform(
+            sort_array(collect_list(struct(col("pos"), col("c")))),
+            x => x.getField("c")).as("cvec"))
+      }
+      // final assignment carries the winning CENTROID (the code's vector)
+      sub.crossJoin(broadcast(cents))
+        .withColumn("dist", dist)
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cl"), col("cvec"))).as("mm"))
+        .select(col("vec_id"), lit(m).as("m"), col("mm.cvec").as("cvec"))
+    }
+    val recon = (0 until PqM).map(reconPart).reduce(_ unionByName _)
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("m"), col("cvec")))),
+        x => x.getField("cvec"))).as("vhat"))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w1 = Window.partitionBy(col("qid"))
+      .orderBy(col("approx").desc, col("vec_id"))
+    val w2 = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val cand20 = q.crossJoin(recon)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("approx", r6(gdot(col("qv"), col("vhat"))))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= 20)
+      .select(col("qid"), col("vec_id"))
+    cand20
+      .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qfull"),
+        col("nrm").as("qn")), "qid")
+      .withColumn("cos_sim",
+        r6(gdot(col("qfull"), col("v")) / (col("qn") * col("nrm"))))
+      .withColumn("rn", row_number().over(w2).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"), col("cos_sim"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "ann_pq_knn"         -> annPqKnn,
     "ann_sq_knn"         -> annSqKnn,
     "semdedup_prune"     -> semdedupPrune,
     "kmeans_embed"       -> kmeansEmbed,
@@ -637,7 +729,80 @@ object VectorQ {
        |FROM a3 a LEFT JOIN pd ON a.cl = pd.cl
        |GROUP BY a.cl ORDER BY cluster""".stripMargin
 
+  /** PQ oracle, generated per subspace: codebook training with the
+    * kmeans conventions (2 DECIMAL-exact re-estimations), winning-
+    * centroid reconstruction, ADC scan (dot against the reconstruction),
+    * exact rerank — the mirror of annPqKnn stage for stage. */
+  private def pqSql: String = {
+    def distSql(cv: String) = r6Sql(
+      s"list_dot_product(e.sv, e.sv) - 2 * list_dot_product(e.sv, $cv) " +
+        s"+ list_dot_product($cv, $cv)")
+    def assignCte(name: String, sub: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, sv, cl FROM (
+         |    SELECT e.vec_id, e.sv, c.cl,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${distSql("c.cvec")}, c.cl) AS rn
+         |    FROM $sub e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def meanCte(asg: String, mName: String, cents: String) =
+      s"""$mName AS (
+         |  SELECT cl, pos,
+         |    ${r6Sql("CAST(sum(CAST(ev AS DECIMAL(12,9))) AS DOUBLE) / count(*)")} AS c
+         |  FROM (SELECT cl, generate_subscripts(sv, 1) AS pos,
+         |          unnest(sv) AS ev FROM $asg)
+         |  GROUP BY cl, pos),
+         |$cents AS (SELECT cl, list(c ORDER BY pos) AS cvec FROM $mName
+         |           GROUP BY cl)""".stripMargin
+    def finalCte(name: String, sub: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cvec FROM (
+         |    SELECT e.vec_id, c.cvec,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${distSql("c.cvec")}, c.cl) AS rn
+         |    FROM $sub e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    val per = (0 until PqM).map { m =>
+      val lo = m * 16 + 1
+      val hi = (m + 1) * 16
+      s"""sub$m AS (SELECT vec_id, list_slice(v, $lo, $hi) AS sv FROM ex),
+         |cb${m}_0 AS (SELECT vec_id AS cl, sv AS cvec FROM sub$m
+         |             WHERE vec_id < $PqK),
+         |${assignCte(s"as${m}_1", s"sub$m", s"cb${m}_0")},
+         |${meanCte(s"as${m}_1", s"mm${m}_1", s"cb${m}_1")},
+         |${assignCte(s"as${m}_2", s"sub$m", s"cb${m}_1")},
+         |${meanCte(s"as${m}_2", s"mm${m}_2", s"cb${m}_2")},
+         |${finalCte(s"fin$m", s"sub$m", s"cb${m}_2")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |            FROM embeddings),
+       |$per,
+       |recon AS (
+       |  SELECT f0.vec_id,
+       |    f0.cvec || f1.cvec || f2.cvec || f3.cvec AS vhat
+       |  FROM fin0 f0 JOIN fin1 f1 USING (vec_id)
+       |    JOIN fin2 f2 USING (vec_id) JOIN fin3 f3 USING (vec_id)),
+       |n2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+       |       FROM ex),
+       |cand AS (
+       |  SELECT q.vec_id AS qid, b.vec_id AS vec_id,
+       |    ${r6Sql("list_dot_product(q.v, b.vhat)")} AS approx
+       |  FROM ex q JOIN recon b ON b.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 50),
+       |c20 AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |          ORDER BY approx DESC, vec_id) AS r1 FROM cand),
+       |x AS (SELECT c.qid, c.vec_id,
+       |        ${r6Sql("list_dot_product(qq.v, bb.v) / (qq.nrm * bb.nrm)")}
+       |          AS cos_sim
+       |      FROM c20 c JOIN n2 qq ON qq.vec_id = c.qid
+       |        JOIN n2 bb ON bb.vec_id = c.vec_id
+       |      WHERE c.r1 <= 20),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |        ORDER BY cos_sim DESC, vec_id) AS rn FROM x)
+       |SELECT qid, vec_id, cos_sim, rn FROM r
+       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "ann_pq_knn" -> pqSql,
     "kmeans_embed" -> kmeansSql,
     "semdedup_prune" -> semdedupSql,
     "neardup_clusters" -> neardupClustersSql,

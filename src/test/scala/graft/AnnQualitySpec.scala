@@ -106,6 +106,22 @@ class AnnQualitySpec extends SparkSpec {
         "true neighbors the 4x cushion should keep")
   }
 
+  test("PQ/ADC kNN enrichment: recall@5 beats its candidate fraction >= 4x") {
+    // A 4x4-bit product quantizer on an isotropic corpus is the coarse
+    // end of the tier ladder — absolute recall is necessarily modest
+    // (the class doc's curse-of-dimensionality argument), so the honest
+    // gate is enrichment, same as LSH/IVF: the ADC top-20 concentrates
+    // true neighbors far above chance (measured 8.8-22x across tiers).
+    val pq = knnPairs("ann_pq_knn", 5)
+    val brute = knnPairs("qknn_cosine_top5", 5)
+    val recall = (pq intersect brute).size.toDouble / brute.size
+    val frac = 20.0 / nVecs
+    val enrichment = recall / frac
+    assert(enrichment >= 4.0,
+      f"PQ recall@5=$recall%.3f at candidate fraction $frac%.4f " +
+        f"(enrichment $enrichment%.1f) — ADC concentration broken")
+  }
+
   test("banded near-dup: measured recall and candidate fraction vs exact") {
     val banded = SparkEntry.queries("embed_neardup")(spark, sf).collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet

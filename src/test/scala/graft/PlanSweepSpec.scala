@@ -12,6 +12,8 @@ class PlanSweepSpec extends SparkSpec {
   private val allowed: Map[String, String] = Map(
     "qknn_cosine_top5" -> "brute tier BY DESIGN: 50-query bounded side × base",
     "ann_sq_knn" -> "SQ8 scan tier: 50-query bounded side broadcast over the quantized base",
+    "ann_pq_knn" -> ("PQ/ADC tier: 16-centroid codebooks broadcast for " +
+      "train/encode; the scan is the 50-query bounded side × reconstruction"),
     "join_theta_range" -> "pure inequality predicate; small side bounded & documented",
     "kmeans_embed" -> "centroids (k=8) broadcast against corpus — bounded build side",
     // semdedup_prune inherits kmeans' bounded broadcast too, but its
