@@ -402,7 +402,49 @@ object CurationQ {
         min(col("tok")).as("sample_term"))
       .orderBy(col("bucket"))
 
+  /** DSIR-style importance weighting (r8) — hashed n-gram importance
+    * resampling (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): score every document by how much its hashed
+    * unigram distribution looks like the TARGET slice (here lang='en')
+    * versus the RAW corpus. Features are 256 md5-prefix buckets (the
+    * cross-engine hash convention); per-bucket log-ratios use add-one
+    * smoothing, ln((c_t+1)(N_r+256) / ((c_r+1)(N_t+256))), each term
+    * pinned to DECIMAL(14,10) so per-doc sums are exact and order-free.
+    * Scale shape: one token scan feeds (a) a 256-row bucket table — the
+    * "n-gram model" is constant-size no matter the corpus, the property
+    * that makes DSIR run at 100 TB — broadcast back against (b) per-doc
+    * bucket counts; cost is two shuffles on (doc_id, bucket). */
+  val dsirWeight: QFn = (s, dir) => {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("tok")), 1, 2).as("bucket"))
+    val buckets = tok.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c_r"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"))
+    val totals = buckets.agg(sum(col("c_r")).as("n_r"),
+      sum(col("c_t")).as("n_t"))
+    val rates = buckets.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        dec(log(dbl(col("c_t") + 1) * dbl(col("n_r") + 256) /
+          (dbl(col("c_r") + 1) * dbl(col("n_t") + 256))), 14, 10)
+          .as("term"))
+    tok.groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("k"))
+      .join(broadcast(rates), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_toks"),
+        sum(dec(col("k"), 10, 0) * col("term")).as("w"))
+      .select(col("doc_id"), col("n_toks"),
+        r6(dbl(col("w"))).as("dsir_sum"),
+        r6(dbl(col("w")) / col("n_toks")).as("dsir_avg"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "dsir_weight"           -> dsirWeight,
     "feature_hash_audit"    -> featureHashAudit,
     "url_canonical_dedup"   -> urlCanonicalDedup,
     "incremental_dedup"     -> incrementalDedup,
@@ -444,6 +486,38 @@ object CurationQ {
     "(e - CAST(floor(e * 127.0 / sc + 0.5) AS BIGINT) * sc / 127.0)"
 
   val oracle: Map[String, String] = Map(
+    "dsir_weight" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, substr(md5(t), 1, 2) AS bucket
+         |  FROM (SELECT doc_id, lang,
+         |          unnest(string_split_regex(lower(text), '\\s+')) AS t
+         |        FROM documents)
+         |  WHERE t <> ''),
+         |b AS (
+         |  SELECT bucket, count(*) AS c_r,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c_t
+         |  FROM tok GROUP BY bucket),
+         |tot AS (
+         |  SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+         |    CAST(sum(c_t) AS BIGINT) AS n_t FROM b),
+         |rates AS (
+         |  SELECT bucket, CAST(ln(
+         |    CAST(c_t + 1 AS DOUBLE) * CAST(n_r + 256 AS DOUBLE) /
+         |    (CAST(c_r + 1 AS DOUBLE) * CAST(n_t + 256 AS DOUBLE)))
+         |    AS DECIMAL(14,10)) AS term
+         |  FROM b, tot),
+         |dk AS (
+         |  SELECT doc_id, bucket, count(*) AS k
+         |  FROM tok GROUP BY doc_id, bucket),
+         |w AS (
+         |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_toks,
+         |    sum(CAST(k AS DECIMAL(10,0)) * term) AS w
+         |  FROM dk JOIN rates USING (bucket) GROUP BY doc_id)
+         |SELECT doc_id, n_toks,
+         |  ${r6Sql("CAST(w AS DOUBLE)")} AS dsir_sum,
+         |  ${r6Sql("CAST(w AS DOUBLE) / n_toks")} AS dsir_avg
+         |FROM w ORDER BY doc_id""".stripMargin,
     // Identical tokenization (the qtext_wordcount contract) and the
     // identical md5-prefix bucket mapping.
     "feature_hash_audit" ->

@@ -470,7 +470,33 @@ object EventsQ {
       .orderBy(col("event_type"))
   }
 
+  /** Last-touch conversion attribution (r8) — the marketing-analytics
+    * staple: each `purchase` is credited to the user's most recent PRIOR
+    * non-purchase event type (`(direct)` when the purchase is the user's
+    * first event). One window over the per-user event timeline — `last(…,
+    * ignoreNulls)` over ROWS UNBOUNDED PRECEDING..1 PRECEDING, running
+    * per user partition so it scales with the busiest user, not the
+    * corpus — then a tiny per-channel rollup with the exact DECIMAL
+    * revenue convention. Ordering carries the (ts_us, event_id)
+    * tiebreaker so simultaneous events attribute identically on both
+    * engines. */
+  val attributionLastTouch: QFn = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "events")
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("(direct)")).as("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        moneySum(dec(col("value"), 14, 4)).as("attributed_revenue"))
+      .orderBy(col("touch_type"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "attribution_last_touch" -> attributionLastTouch,
     "decayed_counts"        -> decayedCounts,
     "join_asof_nearest"     -> asofNearest,
     "rolling_active_users"  -> rollingActiveUsers,
@@ -499,6 +525,22 @@ object EventsQ {
     "approx_percentile"    -> approxPercentile)
 
   val oracle: Map[String, String] = Map(
+    "attribution_last_touch" ->
+      """WITH tagged AS (
+        |  SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY epoch_us(ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS touch
+        |  FROM events)
+        |SELECT coalesce(touch, '(direct)') AS touch_type,
+        |  count(*) AS n_conversions,
+        |  CAST(round(sum(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE)
+        |    AS attributed_revenue
+        |FROM tagged WHERE event_type = 'purchase'
+        |GROUP BY touch ORDER BY touch_type""".stripMargin,
     "decayed_counts" ->
       """WITH days AS (
         |  SELECT epoch_us(ts) // 86400000000 AS day, event_type

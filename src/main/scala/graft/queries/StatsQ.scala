@@ -587,7 +587,143 @@ object StatsQ {
       .orderBy(col("event_type"), col("dow"))
   }
 
+  /** Sample autocorrelation of the daily event-count series at lags 1-3
+    * per event type (r8) — the ACF a monitoring pipeline fits before
+    * alerting on traffic periodicity. The standard estimator
+    * r_k = Σ_{t>k}(x_t−x̄)(x_{t−k}−x̄) / Σ_t(x_t−x̄)² is float-fragile
+    * (x̄ is a ratio); multiplying every deviation by n makes each term
+    * n·x_t − S — an INTEGER — so numerator and denominator are exact
+    * BIGINT sums (the n² factors cancel in the ratio) and the only float
+    * op is one final division per (type, lag) row. Headroom: d² needs
+    * (n·x_max)² < 2⁶³, i.e. daily counts up to ~5·10⁷ at a 3-year
+    * horizon — beyond that, swap the squares to DECIMAL(38,0) (still
+    * exact and order-free). The window runs over the per-day aggregate
+    * (≤ days·types rows at any corpus size), so the single data-sized
+    * shuffle is the daily groupBy. */
+  val acfLag: QFn = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val wT = Window.partitionBy(col("event_type"))
+    val wO = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("n", count(lit(1)).over(wT))
+      .withColumn("s", sum(col("c")).over(wT))
+      .withColumn("d", col("n") * col("c") - col("s"))
+      .withColumn("d1", lag(col("d"), 1).over(wO))
+      .withColumn("d2", lag(col("d"), 2).over(wO))
+      .withColumn("d3", lag(col("d"), 3).over(wO))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_days"),
+        sum(col("d") * col("d")).as("den"),
+        sum(col("d") * col("d1")).as("num1"),
+        sum(col("d") * col("d2")).as("num2"),
+        sum(col("d") * col("d3")).as("num3"))
+      .select(col("event_type"), col("n_days"), col("den"),
+        expr("stack(3, 1L, num1, 2L, num2, 3L, num3) AS (lag_k, num)"))
+      .select(col("event_type"), col("lag_k"), col("n_days"),
+        r6(dbl(col("num")) / dbl(col("den"))).as("acf"))
+      .orderBy(col("event_type"), col("lag_k"))
+  }
+
+  /** RFM (recency / frequency / monetary) segmentation (r8) — the
+    * classic customer-analytics rollup. Per-user metrics reduce in one
+    * shuffle (day max, count, exact DECIMAL money sum); quartile
+    * boundaries come from ONE exact-percentile aggregate over the
+    * per-user rollup, broadcast back — NOT from a global ntile window,
+    * whose single-partition sort is the thing that dies first at 10⁹
+    * users (threshold semantics: quartile = 1 + #thresholds strictly
+    * exceeded toward "better"; interpolated quantiles of integer/2dp
+    * inputs are exact in double, so the comparisons are
+    * engine-identical). Output is the 4³ segment grid. */
+  val rfmSegment: QFn = (s, dir) => {
+    val pu = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(expr("ts_us div 86400000000")).as("last_day"),
+        count(lit(1)).as("freq"),
+        dbl(sum(dec(col("value"), 14, 4))).as("mon"))
+    val th = pu.agg(
+      expr("percentile(last_day, array(0.25, 0.5, 0.75))").as("tr"),
+      expr("percentile(freq, array(0.25, 0.5, 0.75))").as("tf"),
+      expr("percentile(mon, array(0.25, 0.5, 0.75))").as("tm"))
+    def score(v: org.apache.spark.sql.Column, thr: String) =
+      (lit(1L) + when(v > element_at(col(thr), 1), 1L).otherwise(0L)
+        + when(v > element_at(col(thr), 2), 1L).otherwise(0L)
+        + when(v > element_at(col(thr), 3), 1L).otherwise(0L))
+    pu.crossJoin(broadcast(th))
+      .select(col("user_id"), col("freq"), col("mon"),
+        score(dbl(col("last_day")), "tr").as("r_q"),
+        score(dbl(col("freq")), "tf").as("f_q"),
+        score(col("mon"), "tm").as("m_q"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("freq")).as("sum_freq"),
+        r6(dbl(sum(dec(col("mon"), 18, 4))) / count(lit(1)))
+          .as("avg_monetary"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  /** Population Stability Index (r8) — the third member of the drift
+    * family (drift_ks = numeric CDF gap, drift_chi2 = categorical,
+    * drift_psi = the banded score-drift metric model-monitoring systems
+    * actually alert on): PSI = Σ_bins (p₂−p₁)·ln(p₂/p₁) over 10 bins per
+    * event type, bin edges = exact-rank deciles of the REFERENCE week
+    * (winsorize's selection — no interpolation, engine-identical), with
+    * add-one smoothing so empty bins contribute finite terms. Each
+    * bin term is pinned DECIMAL(14,10) before the exact 10-term sum.
+    * Scale shape: the edge table is 5 rows broadcast; binning is a
+    * per-row codegen'd comparison chain; one groupBy on (type, bin) —
+    * the reference-edge sort is the only rank window, over the
+    * reference slice per type. */
+  val driftPsi: QFn = (s, dir) => {
+    val isA = col("ts_us") < lit(1704672000000000L)
+    val isB = col("ts_us") >= lit(1705881600000000L)
+    val base = t(s, dir, "events")
+      .filter((isA || isB) && col("value").isNotNull)
+      .select(col("event_type"), col("value"),
+        when(isA, 1L).otherwise(0L).as("ia"),
+        when(isB, 1L).otherwise(0L).as("ib"))
+    val ref = base.filter(col("ia") === 1L)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("value"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+    val edges = ref.groupBy(col("event_type"))
+      .agg(max(when(col("rn") === ceil(col("n") * lit(1) / lit(10.0)),
+        col("value"))).as("e1"),
+        (2 to 9).map(k =>
+          max(when(col("rn") === ceil(col("n") * lit(k) / lit(10.0)),
+            col("value"))).as(s"e$k")): _*)
+    val bin = (1 to 9).map(k =>
+      when(col("value") > col(s"e$k"), 1L).otherwise(0L))
+      .foldLeft(lit(1L))(_ + _)
+    val counts = base.join(broadcast(edges), Seq("event_type"))
+      .withColumn("bin", bin)
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(col("ia")).as("c1"), sum(col("ib")).as("c2"))
+    val spine = edges.select(col("event_type"),
+      explode(sequence(lit(1L), lit(10L))).as("bin"))
+    val wT = Window.partitionBy(col("event_type"))
+    val p1 = dbl(col("c1") + 1) / dbl(col("n1") + 10)
+    val p2 = dbl(col("c2") + 1) / dbl(col("n2") + 10)
+    spine.join(counts, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+      .withColumn("n1", sum(col("c1")).over(wT))
+      .withColumn("n2", sum(col("c2")).over(wT))
+      .withColumn("term", dec((p2 - p1) * log(p2 / p1), 14, 10))
+      .groupBy(col("event_type"))
+      .agg(max(col("n1")).as("n_a"), max(col("n2")).as("n_b"),
+        r6(dbl(sum(col("term")))).as("psi"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "drift_psi"           -> driftPsi,
+    "acf_lag"             -> acfLag,
+    "rfm_segment"         -> rfmSegment,
     "seasonal_dow"        -> seasonalDow,
     "abtest_ztest"        -> abtestZtest,
     "winsorize_stats"     -> winsorizeStats,
@@ -613,6 +749,125 @@ object StatsQ {
     "win_range_frame"    -> winRangeFrame)
 
   val oracle: Map[String, String] = Map(
+    "drift_psi" -> {
+      val p1 = "(CAST(c1 + 1 AS DOUBLE) / CAST(n1 + 10 AS DOUBLE))"
+      val p2 = "(CAST(c2 + 1 AS DOUBLE) / CAST(n2 + 10 AS DOUBLE))"
+      val edgeCols = (1 to 9).map(k =>
+        s"max(CASE WHEN rn = ceil(n * $k / 10.0) THEN value END) AS e$k")
+        .mkString(",\n         |    ")
+      val binExpr = (1 to 9).map(k =>
+        s"(CASE WHEN value > e$k THEN 1 ELSE 0 END)")
+        .mkString("1 + ", " + ", "")
+      s"""WITH base AS (
+         |  SELECT event_type, value,
+         |    CASE WHEN epoch_us(ts) < 1704672000000000
+         |      THEN 1 ELSE 0 END AS ia,
+         |    CASE WHEN epoch_us(ts) >= 1705881600000000
+         |      THEN 1 ELSE 0 END AS ib
+         |  FROM events
+         |  WHERE (epoch_us(ts) < 1704672000000000
+         |      OR epoch_us(ts) >= 1705881600000000)
+         |    AND value IS NOT NULL),
+         |ref AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY value) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM base WHERE ia = 1),
+         |edges AS (
+         |  SELECT event_type,
+         |    $edgeCols
+         |  FROM ref GROUP BY event_type),
+         |counts AS (
+         |  SELECT b.event_type, $binExpr AS bin,
+         |    CAST(sum(ia) AS BIGINT) AS c1, CAST(sum(ib) AS BIGINT) AS c2
+         |  FROM base b JOIN edges e USING (event_type)
+         |  GROUP BY b.event_type, bin),
+         |spine AS (
+         |  SELECT event_type, unnest(range(1, 11)) AS bin FROM edges),
+         |filled AS (
+         |  SELECT s.event_type, s.bin,
+         |    coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+         |  FROM spine s LEFT JOIN counts c
+         |    ON s.event_type = c.event_type AND s.bin = c.bin),
+         |tot AS (
+         |  SELECT event_type, c1, c2,
+         |    CAST(sum(c1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+         |    CAST(sum(c2) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+         |  FROM filled),
+         |terms AS (
+         |  SELECT event_type, n1, n2,
+         |    CAST(($p2 - $p1) * ln($p2 / $p1) AS DECIMAL(14,10)) AS term
+         |  FROM tot)
+         |SELECT event_type, max(n1) AS n_a, max(n2) AS n_b,
+         |  ${r6Sql("CAST(sum(term) AS DOUBLE)")} AS psi
+         |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
+    "acf_lag" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    count(*) AS c
+         |  FROM events GROUP BY event_type, day),
+         |b AS (
+         |  SELECT event_type, day,
+         |    count(*) OVER (PARTITION BY event_type) AS n,
+         |    CAST(count(*) OVER (PARTITION BY event_type) * c
+         |      - sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS d
+         |  FROM daily),
+         |l AS (
+         |  SELECT event_type, n, d,
+         |    lag(d, 1) OVER (PARTITION BY event_type ORDER BY day) AS d1,
+         |    lag(d, 2) OVER (PARTITION BY event_type ORDER BY day) AS d2,
+         |    lag(d, 3) OVER (PARTITION BY event_type ORDER BY day) AS d3
+         |  FROM b),
+         |g AS (
+         |  SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+         |    CAST(sum(d * d) AS DOUBLE) AS den,
+         |    CAST(sum(d * d1) AS DOUBLE) AS num1,
+         |    CAST(sum(d * d2) AS DOUBLE) AS num2,
+         |    CAST(sum(d * d3) AS DOUBLE) AS num3
+         |  FROM l GROUP BY event_type)
+         |SELECT event_type, lag_k, n_days,
+         |  ${r6Sql("num / den")} AS acf
+         |FROM (
+         |  SELECT event_type, 1 AS lag_k, n_days, num1 AS num, den FROM g
+         |  UNION ALL
+         |  SELECT event_type, 2, n_days, num2, den FROM g
+         |  UNION ALL
+         |  SELECT event_type, 3, n_days, num3, den FROM g)
+         |ORDER BY event_type, lag_k""".stripMargin,
+    "rfm_segment" ->
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    max(epoch_us(ts) // 86400000000) AS last_day,
+         |    count(*) AS freq,
+         |    CAST(sum(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS mon
+         |  FROM events GROUP BY user_id),
+         |th AS (
+         |  SELECT
+         |    quantile_cont(CAST(last_day AS DOUBLE), [0.25, 0.5, 0.75]) AS tr,
+         |    quantile_cont(CAST(freq AS DOUBLE), [0.25, 0.5, 0.75]) AS tf,
+         |    quantile_cont(mon, [0.25, 0.5, 0.75]) AS tm
+         |  FROM pu),
+         |seg AS (
+         |  SELECT freq, mon,
+         |    1 + CASE WHEN last_day > tr[1] THEN 1 ELSE 0 END
+         |      + CASE WHEN last_day > tr[2] THEN 1 ELSE 0 END
+         |      + CASE WHEN last_day > tr[3] THEN 1 ELSE 0 END AS r_q,
+         |    1 + CASE WHEN freq > tf[1] THEN 1 ELSE 0 END
+         |      + CASE WHEN freq > tf[2] THEN 1 ELSE 0 END
+         |      + CASE WHEN freq > tf[3] THEN 1 ELSE 0 END AS f_q,
+         |    1 + CASE WHEN mon > tm[1] THEN 1 ELSE 0 END
+         |      + CASE WHEN mon > tm[2] THEN 1 ELSE 0 END
+         |      + CASE WHEN mon > tm[3] THEN 1 ELSE 0 END AS m_q
+         |  FROM pu, th)
+         |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+         |  CAST(m_q AS BIGINT) AS m_q, count(*) AS n_users,
+         |  CAST(sum(freq) AS BIGINT) AS sum_freq,
+         |  ${r6Sql("CAST(sum(CAST(mon AS DECIMAL(18,4))) AS DOUBLE) / count(*)")}
+         |    AS avg_monetary
+         |FROM seg GROUP BY r_q, f_q, m_q
+         |ORDER BY r_q, f_q, m_q""".stripMargin,
     "seasonal_dow" ->
       s"""WITH daily AS (
          |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

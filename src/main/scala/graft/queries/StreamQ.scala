@@ -542,6 +542,50 @@ object StreamQ {
     * alone advances the watermark near the global max), so a wrong drop
     * rule cannot hash-match. Output projects (bucket_ts, event_type, n,
     * sum_value) — a set, so engine arrival order can't reach the hash. */
+  /** CHAINED STATEFUL OPERATORS through the real engine (r8) — two
+    * windowed aggregations in ONE streaming query (15-min tumble per
+    * event type → 1-hour roll-up over the sub-window column via
+    * `window(window, …)`, SPARK-40925), the multi-stateful pipeline
+    * Spark 3.4+ unlocked and the shape every streaming medallion
+    * (bronze→silver→gold) job takes at scale: the second aggregate's
+    * input is 96×types rows/day regardless of event volume, so the
+    * downstream state and shuffle are corpus-size-independent.
+    *
+    * Determinism: ONE AvailableNow data batch (watermark 0 — nothing
+    * is late at either stage), then the closing no-data batch advances
+    * the watermark to global-max (ms-truncated) − 30 min and BOTH
+    * stages cascade within that batch: stage 1 appends every sub-window
+    * with end ≤ wm, stage 2 folds them and appends every hour window
+    * with end ≤ wm — and an emitted hour's sub-windows all have
+    * end ≤ hour_end ≤ wm, so emitted hours are provably COMPLETE
+    * (n_subwin counts the non-empty quarter-hours as proof). The oracle
+    * replays the roll-up plus the inclusive end ≤ wm rule
+    * (late_data_exec's boundary convention). */
+  val streamChainAggExec: QFn = (s, dir) => {
+    val run = "chain_agg/" + java.util.UUID.randomUUID().toString.take(8)
+    val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
+    withStreamPartitions(s, 4) {
+      val q = sourceEvents(s, dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(window(col("window"), "1 hour"), col("event_type"))
+        .agg(sum(col("n")).as("n_events"),
+          count(lit(1)).as("n_subwin"))
+        .select(unix_timestamp(col("window.start")).as("hour_ts"),
+          col("event_type"), col("n_events"), col("n_subwin"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+          new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out).orderBy(col("hour_ts"), col("event_type"))
+  }
+
   val lateDataExec: QFn = (s, dir) => {
     val box = lateInbox(s, dir)
     val run = "late_data/" + java.util.UUID.randomUUID().toString.take(8)
@@ -920,6 +964,7 @@ object StreamQ {
       .orderBy(col("bucket"))
 
   val queries: Map[String, QFn] = Map(
+    "stream_chain_agg_exec" -> streamChainAggExec,
     "stream_init_state_exec" -> streamInitStateExec,
     "stream_list_state_exec" -> streamListStateExec,
     "v2_stream_sink_roundtrip" -> v2StreamSinkRoundtrip,
@@ -948,6 +993,24 @@ object StreamQ {
     * the protocol, that spec fails FIRST — recalibrate these goldens
     * before trusting any §2.19 hash. */
   val oracle: Map[String, String] = Map(
+    // Chained-aggregation replay: 15-min roll-up → hour roll-up, emitted
+    // iff hour end ≤ final watermark (global max, ms-truncated, − 30 min
+    // — the inclusive late_data_exec boundary convention).
+    "stream_chain_agg_exec" ->
+      """WITH g AS (SELECT max(epoch_us(ts)) AS gmax FROM events),
+        |sub AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 900000000) * 900000000 AS sws,
+        |    count(*) AS n
+        |  FROM events GROUP BY event_type, sws),
+        |agg AS (
+        |  SELECT event_type, (sws // 3600000000) * 3600000000 AS hs,
+        |    CAST(sum(n) AS BIGINT) AS n_events, count(*) AS n_subwin
+        |  FROM sub GROUP BY event_type, hs)
+        |SELECT hs // 1000000 AS hour_ts, event_type, n_events, n_subwin
+        |FROM agg, g
+        |WHERE hs + 3600000000 <= gmax // 1000 * 1000 - 1800000000
+        |ORDER BY hour_ts, event_type""".stripMargin,
     // The sink only moves rows; the identity projection IS the oracle —
     // wrong iff an epoch published zero or two times.
     "v2_stream_sink_roundtrip" ->

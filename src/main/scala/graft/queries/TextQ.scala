@@ -739,7 +739,86 @@ object TextQ {
       .orderBy(col("source"))
   }
 
+  /** Zipf-law fit per language (r8) — the corpus-statistics diagnostic a
+    * curation pipeline runs before trusting token distributions: OLS of
+    * ln(freq) on ln(rank) over each language's top-100 words (Zipf
+    * predicts slope ≈ −1; a flat or broken slope flags synthetic /
+    * boilerplate-heavy text). Determinism follows the agg_regression +
+    * lm_bigram conventions: each ln term is pinned to DECIMAL(14,10)
+    * before the exact sums, so slope/intercept/r² are one fixed double
+    * expression over exact totals. Heavy lifting is the word count
+    * (one shuffle); the regression runs over ≤100 rows per lang. */
+  val zipfFit: QFn = (s, dir) => {
+    val wR = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("w"))
+    val terms = t(s, dir, "documents")
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(wR).cast("long"))
+      .filter(col("rank") <= 100)
+      .select(col("lang"),
+        dec(log(dbl(col("rank"))), 14, 10).as("x"),
+        dec(log(dbl(col("cnt"))), 14, 10).as("y"))
+    val n = dbl(col("n"))
+    val (sx, sy) = (dbl(col("sx")), dbl(col("sy")))
+    val (sxy, sxx, syy) = (dbl(col("sxy")), dbl(col("sxx")), dbl(col("syy")))
+    val cov = n * sxy - sx * sy
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    val slope = cov / vx
+    terms.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lang"), col("n"),
+        r6(slope).as("zipf_slope"),
+        r6((sy - slope * sx) / n).as("intercept"),
+        r6(cov * cov / (vx * vy)).as("r2"))
+      .orderBy(col("lang"))
+  }
+
+  /** BM25 ranked retrieval (r8) — the IR scoring function the inverted
+    * index exists to serve (Robertson-Spärck Jones, k1=1.2, b=0.75):
+    * top-20 docs for the fixed query {spark, join, data}. All inputs are
+    * exact integers (tf, df, dl, N, total tokens); idf and the length
+    * normalization are ONE fixed double expression each, the per-term
+    * score is pinned DECIMAL(14,10) so the ≤3-term per-doc sum is exact,
+    * and the top-20 order sorts the EXACT decimal (doc_id tiebreak) —
+    * rounding happens after ranking, never before. Scale shape: df/N/tt
+    * are 1-row/3-row broadcasts; the tf table is filtered to query terms
+    * BEFORE its groupBy, so per-query cost tracks posting-list size (the
+    * inverted-index access pattern), not corpus size. */
+  val bm25TopK: QFn = (s, dir) => {
+    val qterms = Seq("spark", "join", "data")
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
+    val tf = toks.filter(col("w").isin(qterms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val idf = log((dbl(col("nd") - col("df")) + lit(0.5)) /
+      (dbl(col("df")) + lit(0.5)))
+    val denom = dbl(col("tf")) + lit(1.2) *
+      (lit(0.25) + lit(0.75) * (dbl(col("dl") * col("nd")) / dbl(col("tt"))))
+    tf.join(broadcast(df), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        dec(idf * (dbl(col("tf")) * lit(2.2)) / denom, 14, 10).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("term")).as("sc"))
+      .orderBy(col("sc").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("n_terms"), r6(dbl(col("sc"))).as("bm25"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "bm25_topk"           -> bm25TopK,
+    "zipf_fit"            -> zipfFit,
     "incremental_neardup" -> incrementalNeardup,
     "langid_confusion"   -> langidConfusion,
     "curation_pipeline_e2e" -> curationPipelineE2e,
@@ -852,6 +931,68 @@ object TextQ {
       |     ELSE 'en' END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "bm25_topk" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |    FROM documents)
+         |  WHERE w <> ''),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |stats AS (
+         |  SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+         |tf AS (
+         |  SELECT doc_id, w, count(*) AS tf FROM tok
+         |  WHERE w IN ('spark', 'join', 'data') GROUP BY doc_id, w),
+         |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         |terms AS (
+         |  SELECT doc_id, CAST(
+         |    ln((CAST(nd - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |    * (CAST(tf AS DOUBLE) * 2.2)
+         |    / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+         |        (CAST(dl * nd AS DOUBLE) / CAST(tt AS DOUBLE))))
+         |    AS DECIMAL(14,10)) AS term
+         |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id), stats),
+         |g AS (
+         |  SELECT doc_id, count(*) AS n_terms, sum(term) AS sc
+         |  FROM terms GROUP BY doc_id)
+         |SELECT doc_id, n_terms,
+         |  ${r6Sql("CAST(sc AS DOUBLE)")} AS bm25
+         |FROM g ORDER BY sc DESC, doc_id LIMIT 20""".stripMargin,
+    "zipf_fit" -> {
+      val (n, sx, sy) = ("CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)",
+        "CAST(sy AS DOUBLE)")
+      val (sxy, sxx, syy) = ("CAST(sxy AS DOUBLE)", "CAST(sxx AS DOUBLE)",
+        "CAST(syy AS DOUBLE)")
+      val cov = s"($n * $sxy - $sx * $sy)"
+      val vx = s"($n * $sxx - $sx * $sx)"
+      val vy = s"($n * $syy - $sy * $sy)"
+      val slope = s"($cov / $vx)"
+      s"""WITH words AS (
+         |  SELECT lang, unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, w, count(*) AS cnt FROM words
+         |  WHERE w <> '' GROUP BY lang, w),
+         |r AS (
+         |  SELECT lang, cnt, row_number() OVER (PARTITION BY lang
+         |    ORDER BY cnt DESC, w) AS rank FROM c),
+         |terms AS (
+         |  SELECT lang,
+         |    CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(14,10)) AS x,
+         |    CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(14,10)) AS y
+         |  FROM r WHERE rank <= 100),
+         |m AS (
+         |  SELECT lang, count(*) AS n,
+         |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         |    sum(x * x) AS sxx, sum(y * y) AS syy
+         |  FROM terms GROUP BY lang)
+         |SELECT lang, n,
+         |  ${r6Sql(slope)} AS zipf_slope,
+         |  ${r6Sql(s"($sy - $slope * $sx) / $n")} AS intercept,
+         |  ${r6Sql(s"$cov * $cov / ($vx * $vy)")} AS r2
+         |FROM m ORDER BY lang""".stripMargin
+    },
     "incremental_neardup" ->
       s"""WITH $shCte,
          |sig AS (SELECT doc_id, count(*) AS n, list(shingle) AS shl,

@@ -56,6 +56,36 @@ object VectorQ {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** kNN classification (r8) — the consumer of the similarity stack: each
+    * of the 50 query vectors takes the MAJORITY LABEL of its cosine top-5
+    * (deterministic vote: count DESC, label ASC — the explicit argmax, not
+    * an engine-defined mode()). Shares the brute-tier scan with
+    * qknn_cosine_top5; at scale the candidate stage swaps to any ANN tier
+    * (LSH/IVF/SQ/PQ — same vote contract) since the vote only needs the
+    * top-5 set, not exact global order. */
+  val knnClassify: QFn = (s, dir) => {
+    val e = unitBase(s, dir)
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val wv = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("label"))
+    q.crossJoin(e)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim",
+        r6(gdot(col("qv"), col("v")) / (col("qn") * col("nrm"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy(col("qid"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rk", row_number().over(wv))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("label").cast("long").as("pred_label"),
+        col("votes"))
+      .orderBy(col("qid"))
+  }
+
   /** Mean 64-d vector per label. Components are fixed to DECIMAL(12,9)
     * before the sum so the per-(label,pos) totals are exact and
     * order-independent — the only way a float mean survives a cross-engine
@@ -620,6 +650,7 @@ object VectorQ {
     "kmeans_embed"       -> kmeansEmbed,
     "neardup_clusters"   -> neardupClusters,
     "qknn_cosine_top5"   -> knnTop5,
+    "knn_classify"       -> knnClassify,
     "centroid_per_label" -> centroidPerLabel,
     "multimodal_join"    -> multimodalJoin,
     "embed_neardup"      -> embedNeardup,
@@ -842,6 +873,23 @@ object VectorQ {
         |        ORDER BY cos_sim DESC, vec_id) AS rn FROM p)
         |SELECT qid, vec_id, cos_sim, rn FROM r
         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    "knn_classify" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 50),
+        |p AS (SELECT qid, vec_id, label,
+        |        floor((list_cosine_similarity(qv, v)) * 1000000 + 0.5) / 1000000 AS cos_sim
+        |      FROM q, e WHERE vec_id <> qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos_sim DESC, vec_id) AS rn FROM p),
+        |votes AS (
+        |  SELECT qid, label, count(*) AS votes FROM r
+        |  WHERE rn <= 5 GROUP BY qid, label),
+        |win AS (
+        |  SELECT qid, label, votes, row_number() OVER (PARTITION BY qid
+        |    ORDER BY votes DESC, label) AS rk FROM votes)
+        |SELECT qid, CAST(label AS BIGINT) AS pred_label, votes
+        |FROM win WHERE rk = 1 ORDER BY qid""".stripMargin,
     "centroid_per_label" ->
       """SELECT label, pos, floor((CAST(sv AS DOUBLE) / n) * 1000000 + 0.5) / 1000000 AS centroid
         |FROM (

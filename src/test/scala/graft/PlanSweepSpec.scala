@@ -45,7 +45,15 @@ class PlanSweepSpec extends SparkSpec {
     "bfs_distance" ->
       "1-row seed-word aggregate broadcast into the distance init",
     "decayed_counts" ->
-      "1-row max-day aggregate broadcast into the decay exponent")
+      "1-row max-day aggregate broadcast into the decay exponent",
+    "knn_classify" ->
+      "brute tier shared with qknn_cosine_top5: 50-query bounded side × base",
+    "rfm_segment" ->
+      "1-row quartile-thresholds aggregate broadcast against per-user rollup",
+    "dsir_weight" ->
+      "1-row corpus-totals aggregate crossed into the 256-bucket rate table",
+    "bm25_topk" ->
+      "1-row (N, total-tokens) aggregate crossed into the BM25 formula")
 
   test("no unlisted query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
