@@ -495,7 +495,34 @@ object EventsQ {
       .orderBy(col("touch_type"))
   }
 
+  /** Time-weighted average (r8) — the IoT/finance aggregation a plain
+    * mean gets wrong on irregular samples: per event type, TWA(value) =
+    * Σ vᵢ·Δtᵢ / ΣΔtᵢ with Δtᵢ the microseconds until the next event of
+    * that type (last event carries no duration). Every product is exact
+    * (DECIMAL(14,4) value × integer-µs duration), the sums are exact
+    * decimals, and the single float op is the final division — the
+    * step-function integral, computed relationally. One event_type
+    * window (lead) + one groupBy on the same key — the partitioning is
+    * reused, so TWA costs one shuffle at any corpus size. */
+  val timeWeightedAvg: QFn = (s, dir) => {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_type"), col("ts_us"), col("event_id"),
+        dec(col("value"), 14, 4).as("v"))
+      .withColumn("dt", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .filter(col("dt").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("v") * dec(col("dt"), 20, 0)).as("swv"),
+        sum(col("dt")).as("sdt"))
+      .select(col("event_type"), col("n_intervals"),
+        r6(dbl(col("swv")) / dbl(col("sdt"))).as("twa"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "time_weighted_avg"     -> timeWeightedAvg,
     "attribution_last_touch" -> attributionLastTouch,
     "decayed_counts"        -> decayedCounts,
     "join_asof_nearest"     -> asofNearest,
@@ -525,6 +552,20 @@ object EventsQ {
     "approx_percentile"    -> approxPercentile)
 
   val oracle: Map[String, String] = Map(
+    "time_weighted_avg" ->
+      s"""WITH seq AS (
+         |  SELECT event_type, CAST(value AS DECIMAL(14,4)) AS v,
+         |    lead(epoch_us(ts)) OVER (PARTITION BY event_type
+         |      ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS dt
+         |  FROM events),
+         |g AS (
+         |  SELECT event_type, count(*) AS n_intervals,
+         |    sum(v * CAST(dt AS DECIMAL(20,0))) AS swv,
+         |    CAST(sum(dt) AS BIGINT) AS sdt
+         |  FROM seq WHERE dt IS NOT NULL GROUP BY event_type)
+         |SELECT event_type, n_intervals,
+         |  ${r6Sql("CAST(swv AS DOUBLE) / CAST(sdt AS DOUBLE)")} AS twa
+         |FROM g ORDER BY event_type""".stripMargin,
     "attribution_last_touch" ->
       """WITH tagged AS (
         |  SELECT event_type, value,

@@ -171,7 +171,42 @@ object FormatsQ {
       .orderBy(col("source"))
   }
 
+  /** Dynamic partition overwrite (r8) — the lakehouse partition-level
+    * rewrite every partitioned pipeline runs daily: full partitioned
+    * write of orders by priority, then a SECOND overwrite-mode write
+    * containing ONLY `1-URGENT` rows (filtered to totalprice > 100 000)
+    * under `partitionOverwriteMode=dynamic`, which must replace exactly
+    * that partition and leave the other four untouched (static mode
+    * would truncate the whole table — the production data-loss gotcha
+    * this key pins). The re-read aggregate proves partition isolation:
+    * the oracle applies the filter to the urgent slice only. Conf is
+    * set per-write via option(), not session-wide. Scale: rewriting one
+    * partition costs that partition's data, never the table. */
+  val dynPartitionOverwrite: QFn = (s, dir) => {
+    val path = scratch(dir, "orders_dynpart")
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+    o.write.mode("overwrite")
+      .partitionBy("o_orderpriority").parquet(path)
+    o.filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 100000.0)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_orderpriority").parquet(path)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderpriority", StringType)))
+    s.read.schema(schema).parquet(path)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        moneySum(dec(col("o_totalprice"), 18, 4)).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "dyn_partition_overwrite" -> dynPartitionOverwrite,
     "v2_sink_roundtrip"   -> v2SinkRoundtrip,
     "csv_roundtrip"  -> csvRoundtrip,
     "json_roundtrip" -> jsonRoundtrip,
@@ -180,6 +215,16 @@ object FormatsQ {
     "compact_small_files" -> compactSmallFiles)
 
   val oracle: Map[String, String] = Map(
+    // Partition isolation: the dynamic overwrite must have replaced ONLY
+    // the 1-URGENT partition (with its filtered rows) — every other
+    // priority keeps the original full slice.
+    "dyn_partition_overwrite" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |    AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderpriority <> '1-URGENT' OR o_totalprice > 100000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // The same aggregate on the ORIGINAL parquet — the V2 sink round-trip
     // is access path, not semantics; sum_text_len proves the JSON-lines
     // string escaping lossless (newlines/quotes/control chars survive).

@@ -181,7 +181,50 @@ object GraphQ {
       .orderBy(col("d"))
   }
 
+  /** Adamic-Adar link scoring (r8) — fourth member of the graph family
+    * (PageRank = value iteration, CC = fixpoint, BFS = frontier, AA =
+    * neighborhood overlap): for every word pair sharing a neighbor,
+    * score = Σ_z 1/ln(deg z) over common neighbors z (a common neighbor
+    * has deg ≥ 2 by construction, so ln > 0) — the classic "suggested
+    * connections" statistic, with `is_edge` flagging whether the pair is
+    * already adjacent (link PREDICTION reads the is_edge = 0 rows; the
+    * flag keeps the key meaningful even when the graph is dense enough
+    * that every co-wedge pair is already an edge, as at sf0.1). Each
+    * 1/ln term is pinned DECIMAL(14,10), the per-pair sum is exact, and
+    * the top-20 ranks the exact decimal (pair tiebreak) before any
+    * rounding. Scale shape: candidates come from the wedge join
+    * (und ⋈ und on the hub z) = Σ deg(z)² pairs — the standard layout;
+    * at 100 TB the hub explosion is tamed by degree-capping/sampling
+    * heavy hubs (the triangle-count orientation trick does not apply
+    * because AA needs BOTH wedge arms), which changes candidates, not
+    * the scoring. */
+  val linkAdamicAdar: QFn = (s, dir) => {
+    val edges = edgesOf(s, dir)
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+    val deg = und.groupBy(col("a").as("z")).agg(count(lit(1)).as("dz"))
+    val wedges = und.select(col("a").as("z"), col("b").as("u"))
+      .join(und.select(col("a").as("z"), col("b").as("v")), Seq("z"))
+      .filter(col("u") < col("v"))
+    val adjacent = und.filter(col("a") < col("b"))
+      .select(col("a").as("u"), col("b").as("v"), lit(1L).as("is_edge"))
+    wedges
+      .join(deg, Seq("z"))
+      .select(col("u"), col("v"),
+        dec(lit(1.0) / log(dbl(col("dz"))), 14, 10).as("term"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_neighbors"), sum(col("term")).as("sc"))
+      .join(adjacent, Seq("u", "v"), "left")
+      .withColumn("is_edge", coalesce(col("is_edge"), lit(0L)))
+      .orderBy(col("sc").desc, col("u"), col("v"))
+      .limit(20)
+      .select(col("u"), col("v"), col("common_neighbors"), col("is_edge"),
+        r6(dbl(col("sc"))).as("aa_score"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "link_adamic_adar" -> linkAdamicAdar,
     "bfs_distance"   -> bfsDistance,
     "pagerank_words" -> pagerankWords,
     "triangle_count" -> triangleCount)
@@ -274,7 +317,39 @@ object GraphQ {
       |SELECT d, count(*) AS n_words, min(w) AS first_word
       |FROM best GROUP BY d ORDER BY d""".stripMargin
 
+  private def adamicAdarSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |    w -> w <> '') AS ws FROM documents),
+       |e0 AS (
+       |  SELECT DISTINCT ws[i] AS src, ws[i+1] AS dst
+       |  FROM toks,
+       |    (SELECT unnest(range(1, (SELECT max(len(ws)) FROM toks))) AS i)
+       |  WHERE i + 1 <= len(ws) AND ws[i] <> ws[i+1]),
+       |und AS (
+       |  SELECT src AS a, dst AS b FROM e0
+       |  UNION SELECT dst AS a, src AS b FROM e0),
+       |deg AS (SELECT a AS z, count(*) AS dz FROM und GROUP BY a),
+       |wedges AS (
+       |  SELECT x.b AS u, y.b AS v, x.a AS z
+       |  FROM und x JOIN und y ON x.a = y.a
+       |  WHERE x.b < y.b),
+       |terms AS (
+       |  SELECT u, v,
+       |    CAST(1.0 / ln(CAST(dz AS DOUBLE)) AS DECIMAL(14,10)) AS term
+       |  FROM wedges JOIN deg USING (z)),
+       |g AS (
+       |  SELECT u, v, count(*) AS common_neighbors, sum(term) AS sc
+       |  FROM terms GROUP BY u, v)
+       |SELECT u, v, common_neighbors,
+       |  CASE WHEN EXISTS (SELECT 1 FROM und
+       |    WHERE und.a = g.u AND und.b = g.v)
+       |    THEN 1 ELSE 0 END AS is_edge,
+       |  ${r6Sql("CAST(sc AS DOUBLE)")} AS aa_score
+       |FROM g ORDER BY sc DESC, u, v LIMIT 20""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "link_adamic_adar" -> adamicAdarSql,
     "bfs_distance"   -> bfsSql,
     "pagerank_words" -> pagerankSql,
     "triangle_count" -> triangleSql)
