@@ -53,11 +53,48 @@ object MultimodalQ {
       .orderBy(col("doc_id"), col("frame_no"))
   }
 
+  /** REAL binary-payload codec pipeline (r8) — the decode seam exercised
+    * end to end instead of stubbed: each doc's UTF-8 text is
+    * DEFLATE-compressed into a genuinely opaque parquet BINARY column
+    * (staged to scratch — the "media lake" at rest), read back, and
+    * decoded by `operators.Multimodal.decodePayloads` (one Inflater per
+    * partition, reset per row — the decoder-amortization lifecycle an
+    * image/audio codec swap reuses unchanged); features come from the
+    * DECODED bytes. Correctness is bit-exact by construction: the
+    * oracle computes the same features from the ORIGINAL text, so one
+    * corrupted byte anywhere in encode → binary column → decode breaks
+    * the md5 fingerprint. Scale shape: encode and decode are
+    * partition-parallel row maps (no shuffle); the only exchange is the
+    * final sort. */
+  val codecExec: QFn = (s, dir) => {
+    val path = scratch(dir, "mm_payloads")
+    graft.operators.Multimodal.encodePayloads(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .write.mode("overwrite").parquet(path)
+    graft.operators.Multimodal.decodePayloads(s.read.parquet(path))
+      .select(col("doc_id"),
+        length(encode(col("decoded"), "UTF-8")).cast("long").as("n_bytes"),
+        substring(md5(col("decoded")), 1, 8).as("fp8"),
+        size(graft.operators.TextOps.tokens(col("decoded"))).cast("long")
+          .as("n_toks"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "multimodal_codec_exec" -> codecExec,
     "multimodal_features" -> features,
     "multimodal_framesample" -> frameSample)
 
   val oracle: Map[String, String] = Map(
+    // Same features from the ORIGINAL text — a hash-match proves the
+    // DEFLATE round-trip through the binary column bit-lossless.
+    "multimodal_codec_exec" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  substring(md5(text), 1, 8) AS fp8,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    w -> w <> '')) AS BIGINT) AS n_toks
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

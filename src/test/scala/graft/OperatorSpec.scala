@@ -240,4 +240,29 @@ class OperatorSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), plan.take(1200))
   }
+
+  test("DEFLATE payload codec round-trips edge payloads bit-exactly " +
+    "(empty, multi-byte, incompressible, large)") {
+    import graft.operators.Multimodal
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, false)
+    val i = new java.util.zip.Inflater(false)
+    val rnd = new scala.util.Random(7)
+    val cases: Seq[Array[Byte]] = Seq(
+      Array.emptyByteArray,
+      "hello world".getBytes("UTF-8"),
+      "日本語 🙂 ümlaut ß".getBytes("UTF-8"),
+      Array.fill(4096)((rnd.nextInt(256) - 128).toByte), // incompressible
+      ("spark " * 100000).getBytes("UTF-8"))             // > one 4 KB buffer
+    for (c <- cases) {
+      val back = Multimodal.inflate(Multimodal.deflate(c, d), i)
+      assert(java.util.Arrays.equals(back, c),
+        s"round-trip diverged at length ${c.length}")
+    }
+    // a truncated payload must fail loudly, not return partial bytes
+    val full = Multimodal.deflate(("abc " * 1000).getBytes("UTF-8"), d)
+    intercept[Exception] {
+      Multimodal.inflate(full.take(full.length / 2), i)
+    }
+  }
 }
