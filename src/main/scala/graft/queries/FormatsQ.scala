@@ -205,7 +205,78 @@ object FormatsQ {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Schema evolution AT REST (r8) — `mergeSchema` over two parquet
+    * writer vintages in one directory tree: a legacy batch written
+    * without `n_chars` and a current batch with it, read as ONE table
+    * (footer-merged superset schema, legacy rows null-extended). This is
+    * the scan-side complement to `union_by_name_evolve` (which evolves
+    * in-flight relations): a petabyte lake accretes writer schemas over
+    * years, and the engine must widen at the FOOTER level without a
+    * rewrite. The aggregate separates legacy (null) rows from evolved
+    * ones, so a wrong null-extension can't hash-match. Scale note:
+    * mergeSchema footer-merges every file's schema at planning — at
+    * 100 TB the merged schema comes from the table catalog/registry
+    * instead, same widened scan. */
+  val mergeSchemaScan: QFn = (s, dir) => {
+    val path = scratch(dir, "docs_evolving")
+    val d = t(s, dir, "documents")
+    d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(s"$path/vintage=legacy")
+    d.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$path/vintage=current")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$path/vintage=legacy", s"$path/vintage=current")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_legacy"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars_new"))
+      .orderBy(col("lang"))
+  }
+
+  /** Malformed-input policy (r8) — PERMISSIVE CSV ingest with
+    * `columnNameOfCorruptRecord`, the dirty-data reality every 100 TB
+    * crawl/export ingest faces: six deterministic garbage lines (wrong
+    * arity, non-numeric keys) are interleaved with the real rows, the
+    * read must load every well-formed row, null-type the bad ones into
+    * the corrupt column (never crash, never drop silently), and the
+    * audit aggregate proves the exact split. FAILFAST/DROPMALFORMED are
+    * policy flips on the same scan. The corrupt column is metadata the
+    * scan populates — a quarantine sink would filter on it. */
+  val csvMalformedPolicy: QFn = (s, dir) => {
+    val path = scratch(dir, "events_badcsv")
+    val good = t(s, dir, "events")
+      .select(concat_ws(",", col("event_id"), col("user_id"),
+        col("event_type")).as("line"))
+    // Six single-token lines: too few columns AND an unparseable first
+    // field — unambiguously malformed under every CSV dialect. (Spark's
+    // PERMISSIVE mode deliberately tolerates EXTRA trailing columns and
+    // null-types a failed non-leading field without quarantining the
+    // row, so arity-short garbage is the portable corrupt-line shape.)
+    val bad = s.createDataFrame(
+      java.util.Arrays.asList(
+        (0 until 6).map(i => org.apache.spark.sql.Row(s"corrupt#$i")): _*),
+      StructType(Seq(StructField("line", StringType))))
+    good.unionAll(bad).coalesce(4)
+      .write.mode("overwrite").text(path)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("_bad", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(path)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when(col("_bad").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_bad").isNull, col("event_id"))).as("sum_good_ids"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "csv_malformed_policy" -> csvMalformedPolicy,
+    "merge_schema_scan" -> mergeSchemaScan,
     "dyn_partition_overwrite" -> dynPartitionOverwrite,
     "v2_sink_roundtrip"   -> v2SinkRoundtrip,
     "csv_roundtrip"  -> csvRoundtrip,
@@ -215,6 +286,23 @@ object FormatsQ {
     "compact_small_files" -> compactSmallFiles)
 
   val oracle: Map[String, String] = Map(
+    // The six injected garbage lines must land in the corrupt column —
+    // every real row loads, none crash or drop.
+    "csv_malformed_policy" ->
+      """SELECT count(*) + 6 AS n_rows,
+        |  CAST(6 AS BIGINT) AS n_corrupt,
+        |  count(*) AS n_good,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_good_ids
+        |FROM events""".stripMargin,
+    // Evolved-scan replay: even docs were written WITHOUT n_chars (null
+    // after the footer merge), odd docs with it.
+    "merge_schema_scan" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_legacy,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)
+        |    AS BIGINT) AS sum_chars_new
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // Partition isolation: the dynamic overwrite must have replaced ONLY
     // the 1-URGENT partition (with its filtered rows) — every other
     // priority keeps the original full slice.
