@@ -240,6 +240,37 @@ object ModernQ {
     * scheduled job would issue it; binding happens at parse time, so
     * constant folding and scan pushdown see real literals. The oracle is
     * the same text with the literals inlined. */
+  /** SQL scripting (r8) — Spark 4's SQL/PSM surface (BEGIN … END,
+    * DECLARE, SET over a scalar subquery): the migration path for
+    * warehouse stored-procedure logic. The script computes an exact
+    * corpus threshold (decimal sum ÷ count — one double division of
+    * exact values, engine-identical) into a session variable and the
+    * final statement consumes it; `spark.sql` returns the last
+    * statement's result. Conf-gated per call and restored. The oracle
+    * inlines the same threshold as a CTE — scripting is control flow,
+    * not new relational semantics, which is exactly what the
+    * hash-match proves. */
+  val sqlScripting: QFn = (s, dir) => {
+    views(s, dir, "orders")
+    val key = "spark.sql.scripting.enabled"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try s.sql("""BEGIN
+      DECLARE thr DOUBLE DEFAULT 0.0;
+      SET thr = (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                   AS DOUBLE) / count(*) FROM orders);
+      SELECT o_orderpriority, count(*) AS n_above,
+        CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+          AS sum_above
+      FROM orders WHERE o_totalprice > thr
+      GROUP BY o_orderpriority ORDER BY o_orderpriority;
+    END""")
+    finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   val paramQuery: QFn = (s, dir) => {
     views(s, dir, "orders")
     s.sql("""
@@ -287,6 +318,7 @@ object ModernQ {
   val queries: Map[String, QFn] = Map(
     "snapshot_diff"       -> snapshotDiff,
     "sql_udf"             -> sqlUdf,
+    "sql_scripting"       -> sqlScripting,
     "param_query"         -> paramQuery,
     "recursive_org_depth" -> recursiveOrgDepth,
     "lateral_topn"        -> lateralTopn,
@@ -369,6 +401,15 @@ object ModernQ {
       s"""SELECT l_returnflag, count(*) AS n,
          |  CAST(round(sum($revenueSql), 2) AS DOUBLE) AS revenue
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "sql_scripting" ->
+      """WITH t AS (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    / count(*) AS thr FROM orders)
+        |SELECT o_orderpriority, count(*) AS n_above,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |    AS DOUBLE) AS sum_above
+        |FROM orders, t WHERE o_totalprice > thr
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "param_query" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
