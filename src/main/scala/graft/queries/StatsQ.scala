@@ -720,7 +720,44 @@ object StatsQ {
       .orderBy(col("event_type"))
   }
 
+  /** Cross-series correlation matrix (r8) — pairwise Pearson r between
+    * event types' daily-count series (the co-movement diagnostic behind
+    * incident correlation and capacity planning), over each pair's
+    * COMMON days. Same exactness scheme as acf_lag: all five sums in
+    * r = (nΣxy−ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) are BIGINT-exact, so
+    * the only float ops are one sqrt (IEEE-correctly-rounded on both
+    * engines, unlike ln) and one division, under r6. The pair join is
+    * keyed on the day over the per-day aggregate (≤ days·types rows);
+    * with T types the fan-out is C(T,2) per day — types are a
+    * domain-bounded dimension, so this never tracks corpus size. */
+  val corrMatrix: QFn = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val a = daily.select(col("event_type").as("ta"), col("day"),
+      col("c").as("x"))
+    val b = daily.select(col("event_type").as("tb"), col("day"),
+      col("c").as("y"))
+    val n = col("n")
+    val (sx, sy) = (col("sx"), col("sy"))
+    val (sxy, sxx, syy) = (col("sxy"), col("sxx"), col("syy"))
+    a.join(b, Seq("day")).filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("ta"), col("tb"), col("n"),
+        r6(dbl(n * sxy - sx * sy) /
+          sqrt(dbl((n * sxx - sx * sx) * (n * syy - sy * sy))))
+          .as("pearson_r"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "corr_matrix"         -> corrMatrix,
     "drift_psi"           -> driftPsi,
     "acf_lag"             -> acfLag,
     "rfm_segment"         -> rfmSegment,
@@ -749,6 +786,26 @@ object StatsQ {
     "win_range_frame"    -> winRangeFrame)
 
   val oracle: Map[String, String] = Map(
+    "corr_matrix" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    count(*) AS c
+         |  FROM events GROUP BY event_type, day),
+         |m AS (
+         |  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n,
+         |    CAST(sum(a.c) AS BIGINT) AS sx,
+         |    CAST(sum(b.c) AS BIGINT) AS sy,
+         |    CAST(sum(a.c * b.c) AS BIGINT) AS sxy,
+         |    CAST(sum(a.c * a.c) AS BIGINT) AS sxx,
+         |    CAST(sum(b.c * b.c) AS BIGINT) AS syy
+         |  FROM daily a JOIN daily b ON a.day = b.day
+         |  WHERE a.event_type < b.event_type
+         |  GROUP BY ta, tb)
+         |SELECT ta, tb, n,
+         |  ${r6Sql("CAST(n * sxy - sx * sy AS DOUBLE) / " +
+             "sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE))")}
+         |    AS pearson_r
+         |FROM m ORDER BY ta, tb""".stripMargin,
     "drift_psi" -> {
       val p1 = "(CAST(c1 + 1 AS DOUBLE) / CAST(n1 + 10 AS DOUBLE))"
       val p2 = "(CAST(c2 + 1 AS DOUBLE) / CAST(n2 + 10 AS DOUBLE))"

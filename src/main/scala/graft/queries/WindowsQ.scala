@@ -73,14 +73,46 @@ object WindowsQ {
       .orderBy(col("day"))
   }
 
+  /** Rolling 7-row MEDIAN of the daily event-count series per type (r8)
+    * — the robust complement to win_moving_avg: a traffic baseline a
+    * single spike day cannot drag (the anomaly-detection reason rolling
+    * medians exist). Exact `percentile(…, 0.5)` as a true WINDOW
+    * aggregate over a ROWS frame; inputs are integer counts, so the
+    * even-frame midpoint average is an exact x.0/x.5 double on both
+    * engines — no rounding needed anywhere. The frame runs over the
+    * per-day aggregate (≤ days·types rows at any corpus size) under an
+    * event_type partition; the one data-sized shuffle is the daily
+    * groupBy. At 100 TB the exact frame median yields to a sliding
+    * sketch; the plan shape is unchanged. */
+  val rollingMedian: QFn = (s, dir) => {
+    t(s, dir, "events")
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .selectExpr("event_type", "day", "c",
+        """percentile(c, 0.5) OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7""")
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "qwin_rank_per_cust" -> rankPerCust,
     "win_rank_dense"     -> rankDense,
     "win_running_sum"    -> runningSum,
     "win_lag_lead"       -> lagLead,
+    "win_rolling_median" -> rollingMedian,
     "win_moving_avg"     -> movingAvg)
 
   val oracle: Map[String, String] = Map(
+    "win_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS c
+        |  FROM events GROUP BY event_type, day)
+        |SELECT event_type, day, c,
+        |  quantile_cont(CAST(c AS DOUBLE), 0.5) OVER (
+        |    PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+        |FROM daily ORDER BY event_type, day""".stripMargin,
     "win_rank_dense" ->
       """SELECT p_partkey, p_type,
         |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
