@@ -57,11 +57,15 @@ object Multimodal {
     val buf = new Array[Byte](4096)
     while (!i.finished()) {
       val n = i.inflate(buf)
-      // n == 0 with the stream unfinished and input exhausted = a
-      // truncated payload — fail loudly, never return partial bytes
-      if (n == 0 && !i.finished() && i.needsInput())
+      // n == 0 with the stream unfinished = a stalled decoder — a
+      // truncated payload (needsInput), a preset-dictionary / FDICT
+      // stream (needsDictionary), or any other stall. Fail loudly on
+      // all of them; never spin and never return partial bytes.
+      if (n == 0 && !i.finished())
         throw new java.util.zip.DataFormatException(
-          "truncated DEFLATE payload")
+          if (i.needsDictionary()) "DEFLATE stream requires preset dictionary"
+          else if (i.needsInput()) "truncated DEFLATE payload"
+          else "stalled DEFLATE decode")
       out.write(buf, 0, n)
     }
     out.toByteArray

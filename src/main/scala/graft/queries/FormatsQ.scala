@@ -246,9 +246,20 @@ object FormatsQ {
     * scan populates — a quarantine sink would filter on it. */
   val csvMalformedPolicy: QFn = (s, dir) => {
     val path = scratch(dir, "events_badcsv")
+    // The oracle pins EXACTLY 6 corrupt rows, so every real row must
+    // serialize to a well-formed 3-field line: fail loudly (not
+    // data-dependently at hash-compare time) if a key field is NULL
+    // (concat_ws would silently drop it → under-arity line) or
+    // event_type carries a CSV metacharacter (comma/quote/newline
+    // would split or wrap the line).
     val good = t(s, dir, "events")
-      .select(concat_ws(",", col("event_id"), col("user_id"),
-        col("event_type")).as("line"))
+      .select(when(col("event_id").isNull || col("user_id").isNull ||
+          col("event_type").isNull ||
+          col("event_type").rlike("[,\"\r\n]"),
+        raise_error(lit("csv_malformed_policy: row not CSV-safe " +
+          "(null key field or metacharacter in event_type)")))
+        .otherwise(concat_ws(",", col("event_id"), col("user_id"),
+          col("event_type"))).as("line"))
     // Six single-token lines: too few columns AND an unparseable first
     // field — unambiguously malformed under every CSV dialect. (Spark's
     // PERMISSIVE mode deliberately tolerates EXTRA trailing columns and

@@ -634,19 +634,24 @@ object StatsQ {
     * per-user rollup, broadcast back — NOT from a global ntile window,
     * whose single-partition sort is the thing that dies first at 10⁹
     * users (threshold semantics: quartile = 1 + #thresholds strictly
-    * exceeded toward "better"; interpolated quantiles of integer/2dp
-    * inputs are exact in double, so the comparisons are
-    * engine-identical). Output is the 4³ segment grid. */
+    * exceeded toward "better"; every percentile input is an INTEGER —
+    * monetary is thresholded on the exact ×10⁴-scaled BIGINT of the
+    * DECIMAL(14,4) sum, not the double — so a+frac·(b−a) with dyadic
+    * frac ∈ {¼,½,¾} is exact in double and bitwise engine-identical
+    * no matter which interpolation formula each engine uses). Output
+    * is the 4³ segment grid. */
   val rfmSegment: QFn = (s, dir) => {
     val pu = t(s, dir, "events")
       .groupBy(col("user_id"))
       .agg(max(expr("ts_us div 86400000000")).as("last_day"),
         count(lit(1)).as("freq"),
-        dbl(sum(dec(col("value"), 14, 4))).as("mon"))
+        sum(dec(col("value"), 14, 4)).as("mon_d"))
+      .withColumn("mon_i", (col("mon_d") * lit(10000)).cast("long"))
+      .withColumn("mon", dbl(col("mon_d")))
     val th = pu.agg(
       expr("percentile(last_day, array(0.25, 0.5, 0.75))").as("tr"),
       expr("percentile(freq, array(0.25, 0.5, 0.75))").as("tf"),
-      expr("percentile(mon, array(0.25, 0.5, 0.75))").as("tm"))
+      expr("percentile(mon_i, array(0.25, 0.5, 0.75))").as("tm"))
     def score(v: org.apache.spark.sql.Column, thr: String) =
       (lit(1L) + when(v > element_at(col(thr), 1), 1L).otherwise(0L)
         + when(v > element_at(col(thr), 2), 1L).otherwise(0L)
@@ -655,7 +660,7 @@ object StatsQ {
       .select(col("user_id"), col("freq"), col("mon"),
         score(dbl(col("last_day")), "tr").as("r_q"),
         score(dbl(col("freq")), "tf").as("f_q"),
-        score(col("mon"), "tm").as("m_q"))
+        score(dbl(col("mon_i")), "tm").as("m_q"))
       .groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("freq")).as("sum_freq"),
@@ -726,7 +731,13 @@ object StatsQ {
     * COMMON days. Same exactness scheme as acf_lag: all five sums in
     * r = (nΣxy−ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) are BIGINT-exact, so
     * the only float ops are one sqrt (IEEE-correctly-rounded on both
-    * engines, unlike ln) and one division, under r6. The pair join is
+    * engines, unlike ln) and one division, under r6. Each variance
+    * factor n·Σx²−(Σx)² is cast to double BEFORE the product (the
+    * product of two factors each near 2⁶² would wrap silently in Spark
+    * while DuckDB raises on BIGINT overflow); the per-factor headroom
+    * is the same as acf_lag's: exact while n·Σc² < 2⁶³, i.e. per-type
+    * daily counts below ~3×10⁹ over a 31-day window — ~10⁵× today's
+    * sf0.1 volume. The pair join is
     * keyed on the day over the per-day aggregate (≤ days·types rows);
     * with T types the fan-out is C(T,2) per day — types are a
     * domain-bounded dimension, so this never tracks corpus size. */
@@ -751,7 +762,7 @@ object StatsQ {
         sum(col("y") * col("y")).as("syy"))
       .select(col("ta"), col("tb"), col("n"),
         r6(dbl(n * sxy - sx * sy) /
-          sqrt(dbl((n * sxx - sx * sx) * (n * syy - sy * sy))))
+          sqrt(dbl(n * sxx - sx * sx) * dbl(n * syy - sy * sy)))
           .as("pearson_r"))
       .orderBy(col("ta"), col("tb"))
   }
@@ -803,7 +814,8 @@ object StatsQ {
          |  GROUP BY ta, tb)
          |SELECT ta, tb, n,
          |  ${r6Sql("CAST(n * sxy - sx * sy AS DOUBLE) / " +
-             "sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE))")}
+             "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * " +
+             "CAST(n * syy - sy * sy AS DOUBLE))")}
          |    AS pearson_r
          |FROM m ORDER BY ta, tb""".stripMargin,
     "drift_psi" -> {
@@ -898,14 +910,19 @@ object StatsQ {
          |  SELECT user_id,
          |    max(epoch_us(ts) // 86400000000) AS last_day,
          |    count(*) AS freq,
-         |    CAST(sum(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS mon
+         |    sum(CAST(value AS DECIMAL(14,4))) AS mon_d
          |  FROM events GROUP BY user_id),
+         |pu2 AS (
+         |  SELECT user_id, last_day, freq,
+         |    CAST(mon_d * 10000 AS BIGINT) AS mon_i,
+         |    CAST(mon_d AS DOUBLE) AS mon
+         |  FROM pu),
          |th AS (
          |  SELECT
          |    quantile_cont(CAST(last_day AS DOUBLE), [0.25, 0.5, 0.75]) AS tr,
          |    quantile_cont(CAST(freq AS DOUBLE), [0.25, 0.5, 0.75]) AS tf,
-         |    quantile_cont(mon, [0.25, 0.5, 0.75]) AS tm
-         |  FROM pu),
+         |    quantile_cont(CAST(mon_i AS DOUBLE), [0.25, 0.5, 0.75]) AS tm
+         |  FROM pu2),
          |seg AS (
          |  SELECT freq, mon,
          |    1 + CASE WHEN last_day > tr[1] THEN 1 ELSE 0 END
@@ -914,10 +931,10 @@ object StatsQ {
          |    1 + CASE WHEN freq > tf[1] THEN 1 ELSE 0 END
          |      + CASE WHEN freq > tf[2] THEN 1 ELSE 0 END
          |      + CASE WHEN freq > tf[3] THEN 1 ELSE 0 END AS f_q,
-         |    1 + CASE WHEN mon > tm[1] THEN 1 ELSE 0 END
-         |      + CASE WHEN mon > tm[2] THEN 1 ELSE 0 END
-         |      + CASE WHEN mon > tm[3] THEN 1 ELSE 0 END AS m_q
-         |  FROM pu, th)
+         |    1 + CASE WHEN mon_i > tm[1] THEN 1 ELSE 0 END
+         |      + CASE WHEN mon_i > tm[2] THEN 1 ELSE 0 END
+         |      + CASE WHEN mon_i > tm[3] THEN 1 ELSE 0 END AS m_q
+         |  FROM pu2, th)
          |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
          |  CAST(m_q AS BIGINT) AS m_q, count(*) AS n_users,
          |  CAST(sum(freq) AS BIGINT) AS sum_freq,

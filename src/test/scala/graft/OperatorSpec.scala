@@ -264,5 +264,13 @@ class OperatorSpec extends SparkSpec {
     intercept[Exception] {
       Multimodal.inflate(full.take(full.length / 2), i)
     }
+    // a preset-dictionary (FDICT) zlib stream stalls inflate() at n=0
+    // with needsDictionary=true and input remaining — before the r9
+    // guard widened from needsInput()-only, this spun forever
+    val fdict = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 5, 6, 7, 8)
+    val ex = intercept[java.util.zip.DataFormatException] {
+      Multimodal.inflate(fdict, i)
+    }
+    assert(ex.getMessage.contains("preset dictionary"))
   }
 }
