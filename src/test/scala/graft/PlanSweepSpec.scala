@@ -53,7 +53,9 @@ class PlanSweepSpec extends SparkSpec {
     "dsir_weight" ->
       "1-row corpus-totals aggregate crossed into the 256-bucket rate table",
     "bm25_topk" ->
-      "1-row (N, total-tokens) aggregate crossed into the BM25 formula")
+      "1-row (N, total-tokens) aggregate crossed into the BM25 formula",
+    "q11_part_value_conc" ->
+      "1-row (total, part-count) aggregate broadcast into the 2x-mean cut")
 
   test("no unlisted query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
