@@ -223,7 +223,73 @@ object GraphQ {
         r6(dbl(col("sc"))).as("aa_score"))
   }
 
+  /** Synchronous label propagation (r9) — community detection
+    * (Raghavan et al. 2007, public algorithm), the fifth graph-family
+    * member (components walk connectivity; LPA finds dense regions
+    * inside one component). It runs on the PART CO-PURCHASE graph
+    * (parts sharing an order), not the word graph: the vocabulary is a
+    * fixed ~31 nodes at every SF while the part graph grows with the
+    * corpus — the node domain the 100 TB claim actually exercises.
+    * The asynchronous/random-order variant is unreproducible BY
+    * DESIGN, so this is the gradable form every distributed engine
+    * ships: 3 fixed SYNCHRONOUS rounds (pagerank's scheduled-budget
+    * shape), labels initialized to the node id, each round every node
+    * adopting its neighborhood's plurality label under a total (count
+    * DESC, label ASC) tie-break. The graded output is the
+    * (round, node, label) TRAJECTORY, not just the converged sizes — a
+    * dense synthetic graph collapses quickly, and the trajectory is
+    * what a wrong tie-break, wrong round count, or async leak cannot
+    * reproduce. Each round = one join keyed on the neighbor id + one
+    * (node, label) count + one per-node argmax window — all shuffles
+    * keyed on vertex ids, the standard distributed-LPA layout; the
+    * per-order pair fan-out is bounded by order size (≤ 7 items), the
+    * one-ship-year window is pushed to the parquet scan, and at 100 TB
+    * each round's label table is checkpointed, same plan. */
+  val labelPropagation: QFn = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    // one ship-year window, the standard market-basket framing — and
+    // the predicate is pushed to the parquet scan, so the graph build
+    // reads the slice, not the full fact
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_orderkey"), col("l_partkey"))
+    // materialized once: 3 rounds × (join + count) all re-read it
+    val und = li.join(li.select(col("l_orderkey"),
+        col("l_partkey").as("p2")), Seq("l_orderkey"))
+      .filter(col("l_partkey") < col("p2"))
+      .select(col("l_partkey").as("a"), col("p2").as("b"))
+      .distinct()
+      .localCheckpoint()
+    val nbr = und.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("u")))
+    var labels = nbr.select(col("v")).distinct()
+      .withColumn("label", col("v"))
+    var trail = labels.limit(0)
+      .select(lit(0L).as("round"), col("v"), col("label"))
+    for (r <- 1 to 3) {
+      val cnt = nbr
+        .join(labels.select(col("v").as("u"), col("label")), "u")
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
+      // checkpoint each round: round k's plan otherwise embeds rounds
+      // 1..k-1, and the trajectory union would re-execute round 1 three
+      // times (7.5 s → 1.5 s at sf0.1). This is also the 100 TB shape —
+      // each round's label table is a materialized intermediate.
+      labels = cnt.withColumn("rn", row_number().over(
+          Window.partitionBy(col("v"))
+            .orderBy(col("c").desc, col("label"))))
+        .filter(col("rn") === 1)
+        .select(col("v"), col("label"))
+        .localCheckpoint()
+      trail = trail.unionAll(
+        labels.select(lit(r.toLong).as("round"), col("v"), col("label")))
+    }
+    trail.select(col("round"), col("v").as("p_partkey"), col("label"))
+      .orderBy(col("round"), col("p_partkey"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "label_propagation" -> labelPropagation,
     "link_adamic_adar" -> linkAdamicAdar,
     "bfs_distance"   -> bfsDistance,
     "pagerank_words" -> pagerankWords,
@@ -348,7 +414,42 @@ object GraphQ {
        |  ${r6Sql("CAST(sc AS DOUBLE)")} AS aa_score
        |FROM g ORDER BY sc DESC, u, v LIMIT 20""".stripMargin
 
+  /** The identical 3 synchronous LPA rounds unrolled as CTEs, emitting
+    * the per-round trajectory. */
+  private def lpaSql: String = {
+    def round(k: Int, prev: String): String =
+      s"""c$k AS (SELECT n.v AS v, l.label AS label, count(*) AS c
+         |  FROM nbr n JOIN $prev l ON n.u = l.v
+         |  GROUP BY n.v, l.label),
+         |l$k AS (SELECT v, label FROM (
+         |    SELECT v, label,
+         |      row_number() OVER (PARTITION BY v
+         |        ORDER BY c DESC, label) AS rn
+         |    FROM c$k) t WHERE rn = 1)""".stripMargin
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1997-01-01'),
+       |und AS (
+       |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+       |  WHERE x.l_partkey < y.l_partkey),
+       |nbr AS (
+       |  SELECT a AS v, b AS u FROM und
+       |  UNION SELECT b, a FROM und),
+       |l0 AS (SELECT DISTINCT v, v AS label FROM nbr),
+       |${round(1, "l0")},
+       |${round(2, "l1")},
+       |${round(3, "l2")}
+       |SELECT round, v AS p_partkey, label FROM (
+       |  SELECT CAST(1 AS BIGINT) AS round, v, label FROM l1
+       |  UNION ALL SELECT 2, v, label FROM l2
+       |  UNION ALL SELECT 3, v, label FROM l3) t
+       |ORDER BY round, p_partkey""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "label_propagation" -> lpaSql,
     "link_adamic_adar" -> adamicAdarSql,
     "bfs_distance"   -> bfsSql,
     "pagerank_words" -> pagerankSql,

@@ -315,7 +315,40 @@ object ModernQ {
       .orderBy(col("change_type"))
   }
 
+  /** CDC APPLY with tombstones (r9) — the change-data-capture
+    * consumption half of the lakehouse maintenance family
+    * (snapshot_diff produces a change set, merge_upsert applies pure
+    * upserts; this key applies a FULL I/U/D log): the events stream is
+    * read as a per-user change log — signup ⇒ INSERT, error ⇒ DELETE
+    * (tombstone), anything else ⇒ UPDATE — totally ordered per key by
+    * the (ts_us, event_id) sequence (CDC logs carry such an LSN; the
+    * tiebreaker makes simultaneous changes apply identically on both
+    * engines). Apply = keep each key's LAST change, then drop keys
+    * whose last change is a tombstone — the Delta/Iceberg
+    * APPLY CHANGES contract. The audit output groups the surviving
+    * state by its final op and event type with an exact DECIMAL sum of
+    * the final payload. One window shuffle keyed on user_id (ROWS
+    * frame, scales with the busiest key's log, not the corpus), one
+    * bounded rollup. */
+  val cdcApplyTombstones: QFn = (s, dir) => {
+    val op = when(col("event_type") === "signup", "I")
+      .when(col("event_type") === "error", "D")
+      .otherwise("U")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("ts_us"), col("event_id"), op.as("op"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .groupBy(col("op"), col("event_type"))
+      .agg(count(lit(1)).as("n_live"),
+        dbl(round(sum(dec(col("value"), 14, 4)), 2)).as("sum_last_value"))
+      .orderBy(col("op"), col("event_type"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "cdc_apply_tombstones" -> cdcApplyTombstones,
     "snapshot_diff"       -> snapshotDiff,
     "sql_udf"             -> sqlUdf,
     "sql_scripting"       -> sqlScripting,
@@ -437,6 +470,21 @@ object ModernQ {
         |    AS bal
         |FROM c JOIN dim ON c.k IS NOT DISTINCT FROM dim.dk
         |GROUP BY dk ORDER BY dk NULLS FIRST""".stripMargin,
+    "cdc_apply_tombstones" ->
+      """WITH log AS (
+        |  SELECT user_id, event_type, value,
+        |    CASE WHEN event_type = 'signup' THEN 'I'
+        |      WHEN event_type = 'error' THEN 'D'
+        |      ELSE 'U' END AS op,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT op, event_type, count(*) AS n_live,
+        |  CAST(round(sum(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE)
+        |    AS sum_last_value
+        |FROM log WHERE rn = 1 AND op <> 'D'
+        |GROUP BY op, event_type
+        |ORDER BY op, event_type""".stripMargin,
     "merge_upsert" ->
       """WITH roll AS (
         |  SELECT o_custkey, count(*) AS n_orders,

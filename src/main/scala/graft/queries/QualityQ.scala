@@ -100,13 +100,73 @@ object QualityQ {
       .orderBy(col("label"))
   }
 
+  /** k-anonymity re-identification audit (r9) — the privacy gate a
+    * curated release runs AFTER pii_scrub: even with direct
+    * identifiers gone, a record whose quasi-identifier combination
+    * (here event_type × day × value decade band) is unique or
+    * near-unique re-identifies its subject by linkage (Sweeney 2002,
+    * public model). The audit groups records into QI equivalence
+    * classes and reports, per class-size band (1 = unique, 2-4 = below
+    * the classic k=5, 5-9, 10+), the class and record counts plus the
+    * record share — the release decision is "suppress or generalize
+    * every band below k". NULL value is its own band (-1) — nulls
+    * linker-match each other. Two aggregations, both keyed (QI, then
+    * band); the banding is a codegen'd CASE chain; floor(value/10) is
+    * IEEE-identical double arithmetic on both engines. At 100 TB the
+    * QI groupBy is one shuffle and the band rollup runs on ≤|classes|
+    * rows. */
+  val dqKAnonymity: QFn = (s, dir) => {
+    val classes = t(s, dir, "events")
+      .select(col("event_type"),
+        expr("ts_us div 86400000000").as("day"),
+        when(col("value").isNull, lit(-1L))
+          .otherwise(floor(col("value") / 10.0).cast("long")).as("band"))
+      .groupBy(col("event_type"), col("day"), col("band"))
+      .agg(count(lit(1)).as("k"))
+    classes
+      .select(col("k"),
+        when(col("k") === 1, "1_unique")
+          .when(col("k") <= 4, "2_k_lt5")
+          .when(col("k") <= 9, "3_k_5_9")
+          .otherwise("4_k_10plus").as("size_band"))
+      .groupBy(col("size_band"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_records"))
+      .withColumn("record_share",
+        r6(dbl(col("n_records")) /
+          dbl(sum(col("n_records")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))))
+      .orderBy(col("size_band"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "dq_k_anonymity" -> dqKAnonymity,
     "dq_embeddings"  -> dqEmbeddings,
     "dq_profile"     -> dqProfile,
     "dq_referential" -> dqReferential,
     "dq_uniqueness"  -> dqUniqueness)
 
   val oracle: Map[String, String] = Map(
+    "dq_k_anonymity" ->
+      s"""WITH classes AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    CASE WHEN value IS NULL THEN -1
+         |      ELSE CAST(floor(value / 10.0) AS BIGINT) END AS band,
+         |    count(*) AS k
+         |  FROM events GROUP BY event_type, day, band),
+         |banded AS (
+         |  SELECT CASE WHEN k = 1 THEN '1_unique'
+         |    WHEN k <= 4 THEN '2_k_lt5'
+         |    WHEN k <= 9 THEN '3_k_5_9'
+         |    ELSE '4_k_10plus' END AS size_band, k
+         |  FROM classes),
+         |rolled AS (
+         |  SELECT size_band, count(*) AS n_classes,
+         |    CAST(sum(k) AS BIGINT) AS n_records
+         |  FROM banded GROUP BY size_band)
+         |SELECT size_band, n_classes, n_records,
+         |  ${r6Sql("CAST(n_records AS DOUBLE) / " +
+             "CAST(sum(n_records) OVER () AS DOUBLE)")} AS record_share
+         |FROM rolled ORDER BY size_band""".stripMargin,
     "dq_embeddings" ->
       """WITH v AS (
         |  SELECT label,

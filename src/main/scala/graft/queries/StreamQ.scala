@@ -963,7 +963,53 @@ object StreamQ {
       "range_stream")
       .orderBy(col("bucket"))
 
+  /** MULTI-INPUT WATERMARK COORDINATION through the real engine (r9) —
+    * the one streaming semantic no other §2.19 key touches: a UNION of
+    * two streams carrying DIFFERENT watermark delays (clicks/views at
+    * 30 min, everything else at 2 h), where the engine must advance the
+    * downstream aggregation's watermark to the MINIMUM across inputs
+    * (`multipleWatermarkPolicy = min`, the default and the only safe
+    * policy — max would drop rows a slow input still owes). Both
+    * branches read the same staged inbox; each withWatermark operator
+    * tracks ITS OWN branch's max event time, so the closing no-data
+    * batch sets wm = min(maxA − 30 min, maxB − 2 h) (ms-truncated) and
+    * append mode emits exactly the hour windows with end ≤ wm — the
+    * oracle computes both branch maxima and applies the same rule. One
+    * AvailableNow data batch ⇒ nothing is late; the emission set is a
+    * set, so arrival order can't reach the hash. At 100 TB this is the
+    * fan-in topology every multi-region ingest runs — the slowest
+    * region's delay governs emission, which is exactly what the min
+    * rule grades. */
+  val streamUnionWmExec: QFn = (s, dir) => {
+    val run = "union_wm/" + java.util.UUID.randomUUID().toString.take(8)
+    val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
+    withStreamPartitions(s, 4) {
+      val fast = sourceEvents(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .withWatermark("ts", "30 minutes")
+      val slow = sourceEvents(s, dir)
+        .filter(!col("event_type").isin("click", "view"))
+        .withWatermark("ts", "2 hours")
+      val q = fast.unionAll(slow)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dbl(sum(dec(col("value"), 14, 4))).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("bucket_ts"),
+          col("event_type"), col("n"), col("sum_value"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+          new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out).orderBy(col("bucket_ts"), col("event_type"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "stream_union_wm_exec" -> streamUnionWmExec,
     "stream_chain_agg_exec" -> streamChainAggExec,
     "stream_init_state_exec" -> streamInitStateExec,
     "stream_list_state_exec" -> streamListStateExec,
@@ -993,6 +1039,28 @@ object StreamQ {
     * the protocol, that spec fails FIRST — recalibrate these goldens
     * before trusting any §2.19 hash. */
   val oracle: Map[String, String] = Map(
+    // Union-watermark replay: wm = min over the two branch watermarks
+    // (each branch's own max event time, ms-truncated, minus ITS delay);
+    // append emits hour windows with end ≤ wm — the inclusive boundary
+    // convention shared by every watermark golden here.
+    "stream_union_wm_exec" ->
+      """WITH g AS (
+        |  SELECT least(
+        |    (SELECT (max(epoch_us(ts)) // 1000) * 1000 - 1800000000
+        |     FROM events WHERE event_type IN ('click', 'view')),
+        |    (SELECT (max(epoch_us(ts)) // 1000) * 1000 - 7200000000
+        |     FROM events WHERE event_type NOT IN ('click', 'view')))
+        |    AS wm),
+        |w AS (
+        |  SELECT event_type, value,
+        |    (epoch_us(ts) // 3600000000) * 3600000000 AS ws
+        |  FROM events)
+        |SELECT ws // 1000000 AS bucket_ts, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+        |FROM w, g
+        |WHERE ws + 3600000000 <= wm
+        |GROUP BY ws, event_type
+        |ORDER BY bucket_ts, event_type""".stripMargin,
     // Chained-aggregation replay: 15-min roll-up → hour roll-up, emitted
     // iff hour end ≤ final watermark (global max, ms-truncated, − 30 min
     // — the inclusive late_data_exec boundary convention).
