@@ -1008,7 +1008,37 @@ object StreamQ {
     s.read.parquet(out).orderBy(col("bucket_ts"), col("event_type"))
   }
 
+  /** STREAM-STATIC JOIN through the real engine (r9) — the remaining
+    * join topology (§2.19 grades stream-stream inner and outer): the
+    * event stream enriched against the BATCH customer dimension. The
+    * engine plans the static side as an ordinary batch relation inside
+    * every micro-batch (IncrementalExecution re-plans it per trigger —
+    * the property that lets a dimension table update between batches),
+    * it is STATELESS (no watermark needed on the static side, no join
+    * state kept — the asymmetry that makes this the cheap, default
+    * enrichment topology at 100 TB, vs the stateful symmetric hash
+    * join's eviction machinery), and a sub-dimension-size static side
+    * broadcasts exactly as in batch. Downstream: hourly segment
+    * rollup in Complete mode (bounded cardinality — segments × hours).
+    * Oracle is the identical batch join + aggregate: the hash-match
+    * proves per-batch enrichment ≡ batch semantics. */
+  val streamStaticJoinExec: QFn = (s, dir) => {
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    runComplete(s,
+      sourceEvents(s, dir)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          dbl(sum(dec(col("value"), 14, 4))).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("bucket_ts"),
+          col("c_mktsegment"), col("n"), col("sum_value")),
+      "stream_static_join")
+      .orderBy(col("bucket_ts"), col("c_mktsegment"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "stream_static_join_exec" -> streamStaticJoinExec,
     "stream_union_wm_exec" -> streamUnionWmExec,
     "stream_chain_agg_exec" -> streamChainAggExec,
     "stream_init_state_exec" -> streamInitStateExec,
@@ -1039,6 +1069,15 @@ object StreamQ {
     * the protocol, that spec fails FIRST — recalibrate these goldens
     * before trusting any §2.19 hash. */
   val oracle: Map[String, String] = Map(
+    // Stream-static enrichment ≡ the batch join: no watermark, Complete
+    // mode, so the converged result is exactly the batch aggregate.
+    "stream_static_join_exec" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_ts,
+        |  c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY bucket_ts, c_mktsegment
+        |ORDER BY bucket_ts, c_mktsegment""".stripMargin,
     // Union-watermark replay: wm = min over the two branch watermarks
     // (each branch's own max event time, ms-truncated, minus ITS delay);
     // append emits hour windows with end ≤ wm — the inclusive boundary
