@@ -214,6 +214,59 @@ object EventsQ {
         element_at(col("pcts"), 3).as("p99"))
       .orderBy(col("event_type"))
 
+  /** HDR-histogram quantile sketch (r9) — the third sketch-tier member,
+    * and unlike approx_distinct / approx_percentile it carries a FULL
+    * DuckDB oracle: the sketch is a fixed binning (20 power-of-2
+    * octaves × 8 linear sub-bins, the HdrHistogram/DDSketch layout —
+    * public designs), and every boundary is EXACT double arithmetic —
+    * 2^k literals, v/2^e (exact by construction), (m−1)·8 (Sterbenz
+    * subtraction then power-of-2 scale) — so bin assignment, the
+    * cumulative-rank walk, and the bin-midpoint estimate are all
+    * bit-deterministic on both engines. Relative error ≤ 1/17 ≈ 5.9%
+    * by construction (OperatorSpec gates it against the exact
+    * percentile); values outside [2⁻¹⁰, 2¹⁰) saturate into the edge
+    * bins, exactly as HdrHistogram does. Scale shape: the sketch IS a
+    * (type, bin) count table — 160 bins/group, mergeable by count
+    * addition (partial aggregation does it for free), the walk runs on
+    * ≤160 rows/group. The answer the sketch gives is deterministic; its
+    * ACCURACY is the bounded part — which is why this tier can be
+    * hash-graded while a GK/HLL sketch cannot. */
+  val hdrQuantileSketch: QFn = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val v = col("value")
+    val ks = 9 to -10 by -1
+    val eCol = ks.foldLeft(when(lit(false), lit(0))) { (acc, k) =>
+      acc.when(v >= lit(math.pow(2, k)), lit(k)) }.otherwise(lit(-10))
+    val p2Col = ks.foldLeft(when(lit(false), lit(0.0))) { (acc, k) =>
+      acc.when(v >= lit(math.pow(2, k)), lit(math.pow(2, k))) }
+      .otherwise(lit(math.pow(2, -10)))
+    val sub = least(lit(7), greatest(lit(0),
+      floor((v / p2Col - lit(1)) * lit(8)).cast("int")))
+    val counts = t(s, dir, "events")
+      .filter(v > 0)
+      .select(col("event_type"), (eCol * lit(8) + sub).as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val wT = Window.partitionBy(col("event_type"))
+    val wO = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+    counts
+      .withColumn("cum", sum(col("c")).over(wO))
+      .withColumn("n", sum(col("c")).over(wT))
+      .select(col("event_type"), col("bin"), col("cum"),
+        explode(array(lit(0.5), lit(0.95), lit(0.99))).as("q"),
+        ceil(col("n") * col("q")).as("target_rank"))
+      .filter(col("cum") >= col("target_rank"))
+      .groupBy(col("event_type"), col("q"), col("target_rank"))
+      .agg(min(col("bin")).as("sketch_bin"))
+      .select(col("event_type"), col("q"), col("target_rank"),
+        col("sketch_bin"),
+        (pow(lit(2.0), floor(col("sketch_bin") / 8.0)) *
+          (lit(1) + (lit(2) * (col("sketch_bin") -
+            floor(col("sketch_bin") / 8.0).cast("int") * lit(8)) + lit(1))
+            / lit(16.0))).as("est"))
+      .orderBy(col("event_type"), col("q"))
+  }
+
   /** Native session_window() operator (the Structured-Streaming session
     * primitive, run in batch): per-user sessions with a 30-minute gap.
     * Oracle = the lag/cumsum formulation with a `>=` new-session gap test,
@@ -549,9 +602,54 @@ object EventsQ {
     "stream_dedup"         -> streamDedup,
     "win_sliding"          -> slidingWindows,
     "approx_distinct"      -> approxDistinct,
-    "approx_percentile"    -> approxPercentile)
+    "approx_percentile"    -> approxPercentile,
+    "hdr_quantile_sketch"  -> hdrQuantileSketch)
+
+  /** The identical fixed binning + rank walk in DuckDB — every boundary
+    * an exact power-of-2 literal, every step exact double arithmetic. */
+  private def hdrSql: String = {
+    val ks = 9 to -10 by -1
+    def lits(k: Int): String =
+      new java.math.BigDecimal(math.pow(2, k)).toPlainString
+    val eCase = ks.map(k => s"WHEN value >= ${lits(k)} THEN $k")
+      .mkString("CASE ", " ", " ELSE -10 END")
+    val pCase = ks.map(k => s"WHEN value >= ${lits(k)} THEN ${lits(k)}")
+      .mkString("CASE ", " ", s" ELSE ${lits(-10)} END")
+    s"""WITH base AS (
+       |  SELECT event_type, value,
+       |    $eCase AS e,
+       |    $pCase AS p2
+       |  FROM events WHERE value > 0),
+       |b2 AS (
+       |  SELECT event_type, e * 8 + least(7, greatest(0,
+       |    CAST(floor((value / p2 - 1) * 8) AS INTEGER))) AS bin
+       |  FROM base),
+       |c AS (SELECT event_type, bin, count(*) AS c FROM b2
+       |  GROUP BY event_type, bin),
+       |cum AS (
+       |  SELECT event_type, bin, c,
+       |    sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+       |    sum(c) OVER (PARTITION BY event_type) AS n
+       |  FROM c),
+       |qs AS (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS q),
+       |sel AS (
+       |  SELECT event_type, q,
+       |    CAST(ceil(CAST(n AS DOUBLE) * q) AS BIGINT) AS target_rank,
+       |    min(bin) AS sketch_bin
+       |  FROM cum, qs
+       |  WHERE CAST(cum AS DOUBLE) >= ceil(CAST(n AS DOUBLE) * q)
+       |  GROUP BY event_type, q, target_rank)
+       |SELECT event_type, q, target_rank, CAST(sketch_bin AS BIGINT)
+       |    AS sketch_bin,
+       |  power(2, floor(sketch_bin / 8.0)) *
+       |    (1 + (2 * (sketch_bin
+       |      - CAST(floor(sketch_bin / 8.0) AS INTEGER) * 8) + 1) / 16.0)
+       |    AS est
+       |FROM sel ORDER BY event_type, q""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
+    "hdr_quantile_sketch" -> hdrSql,
     "time_weighted_avg" ->
       s"""WITH seq AS (
          |  SELECT event_type, CAST(value AS DECIMAL(14,4)) AS v,

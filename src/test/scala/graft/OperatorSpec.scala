@@ -52,6 +52,27 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("hdr_quantile_sketch midpoint within 1/16 relative error of the " +
+      "exact rank-selected value") {
+    // The sketch walks to the bin containing the value at rank ceil(q·n);
+    // the bin-midpoint estimate is within half a sub-bin width (2^e/16)
+    // of every value in that bin, so rel error ≤ 1/16 by construction.
+    val e = Tables(spark, sf, "events").filter(col("value") > 0)
+    val sk = SparkEntry.queries("hdr_quantile_sketch")(spark, sf)
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Double]("q")) -> (r.getAs[Double]("est"),
+        r.getAs[Long]("target_rank"))).toMap
+    assert(sk.nonEmpty)
+    val byType = e.select(col("event_type"), col("value"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    sk.foreach { case ((et, _), (est, rank)) =>
+      val exact = byType(et)(rank.toInt - 1)
+      assert(math.abs(est - exact) / exact <= 1.0 / 16 + 1e-12,
+        s"$et rank $rank: sketch $est vs exact $exact")
+    }
+  }
+
   test("hll_sketch_union estimates within 5% of exact, incl. the union") {
     val e = Tables(spark, sf, "events")
     val exact = e.groupBy(col("event_type"))
