@@ -302,6 +302,50 @@ object EventsQ {
       .orderBy(col("user_id"))
   }
 
+  /** Funnel latency (r9) — time-to-convert, the metric event_funnel's
+    * COUNTS can't answer: of the users who saw a view, how many ever
+    * purchased after it, and how long did conversion take (the p50/p90
+    * a growth team actually alerts on). First view per user → earliest
+    * strictly-later purchase (event_funnel's `>` convention) → exact
+    * integer µs delays → whole-minute percentiles by EXACT-RANK
+    * selection (value at row_number = ceil(q·n), computed as integer
+    * (q·n) ceil-division — the winsorize estimator: no interpolation,
+    * engine-identical by construction). conv_rate is one double
+    * division of exact counts.
+    *
+    * Scale shape: both funnel stages are user-keyed shuffles that
+    * co-partition with each other; the rank selection runs over the
+    * per-user CONVERSION aggregate (one row per converting user — far
+    * smaller than the event log, though still corpus-growing: at 100 TB
+    * the exact-rank window yields to approx_percentile/hdr sketches,
+    * same plan shape, which is why both tiers are contract keys). The
+    * 1-row viewer-count aggregate rides an allowlisted broadcast. */
+  val funnelTimeConv: QFn = (s, dir) => {
+    val e = t(s, dir, "events")
+    val fv = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("fv"))
+    val conv = e.filter(col("event_type") === "purchase")
+      .join(fv, "user_id").filter(col("ts_us") > col("fv"))
+      .groupBy(col("user_id"), col("fv")).agg(min(col("ts_us")).as("fp"))
+      .select(col("user_id"), (col("fp") - col("fv")).as("d_us"))
+    val ranked = conv
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("d_us"), col("user_id"))).cast("long"))
+      .withColumn("tot", count(lit(1)).over(Window.partitionBy()))
+    val summary = ranked.agg(
+      count(lit(1)).as("n_converted"),
+      max(when(col("rn") === expr("(tot + 1) div 2"),
+        expr("d_us div 60000000"))).as("p50_minutes"),
+      max(when(col("rn") === expr("(9 * tot + 9) div 10"),
+        expr("d_us div 60000000"))).as("p90_minutes"))
+    summary
+      .crossJoin(broadcast(fv.agg(count(lit(1)).as("n_viewers"))))
+      .select(col("n_viewers"), col("n_converted"),
+        r6(dbl(col("n_converted")) / dbl(col("n_viewers")))
+          .as("conv_rate"),
+        col("p50_minutes"), col("p90_minutes"))
+  }
+
   /** Retention cohorts: users grouped by first-seen day, distinct actives
     * per (cohort_day, day_offset ≤ 7). */
   val retentionCohort: QFn = (s, dir) => {
@@ -575,6 +619,7 @@ object EventsQ {
   }
 
   val queries: Map[String, QFn] = Map(
+    "funnel_time_conv"      -> funnelTimeConv,
     "time_weighted_avg"     -> timeWeightedAvg,
     "attribution_last_touch" -> attributionLastTouch,
     "decayed_counts"        -> decayedCounts,
@@ -649,6 +694,32 @@ object EventsQ {
   }
 
   val oracle: Map[String, String] = Map(
+    "funnel_time_conv" ->
+      s"""WITH fv AS (
+         |  SELECT user_id, min(epoch_us(ts)) AS fv FROM events
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |conv AS (
+         |  SELECT e.user_id, min(epoch_us(e.ts)) - fv.fv AS d_us
+         |  FROM events e JOIN fv ON e.user_id = fv.user_id
+         |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fv.fv
+         |  GROUP BY e.user_id, fv.fv),
+         |ranked AS (
+         |  SELECT d_us,
+         |    row_number() OVER (ORDER BY d_us, user_id) AS rn,
+         |    count(*) OVER () AS tot
+         |  FROM conv),
+         |summary AS (
+         |  SELECT count(*) AS n_converted,
+         |    max(CASE WHEN rn = (tot + 1) // 2
+         |      THEN d_us // 60000000 END) AS p50_minutes,
+         |    max(CASE WHEN rn = (9 * tot + 9) // 10
+         |      THEN d_us // 60000000 END) AS p90_minutes
+         |  FROM ranked)
+         |SELECT (SELECT count(*) FROM fv) AS n_viewers, n_converted,
+         |  ${r6Sql("CAST(n_converted AS DOUBLE) / " +
+             "CAST((SELECT count(*) FROM fv) AS DOUBLE)")} AS conv_rate,
+         |  p50_minutes, p90_minutes
+         |FROM summary""".stripMargin,
     "hdr_quantile_sketch" -> hdrSql,
     "time_weighted_avg" ->
       s"""WITH seq AS (

@@ -285,7 +285,82 @@ object FormatsQ {
         sum(when(col("_bad").isNull, col("event_id"))).as("sum_good_ids"))
   }
 
+  /** binaryFile source (r9) — the OPAQUE-PAYLOAD ingestion path: Spark's
+    * `binaryFile` format is how image/audio/video corpora enter a
+    * multimodal pipeline (one row per file: path, length, raw bytes),
+    * and this key grades it end to end. Stage: the documents table is
+    * laid out as one text file per source partition — repartition on
+    * the partition column puts each source in exactly one task,
+    * sortWithinPartitions pins the row order, and the TEXT writer is
+    * used deliberately because it writes value+'\n' with NO quoting
+    * rules, so the staged bytes are exact by construction (no CSV
+    * metacharacter hazard — the csv_malformed_policy lesson). Read
+    * back as binary: per source, file count, byte length, md5 of the
+    * raw content, and line count decoded FROM THE BYTES. The oracle
+    * reconstructs the identical byte stream with string_agg — one
+    * corrupted byte anywhere in write → listing → binary read →
+    * decode breaks the md5 (the multimodal_codec_exec contract, now
+    * through a real file-format source instead of a staged column).
+    * Scale shape: binaryFile parallelizes over files; the audit is one
+    * source-keyed groupBy. The corpus is ASCII by construction (the
+    * fixture vocabulary), so byte length == char length on both sides. */
+  val binaryfileSource: QFn = (s, dir) => {
+    val path = scratch(dir, "docs_binfiles")
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        concat(col("doc_id").cast("string"), lit(","), col("text"))
+          .as("value"))
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+      .drop("doc_id")
+      .write.mode("overwrite").partitionBy("source").text(path)
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.txt").load(path)
+      .select(regexp_extract(col("path"), "source=([^/]+)", 1).as("source"),
+        col("length"), col("content"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("length")).as("bytes"),
+        min(md5(col("content"))).as("content_md5"),
+        sum(size(split(col("content").cast("string"), "\n")) - 1)
+          .cast("long").as("n_lines"))
+      .orderBy(col("source"))
+  }
+
+  /** Parquet writer-tuning round-trip (r9) — the storage knobs a 100 TB
+    * table is actually written with: zstd column compression (the
+    * modern lakehouse default — better ratio than snappy at similar
+    * scan cost), a column BLOOM FILTER on the join/point-lookup key
+    * (`parquet.bloom.filter.enabled#l_orderkey`, the page-skip
+    * structure for selective key probes), and explicit dictionary
+    * encoding. All three are PHYSICAL layout choices, so the contract
+    * is the formats-family invariant: a selective key-probe aggregate
+    * over the tuned layout must hash-match the oracle on the ORIGINAL
+    * parquet — compression and index structures are access path, not
+    * semantics. FormatsSpec (SourcesSpec family) could additionally
+    * read the footer; here the graded surface is the query result. */
+  val parquetCodecRoundtrip: QFn = (s, dir) => {
+    val path = scratch(dir, "lineitem_zstd")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+      .option("parquet.enable.dictionary", "true")
+      .parquet(path)
+    s.read.parquet(path)
+      .filter(col("l_orderkey") % 1000 === 0) // the bloom-served probe shape
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        moneySum(dec(col("l_extendedprice"), 18, 4)).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "parquet_codec_roundtrip" -> parquetCodecRoundtrip,
+    "binaryfile_source" -> binaryfileSource,
     "csv_malformed_policy" -> csvMalformedPolicy,
     "merge_schema_scan" -> mergeSchemaScan,
     "dyn_partition_overwrite" -> dynPartitionOverwrite,
@@ -297,6 +372,29 @@ object FormatsQ {
     "compact_small_files" -> compactSmallFiles)
 
   val oracle: Map[String, String] = Map(
+    // Same probe aggregate on the ORIGINAL parquet: zstd + bloom +
+    // dictionary must be invisible to query results.
+    "parquet_codec_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+        |    AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_orderkey % 1000 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Reconstructs the staged byte stream exactly: doc_id,text lines in
+    // doc_id order, each terminated by \n (the text writer's framing).
+    "binaryfile_source" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    string_agg(CAST(doc_id AS VARCHAR) || ',' || text, chr(10)
+        |      ORDER BY doc_id) || chr(10) AS content,
+        |    count(*) AS n_lines
+        |  FROM documents GROUP BY source)
+        |SELECT source, CAST(1 AS BIGINT) AS n_files,
+        |  CAST(strlen(content) AS BIGINT) AS bytes,
+        |  md5(content) AS content_md5,
+        |  n_lines
+        |FROM per ORDER BY source""".stripMargin,
     // The six injected garbage lines must land in the corrupt column —
     // every real row loads, none crash or drop.
     "csv_malformed_policy" ->

@@ -288,7 +288,71 @@ object GraphQ {
       .orderBy(col("round"), col("p_partkey"))
   }
 
+  /** k-core peeling (r9) — the sixth graph-family member: degeneracy
+    * structure (Seidman 1983, public model). The k-core is the maximal
+    * subgraph where every node keeps degree ≥ k; peeling removes
+    * below-k nodes in SYNCHRONOUS rounds (each round recomputes degrees
+    * on the surviving subgraph and removes the entire below-k set at
+    * once — the order-free form every distributed engine ships, vs the
+    * sequential min-degree peel whose order is unreproducible). Runs on
+    * the part co-purchase graph (the corpus-growing node domain, shared
+    * with label_propagation); k is NOT a magic constant but derived
+    * from the initial graph as floor(2m/n)+1 — strictly above the mean
+    * degree, so every tier peels a real fringe and the key stays
+    * meaningful at any SF. Graded on the per-round TRAJECTORY
+    * (n_removed / surviving nodes / surviving edges), which a wrong
+    * degree recompute, an asynchronous leak, or an off-by-one threshold
+    * cannot reproduce.
+    *
+    * Scale shape: each round = one degree groupBy keyed on vertex ids +
+    * two anti joins keyed on the endpoints — the standard distributed
+    * peel; the surviving edge set is checkpointed per round (the LPA
+    * materialization pattern), the k threshold is a 1-row broadcast
+    * (PlanSweep-allowlisted), and the three stat aggregates are 1-row
+    * crossJoins. 3 fixed rounds = a straight-line unroll, no
+    * driver-side convergence loop. */
+  val kcorePeel: QFn = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_orderkey"), col("l_partkey"))
+    val und0 = li.join(li.select(col("l_orderkey"),
+        col("l_partkey").as("p2")), Seq("l_orderkey"))
+      .filter(col("l_partkey") < col("p2"))
+      .select(col("l_partkey").as("a"), col("p2").as("b"))
+      .distinct()
+      .localCheckpoint()
+    def nodesOf(e: org.apache.spark.sql.DataFrame) =
+      e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+    // k = floor(2m/n)+1 from the INITIAL graph: exact integer division,
+    // strictly above the mean degree — fixed for all rounds.
+    val kd = und0.agg(count(lit(1)).as("m")).crossJoin(
+        nodesOf(und0).agg(countDistinct(col("v")).as("n")))
+      .select(expr("(2 * m) div n + 1").as("k"))
+    var e = und0
+    var trail = und0.limit(0).select(lit(0L).as("round"), lit(0L).as("k"),
+      lit(0L).as("n_removed"), lit(0L).as("n_nodes"), lit(0L).as("n_edges"))
+    for (r <- 1 to 3) {
+      val deg = nodesOf(e).groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val rm = deg.crossJoin(broadcast(kd)).filter(col("d") < col("k"))
+        .select(col("v"))
+      e = e.join(rm.select(col("v").as("a")), Seq("a"), "left_anti")
+        .join(rm.select(col("v").as("b")), Seq("b"), "left_anti")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val row = rm.agg(count(lit(1)).as("n_removed"))
+        .crossJoin(nodesOf(e).agg(countDistinct(col("v")).as("n_nodes")))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(broadcast(kd))
+        .select(lit(r.toLong).as("round"), col("k"), col("n_removed"),
+          col("n_nodes"), col("n_edges"))
+      trail = trail.unionAll(row)
+    }
+    trail.orderBy(col("round"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "kcore_peel" -> kcorePeel,
     "label_propagation" -> labelPropagation,
     "link_adamic_adar" -> linkAdamicAdar,
     "bfs_distance"   -> bfsDistance,
@@ -448,7 +512,44 @@ object GraphQ {
        |ORDER BY round, p_partkey""".stripMargin
   }
 
+  /** The identical 3 synchronous peel rounds unrolled as CTEs. */
+  private def kcoreSql: String = {
+    def round(k: Int, prev: String): String =
+      s"""deg$k AS (SELECT v, count(*) AS d FROM (
+         |    SELECT a AS v FROM $prev UNION ALL SELECT b FROM $prev) t
+         |  GROUP BY v),
+         |rm$k AS (SELECT v FROM deg$k, kk WHERE d < kk.k),
+         |e$k AS (SELECT a, b FROM $prev
+         |  WHERE a NOT IN (SELECT v FROM rm$k)
+         |    AND b NOT IN (SELECT v FROM rm$k)),
+         |s$k AS (SELECT CAST($k AS BIGINT) AS round,
+         |    (SELECT k FROM kk) AS k,
+         |    (SELECT count(*) FROM rm$k) AS n_removed,
+         |    (SELECT count(DISTINCT v) FROM (
+         |      SELECT a AS v FROM e$k UNION ALL SELECT b FROM e$k) t)
+         |      AS n_nodes,
+         |    (SELECT count(*) FROM e$k) AS n_edges)""".stripMargin
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1997-01-01'),
+       |e0 AS (
+       |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+       |  WHERE x.l_partkey < y.l_partkey),
+       |kk AS (SELECT (2 * (SELECT count(*) FROM e0)) //
+       |    (SELECT count(DISTINCT v) FROM (
+       |      SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) t) + 1
+       |    AS k),
+       |${round(1, "e0")},
+       |${round(2, "e1")},
+       |${round(3, "e2")}
+       |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+       |UNION ALL SELECT * FROM s3 ORDER BY round""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "kcore_peel" -> kcoreSql,
     "label_propagation" -> lpaSql,
     "link_adamic_adar" -> adamicAdarSql,
     "bfs_distance"   -> bfsSql,

@@ -271,6 +271,25 @@ object ModernQ {
     }
   }
 
+  /** SQL pipe syntax (r9) — Spark 4's |> operator chain (SPARK-49555,
+    * public SQL surface; the BigQuery-pipes shape): FROM … |> WHERE …
+    * |> AGGREGATE … GROUP BY … |> ORDER BY, the linear-dataflow
+    * spelling of the same relational algebra. Like sql_scripting, the
+    * point of the hash-match is that the NEW SURFACE is pure syntax:
+    * the pipe chain must plan and execute exactly the classic
+    * SELECT/WHERE/GROUP BY the oracle runs — same filters pushed, same
+    * partial+final aggregation, same money-exact decimal sums. */
+  val sqlPipeSyntax: QFn = (s, dir) => {
+    views(s, dir, "orders")
+    s.sql("""FROM orders
+      |> WHERE o_orderstatus = 'O'
+      |> AGGREGATE count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+             AS DOUBLE) AS total
+         GROUP BY o_orderpriority
+      |> ORDER BY o_orderpriority""")
+  }
+
   val paramQuery: QFn = (s, dir) => {
     views(s, dir, "orders")
     s.sql("""
@@ -351,6 +370,7 @@ object ModernQ {
     "cdc_apply_tombstones" -> cdcApplyTombstones,
     "snapshot_diff"       -> snapshotDiff,
     "sql_udf"             -> sqlUdf,
+    "sql_pipe_syntax"     -> sqlPipeSyntax,
     "sql_scripting"       -> sqlScripting,
     "param_query"         -> paramQuery,
     "recursive_org_depth" -> recursiveOrgDepth,
@@ -434,6 +454,12 @@ object ModernQ {
       s"""SELECT l_returnflag, count(*) AS n,
          |  CAST(round(sum($revenueSql), 2) AS DOUBLE) AS revenue
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "sql_pipe_syntax" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |    AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "sql_scripting" ->
       """WITH t AS (
         |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)

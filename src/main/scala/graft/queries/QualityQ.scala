@@ -138,14 +138,119 @@ object QualityQ {
       .orderBy(col("size_band"))
   }
 
+  /** Benford first-digit audit (r9) — the forensic fabricated-data test
+    * (Benford 1938, public law): the leading significant digit of
+    * organically-grown magnitudes follows P(d) = log10(1 + 1/d), and a
+    * flat or spiked digit histogram flags synthetic, truncated, or
+    * hand-entered numbers (the fraud-audit staple). Run over
+    * l_extendedprice: per digit 1-9, observed count/share vs the Benford
+    * expectation and the absolute deviation — the release decision reads
+    * the deviation column (this synthetic corpus deviates, which is
+    * exactly what the audit should say about it).
+    *
+    * Determinism: the digit comes from exact integer cents
+    * (floor(price·100 + 0.5), plain double ops, identical on both
+    * engines) rendered as a string — no logs, no float compares; the
+    * expected shares are pinned 12-digit literals (identical parses),
+    * and share/deviation are single mirrored double expressions over
+    * exact ints. One digit-keyed groupBy shuffle (9 groups) at any
+    * corpus size; the share window runs over the 9-row aggregate. */
+  val benfordAudit: QFn = (s, dir) => {
+    val expected = Seq(
+      1 -> 0.301029995664, 2 -> 0.176091259056, 3 -> 0.124938736608,
+      4 -> 0.096910013008, 5 -> 0.079181246048, 6 -> 0.066946789631,
+      7 -> 0.057991946978, 8 -> 0.051152522447, 9 -> 0.045757490561)
+    val exp = expected.foldLeft(lit(0.0)) { case (acc, (d, p)) =>
+      when(col("digit") === d, lit(p)).otherwise(acc) }
+    t(s, dir, "lineitem")
+      .select(substring(floor(col("l_extendedprice") * 100 + 0.5)
+        .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", dbl(col("n")) /
+        dbl(sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy())))
+      .select(col("digit"), col("n"), r6(col("share")).as("share"),
+        exp.as("expected"),
+        r6(abs(col("share") - exp)).as("abs_dev"))
+      .orderBy(col("digit"))
+  }
+
+  /** Freshness / staleness audit (r9) — the SLA check a table's consumers
+    * run before trusting it (the "is yesterday's partition here yet"
+    * gate): per event type, row count, the latest event's epoch-µs, the
+    * whole-hour lag behind the globally freshest event (exact integer
+    * division — no float time math), the row count inside the last 24 h
+    * of stream time, and a stale flag at the classic 24 h threshold.
+    * The global high-water mark is a 1-row aggregate broadcast
+    * (PlanSweep-allowlisted) crossed back into the scan, so the audit is
+    * one pass + one type-keyed shuffle at any corpus size. */
+  val dqFreshness: QFn = (s, dir) => {
+    val g = t(s, dir, "events").agg(max(col("ts_us")).as("g"))
+    t(s, dir, "events")
+      .select(col("event_type"), col("ts_us"))
+      .crossJoin(broadcast(g))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("ts_us")).as("max_ts_us"),
+        max(col("g")).as("g"),
+        sum(when(col("ts_us") > col("g") - 86400000000L, 1L).otherwise(0L))
+          .as("n_last24h"))
+      // exact whole-hour lag: integer µs division, no float time math
+      .withColumn("lag_hours",
+        expr("(g - max_ts_us) div 3600000000"))
+      .withColumn("stale",
+        when(col("lag_hours") >= 24, 1L).otherwise(0L))
+      .select(col("event_type"), col("n_rows"), col("max_ts_us"),
+        col("lag_hours"), col("n_last24h"), col("stale"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "benford_audit"  -> benfordAudit,
+    "dq_freshness"   -> dqFreshness,
     "dq_k_anonymity" -> dqKAnonymity,
     "dq_embeddings"  -> dqEmbeddings,
     "dq_profile"     -> dqProfile,
     "dq_referential" -> dqReferential,
     "dq_uniqueness"  -> dqUniqueness)
 
+  private def benfordSql: String = {
+    val expCase = Seq(
+      1 -> "0.301029995664", 2 -> "0.176091259056", 3 -> "0.124938736608",
+      4 -> "0.096910013008", 5 -> "0.079181246048", 6 -> "0.066946789631",
+      7 -> "0.057991946978", 8 -> "0.051152522447", 9 -> "0.045757490561")
+      .map { case (d, p) => s"WHEN digit = $d THEN $p" }
+      .mkString("CASE ", " ", " ELSE 0.0 END")
+    s"""WITH digits AS (
+       |  SELECT CAST(left(CAST(CAST(floor(l_extendedprice * 100 + 0.5)
+       |    AS BIGINT) AS VARCHAR), 1) AS BIGINT) AS digit
+       |  FROM lineitem),
+       |g AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit),
+       |sh AS (SELECT digit, n,
+       |    CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS share,
+       |    CAST($expCase AS DOUBLE) AS expected
+       |  FROM g)
+       |SELECT digit, n, ${r6Sql("share")} AS share, expected,
+       |  ${r6Sql("abs(share - expected)")} AS abs_dev
+       |FROM sh ORDER BY digit""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "benford_audit" -> benfordSql,
+    "dq_freshness" ->
+      """WITH g AS (SELECT max(epoch_us(ts)) AS g FROM events),
+        |agg AS (
+        |  SELECT event_type, count(*) AS n_rows,
+        |    max(epoch_us(ts)) AS max_ts_us, max(g.g) AS g,
+        |    CAST(sum(CASE WHEN epoch_us(ts) > g.g - 86400000000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_last24h
+        |  FROM events, g GROUP BY event_type)
+        |SELECT event_type, n_rows, max_ts_us,
+        |  (g - max_ts_us) // 3600000000 AS lag_hours, n_last24h,
+        |  CAST(CASE WHEN (g - max_ts_us) // 3600000000 >= 24
+        |    THEN 1 ELSE 0 END AS BIGINT) AS stale
+        |FROM agg ORDER BY event_type""".stripMargin,
     "dq_k_anonymity" ->
       s"""WITH classes AS (
          |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -558,6 +558,58 @@ object StatsQ {
       .orderBy(col("event_type"))
   }
 
+  /** Mann-Whitney U rank-sum test (r9) — the NONPARAMETRIC two-sample
+    * companion to abtest_ztest (Mann & Whitney 1947, public statistic):
+    * where the z-test compares a thresholded rate, U compares the whole
+    * value DISTRIBUTION of week 1 vs week 4 per event type with no
+    * normality assumption — the robust readout when values are skewed
+    * (revenue-per-event always is). Pooled values get average ranks
+    * (ties share the midrank); U₁ = R₁ − n₁(n₁+1)/2; z uses the
+    * tie-corrected variance n₁n₂/12 · ((N+1) − Σ(t³−t)/(N(N−1))).
+    *
+    * Exactness: average ranks live in HALVES, so everything is carried
+    * ×2 as BIGINT (rank2 = 2·rank, u1_x2 = 2·U₁ — also the emitted
+    * form) and every sum is exact integer arithmetic; z is ONE mirrored
+    * double expression over exact ints (casts of identical ints, IEEE
+    * division/sqrt — the abtest_ztest determinism argument). BIGINT
+    * headroom: Σ c₁·rank2 < n·(2N+1), and Σt³ is bounded by tie-group
+    * cubes — beyond ~10⁶ rows per (type, value) group DECIMAL(38,0)
+    * takes over, documented like acf_lag. Scale shape: one (type,
+    * value) groupBy shuffle, rank windows over the per-value aggregate
+    * (≤ distinct values rows), final rollup per type. */
+  val mannWhitneyU: QFn = (s, dir) => {
+    val isA = col("ts_us") < lit(1704672000000000L)
+    val isB = col("ts_us") >= lit(1705881600000000L)
+    val pooled = t(s, dir, "events")
+      .filter((isA || isB) && col("value").isNotNull)
+      .select(col("event_type"), col("value"),
+        when(isA, 1L).otherwise(0L).as("in1"))
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("c"), sum(col("in1")).as("c1"))
+    val wBefore = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g = pooled
+      // 2× the shared midrank of this tie group: 2·before + c + 1
+      .withColumn("rank2",
+        lit(2) * coalesce(sum(col("c")).over(wBefore), lit(0L))
+          + col("c") + lit(1))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c1")).as("n1"),
+        sum(col("c") - col("c1")).as("n2"),
+        sum(col("c1") * col("rank2")).as("r1_x2"),
+        sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+    val n = col("n1") + col("n2")
+    val u1x2 = col("r1_x2") - col("n1") * (col("n1") + lit(1))
+    val sigma = sqrt((dbl(col("n1")) * dbl(col("n2")) / lit(12.0)) *
+      (dbl(n + lit(1)) - dbl(col("ties")) / (dbl(n) * dbl(n - lit(1)))))
+    g.select(col("event_type"), col("n1"), col("n2"),
+        u1x2.as("u1_x2"),
+        r6(((dbl(u1x2) - dbl(col("n1") * col("n2"))) / lit(2.0)) /
+          nullif(sigma, lit(0.0))).as("z"))
+      .orderBy(col("event_type"))
+  }
+
   /** Day-of-week seasonal decomposition (r5) — the seasonal-naive model
     * behind traffic forecasting and anomaly baselines: per (event type,
     * day-of-week), the seasonal index = mean daily count for that dow ÷
@@ -768,6 +820,7 @@ object StatsQ {
   }
 
   val queries: Map[String, QFn] = Map(
+    "mann_whitney_u"      -> mannWhitneyU,
     "corr_matrix"         -> corrMatrix,
     "drift_psi"           -> driftPsi,
     "acf_lag"             -> acfLag,
@@ -797,6 +850,42 @@ object StatsQ {
     "win_range_frame"    -> winRangeFrame)
 
   val oracle: Map[String, String] = Map(
+    "mann_whitney_u" ->
+      s"""WITH pooled AS (
+         |  SELECT event_type, value, count(*) AS c,
+         |    CAST(sum(CASE WHEN epoch_us(ts) < 1704672000000000
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS c1
+         |  FROM events
+         |  WHERE (epoch_us(ts) < 1704672000000000
+         |      OR epoch_us(ts) >= 1705881600000000)
+         |    AND value IS NOT NULL
+         |  GROUP BY event_type, value),
+         |ranked AS (
+         |  SELECT event_type, c, c1,
+         |    2 * coalesce(sum(c) OVER (PARTITION BY event_type
+         |      ORDER BY value
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      + c + 1 AS rank2
+         |  FROM pooled),
+         |g AS (
+         |  SELECT event_type,
+         |    CAST(sum(c1) AS BIGINT) AS n1,
+         |    CAST(sum(c - c1) AS BIGINT) AS n2,
+         |    CAST(sum(c1 * rank2) AS BIGINT) AS r1_x2,
+         |    CAST(sum(c * c * c - c) AS BIGINT) AS ties
+         |  FROM ranked GROUP BY event_type),
+         |f AS (
+         |  SELECT event_type, n1, n2,
+         |    r1_x2 - n1 * (n1 + 1) AS u1_x2,
+         |    sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0) *
+         |      (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties AS DOUBLE) /
+         |        (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))
+         |      AS sigma
+         |  FROM g)
+         |SELECT event_type, n1, n2, u1_x2,
+         |  ${r6Sql("((CAST(u1_x2 AS DOUBLE) - CAST(n1 * n2 AS DOUBLE))" +
+             " / 2.0) / nullif(sigma, 0)")} AS z
+         |FROM f ORDER BY event_type""".stripMargin,
     "corr_matrix" ->
       s"""WITH daily AS (
          |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

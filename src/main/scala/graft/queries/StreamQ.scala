@@ -291,6 +291,30 @@ object StreamQ {
       "stream_tumble")
       .orderBy(col("bucket_ts"), col("event_type"))
 
+  /** Streaming global TOP-K (r9) — ORDER BY + LIMIT on top of a stateful
+    * aggregation, the leaderboard topology ("busiest hours right now"),
+    * and a real OUTPUT-MODE SEMANTICS key: Spark permits a global sort
+    * on a streaming Dataset ONLY in Complete mode (append/update reject
+    * it at analysis time — an unbounded stream has no final order, but a
+    * complete-state re-emission does). Each micro-batch re-ranks the
+    * full aggregate state and overwrites the sink with the current
+    * top-20; the converged final batch must equal the batch ranking,
+    * which is what the hash-match proves. Ties carry the full
+    * (n DESC, bucket_ts, event_type) total order so the top-20 SET is
+    * deterministic. Downstream of the windowed agg the sort runs on
+    * hours×types rows — bounded state at any event volume. */
+  val streamTopkExec: QFn = (s, dir) =>
+    runComplete(s,
+      sourceEvents(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("bucket_ts"),
+          col("event_type"), col("n"))
+        .orderBy(col("n").desc, col("bucket_ts"), col("event_type"))
+        .limit(20),
+      "stream_topk")
+      .orderBy(col("n").desc, col("bucket_ts"), col("event_type"))
+
   /** Native session_window executed by the streaming engine; oracle is
     * the lag/cumsum sessionization (session_window_native's contract). */
   val streamSessionExec: QFn = (s, dir) =>
@@ -584,6 +608,67 @@ object StreamQ {
       q.awaitTermination()
     }
     s.read.parquet(out).orderBy(col("hour_ts"), col("event_type"))
+  }
+
+  /** CHECKPOINT RESTART / EXACTLY-ONCE RESUME through the real engine
+    * (r9) — the operational property every other streaming key takes on
+    * faith by using a fresh checkpoint: a stateful query STOPPED and
+    * RESTARTED against the same checkpoint must resume from committed
+    * offsets with restored state. Protocol: stage half the events
+    * (deterministic md5-ntile split, the lateInbox convention), run an
+    * hourly-count Complete aggregation to termination; stage the second
+    * half; START A NEW QUERY on the SAME checkpoint. The engine must
+    * (a) NOT reprocess file 1 — offsets are committed, a replay would
+    * double every file-1 count — and (b) restore the file-1 aggregate
+    * state from the store — a loss would emit file-2-only counts. The
+    * converged output hash-matches the batch aggregate over ALL events
+    * only if both halves of the exactly-once contract hold. At 100 TB
+    * this is THE property that makes streaming jobs re-deployable;
+    * state round-trips through the store across a JVM-level query
+    * boundary (and RocksDbStateSpec re-proves it on RocksDB). */
+  val streamRestartExec: QFn = (s, dir) => {
+    val run = "restart/" + java.util.UUID.randomUUID().toString.take(8)
+    val box = new java.io.File(core.scratchRoot, s"$run/inbox")
+    box.mkdirs()
+    val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
+    val ckpt = new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+    val batched = t(s, dir, "events")
+      .withColumn("b", ntile(2).over(w)).localCheckpoint()
+    def stage(i: Int): Unit = {
+      val tmp = new java.io.File(box, s"_tmp$i")
+      batched.filter(col("b") === i).drop("b")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(box, f"batch-$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dest.setLastModified(1700000000000L + i * 60000L)
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
+    def runOnce(): Unit = withStreamPartitions(s) {
+      val schema = s.read.parquet(box.getAbsolutePath).schema
+      val q = s.readStream.schema(schema).parquet(box.getAbsolutePath)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("bucket_ts"),
+          col("event_type"), col("n"))
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(out); ()
+        }
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      stage(1); runOnce() // first deployment: half the data, state built
+      stage(2); runOnce() // restart: must resume offsets + restore state
+    } finally batched.unpersist()
+    s.read.parquet(out).orderBy(col("bucket_ts"), col("event_type"))
   }
 
   val lateDataExec: QFn = (s, dir) => {
@@ -1038,6 +1123,8 @@ object StreamQ {
   }
 
   val queries: Map[String, QFn] = Map(
+    "stream_restart_exec" -> streamRestartExec,
+    "stream_topk_exec" -> streamTopkExec,
     "stream_static_join_exec" -> streamStaticJoinExec,
     "stream_union_wm_exec" -> streamUnionWmExec,
     "stream_chain_agg_exec" -> streamChainAggExec,
@@ -1198,6 +1285,21 @@ object StreamQ {
         |WINDOW w AS (PARTITION BY user_id ORDER BY b
         |  ROWS UNBOUNDED PRECEDING)
         |ORDER BY user_id, cum_events""".stripMargin,
+    // The restarted query's converged state must equal the batch
+    // aggregate over ALL events — offsets not replayed, state not lost.
+    "stream_restart_exec" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_ts,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2
+        |ORDER BY bucket_ts, event_type""".stripMargin,
+    // The converged Complete-mode top-20 must equal the batch ranking
+    // under the identical total order.
+    "stream_topk_exec" ->
+      """SELECT * FROM (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_ts,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2) t
+        |ORDER BY n DESC, bucket_ts, event_type LIMIT 20""".stripMargin,
     // Identical to qtumble_hourly's oracle — the point: same answer, the
     // streaming engine did the computing.
     "stream_tumble_exec" ->

@@ -643,7 +643,70 @@ object VectorQ {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Maximal Marginal Relevance selection (r9, Carbonell & Goldstein
+    * SIGIR'98 — public algorithm) — the DIVERSITY-aware consumer of the
+    * similarity stack: where qknn returns the 5 most similar vectors
+    * (often near-duplicates of each other), MMR greedily picks the item
+    * maximizing λ·rel(q,c) − (1−λ)·max_{s∈S} sim(c,s) (λ=0.7), i.e.
+    * relevant-but-not-redundant — the selection rule behind RAG context
+    * packing and dedup-aware retrieval UIs. Query = vec_id 0; candidate
+    * pool = its brute-tier top-30 (TakeOrderedAndProject, the qknn
+    * shape); 8 greedy steps emit the (step, pick, rel, max_sim, score)
+    * TRAJECTORY — a wrong λ, a stale max-sim cache, or an unstable
+    * tie-break cannot reproduce it.
+    *
+    * Determinism: rel and every pairwise sim are r6-rounded cosines
+    * (the VectorQ ranking convention), the score is one mirrored double
+    * expression over rounded inputs, and every argmax carries a vec_id
+    * tiebreak. Scale shape: greedy selection is inherently sequential
+    * in k, but each step is one bounded job — candidates × selected
+    * (≤30×8 pairs, broadcast side ≤8 rows) + a top-1
+    * TakeOrderedAndProject; the corpus-sized work happens ONCE in the
+    * candidate stage, which at 100 TB swaps to any ANN tier (the
+    * knn_classify argument: MMR needs the candidate SET, not exact
+    * global order). Per-step localCheckpoint keeps the 8-step plan
+    * linear (the LPA pattern). */
+  val mmrSelect: QFn = (s, dir) => {
+    val e = unitBase(s, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val cand = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("rel",
+        r6(gdot(col("qv"), col("v")) / (col("qn") * col("nrm"))))
+      .select(col("vec_id"), col("v"), col("nrm"), col("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(30)
+      .localCheckpoint()
+    val first = cand.orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .select(lit(1L).as("step"), col("vec_id"), col("v"), col("nrm"),
+        col("rel"), lit(0.0).as("max_sim"),
+        (lit(0.7) * col("rel") - lit(0.3) * lit(0.0)).as("score"))
+    var sel = first.localCheckpoint()
+    for (k <- 2 to 8) {
+      val prev = broadcast(sel.select(col("vec_id").as("s_id"),
+        col("v").as("sv"), col("nrm").as("snrm")))
+      val pick = cand
+        .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .crossJoin(prev)
+        .groupBy(col("vec_id"), col("v"), col("nrm"), col("rel"))
+        .agg(max(r6(gdot(col("v"), col("sv")) /
+          (col("nrm") * col("snrm")))).as("max_sim"))
+        .withColumn("score",
+          lit(0.7) * col("rel") - lit(0.3) * col("max_sim"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(1)
+        .select(lit(k.toLong).as("step"), col("vec_id"), col("v"),
+          col("nrm"), col("rel"), col("max_sim"), col("score"))
+      sel = sel.unionAll(pick).localCheckpoint()
+    }
+    sel.select(col("step"), col("vec_id"), col("rel"),
+        r6(col("max_sim")).as("max_sim"), r6(col("score")).as("mmr_score"))
+      .orderBy(col("step"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "mmr_select"         -> mmrSelect,
     "ann_pq_knn"         -> annPqKnn,
     "ann_sq_knn"         -> annSqKnn,
     "semdedup_prune"     -> semdedupPrune,
@@ -657,6 +720,40 @@ object VectorQ {
     "ann_lsh_knn"        -> annLshKnn,
     "ann_multiprobe_knn" -> annMultiprobeKnn,
     "ann_ivf_knn"        -> annIvfKnn)
+
+  /** The identical 8 greedy MMR steps unrolled as CTEs: same r6-rounded
+    * cosines, same λ=0.7 score, same (score DESC, vec_id) argmax. */
+  private def mmrSql: String = {
+    def step(k: Int): String =
+      s"""m$k AS (
+         |  SELECT c.vec_id, c.v, c.rel,
+         |    max(${r6Sql("list_cosine_similarity(c.v, s.v)")}) AS ms
+         |  FROM cand c, sel${k - 1} s
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${k - 1})
+         |  GROUP BY c.vec_id, c.v, c.rel),
+         |p$k AS (
+         |  SELECT CAST($k AS BIGINT) AS step, vec_id, v, rel, ms,
+         |    0.7 * rel - 0.3 * ms AS score
+         |  FROM m$k ORDER BY score DESC, vec_id LIMIT 1),
+         |sel$k AS (SELECT * FROM sel${k - 1}
+         |  UNION ALL SELECT * FROM p$k)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT vec_id, v,
+       |    ${r6Sql("list_cosine_similarity(qv, v)")} AS rel
+       |  FROM e, q WHERE vec_id <> 0
+       |  ORDER BY rel DESC, vec_id LIMIT 30),
+       |sel1 AS (
+       |  SELECT CAST(1 AS BIGINT) AS step, vec_id, v, rel, 0.0 AS ms,
+       |    0.7 * rel - 0.3 * 0.0 AS score
+       |  FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+       |${(2 to 8).map(step).mkString(",\n")}
+       |SELECT step, vec_id, rel, ${r6Sql("ms")} AS max_sim,
+       |  ${r6Sql("score")} AS mmr_score
+       |FROM sel8 ORDER BY step""".stripMargin
+  }
 
   /** Shared DuckDB CTE chain for the banded near-dup pairs: identical
     * hyperplanes, banding, candidate join, and rounded-cosine verify as
@@ -833,6 +930,7 @@ object VectorQ {
   }
 
   val oracle: Map[String, String] = Map(
+    "mmr_select" -> mmrSql,
     "ann_pq_knn" -> pqSql,
     "kmeans_embed" -> kmeansSql,
     "semdedup_prune" -> semdedupSql,

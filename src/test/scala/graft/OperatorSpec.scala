@@ -294,4 +294,88 @@ class OperatorSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("preset dictionary"))
   }
+
+  test("kcore_peel: k sits above the mean degree, round 1 removes a " +
+    "real fringe, and the trajectory shrinks monotonically") {
+    val rows = SparkEntry.queries("kcore_peel")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))) // round, k, n_removed, n_nodes, n_edges
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_._2).distinct.length == 1, "k must be fixed")
+    assert(rows.head._3 > 0, "k > mean degree must peel a non-empty fringe")
+    // synchronous peel can only shrink the graph
+    val edges = rows.map(_._5).toSeq
+    assert(edges == edges.sorted.reverse, s"edges grew: $edges")
+    val nodes = rows.map(_._4).toSeq
+    assert(nodes == nodes.sorted.reverse, s"nodes grew: $nodes")
+  }
+
+  test("mmr_select picks 8 distinct candidates, leads with the most " +
+    "relevant, and is more diverse than plain top-8-by-relevance") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("mmr_select")(spark, sf).collect()
+    assert(out.length == 8)
+    val ids = out.map(_.getLong(1))
+    assert(ids.distinct.length == 8, "MMR re-picked a selected item")
+    val rels = out.map(_.getDouble(2))
+    assert(rels.head == rels.max, "step 1 must be the relevance argmax")
+    // diversity: mean pairwise cosine inside the MMR set must not exceed
+    // the mean pairwise cosine of the pure-relevance top-8 (that is the
+    // entire point of the 0.3 redundancy penalty)
+    graft.expressions.DotProduct.register(spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+    def meanPairSim(set: Array[Long]): Double = {
+      val sub = e.filter(col("vec_id").isin(set: _*))
+      val pairs = sub.toDF("a", "va", "na")
+        .crossJoin(sub.toDF("b", "vb", "nb"))
+        .filter(col("a") < col("b"))
+        .select((call_function("graft_dot", col("va"), col("vb")) /
+          (col("na") * col("nb"))).as("sim"))
+      pairs.agg(avg(col("sim"))).head().getDouble(0)
+    }
+    val top8 = e.crossJoin(
+        e.filter(col("vec_id") === 0).select(col("v").as("qv"),
+          col("nrm").as("qn")))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("rel", call_function("graft_dot", col("qv"), col("v")) /
+        (col("qn") * col("nrm")))
+      .orderBy(col("rel").desc, col("vec_id")).limit(8)
+      .collect().map(_.getLong(0))
+    assert(meanPairSim(ids) <= meanPairSim(top8) + 1e-9,
+      "MMR set is no more diverse than the relevance-only top-8")
+  }
+
+  test("benford_audit: all nine digits, shares sum to 1, expectations " +
+    "are the Benford masses") {
+    val rows = SparkEntry.queries("benford_audit")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 9L))
+    val shareSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    val expSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(expSum - 1.0) < 1e-6, s"expectations sum to $expSum")
+  }
+
+  test("mann_whitney_u: U stays inside [0, n1*n2] and z is finite") {
+    val rows = SparkEntry.queries("mann_whitney_u")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n1, n2, u2) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(u2 >= 0 && u2 <= 2 * n1 * n2,
+        s"${r.getString(0)}: 2U=$u2 outside [0, ${2 * n1 * n2}]")
+      assert(!r.isNullAt(4) && !r.getDouble(4).isNaN,
+        s"${r.getString(0)}: z not finite")
+    }
+  }
+
+  test("funnel_time_conv: converters are viewers, rate in (0,1], " +
+    "p50 <= p90") {
+    val r = SparkEntry.queries("funnel_time_conv")(spark, sf).head()
+    val (nv, nc) = (r.getLong(0), r.getLong(1))
+    assert(nc <= nv && nc > 0)
+    assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+    assert(r.getLong(3) <= r.getLong(4), "p50 > p90")
+  }
 }

@@ -55,7 +55,13 @@ class PlanSweepSpec extends SparkSpec {
     "bm25_topk" ->
       "1-row (N, total-tokens) aggregate crossed into the BM25 formula",
     "q11_part_value_conc" ->
-      "1-row (total, part-count) aggregate broadcast into the 2x-mean cut")
+      "1-row (total, part-count) aggregate broadcast into the 2x-mean cut",
+    "kcore_peel" ->
+      "1-row k-threshold aggregate broadcast into each peel round + 1-row stat crossJoins",
+    "dq_freshness" ->
+      "1-row global high-water-mark aggregate broadcast into the staleness scan",
+    "funnel_time_conv" ->
+      "1-row viewer-count aggregate crossed into the conversion-rate row")
 
   test("no unlisted query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
