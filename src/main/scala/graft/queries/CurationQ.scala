@@ -224,6 +224,41 @@ object CurationQ {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** Temperature-scaled mixture targets (r9) — domain_mix_sample's
+    * planning stage: given per-source corpus mass, compute how many of a
+    * fixed 10,000-sequence training budget each source gets under
+    * α = 0.5 temperature reweighting (targets ∝ mass^α — the standard
+    * up-weight-the-tail data-mixing knob; α = 0.5 specifically because
+    * mass^0.5 = sqrt(mass) is ONE correctly-rounded IEEE op on both
+    * engines, where a general pow/exp·ln differs in ulps). Integerizing
+    * uses largest-remainder (Hamilton) apportionment: exact floor bases
+    * from the mirrored double shares, then the leftover seats go to the
+    * largest remainders (source-name tiebreak) — so the targets sum to
+    * the budget EXACTLY, the invariant a downstream sampler needs.
+    * Weights are pinned DECIMAL(18,6) so the denominator is an exact
+    * order-free sum. Scale shape: everything after the one per-source
+    * groupBy runs on the #sources-row aggregate (domain count is a
+    * bounded dimension); the unpartitioned windows are over that same
+    * tiny table, never the corpus. */
+  val mixTemperature: QFn = (s, dir) => {
+    val wAll = Window.partitionBy()
+    val m = t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .withColumn("wt", dec(sqrt(dbl(col("chars"))), 18, 6))
+      .withColumn("raw",
+        dbl(col("wt") * lit(10000)) / dbl(sum(col("wt")).over(wAll)))
+      .withColumn("base", floor(col("raw")))
+      .withColumn("rem", col("raw") - dbl(col("base")))
+      .withColumn("deficit", lit(10000L) - sum(col("base")).over(wAll))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+    m.select(col("source"), col("n_docs"), col("chars"),
+      (col("base") + when(col("rn") <= col("deficit"), 1L).otherwise(0L))
+        .as("target_n"))
+      .orderBy(col("source"))
+  }
+
   /** Greedy sequence packing (r5) — the batch-assembly step before LLM
     * training: documents concatenate in doc_id order into fixed
     * token-budget bins (512 tokens); a doc starting at running offset o
@@ -444,6 +479,7 @@ object CurationQ {
   }
 
   val queries: Map[String, QFn] = Map(
+    "mix_temperature"       -> mixTemperature,
     "dsir_weight"           -> dsirWeight,
     "feature_hash_audit"    -> featureHashAudit,
     "url_canonical_dedup"   -> urlCanonicalDedup,
@@ -486,6 +522,29 @@ object CurationQ {
     "(e - CAST(floor(e * 127.0 / sc + 0.5) AS BIGINT) * sc / 127.0)"
 
   val oracle: Map[String, String] = Map(
+    "mix_temperature" ->
+      """WITH m AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT *, CAST(sqrt(CAST(chars AS DOUBLE)) AS DECIMAL(18,6))
+        |    AS wt FROM m),
+        |r AS (
+        |  SELECT *, CAST(wt * 10000 AS DOUBLE) /
+        |    CAST(sum(wt) OVER () AS DOUBLE) AS raw
+        |  FROM w),
+        |b AS (
+        |  SELECT *, CAST(floor(raw) AS BIGINT) AS base,
+        |    raw - floor(raw) AS rem
+        |  FROM r),
+        |k AS (
+        |  SELECT *, 10000 - sum(base) OVER () AS deficit,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rn
+        |  FROM b)
+        |SELECT source, n_docs, chars,
+        |  base + CASE WHEN rn <= deficit THEN 1 ELSE 0 END AS target_n
+        |FROM k ORDER BY source""".stripMargin,
     "dsir_weight" ->
       s"""WITH tok AS (
          |  SELECT doc_id, lang, substr(md5(t), 1, 2) AS bucket

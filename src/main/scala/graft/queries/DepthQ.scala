@@ -261,6 +261,37 @@ object DepthQ {
       .select(col("e.item").as("word"), col("e.count").as("cnt"))
       .orderBy(col("cnt").desc, col("word"))
 
+  /** Count-Min heavy-hitter verification (r9) — the third sketch family
+    * in the inventory (HLL = distinct counts, approx_top_k = frequent
+    * items, CMS = point-queryable frequencies): ONE `count_min_sketch`
+    * aggregate (ε = 10⁻⁴, δ = 0.01, pinned seed 42 — deterministic
+    * output) compresses the full word-frequency distribution into a
+    * ~1 MB mergeable array, and the exact top-20 candidates probe it
+    * via the executor-side `graft_cms_estimate` expression riding a
+    * 1-row broadcast (allowlisted). The 100 TB shape: per-partition
+    * sketches merge in the agg (partial+final), candidates come from
+    * any cheap source, and verification never moves raw data — the
+    * overcount column is the sketch's one-sided error, gated in
+    * OperatorSpec at est ≥ exact and est − exact ≤ ε·N (w.p. 1−δ).
+    * ⊘ no oracle: the estimate is sketch-internal (hash-seeded), not
+    * SQL-reproducible; determinism comes from the pinned seed. */
+  val cmsHeavyHitters: QFn = (s, dir) => {
+    graft.expressions.CmsEstimate.register(s)
+    val words = t(s, dir, "documents")
+      .select(explode(graft.operators.TextOps.tokens(col("text")))
+        .as("word"))
+    val top = words.groupBy(col("word")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("word")).limit(20)
+    val sketch = words
+      .agg(expr("count_min_sketch(word, 0.0001d, 0.99d, 42)").as("sk"))
+    top.crossJoin(broadcast(sketch))
+      .withColumn("est_n",
+        call_function("graft_cms_estimate", col("sk"), col("word")))
+      .select(col("word"), col("exact_n"), col("est_n"),
+        (col("est_n") - col("exact_n")).as("overcount"))
+      .orderBy(col("exact_n").desc, col("word"))
+  }
+
   /** Top-5 order totals per priority via the native `graft_topk`
     * TypedImperativeAggregate (expressions/TopKDoubles.scala): a
     * size-bounded min-heap buffer rides partial aggregation, so each
@@ -339,6 +370,7 @@ object DepthQ {
     "dedup_keep_best"    -> dedupKeepBest,
     "map_funcs"          -> mapFuncs,
     "variant_extract"    -> variantExtract,
+    "cms_heavy_hitters"  -> cmsHeavyHitters,
     "hll_sketch_union"   -> hllSketchUnion,
     "win_ntile"          -> winNtile,
     "q04_order_priority" -> q04OrderPriority,

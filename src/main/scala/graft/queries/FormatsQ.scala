@@ -285,6 +285,51 @@ object FormatsQ {
         sum(when(col("_bad").isNull, col("event_id"))).as("sum_good_ids"))
   }
 
+  /** Malformed-JSON policy (r9) — csv_malformed_policy's JSONL twin, and
+    * the deliberate CONTRAST with it: the JSON writer QUOTES every
+    * value, so no field content (commas, quotes, newlines-in-strings)
+    * can ever make a real row malformed — the staged-good side needs no
+    * CSV-safety guard at all, which is exactly why JSONL is the
+    * default interchange format for crawl/curation pipelines. Six
+    * truncated-object lines are interleaved; the SAME staged file is
+    * then read under BOTH policies a production ingest chooses between:
+    * PERMISSIVE + `columnNameOfCorruptRecord` (quarantine column, every
+    * line survives) and DROPMALFORMED (bad lines silently gone —
+    * n_after_drop pins exactly how many). FAILFAST is the third flip,
+    * exercised to the thrown-error in FormatsSpec rather than a result
+    * row. The two 1-row policy aggregates cross for the report row. */
+  val jsonMalformedPolicy: QFn = (s, dir) => {
+    val path = scratch(dir, "events_badjson")
+    val good = t(s, dir, "events")
+      .select(to_json(struct(col("event_id"), col("user_id"),
+        col("event_type"))).as("line"))
+    val bad = s.createDataFrame(
+      java.util.Arrays.asList(
+        (0 until 6).map(i =>
+          org.apache.spark.sql.Row(s"""{"event_id": $i, "truncated""")): _*),
+      StructType(Seq(StructField("line", StringType))))
+    good.unionAll(bad).coalesce(4)
+      .write.mode("overwrite").text(path)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("_bad", StringType)))
+    val permissive = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(path)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when(col("_bad").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_bad").isNull, col("event_id"))).as("sum_good_ids"))
+    val dropped = s.read
+      .schema(StructType(schema.fields.dropRight(1)))
+      .option("mode", "DROPMALFORMED")
+      .json(path)
+      .agg(count(lit(1)).as("n_after_drop"))
+    permissive.crossJoin(dropped)
+  }
+
   /** binaryFile source (r9) — the OPAQUE-PAYLOAD ingestion path: Spark's
     * `binaryFile` format is how image/audio/video corpora enter a
     * multimodal pipeline (one row per file: path, length, raw bytes),
@@ -359,6 +404,7 @@ object FormatsQ {
   }
 
   val queries: Map[String, QFn] = Map(
+    "json_malformed_policy" -> jsonMalformedPolicy,
     "parquet_codec_roundtrip" -> parquetCodecRoundtrip,
     "binaryfile_source" -> binaryfileSource,
     "csv_malformed_policy" -> csvMalformedPolicy,
@@ -397,6 +443,13 @@ object FormatsQ {
         |FROM per ORDER BY source""".stripMargin,
     // The six injected garbage lines must land in the corrupt column —
     // every real row loads, none crash or drop.
+    "json_malformed_policy" ->
+      """SELECT count(*) + 6 AS n_rows,
+        |  CAST(6 AS BIGINT) AS n_corrupt,
+        |  count(*) AS n_good,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_good_ids,
+        |  count(*) AS n_after_drop
+        |FROM events""".stripMargin,
     "csv_malformed_policy" ->
       """SELECT count(*) + 6 AS n_rows,
         |  CAST(6 AS BIGINT) AS n_corrupt,

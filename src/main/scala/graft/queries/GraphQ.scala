@@ -351,7 +351,53 @@ object GraphQ {
     trail.orderBy(col("round"))
   }
 
+  /** Degree assortativity (r9) — Newman's mixing coefficient (PRL 2002,
+    * public): the Pearson correlation of endpoint degrees over every
+    * directed edge instance of the undirected word graph. Sign answers
+    * the first structural question asked of any production graph —
+    * hub-to-hub (social, r>0) or hub-to-leaf (web/infra, r<0) — and
+    * decides whether hub-splitting/salting is needed before the heavier
+    * analytics run. All six moment sums (n, Σx, Σy, Σxy, Σx², Σy²) are
+    * exact BIGINTs; the three Pearson factors are then ONE mirrored
+    * double expression each (each factor's n·Σ−Σ·Σ products are near
+    * 2⁶³ at sf0.1 degree scale, so the multiplication happens in double
+    * — identical IEEE ops on identical exact inputs — rather than
+    * silently wrapping in BIGINT: the corr_matrix overflow lesson taken
+    * one step earlier). Scale shape: degree is one vertex-keyed groupBy;
+    * endpoint degrees arrive by two vertex-keyed equi-joins (never a
+    * broadcast of the unbounded degree table); the three 1-row summary
+    * aggregates cross for the report row (allowlisted). */
+  val graphAssortativity: QFn = (s, dir) => {
+    // Edge set reused by 4 branches (degree, two probes, stats) —
+    // materialize once, the triangle_count pattern.
+    val und = edgesOf(s, dir)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val both = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = both.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val pts = both
+      .join(deg.select(col("u"), col("d").as("x")), "u")
+      .join(deg.select(col("u").as("v"), col("d").as("y")), "v")
+    val fx = dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+    val fy = dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy"))
+    val num = dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))
+    pts
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(deg.agg(count(lit(1)).as("n_verts")))
+      .select(col("n_verts"), col("n_edges"),
+        r6(num / (sqrt(fx) * sqrt(fy))).as("assortativity"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "graph_assortativity" -> graphAssortativity,
     "kcore_peel" -> kcorePeel,
     "label_propagation" -> labelPropagation,
     "link_adamic_adar" -> linkAdamicAdar,
@@ -548,7 +594,46 @@ object GraphQ {
        |UNION ALL SELECT * FROM s3 ORDER BY round""".stripMargin
   }
 
+  /** Mirror: same edge set, same exact moments, same double factors. */
+  private def assortativitySql: String = {
+    val f = (n: String, sq: String, s1: String, s2: String) =>
+      s"CAST($n AS DOUBLE) * CAST($sq AS DOUBLE)" +
+        s" - CAST($s1 AS DOUBLE) * CAST($s2 AS DOUBLE)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |    w -> w <> '') AS ws FROM documents),
+       |e0 AS (
+       |  SELECT DISTINCT ws[i] AS src, ws[i+1] AS dst
+       |  FROM toks,
+       |    (SELECT unnest(range(1, (SELECT max(len(ws)) FROM toks))) AS i)
+       |  WHERE i + 1 <= len(ws) AND ws[i] <> ws[i+1]),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM e0),
+       |bw AS (SELECT a AS u, b AS v FROM und
+       |       UNION ALL SELECT b AS u, a AS v FROM und),
+       |deg AS (SELECT u, count(*) AS d FROM bw GROUP BY u),
+       |pts AS (
+       |  SELECT dx.d AS x, dy.d AS y
+       |  FROM bw JOIN deg dx ON bw.u = dx.u
+       |          JOIN deg dy ON bw.v = dy.u),
+       |m AS (
+       |  SELECT count(*) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM pts),
+       |st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+       |              (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_verts)
+       |SELECT n_verts, n_edges,
+       |  ${r6Sql(s"(${f("n", "sxy", "sx", "sy")}) / " +
+           s"(sqrt(${f("n", "sxx", "sx", "sx")}) * " +
+           s"sqrt(${f("n", "syy", "sy", "sy")}))")} AS assortativity
+       |FROM m, st""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "graph_assortativity" -> assortativitySql,
     "kcore_peel" -> kcoreSql,
     "label_propagation" -> lpaSql,
     "link_adamic_adar" -> adamicAdarSql,

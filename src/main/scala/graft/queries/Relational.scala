@@ -375,7 +375,39 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** Two-stage salted aggregation (r9) — skew_join_salted's sibling for
+    * AGGREGATION hot keys. For plain algebraic aggregates Spark's
+    * hash-aggregate already partial-combines map-side, so a hot group
+    * never floods one reducer — but the moment a query needs a
+    * non-combining per-group step (collect/exact-distinct state, an
+    * ObjectHashAggregate past its fallback, a window over the hot key),
+    * the production rewrite is: stage 1 groups on (key, salt) where salt
+    * = hash(row-unique id) mod 16 — per-task state is bounded by
+    * |hot group| / 16 — stage 2 re-reduces the 16 partials per key.
+    * The rewrite is semantics-free exactly when the aggregate is
+    * decomposable (count→sum, sum→sum, max→max, and the exact DECIMAL
+    * money path is order-free by construction); this key certifies that
+    * equivalence against the oracle's DIRECT single-stage groupBy, so
+    * the pattern is pre-proven for when a 100 TB hot key forces it.
+    * event_type is the deliberately skewed key (5 values over the whole
+    * corpus — every group is a hot group). */
+  val skewAggSalted: QFn = (s, dir) => {
+    val partial = t(s, dir, "events")
+      .select(col("event_type"), col("value"),
+        pmod(xxhash64(col("event_id")), lit(16)).as("salt"))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(dec(col("value"), 14, 4)).as("pv"),
+        max(col("value")).as("pm"))
+    partial.groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"),
+        dbl(sum(col("pv"))).as("sum_value"),
+        max(col("pm")).as("max_value"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "skew_agg_salted"     -> skewAggSalted,
     "bloom_prefilter_join" -> bloomPrefilterJoin,
     "skew_join_salted"    -> skewJoinSalted,
     "bucketed_join"       -> bucketedJoin,
@@ -400,6 +432,13 @@ object Relational {
     "sort_multi_key"      -> sortMultiKey)
 
   val oracle: Map[String, String] = Map(
+    // The DIRECT single-stage groupBy — salting is access path, not
+    // semantics, so the oracle never sees a salt column.
+    "skew_agg_salted" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value,
+        |  max(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // The bloom prefilter is access path, not semantics: false positives
     // are removed by the exact join, so the oracle is the plain join.
     "bloom_prefilter_join" ->

@@ -819,7 +819,139 @@ object StatsQ {
       .orderBy(col("ta"), col("tb"))
   }
 
+  /** Spearman rank correlation (r9) between quantity and discount per
+    * return flag — the monotone-association companion to agg_stats's
+    * Pearson: rank-based, so it is outlier-immune and captures any
+    * monotone (not just linear) relation, which is why drift/feature
+    * audits prefer it on heavy-tailed columns. Exactness: midranks are
+    * carried ×2 as BIGINTs (mann_whitney's device) over the
+    * DISTINCT-VALUE aggregate (≤50 quantities / ≤11 discounts per flag,
+    * so the rank windows run over a tiny table, not the corpus), then
+    * CENTERED to u = rank2 − (n+1), whose per-flag sum is identically 0 —
+    * so rho = Σuxuy / (√Σux²·√Σuy²) needs no mean subtraction and every
+    * sum is an exact BIGINT (each √ factor is cast to double SEPARATELY —
+    * the corr_matrix overflow lesson). Headroom: |u| ≤ 2n makes Σu² ≈ 4n³
+    * exact while n ≲ 1.3×10⁶ rows/group (~6× sf0.1); beyond, pin each
+    * product to DECIMAL(38,0) — same plan, still exact. Scale shape: two
+    * tiny distinct-value aggs broadcast back onto the fact rows; the one
+    * data-sized shuffle is the final per-flag sum. */
+  val spearmanRho: QFn = (s, dir) => {
+    val base = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("f"), col("l_quantity").as("q"),
+        col("l_discount").as("d"))
+    def uRanks(valCol: String,
+        uName: String): org.apache.spark.sql.DataFrame = {
+      val c = base.groupBy(col("f"), col(valCol))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("f")).orderBy(col(valCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wF = Window.partitionBy(col("f"))
+      c.select(col("f"), col(valCol),
+        (lit(2L) * coalesce(sum(col("c")).over(wCum), lit(0L))
+          + col("c") + lit(1L) - sum(col("c")).over(wF) - lit(1L))
+          .as(uName))
+    }
+    base
+      .join(broadcast(uRanks("q", "ux")), Seq("f", "q"))
+      .join(broadcast(uRanks("d", "uy")), Seq("f", "d"))
+      .groupBy(col("f"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ux") * col("uy")).as("num"),
+        sum(col("ux") * col("ux")).as("dx"),
+        sum(col("uy") * col("uy")).as("dy"))
+      .select(col("f").as("l_returnflag"), col("n"),
+        r6(dbl(col("num")) /
+          (sqrt(dbl(col("dx"))) * sqrt(dbl(col("dy"))))).as("spearman_rho"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Theil–Sen slope (r9) of the daily event-count series per type — the
+    * robust trend estimator (median of all pairwise slopes, Sen 1968):
+    * up to 29% of days can be arbitrarily corrupted (outage, backfill
+    * spike) without moving it, which is why capacity trend lines use it
+    * over least squares (agg_regression's estimator). Each slope is ONE
+    * double division of exact BIGINT differences (IEEE-identical both
+    * engines); the median is exact-rank selection over the (slope, d1,
+    * d2)-totally-ordered pair list — the winsorize device, no
+    * interpolation formula in play (the even case averages the two
+    * middle slopes, one commutative double add). Scale shape: the pair
+    * fan-out is C(days, 2) per type over the per-day AGGREGATE —
+    * calendar-bounded (≤465 pairs/type for a 31-day window), never
+    * corpus-sized; the one data-sized shuffle is the daily groupBy. */
+  val theilSen: QFn = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val nd = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"))
+    val a = daily.select(col("event_type"), col("day").as("d1"),
+      col("c").as("c1"))
+    val b = daily.select(col("event_type"), col("day").as("d2"),
+      col("c").as("c2"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope"), col("d1"), col("d2"))
+    val wT = Window.partitionBy(col("event_type"))
+    val sel = col("rn") === expr("(m + 1) div 2") ||
+      col("rn") === expr("(m + 2) div 2")
+    a.join(b, Seq("event_type")).filter(col("d2") > col("d1"))
+      .select(col("event_type"), col("d1"), col("d2"),
+        (dbl(col("c2") - col("c1")) / dbl(col("d2") - col("d1")))
+          .as("slope"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(wT))
+      .groupBy(col("event_type"))
+      .agg(max(col("m")).as("n_pairs"),
+        sum(when(sel, col("slope"))).as("ssum"),
+        count(when(sel, col("slope"))).as("sc"))
+      .join(broadcast(nd), Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        r6(col("ssum") / col("sc")).as("sen_slope"))
+      .orderBy(col("event_type"))
+  }
+
+  /** One-way ANOVA F (r9) across event types on value — the "does the
+    * group matter at all" omnibus test run before any pairwise
+    * comparison (abtest_ztest / mann_whitney_u are its two-sample
+    * specializations). Values are exact ×10⁴ BIGINTs via the DECIMAL
+    * path (never a raw double×10⁴ cast, whose truncation differs
+    * cross-engine), so per-group n/Σv/Σv² are exact; each group's
+    * between/within term is one double expression over exact inputs,
+    * pinned to DECIMAL(30,6) (identical rounding of identical doubles —
+    * the pagerank device) so the ACROSS-GROUP sum is order-free. The ×10⁴
+    * scale cancels in F and η². Headroom: Σv4² exact while rows/group ×
+    * v4²_max ≲ 2⁶³ (~10× sf0.1 at today's magnitudes; beyond, the square
+    * sum pins to DECIMAL(38,0)). One groupBy shuffle; the k-row group
+    * table reduces on the driver-free 1-row aggregate. */
+  val anovaF: QFn = (s, dir) => {
+    val v4 = (dec(col("value"), 14, 4) * lit(10000)).cast("long")
+    val g = t(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), v4.as("v4"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ng"), sum(col("v4")).as("sg"),
+        sum(col("v4") * col("v4")).as("qg"))
+    val bterm = dec(dbl(col("sg")) * dbl(col("sg")) / dbl(col("ng")), 30, 6)
+    val wterm = dec(
+      dbl(col("qg")) - dbl(col("sg")) * dbl(col("sg")) / dbl(col("ng")),
+      30, 6)
+    val ssb = dbl(col("bpart")) -
+      dbl(col("s")) * dbl(col("s")) / dbl(col("n_rows"))
+    g.select(col("ng"), col("sg"), bterm.as("bt"), wterm.as("wt"))
+      .agg(count(lit(1)).as("k_groups"), sum(col("ng")).as("n_rows"),
+        sum(col("sg")).as("s"), sum(col("bt")).as("bpart"),
+        sum(col("wt")).as("ssw"))
+      .select(col("k_groups"), col("n_rows"),
+        r6((ssb / dbl(col("k_groups") - 1)) /
+          (dbl(col("ssw")) / dbl(col("n_rows") - col("k_groups"))))
+          .as("f_stat"),
+        r6(ssb / (ssb + dbl(col("ssw")))).as("eta_sq"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "spearman_rho"        -> spearmanRho,
+    "theil_sen"           -> theilSen,
+    "anova_f"             -> anovaF,
     "mann_whitney_u"      -> mannWhitneyU,
     "corr_matrix"         -> corrMatrix,
     "drift_psi"           -> driftPsi,
@@ -850,6 +982,96 @@ object StatsQ {
     "win_range_frame"    -> winRangeFrame)
 
   val oracle: Map[String, String] = Map(
+    "spearman_rho" ->
+      s"""WITH base AS (
+         |  SELECT l_returnflag AS f, l_quantity AS q, l_discount AS d
+         |  FROM lineitem),
+         |cx AS (SELECT f, q, count(*) AS c FROM base GROUP BY f, q),
+         |xr AS (
+         |  SELECT f, q,
+         |    2 * coalesce(sum(c) OVER (PARTITION BY f ORDER BY q
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      + c + 1 - sum(c) OVER (PARTITION BY f) - 1 AS ux
+         |  FROM cx),
+         |cy AS (SELECT f, d, count(*) AS c FROM base GROUP BY f, d),
+         |yr AS (
+         |  SELECT f, d,
+         |    2 * coalesce(sum(c) OVER (PARTITION BY f ORDER BY d
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      + c + 1 - sum(c) OVER (PARTITION BY f) - 1 AS uy
+         |  FROM cy),
+         |j AS (
+         |  SELECT b.f, CAST(ux AS BIGINT) AS ux, CAST(uy AS BIGINT) AS uy
+         |  FROM base b
+         |  JOIN xr ON b.f = xr.f AND b.q = xr.q
+         |  JOIN yr ON b.f = yr.f AND b.d = yr.d)
+         |SELECT f AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         |  ${r6Sql("CAST(sum(ux * uy) AS DOUBLE) /" +
+             " (sqrt(CAST(sum(ux * ux) AS DOUBLE)) *" +
+             " sqrt(CAST(sum(uy * uy) AS DOUBLE)))")} AS spearman_rho
+         |FROM j GROUP BY f ORDER BY l_returnflag""".stripMargin,
+    "theil_sen" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    count(*) AS c
+         |  FROM events GROUP BY event_type, day),
+         |nd AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+         |  FROM daily GROUP BY event_type),
+         |p AS (
+         |  SELECT a.event_type,
+         |    CAST(b.c - a.c AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+         |      AS slope,
+         |    a.day AS d1, b.day AS d2
+         |  FROM daily a
+         |  JOIN daily b ON a.event_type = b.event_type AND b.day > a.day),
+         |r AS (
+         |  SELECT event_type, slope,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY slope, d1, d2) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS m
+         |  FROM p),
+         |s AS (
+         |  SELECT event_type, CAST(max(m) AS BIGINT) AS n_pairs,
+         |    sum(CASE WHEN rn = (m + 1) // 2 OR rn = (m + 2) // 2
+         |      THEN slope END) AS ssum,
+         |    count(CASE WHEN rn = (m + 1) // 2 OR rn = (m + 2) // 2
+         |      THEN slope END) AS sc
+         |  FROM r GROUP BY event_type)
+         |SELECT s.event_type, n_days, n_pairs,
+         |  ${r6Sql("ssum / sc")} AS sen_slope
+         |FROM s JOIN nd USING (event_type) ORDER BY event_type""".stripMargin,
+    "anova_f" ->
+      s"""WITH e AS (
+         |  SELECT event_type,
+         |    CAST(CAST(value AS DECIMAL(14,4)) * 10000 AS BIGINT) AS v4
+         |  FROM events WHERE value IS NOT NULL),
+         |g AS (
+         |  SELECT event_type, count(*) AS ng,
+         |    CAST(sum(v4) AS BIGINT) AS sg,
+         |    CAST(sum(v4 * v4) AS BIGINT) AS qg
+         |  FROM e GROUP BY event_type),
+         |tt AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS k_groups,
+         |    CAST(sum(ng) AS BIGINT) AS n_rows,
+         |    CAST(sum(sg) AS BIGINT) AS s,
+         |    sum(CAST(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) /
+         |      CAST(ng AS DOUBLE) AS DECIMAL(30,6))) AS bpart,
+         |    sum(CAST(CAST(qg AS DOUBLE) - CAST(sg AS DOUBLE) *
+         |      CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)
+         |      AS DECIMAL(30,6))) AS ssw
+         |  FROM g),
+         |f AS (
+         |  SELECT k_groups, n_rows, ssw,
+         |    CAST(bpart AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+         |      / CAST(n_rows AS DOUBLE) AS ssb
+         |  FROM tt)
+         |SELECT k_groups, n_rows,
+         |  ${r6Sql("(ssb / CAST(k_groups - 1 AS DOUBLE)) /" +
+             " (CAST(ssw AS DOUBLE) / CAST(n_rows - k_groups AS DOUBLE))")}
+         |    AS f_stat,
+         |  ${r6Sql("ssb / (ssb + CAST(ssw AS DOUBLE))")} AS eta_sq
+         |FROM f""".stripMargin,
     "mann_whitney_u" ->
       s"""WITH pooled AS (
          |  SELECT event_type, value, count(*) AS c,

@@ -111,6 +111,40 @@ class CumTotalsWithInitProcessor
   }
 }
 
+/** CDC fold behind `stream_cdc_exec`: state is the CURRENT row image per
+  * key — (n_ops applied, alive flag, last upsert ts) — overwritten (not
+  * accumulated) by each op, with event_type = 'error' read as the DELETE
+  * tombstone (alive → 0, image zeroed; the op counter survives as the
+  * audit trail, so emissions stay strictly increasing per key and the
+  * output is a set). Within a micro-batch ops apply in (ts_us, event_id)
+  * EVENT order — sorted explicitly, because the rows iterator carries
+  * arrival order, which is not deterministic and must never decide which
+  * op wins a batch. The per-(key, batch) sort is bounded by that key's
+  * batch volume — the standard CDC-fold shape at any scale. */
+class CdcFoldProcessor
+  extends StatefulProcessor[Long, (Long, String, Long, Long),
+    (Long, Long, Long, Long)] {
+  @transient private var st: ValueState[(Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long, Long)](
+      "cdc_image", Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, String, Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    var (n, alive, ts) = if (st.exists()) st.get() else (0L, 0L, 0L)
+    rows.toArray.sortBy(r => (r._3, r._4)).foreach { r =>
+      n += 1
+      if (r._2 == "error") { alive = 0L; ts = 0L }
+      else { alive = 1L; ts = r._3 }
+    }
+    st.update((n, alive, ts))
+    Iterator((key, n, alive, ts))
+  }
+}
+
 /** ListState + MapState through the real engine — the two
   * transformWithState state primitives ValueState/timer keys don't touch
   * (graduating StreamingSpec's SessionAuditProcessor demo into the
@@ -833,6 +867,48 @@ object StreamQ {
     s.read.parquet(out).orderBy(col("user_id"), col("cum_events"))
   }
 
+  /** CDC APPLY through the real engine (r9) — the streaming twin of the
+    * batch `cdc_apply_tombstones` key and the state-semantics complement
+    * to stream_tws_exec: that processor's state ACCUMULATES (counters
+    * only grow), this one's state is OVERWRITTEN (the current row image a
+    * changelog consumer materializes), with 'error' events read as
+    * DELETE tombstones that zero the image. The two disciplines the key
+    * certifies: (1) tombstones must fold through state (clear-and-
+    * remember), and (2) within-batch op order must come from EVENT time,
+    * never arrival order — CdcFoldProcessor sorts each key's batch slice
+    * by (ts_us, event_id) before folding, which is what makes a
+    * hash-checked oracle possible for an order-sensitive operator.
+    * Emissions are one post-batch image per (key, batch-with-rows), op
+    * counter strictly increasing → a set. Same staged 5-batch replay as
+    * the other state keys; RocksDB pinned per-run. */
+  val streamCdcExec: QFn = (s, dir) => {
+    val box = lateInbox(s, dir)
+    val run = "cdc_exec/" + java.util.UUID.randomUUID().toString.take(8)
+    val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
+    val schema = s.read.parquet(box).schema
+    import s.implicits._
+    withRocksDb(s) { withStreamPartitions(s, 4) {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(box)
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("event_id"))
+        .as[(Long, String, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new CdcFoldProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF("user_id", "n_ops", "alive", "last_ts_us")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+          new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } }
+    s.read.parquet(out).orderBy(col("user_id"), col("n_ops"))
+  }
+
   /** EVENT-TIME TIMERS through the real engine as a graded key — the
     * TTL/session-expiry mechanism behind every "emit when the key goes
     * quiet" operator at scale. TimerSessionProcessor (above) arms a
@@ -1133,6 +1209,7 @@ object StreamQ {
     "v2_stream_sink_roundtrip" -> v2StreamSinkRoundtrip,
     "range_stream_exec"   -> rangeStreamExec,
     "stream_timer_exec"   -> streamTimerExec,
+    "stream_cdc_exec"     -> streamCdcExec,
     "stream_tws_exec"     -> streamTwsExec,
     "stream_outer_join_exec" -> streamOuterJoinExec,
     "stream_sliding_exec" -> streamSlidingExec,
@@ -1269,6 +1346,32 @@ object StreamQ {
     // Per-user running (count, exact scaled value sum) over the replayed
     // deterministic batch assignment — the transformWithState twin of
     // stream_state_exec's oracle, extended with the integer-exact sum.
+    // Replays the fold: within a batch ops apply in (ts_us, event_id)
+    // order, so the post-batch image is decided by the batch's LAST op;
+    // n_ops is the cumulative op count through that batch.
+    "stream_cdc_exec" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |    ntile(5) OVER (ORDER BY md5(CAST(event_id AS VARCHAR)),
+        |      event_id) AS b
+        |  FROM events),
+        |last AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, b
+        |    ORDER BY ts_us DESC, event_id DESC) AS rb
+        |  FROM e),
+        |cum AS (
+        |  SELECT user_id, b, count(*) AS c FROM e GROUP BY user_id, b),
+        |cum2 AS (
+        |  SELECT user_id, b, CAST(sum(c) OVER (PARTITION BY user_id
+        |    ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_ops
+        |  FROM cum)
+        |SELECT l.user_id, n_ops,
+        |  CASE WHEN l.event_type = 'error' THEN 0 ELSE 1 END AS alive,
+        |  CASE WHEN l.event_type = 'error' THEN 0 ELSE l.ts_us END
+        |    AS last_ts_us
+        |FROM last l JOIN cum2 USING (user_id, b)
+        |WHERE rb = 1
+        |ORDER BY user_id, n_ops""".stripMargin,
     "stream_tws_exec" ->
       """WITH e AS (
         |  SELECT user_id,

@@ -351,19 +351,24 @@ object TextQ {
   /** Word-bigram PMI over the corpus: ln(P(ab) / (P(a)P(b))), bigrams with
     * count ≥ 10, top-20. Counts are exact integers; only the final ln is
     * floating and it's r6-rounded on both engines. */
-  val bigramPmi: QFn = (s, dir) => {
-    val docs = t(s, dir, "documents")
-    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
-    // Guard size >= 2: sequence(1, 0) would count DOWN through index 0 and
-    // element_at(ws, 0) throws — a <2-token doc must yield no bigrams.
+  /** Word-bigram instances (one row per adjacent pair occurrence).
+    * Guard size >= 2: sequence(1, 0) would count DOWN through index 0 and
+    * element_at(ws, 0) throws — a <2-token doc must yield no bigrams. */
+  private def bigramInstances(toks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val bigramArr = when(size(col("ws")) >= 2,
       transform(sequence(lit(1), size(col("ws")) - 1),
         i => struct(element_at(col("ws"), i).as("w1"),
           element_at(col("ws"), i + 1).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    val bigrams = toks
-      .select(explode(bigramArr).as("b"))
+    toks.select(explode(bigramArr).as("b"))
       .select(col("b.w1"), col("b.w2"))
+  }
+
+  val bigramPmi: QFn = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+    val bigrams = bigramInstances(toks)
     val bi = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
     val nBi = bigrams.agg(count(lit(1)).as("n_bi"))
     val uni = toks.select(explode(col("ws")).as("w"))
@@ -379,6 +384,52 @@ object TextQ {
           ((col("c_a") / col("n_uni")) * (col("c_b") / col("n_uni"))))))
       .select(col("w1"), col("w2"), col("c_ab"), col("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  /** Dunning log-likelihood-ratio collocations (r9, "Accurate Methods
+    * for the Statistics of Surprise and Coincidence", CL 1993 — public)
+    * — the collocation test corpora actually rank phrases with, because
+    * unlike bigram_pmi's PMI it does not explode on rare pairs: LLR
+    * weighs the full 2×2 contingency (bigram present/absent × first/
+    * second slot), so high-count collocations dominate. Marginals are
+    * the BIGRAM-slot counts (how often w1 opens / w2 closes a pair),
+    * all exact BIGINTs from one instance table; each candidate's
+    * 4-cell statistic is ONE mirrored double expression (the zero-cell
+    * guard k·ln(k·N/RC) → 0 at k=0 is the standard convention), r6 on
+    * both engines — the same ln-agreement contract bigram_pmi and
+    * drift_psi already certify. Scale shape: three keyed aggregates
+    * over the instance table + two marginal equi-joins; the 1-row
+    * total-count aggregate rides an allowlisted broadcast; candidates
+    * are pre-filtered to count ≥ 10 before any join. */
+  val collocationLlr: QFn = (s, dir) => {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+    val bigrams = bigramInstances(toks)
+    val bi = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+    val rm = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("r_a"))
+    val cm = bigrams.groupBy(col("w2")).agg(count(lit(1)).as("c_b"))
+    val nBi = bigrams.agg(count(lit(1)).as("n_bi"))
+    val n = col("n_bi")
+    def term(k: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column,
+        c: org.apache.spark.sql.Column) =
+      when(k > 0,
+        dbl(k) * log(dbl(k) * dbl(n) / (dbl(r) * dbl(c)))).otherwise(lit(0.0))
+    val k11 = col("c_ab")
+    val k12 = col("r_a") - col("c_ab")
+    val k21 = col("c_b") - col("c_ab")
+    val k22 = n - col("r_a") - col("c_b") + col("c_ab")
+    bi.filter(col("c_ab") >= 10)
+      .join(rm, "w1").join(cm, "w2")
+      .crossJoin(broadcast(nBi))
+      .withColumn("llr", r6(lit(2.0) *
+        (term(k11, col("r_a"), col("c_b")) +
+          term(k12, col("r_a"), n - col("c_b")) +
+          term(k21, n - col("r_a"), col("c_b")) +
+          term(k22, n - col("r_a"), n - col("c_b")))))
+      .select(col("w1"), col("w2"), col("c_ab"), col("llr"))
+      .orderBy(col("llr").desc, col("w1"), col("w2"))
       .limit(20)
   }
 
@@ -831,6 +882,7 @@ object TextQ {
     "doc_chunks"        -> docChunks,
     "simhash_neardup"   -> simhashNeardup,
     "ngram_profile"     -> ngramProfile,
+    "collocation_llr"   -> collocationLlr,
     "bigram_pmi"        -> bigramPmi,
     "token_bpe"         -> tokenBpe,
     "qdedup_docs"       -> dedupDocs,
@@ -1186,6 +1238,39 @@ object TextQ {
         |        ORDER BY cnt DESC, bg) AS BIGINT) AS rn FROM c)
         |SELECT lang, bg, cnt, rn FROM r WHERE rn <= 5
         |ORDER BY lang, rn""".stripMargin,
+    "collocation_llr" -> {
+      // One mirrored double term per contingency cell: k·ln(k·N/(R·C)),
+      // 0 at k = 0 — parenthesization matches the Spark expression.
+      def llrTerm(k: String, r: String, c: String): String =
+        s"CASE WHEN $k > 0 THEN CAST($k AS DOUBLE) * " +
+          s"ln(CAST($k AS DOUBLE) * CAST(n_bi AS DOUBLE) / " +
+          s"(CAST($r AS DOUBLE) * CAST($c AS DOUBLE))) ELSE 0.0 END"
+      s"""WITH $wordsCte,
+         |bg AS (
+         |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+         |  FROM words,
+         |    (SELECT unnest(range(1, (SELECT max(len(ws)) FROM words))) AS i)
+         |  WHERE i + 1 <= len(ws)),
+         |bi AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY w1, w2),
+         |rm AS (SELECT w1, CAST(count(*) AS BIGINT) AS r_a
+         |       FROM bg GROUP BY w1),
+         |cm AS (SELECT w2, CAST(count(*) AS BIGINT) AS c_b
+         |       FROM bg GROUP BY w2),
+         |nbi AS (SELECT CAST(count(*) AS BIGINT) AS n_bi FROM bg),
+         |cand AS (
+         |  SELECT bi.w1, bi.w2, CAST(c_ab AS BIGINT) AS c_ab, r_a, c_b, n_bi
+         |  FROM bi JOIN rm ON rm.w1 = bi.w1 JOIN cm ON cm.w2 = bi.w2, nbi
+         |  WHERE c_ab >= 10)
+         |SELECT w1, w2, c_ab,
+         |  ${r6Sql("2.0 * (" +
+             llrTerm("c_ab", "r_a", "c_b") + " + " +
+             llrTerm("r_a - c_ab", "r_a", "n_bi - c_b") + " + " +
+             llrTerm("c_b - c_ab", "n_bi - r_a", "c_b") + " + " +
+             llrTerm("n_bi - r_a - c_b + c_ab", "n_bi - r_a", "n_bi - c_b") +
+             ")")} AS llr
+         |FROM cand
+         |ORDER BY llr DESC, w1, w2 LIMIT 20""".stripMargin
+    },
     "bigram_pmi" ->
       s"""WITH $wordsCte,
          |bg AS (

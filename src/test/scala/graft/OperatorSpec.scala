@@ -378,4 +378,114 @@ class OperatorSpec extends SparkSpec {
     assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
     assert(r.getLong(3) <= r.getLong(4), "p50 > p90")
   }
+
+  test("spearman_rho stays in [-1, 1] and centered ranks sum to zero " +
+    "by construction (rho finite)") {
+    val rows = SparkEntry.queries("spearman_rho")(spark, sf).collect()
+    assert(rows.length == 3)
+    for (r <- rows) {
+      val rho = r.getDouble(2)
+      assert(!rho.isNaN && rho >= -1.0 && rho <= 1.0,
+        s"${r.getString(0)}: rho=$rho")
+    }
+  }
+
+  test("theil_sen: pair count is C(n_days, 2) and the slope is the " +
+    "middle of the pairwise-slope order") {
+    val rows = SparkEntry.queries("theil_sen")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (nd, np) = (r.getLong(1), r.getLong(2))
+      assert(np == nd * (nd - 1) / 2,
+        s"${r.getString(0)}: $np pairs for $nd days")
+      assert(!r.getDouble(3).isNaN)
+    }
+  }
+
+  test("anova_f: F and eta-squared are finite, eta in [0, 1)") {
+    val r = SparkEntry.queries("anova_f")(spark, sf).head()
+    assert(r.getLong(0) >= 2, "ANOVA needs at least 2 groups")
+    assert(r.getDouble(2) >= 0.0 && !r.getDouble(2).isNaN)
+    val eta = r.getDouble(3)
+    assert(eta >= 0.0 && eta < 1.0, s"eta_sq=$eta")
+  }
+
+  test("graph_assortativity is a correlation (in [-1, 1]) over the " +
+    "shared word graph (vertex/edge counts match triangle_count)") {
+    val a = SparkEntry.queries("graph_assortativity")(spark, sf).head()
+    val t = SparkEntry.queries("triangle_count")(spark, sf).head()
+    assert(a.getLong(0) == t.getLong(0), "vertex count mismatch")
+    assert(a.getLong(1) == t.getLong(1), "edge count mismatch")
+    val r = a.getDouble(2)
+    assert(!r.isNaN && r >= -1.0 && r <= 1.0, s"assortativity=$r")
+  }
+
+  test("skew_agg_salted equals the direct single-stage aggregation") {
+    import org.apache.spark.sql.functions._
+    val salted = SparkEntry.queries("skew_agg_salted")(spark, sf).collect()
+    val direct = Tables(spark, sf, "events").groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type")).collect()
+    assert(salted.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      direct.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("mix_temperature targets sum exactly to the 10000 budget and " +
+    "every source gets a positive share") {
+    val rows = SparkEntry.queries("mix_temperature")(spark, sf).collect()
+    assert(rows.map(_.getLong(3)).sum == 10000L)
+    assert(rows.forall(_.getLong(3) > 0))
+    // sqrt-temperature flattens: max/min target ratio must be strictly
+    // below the raw char-mass ratio
+    val byChars = rows.sortBy(_.getLong(2))
+    val massRatio = byChars.last.getLong(2).toDouble / byChars.head.getLong(2)
+    val tgtRatio = rows.map(_.getLong(3)).max.toDouble /
+      rows.map(_.getLong(3)).min
+    assert(tgtRatio < massRatio,
+      s"temperature failed to flatten: $tgtRatio vs $massRatio")
+  }
+
+  test("collocation_llr scores are non-negative and the top hit is a " +
+    "high-count pair") {
+    val rows = SparkEntry.queries("collocation_llr")(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getDouble(3) >= -1e-9), "LLR must be >= 0")
+    assert(rows.forall(_.getLong(2) >= 10), "candidate filter leaked")
+  }
+
+  test("cms_heavy_hitters: estimates never undercount and stay within " +
+    "the eps*N one-sided bound") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("cms_heavy_hitters")(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getLong(3) >= 0), "CMS undercounted")
+    val n = Tables(spark, sf, "documents")
+      .select(explode(graft.operators.TextOps.tokens(col("text")))).count()
+    val bound = math.ceil(1e-4 * n).toLong
+    assert(rows.forall(_.getLong(3) <= bound),
+      s"overcount above eps*N=$bound: ${rows.map(_.getLong(3)).max}")
+  }
+
+  test("json_malformed_policy: corrupt split is exact and DROPMALFORMED " +
+    "keeps precisely the good rows") {
+    val r = SparkEntry.queries("json_malformed_policy")(spark, sf).head()
+    assert(r.getLong(1) == 6L, "corrupt count")
+    assert(r.getLong(0) == r.getLong(2) + 6L, "permissive keeps all lines")
+    assert(r.getLong(4) == r.getLong(2), "drop count != good count")
+  }
+
+  test("stream_cdc_exec: op counters strictly increase per user and " +
+    "tombstoned images are zeroed") {
+    val rows = SparkEntry.queries("stream_cdc_exec")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ops = rs.map(_.getLong(1)).toSeq
+      assert(ops == ops.sorted && ops.distinct.length == ops.length)
+    }
+    for (r <- rows) {
+      if (r.getLong(2) == 0L) assert(r.getLong(3) == 0L,
+        s"user ${r.getLong(0)}: dead image carries a ts")
+      else assert(r.getLong(3) > 0L)
+    }
+  }
 }

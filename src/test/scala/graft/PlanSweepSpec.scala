@@ -61,7 +61,15 @@ class PlanSweepSpec extends SparkSpec {
     "dq_freshness" ->
       "1-row global high-water-mark aggregate broadcast into the staleness scan",
     "funnel_time_conv" ->
-      "1-row viewer-count aggregate crossed into the conversion-rate row")
+      "1-row viewer-count aggregate crossed into the conversion-rate row",
+    "graph_assortativity" ->
+      "two 1-row count aggregates crossed onto the 1-row moment aggregate",
+    "collocation_llr" ->
+      "1-row bigram-total aggregate broadcast into the LLR contingency",
+    "json_malformed_policy" ->
+      "two 1-row policy aggregates (permissive audit × drop count) crossed",
+    "cms_heavy_hitters" ->
+      "1-row KB-sized sketch aggregate broadcast over the top-20 candidates")
 
   test("no unlisted query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
