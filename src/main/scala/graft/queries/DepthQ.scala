@@ -261,6 +261,48 @@ object DepthQ {
       .select(col("e.item").as("word"), col("e.count").as("cnt"))
       .orderBy(col("cnt").desc, col("word"))
 
+  /** Grid-bucketed spatial self-join (r9) — the 2-D member of the
+    * similarity-join family (LSH buckets strings, IVF cells bucket
+    * vectors, GRID CELLS bucket coordinates): find user pairs within
+    * 500 m. Deterministic planar positions come from two Knuth/xxhash
+    * multiplicative hashes of user_id over a 10 km box (pure BIGINT
+    * arithmetic — both engines compute them bit-identically, and unlike
+    * haversine there is NO trig anywhere, so even the distances are
+    * exact integers and the threshold can never flip cross-engine).
+    * Candidates: cell size = radius, each left row probes its 3×3
+    * neighborhood via a 9-offset explode + cell equi-join — a pair in
+    * range is found under exactly one offset (b's home cell), so no
+    * dedup pass is needed; uid_a < uid_b halves the work. The exact
+    * integer dist² filter sweeps false candidates. Scale shape: the
+    * candidate join is an equi-join on cell keys with 9× fan-out on one
+    * side — the textbook distributed spatial join; work tracks occupied
+    * cells × density, never n². */
+  val spatialGridJoin: QFn = (s, dir) => {
+    val users = t(s, dir, "events").select(col("user_id")).distinct()
+      .select(col("user_id"),
+        (col("user_id") * lit(2654435761L) % 10000L).as("x"),
+        (col("user_id") * lit(2246822519L) % 10000L).as("y"))
+    val a = users.select(col("user_id").as("uid_a"), col("x").as("xa"),
+      col("y").as("ya"),
+      explode(expr("sequence(-1, 1)")).as("dx"))
+      .select(col("uid_a"), col("xa"), col("ya"), col("dx"),
+        explode(expr("sequence(-1, 1)")).as("dy"))
+      .select(col("uid_a"), col("xa"), col("ya"),
+        (expr("xa div 2000") + col("dx")).as("cx"),
+        (expr("ya div 2000") + col("dy")).as("cy"))
+    val b = users.select(col("user_id").as("uid_b"), col("x").as("xb"),
+      col("y").as("yb"),
+      expr("x div 2000").as("cx"), expr("y div 2000").as("cy"))
+    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    a.join(b, Seq("cx", "cy"))
+      .filter(col("uid_a") < col("uid_b"))
+      .select(col("uid_a"), col("uid_b"), d2.as("dist_sq"))
+      .filter(col("dist_sq") <= 4000000L)
+      .orderBy(col("dist_sq"), col("uid_a"), col("uid_b"))
+      .limit(20)
+  }
+
   /** Count-Min heavy-hitter verification (r9) — the third sketch family
     * in the inventory (HLL = distinct counts, approx_top_k = frequent
     * items, CMS = point-queryable frequencies): ONE `count_min_sketch`
@@ -370,6 +412,7 @@ object DepthQ {
     "dedup_keep_best"    -> dedupKeepBest,
     "map_funcs"          -> mapFuncs,
     "variant_extract"    -> variantExtract,
+    "spatial_grid_join"  -> spatialGridJoin,
     "cms_heavy_hitters"  -> cmsHeavyHitters,
     "hll_sketch_union"   -> hllSketchUnion,
     "win_ntile"          -> winNtile,
@@ -383,6 +426,21 @@ object DepthQ {
       |  '\d{3}-\d{4}', '<PHONE>', 'g')""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Unbucketed mirror: the grid is access path, not semantics — the
+    // oracle joins every pair and applies the same exact integer filter.
+    "spatial_grid_join" ->
+      """WITH u AS (
+        |  SELECT DISTINCT user_id,
+        |    user_id * 2654435761 % 10000 AS x,
+        |    user_id * 2246822519 % 10000 AS y
+        |  FROM events)
+        |SELECT a.user_id AS uid_a, b.user_id AS uid_b,
+        |  CAST((a.x - b.x) * (a.x - b.x) +
+        |       (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist_sq
+        |FROM u a JOIN u b ON a.user_id < b.user_id
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |  <= 4000000
+        |ORDER BY dist_sq, uid_a, uid_b LIMIT 20""".stripMargin,
     "copurchase_pairs" ->
       s"""WITH op AS (
          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -948,7 +948,47 @@ object StatsQ {
         r6(ssb / (ssb + dbl(col("ssw")))).as("eta_sq"))
   }
 
+  /** Holt linear (double-exponential) smoothing (r9) — the level+trend
+    * forecaster (Holt 1957) capacity planning actually runs on daily
+    * series, and the one inherently SEQUENTIAL recursion in the stats
+    * family: l_t = αx_t + (1−α)(l+b), b_t = β(l_t−l) + (1−β)b (α = β =
+    * 0.5 — dyadic, so every multiply is exact), init l₁ = x₁,
+    * b₁ = x₂−x₁. Spark folds the per-type day-ordered series with the
+    * `aggregate` higher-order function (sequential by definition —
+    * left-to-right over the sorted array, the ONLY evaluation order, so
+    * cross-engine determinism needs no decimal pinning: both engines
+    * execute the identical IEEE step chain); the oracle is a true
+    * recursive CTE, proving fold ≡ recursion. Scale shape: the fold
+    * runs on the per-type array of ≤days elements (calendar-bounded),
+    * CodegenFallback irrelevant off the hot path; the one data-sized
+    * shuffle is the daily groupBy. Forecast = level + 3·trend. */
+  val holtLinear: QFn = (s, dir) => {
+    val step = "named_struct(" +
+      "'l', 0.5 * x + 0.5 * (acc.l + acc.b), " +
+      "'b', 0.5 * ((0.5 * x + 0.5 * (acc.l + acc.b)) - acc.l) " +
+      "+ 0.5 * acc.b)"
+    t(s, dir, "events")
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("x"))))
+        .as("ps"), count(lit(1)).as("n_days"))
+      .filter(col("n_days") >= 2)
+      .withColumn("xs", expr("transform(ps, p -> p.x)"))
+      .withColumn("st", expr(
+        "aggregate(slice(xs, 2, size(xs) - 1), " +
+          "named_struct('l', element_at(xs, 1), " +
+          "'b', element_at(xs, 2) - element_at(xs, 1)), " +
+          s"(acc, x) -> $step)"))
+      .select(col("event_type"), col("n_days"),
+        r6(col("st.l")).as("level"), r6(col("st.b")).as("trend"),
+        r6(col("st.l") + lit(3.0) * col("st.b")).as("forecast3"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "holt_linear"         -> holtLinear,
     "spearman_rho"        -> spearmanRho,
     "theil_sen"           -> theilSen,
     "anova_f"             -> anovaF,
@@ -982,6 +1022,35 @@ object StatsQ {
     "win_range_frame"    -> winRangeFrame)
 
   val oracle: Map[String, String] = Map(
+    // True recursion: the CTE recomputes the l' expression inside b'
+    // exactly as the Spark lambda does (no intermediate binding on
+    // either side), so the step chains are literally identical.
+    "holt_linear" ->
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(count(*) AS DOUBLE) AS x
+         |  FROM events GROUP BY event_type, day),
+         |ord AS (
+         |  SELECT event_type, x,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM daily),
+         |hw(event_type, t, l, b, n) AS (
+         |  SELECT o1.event_type, 1, o1.x, o2.x - o1.x, o1.n
+         |  FROM ord o1 JOIN ord o2
+         |    ON o1.event_type = o2.event_type AND o1.t = 1 AND o2.t = 2
+         |  UNION ALL
+         |  SELECT hw.event_type, hw.t + 1,
+         |    0.5 * o.x + 0.5 * (hw.l + hw.b),
+         |    0.5 * ((0.5 * o.x + 0.5 * (hw.l + hw.b)) - hw.l)
+         |      + 0.5 * hw.b,
+         |    hw.n
+         |  FROM hw JOIN ord o
+         |    ON o.event_type = hw.event_type AND o.t = hw.t + 1)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+         |  ${r6Sql("l")} AS level, ${r6Sql("b")} AS trend,
+         |  ${r6Sql("l + 3.0 * b")} AS forecast3
+         |FROM hw WHERE t = n ORDER BY event_type""".stripMargin,
     "spearman_rho" ->
       s"""WITH base AS (
          |  SELECT l_returnflag AS f, l_quantity AS q, l_discount AS d

@@ -433,6 +433,43 @@ object TextQ {
       .limit(20)
   }
 
+  /** Jensen-Shannon divergence per source vs the corpus (r9) — the
+    * domain-shift score data-mixing work ranks sources by (symmetric,
+    * bounded by ln 2 — unlike raw KL, finite even when a source is
+    * missing words, which is exactly the case that breaks naive KL
+    * monitoring). p = source token distribution, q = corpus, JSD =
+    * Σ_w [½p·ln(p/m) + ½q·ln(q/m)], m = (p+q)/2. The spine is
+    * sources × vocabulary (both domain-bounded dimensions — the
+    * crossJoin is allowlisted) so absent words contribute their real
+    * ½q·ln 2 mass; each per-word term is one mirrored double expression
+    * over exact integer counts, pinned DECIMAL(14,10) (the drift_psi
+    * device) so the per-source sum is order-free. One token-keyed
+    * shuffle builds all three count tables; everything after runs on
+    * vocabulary-sized aggregates. */
+  val jsDivergence: QFn = (s, dir) => {
+    val tok = t(s, dir, "documents")
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+    val sw = tok.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c_sw"))
+    val st = tok.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val cw = tok.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val nAll = tok.agg(count(lit(1)).as("n_all"))
+    st.crossJoin(cw)
+      .join(sw, Seq("source", "w"), "left")
+      .crossJoin(broadcast(nAll))
+      .withColumn("p", dbl(coalesce(col("c_sw"), lit(0L))) / dbl(col("n_s")))
+      .withColumn("q", dbl(col("c_w")) / dbl(col("n_all")))
+      .withColumn("m", (col("p") + col("q")) / lit(2.0))
+      .withColumn("term", dec(
+        when(col("p") > 0, lit(0.5) * col("p") * log(col("p") / col("m")))
+          .otherwise(lit(0.0)) +
+          lit(0.5) * col("q") * log(col("q") / col("m")), 14, 10))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        r6(dbl(sum(col("term")))).as("jsd"))
+      .orderBy(col("source"))
+  }
+
   /** BPE-style pre-tokenizer counts (RE2-safe classes — no lookahead):
     * letter runs, digit runs, non-alnum runs, longest letter run. */
   val tokenBpe: QFn = (s, dir) => {
@@ -882,6 +919,7 @@ object TextQ {
     "doc_chunks"        -> docChunks,
     "simhash_neardup"   -> simhashNeardup,
     "ngram_profile"     -> ngramProfile,
+    "js_divergence"     -> jsDivergence,
     "collocation_llr"   -> collocationLlr,
     "bigram_pmi"        -> bigramPmi,
     "token_bpe"         -> tokenBpe,
@@ -1238,6 +1276,37 @@ object TextQ {
         |        ORDER BY cnt DESC, bg) AS BIGINT) AS rn FROM c)
         |SELECT lang, bg, cnt, rn FROM r WHERE rn <= 5
         |ORDER BY lang, rn""".stripMargin,
+    "js_divergence" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS w
+         |  FROM documents),
+         |sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c_sw
+         |       FROM tok GROUP BY source, w),
+         |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+         |       FROM tok GROUP BY source),
+         |cw AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w
+         |       FROM tok GROUP BY w),
+         |na AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM tok),
+         |sp AS (
+         |  SELECT st.source, st.n_s, cw.w, cw.c_w,
+         |    coalesce(sw.c_sw, 0) AS c_sw
+         |  FROM st CROSS JOIN cw
+         |  LEFT JOIN sw ON sw.source = st.source AND sw.w = cw.w),
+         |pq AS (
+         |  SELECT source, n_s,
+         |    CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE) AS p,
+         |    CAST(c_w AS DOUBLE) / CAST(n_all AS DOUBLE) AS q
+         |  FROM sp, na),
+         |pqm AS (SELECT source, n_s, p, q, (p + q) / 2.0 AS m FROM pq),
+         |tm AS (
+         |  SELECT source, n_s,
+         |    CAST(CASE WHEN p > 0 THEN 0.5 * p * ln(p / m) ELSE 0.0 END
+         |      + 0.5 * q * ln(q / m) AS DECIMAL(14,10)) AS term
+         |  FROM pqm)
+         |SELECT source, max(n_s) AS n_tokens,
+         |  ${r6Sql("CAST(sum(term) AS DOUBLE)")} AS jsd
+         |FROM tm GROUP BY source ORDER BY source""".stripMargin,
     "collocation_llr" -> {
       // One mirrored double term per contingency cell: k·ln(k·N/(R·C)),
       // 0 at k = 0 — parenthesization matches the Spark expression.

@@ -474,6 +474,64 @@ class OperatorSpec extends SparkSpec {
     assert(r.getLong(4) == r.getLong(2), "drop count != good count")
   }
 
+  test("spatial_grid_join: grid-bucketed result equals the brute-force " +
+    "all-pairs join (grid is access path, not semantics)") {
+    import org.apache.spark.sql.functions._
+    val grid = SparkEntry.queries("spatial_grid_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(grid.forall(_._3 <= 4000000L), "pair above the radius")
+    assert(grid.forall(p => p._1 < p._2), "unordered pair leaked")
+    val u = Tables(spark, sf, "events").select(col("user_id")).distinct()
+      .select(col("user_id"),
+        (col("user_id") * lit(2654435761L) % 10000L).as("x"),
+        (col("user_id") * lit(2246822519L) % 10000L).as("y"))
+    val brute = u.toDF("a", "xa", "ya")
+      .join(u.toDF("b", "xb", "yb"), col("a") < col("b"))
+      .select(col("a"), col("b"),
+        ((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb"))).as("d2"))
+      .filter(col("d2") <= 4000000L)
+      .orderBy(col("d2"), col("a"), col("b")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(grid == brute, "grid join diverged from brute force")
+  }
+
+  test("holt_linear fold matches a driver-side replay of the recursion " +
+    "bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("holt_linear")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val series = Tables(spark, sf, "events")
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .orderBy(col("event_type"), col("day")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(2)).toSeq)
+    for ((et, xs) <- series if xs.length >= 2) {
+      var l = xs.head
+      var b = xs(1) - xs.head
+      for (x <- xs.drop(1)) {
+        val l2 = 0.5 * x + 0.5 * (l + b)
+        b = 0.5 * (l2 - l) + 0.5 * b
+        l = l2
+      }
+      def r6d(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+      assert(out(et) == ((r6d(l), r6d(b))),
+        s"$et: engine ${out(et)} vs replay ${(r6d(l), r6d(b))}")
+    }
+  }
+
+  test("js_divergence is bounded by ln 2 and non-negative for every " +
+    "source") {
+    val rows = SparkEntry.queries("js_divergence")(spark, sf).collect()
+    assert(rows.length == 20)
+    for (r <- rows) {
+      val j = r.getDouble(2)
+      assert(j >= 0.0 && j <= math.log(2.0) + 1e-9,
+        s"${r.getString(0)}: jsd=$j outside [0, ln2]")
+    }
+  }
+
   test("stream_cdc_exec: op counters strictly increase per user and " +
     "tombstoned images are zeroed") {
     val rows = SparkEntry.queries("stream_cdc_exec")(spark, sf).collect()

@@ -69,7 +69,10 @@ class PlanSweepSpec extends SparkSpec {
     "json_malformed_policy" ->
       "two 1-row policy aggregates (permissive audit × drop count) crossed",
     "cms_heavy_hitters" ->
-      "1-row KB-sized sketch aggregate broadcast over the top-20 candidates")
+      "1-row KB-sized sketch aggregate broadcast over the top-20 candidates",
+    "js_divergence" ->
+      ("sources × vocabulary spine — both domain-bounded dimensions; " +
+        "absent words must contribute their q-side JSD mass"))
 
   test("no unlisted query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
