@@ -987,7 +987,45 @@ object StatsQ {
       .orderBy(col("event_type"))
   }
 
+  /** Classical additive seasonal decomposition (r9) — x = trend +
+    * seasonal + residual, the moving-average STL precursor every
+    * monitoring stack runs before alerting on a daily series (an alert
+    * on raw counts fires every weekend; one on residuals doesn't).
+    * Trend = centered 7-day MA (full windows only — edges are null and
+    * excluded, the standard convention); seasonal = day-of-week mean of
+    * the detrended series; residual = detrended − seasonal. Exactness:
+    * the window sum is an exact BIGINT, trend = sum/7.0 is one IEEE
+    * division, and each detrended value is pinned DECIMAL(14,6)
+    * (identical rounding of identical doubles) so the per-(type, dow)
+    * seasonal mean has an order-free numerator. Scale shape: everything
+    * after the one data-sized daily groupBy runs on the per-day
+    * aggregate (≤ days·types rows); the dow means re-join broadcast. */
+  val seasonalDecompose: QFn = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("s7", sum(col("c")).over(w7))
+      .withColumn("n7", count(lit(1)).over(w7))
+      .filter(col("n7") === 7)
+      .withColumn("trend", dbl(col("s7")) / lit(7.0))
+      .withColumn("det", dec(dbl(col("c")) - col("trend"), 14, 6))
+      .withColumn("dow", pmod(col("day") + 4, lit(7)))
+    val seas = det.groupBy(col("event_type"), col("dow"))
+      .agg((dbl(sum(col("det"))) / count(lit(1))).as("seasonal_raw"))
+    det.join(broadcast(seas), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("c"),
+        r6(col("trend")).as("trend"),
+        r6(col("seasonal_raw")).as("seasonal"),
+        r6(dbl(col("det")) - col("seasonal_raw")).as("resid"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "seasonal_decompose"  -> seasonalDecompose,
     "holt_linear"         -> holtLinear,
     "spearman_rho"        -> spearmanRho,
     "theil_sen"           -> theilSen,
@@ -1022,6 +1060,36 @@ object StatsQ {
     "win_range_frame"    -> winRangeFrame)
 
   val oracle: Map[String, String] = Map(
+    "seasonal_decompose" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    count(*) AS c
+         |  FROM events GROUP BY event_type, day),
+         |win AS (
+         |  SELECT event_type, day, c,
+         |    CAST(sum(c) OVER w AS BIGINT) AS s7,
+         |    count(*) OVER w AS n7
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |det AS (
+         |  SELECT event_type, day, c,
+         |    CAST(s7 AS DOUBLE) / 7.0 AS trend,
+         |    CAST(CAST(c AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0
+         |      AS DECIMAL(14,6)) AS det,
+         |    (day + 4) % 7 AS dow
+         |  FROM win WHERE n7 = 7),
+         |seas AS (
+         |  SELECT event_type, dow,
+         |    CAST(sum(det) AS DOUBLE) / count(*) AS seasonal_raw
+         |  FROM det GROUP BY event_type, dow)
+         |SELECT det.event_type, day, c,
+         |  ${r6Sql("trend")} AS trend,
+         |  ${r6Sql("seasonal_raw")} AS seasonal,
+         |  ${r6Sql("CAST(det AS DOUBLE) - seasonal_raw")} AS resid
+         |FROM det JOIN seas
+         |  ON seas.event_type = det.event_type AND seas.dow = det.dow
+         |ORDER BY det.event_type, day""".stripMargin,
     // True recursion: the CTE recomputes the l' expression inside b'
     // exactly as the Spark lambda does (no intermediate binding on
     // either side), so the step chains are literally identical.

@@ -470,6 +470,45 @@ object TextQ {
       .orderBy(col("source"))
   }
 
+  /** Interpolated Kneser-Ney bigram probabilities (r9, Kneser & Ney
+    * ICASSP'95 / Chen & Goodman 1998 — public) — the smoothing that
+    * actually backs LM-based quality filters, upgrading lm_bigram_score's
+    * add-k: mass freed by the absolute discount d = 0.75 (dyadic — the
+    * subtraction is exact) is redistributed by CONTINUATION counts (how
+    * many distinct contexts a word follows), the fix for add-k's
+    * overestimate of frequent-but-context-bound words. Every ingredient
+    * is an exact integer off the distinct-bigram table: c(w1w2), slot
+    * count c(w1•), fan-out N1+(w1•), continuation N1+(•w2), type total T
+    * — and p_KN = max(c−d,0)/c(w1•) + d·N1+(w1•)/c(w1•) · N1+(•w2)/T is
+    * one mirrored double expression (no logs anywhere). Output: top-20
+    * bigrams with MLE vs KN side by side — the discount's effect is the
+    * graded value. Scale shape: three keyed aggregates over the instance
+    * /pair tables, two marginal equi-joins, 1-row type-total broadcast
+    * (allowlisted). */
+  val knLmProb: QFn = (s, dir) => {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+    val bigrams = bigramInstances(toks)
+    val bi = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+    val rm = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("r_a"))
+    val fol = bi.groupBy(col("w1")).agg(count(lit(1)).as("n_fol"))
+    val prec = bi.groupBy(col("w2")).agg(count(lit(1)).as("n_prec"))
+    val tt = bi.agg(count(lit(1)).as("t_types"))
+    val pMle = dbl(col("c_ab")) / dbl(col("r_a"))
+    val pKn = greatest(dbl(col("c_ab")) - lit(0.75), lit(0.0)) /
+      dbl(col("r_a")) +
+      lit(0.75) * dbl(col("n_fol")) / dbl(col("r_a")) *
+        (dbl(col("n_prec")) / dbl(col("t_types")))
+    bi.filter(col("c_ab") >= 10)
+      .join(rm, "w1").join(fol, "w1").join(prec, "w2")
+      .crossJoin(broadcast(tt))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        r6(pMle).as("p_mle"), r6(pKn).as("p_kn"))
+      .orderBy(col("c_ab").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   /** BPE-style pre-tokenizer counts (RE2-safe classes — no lookahead):
     * letter runs, digit runs, non-alnum runs, longest letter run. */
   val tokenBpe: QFn = (s, dir) => {
@@ -919,6 +958,7 @@ object TextQ {
     "doc_chunks"        -> docChunks,
     "simhash_neardup"   -> simhashNeardup,
     "ngram_profile"     -> ngramProfile,
+    "kn_lm_prob"        -> knLmProb,
     "js_divergence"     -> jsDivergence,
     "collocation_llr"   -> collocationLlr,
     "bigram_pmi"        -> bigramPmi,
@@ -1276,6 +1316,35 @@ object TextQ {
         |        ORDER BY cnt DESC, bg) AS BIGINT) AS rn FROM c)
         |SELECT lang, bg, cnt, rn FROM r WHERE rn <= 5
         |ORDER BY lang, rn""".stripMargin,
+    "kn_lm_prob" ->
+      s"""WITH $wordsCte,
+         |bg AS (
+         |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+         |  FROM words,
+         |    (SELECT unnest(range(1, (SELECT max(len(ws)) FROM words))) AS i)
+         |  WHERE i + 1 <= len(ws)),
+         |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+         |       FROM bg GROUP BY w1, w2),
+         |rm AS (SELECT w1, CAST(count(*) AS BIGINT) AS r_a
+         |       FROM bg GROUP BY w1),
+         |fol AS (SELECT w1, CAST(count(*) AS BIGINT) AS n_fol
+         |        FROM bi GROUP BY w1),
+         |prec AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec
+         |         FROM bi GROUP BY w2),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM bi)
+         |SELECT bi.w1 AS w1, bi.w2 AS w2, c_ab,
+         |  ${r6Sql("CAST(c_ab AS DOUBLE) / CAST(r_a AS DOUBLE)")} AS p_mle,
+         |  ${r6Sql("greatest(CAST(c_ab AS DOUBLE) - 0.75, 0.0) /" +
+             " CAST(r_a AS DOUBLE) +" +
+             " 0.75 * CAST(n_fol AS DOUBLE) / CAST(r_a AS DOUBLE) *" +
+             " (CAST(n_prec AS DOUBLE) / CAST(t_types AS DOUBLE))")}
+         |    AS p_kn
+         |FROM bi
+         |  JOIN rm ON rm.w1 = bi.w1
+         |  JOIN fol ON fol.w1 = bi.w1
+         |  JOIN prec ON prec.w2 = bi.w2, tt
+         |WHERE c_ab >= 10
+         |ORDER BY c_ab DESC, bi.w1, bi.w2 LIMIT 20""".stripMargin,
     "js_divergence" ->
       s"""WITH tok AS (
          |  SELECT source, unnest(list_filter(

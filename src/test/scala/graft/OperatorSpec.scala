@@ -532,6 +532,58 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("kneser-ney: probabilities in (0,1] and the conditional " +
+    "distribution of the heaviest context sums exactly to 1") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("kn_lm_prob")(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(r => r.getDouble(4) > 0 && r.getDouble(4) <= 1.0))
+    // Σ_w2 p_KN(w2 | w1) over every word with continuation mass = 1:
+    // the discount frees exactly d·N1+(w1·)/c(w1·), and λ·p_cont
+    // re-spends exactly that — the normalization KN is built on.
+    val toks = Tables(spark, sf, "documents")
+      .select(graft.operators.TextOps.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("ws"), explode(sequence(lit(1), size(col("ws")) - 1))
+        .as("i"))
+      .select(element_at(col("ws"), col("i")).as("w1"),
+        element_at(col("ws"), col("i") + 1).as("w2"))
+    val bi = toks.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val hot = toks.groupBy(col("w1")).agg(count(lit(1)).as("r"))
+      .orderBy(col("r").desc, col("w1")).head()
+    val (w1, r) = (hot.getString(0), hot.getLong(1))
+    val tTypes = bi.count()
+    val prec = bi.groupBy(col("w2")).agg(count(lit(1)).as("np"))
+    val nFol = bi.filter(col("w1") === w1).count()
+    val seen = bi.filter(col("w1") === w1)
+      .select(col("w2"), col("c")).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val total = prec.collect().map { p =>
+      val disc = seen.get(p.getString(0))
+        .map(c => math.max(c - 0.75, 0.0) / r).getOrElse(0.0)
+      disc + 0.75 * nFol / r * (p.getLong(1).toDouble / tTypes)
+    }.sum
+    assert(math.abs(total - 1.0) < 1e-9, s"KN mass for '$w1' = $total")
+  }
+
+  test("seasonal_decompose: components re-add to the observation and " +
+    "residuals mean to zero within each (type, dow) cell") {
+    val rows = SparkEntry.queries("seasonal_decompose")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val c = r.getLong(2).toDouble
+      val sum3 = r.getDouble(3) + r.getDouble(4) + r.getDouble(5)
+      assert(math.abs(c - sum3) < 5e-6,
+        s"${r.getString(0)}/${r.getLong(1)}: $c vs $sum3")
+    }
+    rows.groupBy(r => (r.getString(0), (r.getLong(1) + 4) % 7))
+      .foreach { case (cell, rs) =>
+        val m = rs.map(_.getDouble(5)).sum / rs.size
+        assert(math.abs(m) < 1e-5, s"$cell residual mean $m")
+      }
+  }
+
   test("stream_cdc_exec: op counters strictly increase per user and " +
     "tombstoned images are zeroed") {
     val rows = SparkEntry.queries("stream_cdc_exec")(spark, sf).collect()

@@ -72,7 +72,9 @@ class PlanSweepSpec extends SparkSpec {
       "1-row KB-sized sketch aggregate broadcast over the top-20 candidates",
     "js_divergence" ->
       ("sources × vocabulary spine — both domain-bounded dimensions; " +
-        "absent words must contribute their q-side JSD mass"))
+        "absent words must contribute their q-side JSD mass"),
+    "kn_lm_prob" ->
+      "1-row bigram-type-total aggregate broadcast into the KN backoff term")
 
   test("no unlisted query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
