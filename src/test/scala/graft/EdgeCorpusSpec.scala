@@ -80,6 +80,24 @@ class EdgeCorpusSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 3L, 4L))
   }
 
+  test("round-9 text keys survive the edge corpus (no count-10 bigram " +
+    "exists; empty/1-token docs exercise the guards)") {
+    assert(SparkEntry.queries("collocation_llr")(spark, edgeDir).count() == 0)
+    assert(SparkEntry.queries("kn_lm_prob")(spark, edgeDir).count() == 0)
+    val jsd = SparkEntry.queries("js_divergence")(spark, edgeDir).collect()
+    // both sources present; all-token docs live in src1, so src0 (one
+    // 1-token doc + two token-less docs) diverges MORE from the corpus
+    assert(jsd.length == 2)
+    assert(jsd.forall(r => !r.getDouble(2).isNaN && r.getDouble(2) >= 0))
+  }
+
+  test("graph_assortativity on the path graph a-b-c-d-e is exactly -1/3 " +
+    "(textbook value: endpoints drag degree mixing negative)") {
+    val r = SparkEntry.queries("graph_assortativity")(spark, edgeDir).head()
+    assert(r.getLong(0) == 5L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == -0.333333, s"got ${r.getDouble(2)}")
+  }
+
   test("round-4 text/graph keys survive the edge corpus") {
     // lm/contamination: no doc_id%17==0 doc exists -> empty eval split;
     // surviving the <2-token guard paths IS the assertion
