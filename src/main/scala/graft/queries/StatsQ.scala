@@ -1024,7 +1024,55 @@ object StatsQ {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Partial autocorrelation at lags 1-3 (r9) — the AR-order diagnostic
+    * read NEXT TO acf_lag (ACF tails off / PACF cuts off at the true AR
+    * order — the Box-Jenkins identification step): Durbin-Levinson
+    * recursion over the same exact-BIGINT autocorrelations acf_lag
+    * emits (φ11 = r₁; φ22 = (r₂−r₁²)/(1−r₁²); φ33 from the level-2
+    * coefficients). Each level is ONE bound column computed from the
+    * previous bindings — the oracle binds the identical expressions in
+    * nested CTE levels, so the double chains are literally the same
+    * ops in the same order. Headroom is acf_lag's (exact while
+    * n·x_max² < 2⁶³). Scale shape identical to acf_lag: one daily
+    * groupBy shuffle, lag windows over the per-day aggregate. */
+  val pacfLag: QFn = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val wT = Window.partitionBy(col("event_type"))
+    val wO = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("n", count(lit(1)).over(wT))
+      .withColumn("s", sum(col("c")).over(wT))
+      .withColumn("d", col("n") * col("c") - col("s"))
+      .withColumn("d1", lag(col("d"), 1).over(wO))
+      .withColumn("d2", lag(col("d"), 2).over(wO))
+      .withColumn("d3", lag(col("d"), 3).over(wO))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_days"),
+        sum(col("d") * col("d")).as("den"),
+        sum(col("d") * col("d1")).as("num1"),
+        sum(col("d") * col("d2")).as("num2"),
+        sum(col("d") * col("d3")).as("num3"))
+      .withColumn("r1", dbl(col("num1")) / dbl(col("den")))
+      .withColumn("r2", dbl(col("num2")) / dbl(col("den")))
+      .withColumn("r3", dbl(col("num3")) / dbl(col("den")))
+      .withColumn("p22",
+        (col("r2") - col("r1") * col("r1")) /
+          (lit(1.0) - col("r1") * col("r1")))
+      .withColumn("p21", col("r1") - col("p22") * col("r1"))
+      .withColumn("p33",
+        (col("r3") - col("p21") * col("r2") - col("p22") * col("r1")) /
+          (lit(1.0) - col("p21") * col("r1") - col("p22") * col("r2")))
+      .select(col("event_type"), col("n_days"),
+        r6(col("r1")).as("pacf1"), r6(col("p22")).as("pacf2"),
+        r6(col("p33")).as("pacf3"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "pacf_lag"            -> pacfLag,
     "seasonal_decompose"  -> seasonalDecompose,
     "holt_linear"         -> holtLinear,
     "spearman_rho"        -> spearmanRho,
@@ -1060,6 +1108,46 @@ object StatsQ {
     "win_range_frame"    -> winRangeFrame)
 
   val oracle: Map[String, String] = Map(
+    "pacf_lag" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    count(*) AS c
+         |  FROM events GROUP BY event_type, day),
+         |dev AS (
+         |  SELECT event_type, day,
+         |    count(*) OVER tw * c - sum(c) OVER tw AS d
+         |  FROM daily
+         |  WINDOW tw AS (PARTITION BY event_type)),
+         |lagd AS (
+         |  SELECT event_type, d,
+         |    lag(d, 1) OVER ow AS d1, lag(d, 2) OVER ow AS d2,
+         |    lag(d, 3) OVER ow AS d3,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM dev
+         |  WINDOW ow AS (PARTITION BY event_type ORDER BY day)),
+         |m AS (
+         |  SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+         |    CAST(sum(d * d) AS BIGINT) AS den,
+         |    CAST(sum(d * d1) AS BIGINT) AS num1,
+         |    CAST(sum(d * d2) AS BIGINT) AS num2,
+         |    CAST(sum(d * d3) AS BIGINT) AS num3
+         |  FROM lagd GROUP BY event_type),
+         |rr AS (
+         |  SELECT event_type, n_days,
+         |    CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE) AS r1,
+         |    CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE) AS r2,
+         |    CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE) AS r3
+         |  FROM m),
+         |l2 AS (
+         |  SELECT *, (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22 FROM rr),
+         |l2b AS (SELECT *, r1 - p22 * r1 AS p21 FROM l2),
+         |l3 AS (
+         |  SELECT *, (r3 - p21 * r2 - p22 * r1) /
+         |    (1.0 - p21 * r1 - p22 * r2) AS p33
+         |  FROM l2b)
+         |SELECT event_type, n_days, ${r6Sql("r1")} AS pacf1,
+         |  ${r6Sql("p22")} AS pacf2, ${r6Sql("p33")} AS pacf3
+         |FROM l3 ORDER BY event_type""".stripMargin,
     "seasonal_decompose" ->
       s"""WITH daily AS (
          |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -94,7 +94,33 @@ object WindowsQ {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Time-interval RANGE frame (r9) — the third frame kind (§2.5 has
+    * ROWS frames and an integer RANGE frame; this is RANGE over a
+    * TIMESTAMP ordering with an INTERVAL bound): per event, how many
+    * events and how much exact value the type saw in the trailing hour —
+    * the per-event rate-limiter / burst-detector shape, and the batch
+    * twin of the streaming sliding window. RANGE frames are value-based,
+    * so timestamp TIES are all peers of one frame on both engines —
+    * deterministic with no tiebreaker needed (the reason this key can
+    * ship a per-event output at all); count is exact and the sum rides
+    * the DECIMAL pin. Scale shape: one shuffle on event_type, per-
+    * partition sort on ts — at 100 TB the partition key widens to
+    * (type, day-bucket) and frames never cross buckets more than 1 h. */
+  val winRangeInterval: QFn = (s, dir) =>
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("ts"),
+        dec(col("value"), 14, 4).as("v"))
+      .selectExpr("event_id", "event_type",
+        """count(*) OVER (PARTITION BY event_type ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+           AS n_1h""",
+        """CAST(sum(v) OVER (PARTITION BY event_type ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS sum_1h""")
+      .orderBy(col("event_id"))
+
   val queries: Map[String, QFn] = Map(
+    "win_range_interval" -> winRangeInterval,
     "qwin_rank_per_cust" -> rankPerCust,
     "win_rank_dense"     -> rankDense,
     "win_running_sum"    -> runningSum,
@@ -103,6 +129,15 @@ object WindowsQ {
     "win_moving_avg"     -> movingAvg)
 
   val oracle: Map[String, String] = Map(
+    "win_range_interval" ->
+      """SELECT event_id, event_type,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(14,4))) OVER w AS DOUBLE)
+        |    AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "win_rolling_median" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -584,6 +584,39 @@ class OperatorSpec extends SparkSpec {
       }
   }
 
+  test("pacf_lag: level 1 equals acf lag 1 (Durbin-Levinson base case) " +
+    "and all levels stay in [-1, 1]") {
+    val pacf = SparkEntry.queries("pacf_lag")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val acf1 = SparkEntry.queries("acf_lag")(spark, sf).collect()
+      .filter(_.getLong(1) == 1L)
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(pacf.keySet == acf1.keySet)
+    for ((et, (p1, p2, p3)) <- pacf) {
+      assert(p1 == acf1(et), s"$et: pacf1 $p1 != acf1 ${acf1(et)}")
+      for (p <- Seq(p1, p2, p3))
+        assert(!p.isNaN && p >= -1.0 && p <= 1.0, s"$et: $p")
+    }
+  }
+
+  test("win_range_interval matches a range self-join recomputation of " +
+    "the trailing-hour counts") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("win_range_interval")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.values.forall(_ >= 1), "frame must include the row itself")
+    val e = Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("ts_us"))
+    val recomputed = e.toDF("id", "et", "t")
+      .join(e.toDF("id2", "et2", "t2"),
+        col("et") === col("et2") && col("t2") <= col("t") &&
+          col("t2") >= col("t") - lit(3600000000L))
+      .groupBy(col("id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == recomputed, "window frame diverged from the self-join")
+  }
+
   test("stream_cdc_exec: op counters strictly increase per user and " +
     "tombstoned images are zeroed") {
     val rows = SparkEntry.queries("stream_cdc_exec")(spark, sf).collect()

@@ -13,6 +13,51 @@ class PropertySpec extends SparkSpec {
     SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
       .passed
 
+  test("CMS estimates never undercount, for any seeded word stream " +
+    "(property)") {
+    import spark.implicits._
+    import java.io.ByteArrayInputStream
+    val streamGen = Gen.listOfN(300,
+      Gen.oneOf("a", "b", "cc", "ddd", "e", "a", "a")) // skewed on purpose
+    val prop = Prop.forAll(streamGen, Gen.chooseNum(1, 1000)) { (ws, seed) =>
+      val df = ws.toDF("word")
+      val sk = df.agg(expr(
+        s"count_min_sketch(word, 0.01d, 0.9d, $seed)")).head()
+        .getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new ByteArrayInputStream(sk))
+      val exact = ws.groupBy(identity).view.mapValues(_.size)
+      exact.forall { case (w, c) =>
+        cms.estimateCount(w.getBytes("UTF-8")) >= c
+      }
+    }
+    assert(holds(prop))
+  }
+
+  test("spearman_rho is invariant under strictly monotone transforms " +
+    "of either variable (property of ranks)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rho_prop").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("rho_prop2").toString
+    val rng = new scala.util.Random(42)
+    val rows = Seq.fill(400)(("A",
+      (rng.nextInt(50) + 1).toDouble, rng.nextInt(11) * 0.01))
+    rows.toDF("l_returnflag", "l_quantity", "l_discount")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    // x -> x^3 + 7 and y -> exp(y) are strictly increasing: every rank
+    // (and hence rho) must survive both transforms bit-for-bit.
+    rows.map { case (f, q, d) => (f, q * q * q + 7.0, math.exp(d)) }
+      .toDF("l_returnflag", "l_quantity", "l_discount")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir2/lineitem.parquet")
+    val a = SparkEntry.queries("spearman_rho")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val b = SparkEntry.queries("spearman_rho")(spark, dir2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(a == b, s"rho moved under a monotone transform: $a vs $b")
+  }
+
   test("text normalization is idempotent (property)") {
     import spark.implicits._
     val strGen = Gen.listOf(Gen.oneOf(Gen.alphaStr, Gen.const("  "),
