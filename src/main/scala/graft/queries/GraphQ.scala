@@ -393,7 +393,10 @@ object GraphQ {
       .crossJoin(und.agg(count(lit(1)).as("n_edges")))
       .crossJoin(deg.agg(count(lit(1)).as("n_verts")))
       .select(col("n_verts"), col("n_edges"),
-        r6(num / (sqrt(fx) * sqrt(fy))).as("assortativity"))
+        // nullif: a degree-regular graph (cycle) has zero degree
+        // variance — null r, not an ANSI abort
+        r6(num / nullif(sqrt(fx) * sqrt(fy), lit(0.0)))
+          .as("assortativity"))
   }
 
   val queries: Map[String, QFn] = Map(
@@ -627,8 +630,8 @@ object GraphQ {
        |              (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_verts)
        |SELECT n_verts, n_edges,
        |  ${r6Sql(s"(${f("n", "sxy", "sx", "sy")}) / " +
-           s"(sqrt(${f("n", "sxx", "sx", "sx")}) * " +
-           s"sqrt(${f("n", "syy", "sy", "sy")}))")} AS assortativity
+           s"nullif(sqrt(${f("n", "sxx", "sx", "sx")}) * " +
+           s"sqrt(${f("n", "syy", "sy", "sy")}), 0.0)")} AS assortativity
        |FROM m, st""".stripMargin
   }
 

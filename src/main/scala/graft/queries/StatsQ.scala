@@ -601,8 +601,13 @@ object StatsQ {
         sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
     val n = col("n1") + col("n2")
     val u1x2 = col("r1_x2") - col("n1") * (col("n1") + lit(1))
+    // nullif-guarded tie denominator: a group with ONE pooled value has
+    // n(n-1) = 0 — ANSI mode turns that into DIVIDE_BY_ZERO mid-job (the
+    // EdgeCorpusSpec finding); null z for a 1-observation group is the
+    // correct report. Mirrored in the oracle.
     val sigma = sqrt((dbl(col("n1")) * dbl(col("n2")) / lit(12.0)) *
-      (dbl(n + lit(1)) - dbl(col("ties")) / (dbl(n) * dbl(n - lit(1)))))
+      (dbl(n + lit(1)) - dbl(col("ties")) /
+        nullif(dbl(n) * dbl(n - lit(1)), lit(0.0))))
     g.select(col("event_type"), col("n1"), col("n2"),
         u1x2.as("u1_x2"),
         r6(((dbl(u1x2) - dbl(col("n1") * col("n2"))) / lit(2.0)) /
@@ -675,7 +680,7 @@ object StatsQ {
       .select(col("event_type"), col("n_days"), col("den"),
         expr("stack(3, 1L, num1, 2L, num2, 3L, num3) AS (lag_k, num)"))
       .select(col("event_type"), col("lag_k"), col("n_days"),
-        r6(dbl(col("num")) / dbl(col("den"))).as("acf"))
+        r6(dbl(col("num")) / nullif(dbl(col("den")), lit(0.0))).as("acf"))
       .orderBy(col("event_type"), col("lag_k"))
   }
 
@@ -813,8 +818,11 @@ object StatsQ {
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
       .select(col("ta"), col("tb"), col("n"),
+        // nullif: a constant series has zero variance — null r, not an
+        // ANSI DIVIDE_BY_ZERO abort (EdgeCorpusSpec finding)
         r6(dbl(n * sxy - sx * sy) /
-          sqrt(dbl(n * sxx - sx * sx) * dbl(n * syy - sy * sy)))
+          nullif(sqrt(dbl(n * sxx - sx * sx) * dbl(n * syy - sy * sy)),
+            lit(0.0)))
           .as("pearson_r"))
       .orderBy(col("ta"), col("tb"))
   }
@@ -861,7 +869,8 @@ object StatsQ {
         sum(col("uy") * col("uy")).as("dy"))
       .select(col("f").as("l_returnflag"), col("n"),
         r6(dbl(col("num")) /
-          (sqrt(dbl(col("dx"))) * sqrt(dbl(col("dy"))))).as("spearman_rho"))
+          nullif(sqrt(dbl(col("dx"))) * sqrt(dbl(col("dy"))), lit(0.0)))
+          .as("spearman_rho"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -942,10 +951,11 @@ object StatsQ {
         sum(col("sg")).as("s"), sum(col("bt")).as("bpart"),
         sum(col("wt")).as("ssw"))
       .select(col("k_groups"), col("n_rows"),
-        r6((ssb / dbl(col("k_groups") - 1)) /
-          (dbl(col("ssw")) / dbl(col("n_rows") - col("k_groups"))))
-          .as("f_stat"),
-        r6(ssb / (ssb + dbl(col("ssw")))).as("eta_sq"))
+        r6((ssb / nullif(dbl(col("k_groups") - 1), lit(0.0))) /
+          nullif(dbl(col("ssw")) /
+            nullif(dbl(col("n_rows") - col("k_groups")), lit(0.0)),
+            lit(0.0))).as("f_stat"),
+        r6(ssb / nullif(ssb + dbl(col("ssw")), lit(0.0))).as("eta_sq"))
   }
 
   /** Holt linear (double-exponential) smoothing (r9) — the level+trend
@@ -1055,16 +1065,20 @@ object StatsQ {
         sum(col("d") * col("d1")).as("num1"),
         sum(col("d") * col("d2")).as("num2"),
         sum(col("d") * col("d3")).as("num3"))
-      .withColumn("r1", dbl(col("num1")) / dbl(col("den")))
-      .withColumn("r2", dbl(col("num2")) / dbl(col("den")))
-      .withColumn("r3", dbl(col("num3")) / dbl(col("den")))
+      // nullif guards: a 1-day or constant series has den = 0, and a
+      // perfectly correlated series drives a level denominator to 0 —
+      // null coefficients, never an ANSI abort (EdgeCorpusSpec finding).
+      .withColumn("r1", dbl(col("num1")) / nullif(dbl(col("den")), lit(0.0)))
+      .withColumn("r2", dbl(col("num2")) / nullif(dbl(col("den")), lit(0.0)))
+      .withColumn("r3", dbl(col("num3")) / nullif(dbl(col("den")), lit(0.0)))
       .withColumn("p22",
         (col("r2") - col("r1") * col("r1")) /
-          (lit(1.0) - col("r1") * col("r1")))
+          nullif(lit(1.0) - col("r1") * col("r1"), lit(0.0)))
       .withColumn("p21", col("r1") - col("p22") * col("r1"))
       .withColumn("p33",
         (col("r3") - col("p21") * col("r2") - col("p22") * col("r1")) /
-          (lit(1.0) - col("p21") * col("r1") - col("p22") * col("r2")))
+          nullif(lit(1.0) - col("p21") * col("r1") - col("p22") * col("r2"),
+            lit(0.0)))
       .select(col("event_type"), col("n_days"),
         r6(col("r1")).as("pacf1"), r6(col("p22")).as("pacf2"),
         r6(col("p33")).as("pacf3"))
@@ -1134,16 +1148,17 @@ object StatsQ {
          |  FROM lagd GROUP BY event_type),
          |rr AS (
          |  SELECT event_type, n_days,
-         |    CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE) AS r1,
-         |    CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE) AS r2,
-         |    CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE) AS r3
+         |    CAST(num1 AS DOUBLE) / nullif(CAST(den AS DOUBLE), 0.0) AS r1,
+         |    CAST(num2 AS DOUBLE) / nullif(CAST(den AS DOUBLE), 0.0) AS r2,
+         |    CAST(num3 AS DOUBLE) / nullif(CAST(den AS DOUBLE), 0.0) AS r3
          |  FROM m),
          |l2 AS (
-         |  SELECT *, (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22 FROM rr),
+         |  SELECT *, (r2 - r1 * r1) / nullif(1.0 - r1 * r1, 0.0) AS p22
+         |  FROM rr),
          |l2b AS (SELECT *, r1 - p22 * r1 AS p21 FROM l2),
          |l3 AS (
          |  SELECT *, (r3 - p21 * r2 - p22 * r1) /
-         |    (1.0 - p21 * r1 - p22 * r2) AS p33
+         |    nullif(1.0 - p21 * r1 - p22 * r2, 0.0) AS p33
          |  FROM l2b)
          |SELECT event_type, n_days, ${r6Sql("r1")} AS pacf1,
          |  ${r6Sql("p22")} AS pacf2, ${r6Sql("p33")} AS pacf3
@@ -1232,8 +1247,8 @@ object StatsQ {
          |  JOIN yr ON b.f = yr.f AND b.d = yr.d)
          |SELECT f AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
          |  ${r6Sql("CAST(sum(ux * uy) AS DOUBLE) /" +
-             " (sqrt(CAST(sum(ux * ux) AS DOUBLE)) *" +
-             " sqrt(CAST(sum(uy * uy) AS DOUBLE)))")} AS spearman_rho
+             " nullif(sqrt(CAST(sum(ux * ux) AS DOUBLE)) *" +
+             " sqrt(CAST(sum(uy * uy) AS DOUBLE)), 0.0)")} AS spearman_rho
          |FROM j GROUP BY f ORDER BY l_returnflag""".stripMargin,
     "theil_sen" ->
       s"""WITH daily AS (
@@ -1292,10 +1307,12 @@ object StatsQ {
          |      / CAST(n_rows AS DOUBLE) AS ssb
          |  FROM tt)
          |SELECT k_groups, n_rows,
-         |  ${r6Sql("(ssb / CAST(k_groups - 1 AS DOUBLE)) /" +
-             " (CAST(ssw AS DOUBLE) / CAST(n_rows - k_groups AS DOUBLE))")}
+         |  ${r6Sql("(ssb / nullif(CAST(k_groups - 1 AS DOUBLE), 0.0)) /" +
+             " nullif(CAST(ssw AS DOUBLE) /" +
+             " nullif(CAST(n_rows - k_groups AS DOUBLE), 0.0), 0.0)")}
          |    AS f_stat,
-         |  ${r6Sql("ssb / (ssb + CAST(ssw AS DOUBLE))")} AS eta_sq
+         |  ${r6Sql("ssb / nullif(ssb + CAST(ssw AS DOUBLE), 0.0)")}
+         |    AS eta_sq
          |FROM f""".stripMargin,
     "mann_whitney_u" ->
       s"""WITH pooled AS (
@@ -1326,7 +1343,8 @@ object StatsQ {
          |    r1_x2 - n1 * (n1 + 1) AS u1_x2,
          |    sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0) *
          |      (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties AS DOUBLE) /
-         |        (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))
+         |        nullif(CAST(n1 + n2 AS DOUBLE) *
+         |          CAST(n1 + n2 - 1 AS DOUBLE), 0.0)))
          |      AS sigma
          |  FROM g)
          |SELECT event_type, n1, n2, u1_x2,
@@ -1350,8 +1368,8 @@ object StatsQ {
          |  GROUP BY ta, tb)
          |SELECT ta, tb, n,
          |  ${r6Sql("CAST(n * sxy - sx * sy AS DOUBLE) / " +
-             "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * " +
-             "CAST(n * syy - sy * sy AS DOUBLE))")}
+             "nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * " +
+             "CAST(n * syy - sy * sy AS DOUBLE)), 0.0)")}
          |    AS pearson_r
          |FROM m ORDER BY ta, tb""".stripMargin,
     "drift_psi" -> {
@@ -1433,7 +1451,7 @@ object StatsQ {
          |    CAST(sum(d * d3) AS DOUBLE) AS num3
          |  FROM l GROUP BY event_type)
          |SELECT event_type, lag_k, n_days,
-         |  ${r6Sql("num / den")} AS acf
+         |  ${r6Sql("num / nullif(den, 0.0)")} AS acf
          |FROM (
          |  SELECT event_type, 1 AS lag_k, n_days, num1 AS num, den FROM g
          |  UNION ALL

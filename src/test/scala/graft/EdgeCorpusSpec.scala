@@ -113,6 +113,65 @@ class EdgeCorpusSpec extends SparkSpec {
     assert(clusters.forall(_.getAs[Long]("n_docs") == 1L))
   }
 
+  /** Degenerate EVENTS corpus: timestamp TIES (three events at the same
+    * instant — RANGE-frame peer semantics), a NULL value, a type with a
+    * single observation (1-day series → empty lag/pair structures), and
+    * exact 1-hour boundary spacing (inclusive-bound check). */
+  private lazy val edgeEventsDir: String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("edge_events").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-05 10:00:00")
+    val t0b = java.sql.Timestamp.valueOf("2024-01-05 11:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-07 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-06 10:00:00")
+    Seq(
+      (1L, t0, 1L, "click", Some(1.5), "{}"),
+      (2L, t0, 1L, "click", None: Option[Double], "{}"),
+      (3L, t0, 1L, "click", Some(2.5), "{}"),
+      (4L, t0b, 1L, "click", Some(4.0), "{}"),
+      (5L, t1, 2L, "purchase", Some(10.0), "{}"),
+      (6L, t2, 3L, "error", Some(-1.0), "{}"),
+      (7L, t2, 1L, "click", Some(3.0), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("win_range_interval on ties: equal timestamps are one frame of " +
+    "peers, the 1-hour-earlier row is INSIDE the inclusive bound, and " +
+    "null values vanish from the sum") {
+    val rows = SparkEntry.queries("win_range_interval")(spark, edgeEventsDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(rows(1L) == ((3L, Some(4.0))), rows(1L)) // 3 peers, null skipped
+    assert(rows(2L) == rows(1L) && rows(3L) == rows(1L), "peers diverge")
+    assert(rows(4L)._1 == 4L, "inclusive 1-hour bound lost the tie group")
+    assert(rows(5L) == ((1L, Some(10.0))))
+  }
+
+  test("events-based round-9 stats keys survive degenerate series " +
+    "(1-day types, ties, nulls) without throwing") {
+    for (q <- Seq("theil_sen", "pacf_lag", "acf_lag", "holt_linear",
+        "anova_f", "mann_whitney_u", "corr_matrix",
+        "skew_agg_salted", "spatial_grid_join", "dq_freshness")) {
+      // surviving the guards (empty lag/pair structures, 0 denominators
+      // → null, not a crash) IS the assertion
+      SparkEntry.queries(q)(spark, edgeEventsDir).collect()
+    }
+    // holt needs >= 2 days: only 'click' qualifies
+    val holt = SparkEntry.queries("holt_linear")(spark, edgeEventsDir)
+      .collect()
+    assert(holt.map(_.getString(0)).toSeq == Seq("click"))
+    assert(!holt.head.getDouble(2).isNaN)
+    // seasonal needs a full 7-day window: nothing qualifies
+    assert(SparkEntry.queries("seasonal_decompose")(
+      spark, edgeEventsDir).count() == 0)
+    // theil_sen: the 1-day type has zero pairs; click has exactly 1
+    val sen = SparkEntry.queries("theil_sen")(spark, edgeEventsDir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(sen("click") == 1L)
+  }
+
   private lazy val edgeVecDir: String = {
     import spark.implicits._
     val dir = Files.createTempDirectory("edge_vecs").toString
