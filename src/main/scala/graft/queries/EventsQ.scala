@@ -341,7 +341,9 @@ object EventsQ {
     summary
       .crossJoin(broadcast(fv.agg(count(lit(1)).as("n_viewers"))))
       .select(col("n_viewers"), col("n_converted"),
-        r6(dbl(col("n_converted")) / dbl(col("n_viewers")))
+        // nullif: a corpus slice with zero viewers must report a null
+        // rate, not abort under ANSI (the EdgeCorpusSpec finding class)
+        r6(dbl(col("n_converted")) / nullif(dbl(col("n_viewers")), lit(0.0)))
           .as("conv_rate"),
         col("p50_minutes"), col("p90_minutes"))
   }
@@ -614,7 +616,9 @@ object EventsQ {
         sum(col("v") * dec(col("dt"), 20, 0)).as("swv"),
         sum(col("dt")).as("sdt"))
       .select(col("event_type"), col("n_intervals"),
-        r6(dbl(col("swv")) / dbl(col("sdt"))).as("twa"))
+        // nullif: a type whose events all share one timestamp has zero
+        // elapsed time — null TWA, not an ANSI abort
+        r6(dbl(col("swv")) / nullif(dbl(col("sdt")), lit(0.0))).as("twa"))
       .orderBy(col("event_type"))
   }
 
@@ -717,7 +721,8 @@ object EventsQ {
          |  FROM ranked)
          |SELECT (SELECT count(*) FROM fv) AS n_viewers, n_converted,
          |  ${r6Sql("CAST(n_converted AS DOUBLE) / " +
-             "CAST((SELECT count(*) FROM fv) AS DOUBLE)")} AS conv_rate,
+             "nullif(CAST((SELECT count(*) FROM fv) AS DOUBLE), 0.0)")}
+         |    AS conv_rate,
          |  p50_minutes, p90_minutes
          |FROM summary""".stripMargin,
     "hdr_quantile_sketch" -> hdrSql,
@@ -733,7 +738,8 @@ object EventsQ {
          |    CAST(sum(dt) AS BIGINT) AS sdt
          |  FROM seq WHERE dt IS NOT NULL GROUP BY event_type)
          |SELECT event_type, n_intervals,
-         |  ${r6Sql("CAST(swv AS DOUBLE) / CAST(sdt AS DOUBLE)")} AS twa
+         |  ${r6Sql("CAST(swv AS DOUBLE) / " +
+             "nullif(CAST(sdt AS DOUBLE), 0.0)")} AS twa
          |FROM g ORDER BY event_type""".stripMargin,
     "attribution_last_touch" ->
       """WITH tagged AS (

@@ -138,7 +138,10 @@ object GraphQ {
     stats.crossJoin(tri)
       .select(col("n_verts"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
-        r6(dbl(col("n_triangles") * 3) / col("n_wedges")).as("clustering"))
+        // nullif: a wedge-free graph (isolated edges) must report null
+        // clustering, not abort under ANSI
+        r6(dbl(col("n_triangles") * 3) /
+          nullif(dbl(col("n_wedges")), lit(0.0))).as("clustering"))
   }
 
   /** BFS hop-distance profile (r5) — reachability, the third member of
@@ -471,7 +474,8 @@ object GraphQ {
        |      AS n_wedges
        |  FROM deg)
        |SELECT n_verts, n_edges, n_wedges, n_triangles,
-       |  ${r6Sql("CAST(n_triangles * 3 AS DOUBLE) / n_wedges")} AS clustering
+       |  ${r6Sql("CAST(n_triangles * 3 AS DOUBLE) / " +
+           "nullif(CAST(n_wedges AS DOUBLE), 0.0)")} AS clustering
        |FROM stats, tri""".stripMargin
   }
 

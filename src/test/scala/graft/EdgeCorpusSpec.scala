@@ -131,7 +131,8 @@ class EdgeCorpusSpec extends SparkSpec {
       (4L, t0b, 1L, "click", Some(4.0), "{}"),
       (5L, t1, 2L, "purchase", Some(10.0), "{}"),
       (6L, t2, 3L, "error", Some(-1.0), "{}"),
-      (7L, t2, 1L, "click", Some(3.0), "{}"))
+      (7L, t2, 1L, "click", Some(3.0), "{}"),
+      (8L, t1, 2L, "purchase", Some(5.0), "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
@@ -146,7 +147,7 @@ class EdgeCorpusSpec extends SparkSpec {
     assert(rows(1L) == ((3L, Some(4.0))), rows(1L)) // 3 peers, null skipped
     assert(rows(2L) == rows(1L) && rows(3L) == rows(1L), "peers diverge")
     assert(rows(4L)._1 == 4L, "inclusive 1-hour bound lost the tie group")
-    assert(rows(5L) == ((1L, Some(10.0))))
+    assert(rows(5L) == ((2L, Some(15.0))), "tied purchases are peers")
   }
 
   test("events-based round-9 stats keys survive degenerate series " +
@@ -170,6 +171,28 @@ class EdgeCorpusSpec extends SparkSpec {
     val sen = SparkEntry.queries("theil_sen")(spark, edgeEventsDir)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(sen("click") == 1L)
+  }
+
+  test("zero-denominator guards report null, never abort: funnel with " +
+    "no viewers, TWA with zero elapsed time, clustering with no wedges") {
+    // no 'view' events exist → zero viewers → null conversion rate
+    val f = SparkEntry.queries("funnel_time_conv")(spark, edgeEventsDir)
+      .head()
+    assert(f.getLong(0) == 0L && f.isNullAt(2), f.toString)
+    // 'purchase' has two events at ONE instant → zero elapsed time
+    val twa = SparkEntry.queries("time_weighted_avg")(spark, edgeEventsDir)
+      .collect().map(r => r.getString(0) -> r.isNullAt(2)).toMap
+    assert(twa("purchase"), "zero-elapsed type must have null TWA")
+    assert(!twa("click"))
+    // a single-edge corpus has no wedges → null clustering coefficient
+    import spark.implicits._
+    val dir1e = Files.createTempDirectory("edge_one").toString
+    Seq((1L, "x y", "en", "src0", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir1e/documents.parquet")
+    val tri = SparkEntry.queries("triangle_count")(spark, dir1e).head()
+    assert(tri.getLong(2) == 0L && tri.isNullAt(4), tri.toString)
   }
 
   private lazy val edgeVecDir: String = {
