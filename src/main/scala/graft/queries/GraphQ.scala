@@ -398,7 +398,11 @@ object GraphQ {
       .select(col("n_verts"), col("n_edges"),
         // nullif: a degree-regular graph (cycle) has zero degree
         // variance — null r, not an ANSI abort
-        r6(num / nullif(sqrt(fx) * sqrt(fy), lit(0.0)))
+        // greatest(…, 0): fx/fy are Cauchy-Schwarz-nonnegative in real
+        // arithmetic but computed in double — a true-zero factor can
+        // round to -ulp, and DuckDB hard-errors on sqrt(negative)
+        r6(num / nullif(sqrt(greatest(fx, lit(0.0))) *
+          sqrt(greatest(fy, lit(0.0))), lit(0.0)))
           .as("assortativity"))
   }
 
@@ -634,8 +638,9 @@ object GraphQ {
        |              (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_verts)
        |SELECT n_verts, n_edges,
        |  ${r6Sql(s"(${f("n", "sxy", "sx", "sy")}) / " +
-           s"nullif(sqrt(${f("n", "sxx", "sx", "sx")}) * " +
-           s"sqrt(${f("n", "syy", "sy", "sy")}), 0.0)")} AS assortativity
+           s"nullif(sqrt(greatest(${f("n", "sxx", "sx", "sx")}, 0.0)) * " +
+           s"sqrt(greatest(${f("n", "syy", "sy", "sy")}, 0.0)), 0.0)")}
+       |  AS assortativity
        |FROM m, st""".stripMargin
   }
 

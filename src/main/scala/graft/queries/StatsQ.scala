@@ -605,9 +605,12 @@ object StatsQ {
     // n(n-1) = 0 — ANSI mode turns that into DIVIDE_BY_ZERO mid-job (the
     // EdgeCorpusSpec finding); null z for a 1-observation group is the
     // correct report. Mirrored in the oracle.
-    val sigma = sqrt((dbl(col("n1")) * dbl(col("n2")) / lit(12.0)) *
+    // greatest(…, 0): the all-ties bracket is exactly 0 in real
+    // arithmetic but can round to -ulp in double — DuckDB HARD-ERRORS
+    // on sqrt(negative), so both engines clamp identically.
+    val sigma = sqrt(greatest((dbl(col("n1")) * dbl(col("n2")) / lit(12.0)) *
       (dbl(n + lit(1)) - dbl(col("ties")) /
-        nullif(dbl(n) * dbl(n - lit(1)), lit(0.0))))
+        nullif(dbl(n) * dbl(n - lit(1)), lit(0.0))), lit(0.0)))
     g.select(col("event_type"), col("n1"), col("n2"),
         u1x2.as("u1_x2"),
         r6(((dbl(u1x2) - dbl(col("n1") * col("n2"))) / lit(2.0)) /
@@ -1341,10 +1344,11 @@ object StatsQ {
          |f AS (
          |  SELECT event_type, n1, n2,
          |    r1_x2 - n1 * (n1 + 1) AS u1_x2,
-         |    sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0) *
+         |    sqrt(greatest(
+         |      (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0) *
          |      (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties AS DOUBLE) /
          |        nullif(CAST(n1 + n2 AS DOUBLE) *
-         |          CAST(n1 + n2 - 1 AS DOUBLE), 0.0)))
+         |          CAST(n1 + n2 - 1 AS DOUBLE), 0.0)), 0.0))
          |      AS sigma
          |  FROM g)
          |SELECT event_type, n1, n2, u1_x2,
