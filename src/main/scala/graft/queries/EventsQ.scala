@@ -622,7 +622,44 @@ object EventsQ {
       .orderBy(col("event_type"))
   }
 
+  /** Interval union length (r9) — the GAPS-AND-ISLANDS operator, the
+    * classic hard-SQL shape (merge overlapping intervals, measure
+    * coverage) behind "total active time", SLA uptime, and ad-exposure
+    * dedup: each event opens a 30-minute activity interval; overlapping
+    * intervals per user must count once. Island detection is the
+    * textbook device — a new island starts exactly where an interval's
+    * start exceeds the running max of all previous ends — and because
+    * islands are by construction gap-free, each island's coverage is
+    * max(end) − min(start). Everything is exact integer µs arithmetic
+    * over one user-keyed window partitioning, reused by the island
+    * groupBy: one shuffle at any corpus size. Emitted per user:
+    * interval count, island count, total covered time. */
+  val intervalUnionLen: QFn = (s, dir) => {
+    val span = 1800000000L // 30 min in µs
+    val wO = Window.partitionBy(col("user_id"))
+      .orderBy(col("s"), col("e"), col("event_id"))
+    val wPrev = wO.rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = wO.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts_us").as("s"),
+        (col("ts_us") + lit(span)).as("e"))
+      .withColumn("pmax", max(col("e")).over(wPrev))
+      .withColumn("fresh",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("fresh")).over(wCum))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("n_iv"), min(col("s")).as("is"),
+        max(col("e")).as("ie"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n_iv")).as("n_events"),
+        count(lit(1)).as("n_islands"),
+        sum(col("ie") - col("is")).as("active_us"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "interval_union_len"    -> intervalUnionLen,
     "funnel_time_conv"      -> funnelTimeConv,
     "time_weighted_avg"     -> timeWeightedAvg,
     "attribution_last_touch" -> attributionLastTouch,
@@ -698,6 +735,36 @@ object EventsQ {
   }
 
   val oracle: Map[String, String] = Map(
+    "interval_union_len" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 1800000000 AS e
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, s, e,
+        |    CASE WHEN max(e) OVER (PARTITION BY user_id
+        |        ORDER BY s, e, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR s > max(e) OVER (PARTITION BY user_id
+        |        ORDER BY s, e, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS fresh,
+        |    event_id
+        |  FROM iv),
+        |isl AS (
+        |  SELECT user_id, s, e,
+        |    CAST(sum(fresh) OVER (PARTITION BY user_id
+        |      ORDER BY s, e, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        |  FROM marked),
+        |per AS (
+        |  SELECT user_id, island, count(*) AS n_iv,
+        |    min(s) AS i_s, max(e) AS i_e
+        |  FROM isl GROUP BY user_id, island)
+        |SELECT user_id, CAST(sum(n_iv) AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(i_e - i_s) AS BIGINT) AS active_us
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
     "funnel_time_conv" ->
       s"""WITH fv AS (
          |  SELECT user_id, min(epoch_us(ts)) AS fv FROM events

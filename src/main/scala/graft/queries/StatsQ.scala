@@ -1088,7 +1088,39 @@ object StatsQ {
       .orderBy(col("event_type"))
   }
 
+  /** Exact weighted median (r9) — price-level analytics' real median:
+    * "the price at which half the QUANTITY trades", not half the rows
+    * (the two diverge exactly when cheap lines carry bulk volume).
+    * Selection semantics, zero interpolation: order rows by (price,
+    * unique keys), accumulate exact integer weight, and the weighted
+    * median is the first row where 2·cum ≥ total — implemented as
+    * min(price) over the qualifying suffix (cum is monotone along the
+    * price order, so the qualifying set IS a suffix). All weights are
+    * exact BIGINTs (quantities are integer-valued); both engines pick
+    * the identical row. Scale shape: one window + groupBy on the same
+    * l_returnflag partitioning — one shuffle; at 100 TB the exact
+    * selection yields to a weighted sketch, same output contract. */
+  val weightedMedian: QFn = (s, dir) => {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wT = Window.partitionBy(col("l_returnflag"))
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("q"))
+      .withColumn("cum", sum(col("q")).over(w))
+      .withColumn("tot", sum(col("q")).over(wT))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), max(col("tot")).as("total_qty"),
+        min(when(col("cum") * 2 >= col("tot"), col("l_extendedprice")))
+          .as("weighted_median_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "weighted_median"     -> weightedMedian,
     "pacf_lag"            -> pacfLag,
     "seasonal_decompose"  -> seasonalDecompose,
     "holt_linear"         -> holtLinear,
@@ -1125,6 +1157,21 @@ object StatsQ {
     "win_range_frame"    -> winRangeFrame)
 
   val oracle: Map[String, String] = Map(
+    "weighted_median" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+        |      PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+        |      PARTITION BY l_returnflag) AS BIGINT) AS tot
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  max(tot) AS total_qty,
+        |  min(CASE WHEN cum * 2 >= tot THEN l_extendedprice END)
+        |    AS weighted_median_price
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "pacf_lag" ->
       s"""WITH daily AS (
          |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -617,6 +617,57 @@ class OperatorSpec extends SparkSpec {
     assert(out == recomputed, "window frame diverged from the self-join")
   }
 
+  test("weighted_median matches a driver-side scan of the cumulative " +
+    "weight along the price order") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("weighted_median")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val rows = Tables(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getInt(3), r.getLong(4)))
+    for ((flag, grp) <- rows.groupBy(_._1)) {
+      val ordered = grp.sortBy(t => (t._2, t._3, t._4))
+      val tot = ordered.map(_._5).sum
+      var cum = 0L
+      val wm = ordered.find { t => cum += t._5; cum * 2 >= tot }.get._2
+      assert(out(flag) == ((tot, wm)), s"$flag: ${out(flag)} vs ($tot, $wm)")
+    }
+  }
+
+  test("interval_union_len: coverage bounds hold and a driver replay " +
+    "of the sweep agrees per user") {
+    import org.apache.spark.sql.functions._
+    val span = 1800000000L
+    val out = SparkEntry.queries("interval_union_len")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    for ((u, (ne, ni, act)) <- out) {
+      assert(ni >= 1 && ni <= ne, s"user $u: islands $ni events $ne")
+      assert(act >= span && act <= ne * span,
+        s"user $u: coverage $act outside [$span, ${ne * span}]")
+    }
+    val byUser = Tables(spark, sf, "events")
+      .select(col("user_id"), col("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    for ((u, evs) <- byUser) {
+      var islands = 0L; var covered = 0L
+      var curS = Long.MinValue; var curE = Long.MinValue
+      for (t <- evs.map(_._2).sorted) {
+        if (t > curE) { // close island, open new
+          if (islands > 0) covered += curE - curS
+          islands += 1; curS = t; curE = t + span
+        } else curE = math.max(curE, t + span)
+      }
+      covered += curE - curS
+      assert(out(u) == ((evs.length.toLong, islands, covered)),
+        s"user $u: ${out(u)} vs (${evs.length}, $islands, $covered)")
+    }
+  }
+
   test("stream_cdc_exec: op counters strictly increase per user and " +
     "tombstoned images are zeroed") {
     val rows = SparkEntry.queries("stream_cdc_exec")(spark, sf).collect()
