@@ -594,6 +594,41 @@ object EventsQ {
       .orderBy(col("touch_type"))
   }
 
+  /** Linear multi-touch attribution (r9) — last-touch's fairer sibling
+    * and the other half of the attribution family every marketing
+    * warehouse ships: each conversion's credit splits EQUALLY across
+    * all touchpoints in its 7-day lookback, so assist channels stop
+    * reading as zero. Per-touch credit 1/n (and revenue/n) is one IEEE
+    * division of exact inputs, pinned DECIMAL (the pagerank device) so
+    * the per-channel sums are order-free — fractional conversions add
+    * back to the attributed conversion total exactly. Scale shape: the
+    * touch↔conversion match is a USER-KEYED equi-join with the lookback
+    * as a residual range predicate (never an unkeyed range join);
+    * fan-out is touches × conversions within one user's window —
+    * bounded per user; the per-conversion n rides a pid window on the
+    * join output. */
+  val attributionLinear: QFn = (s, dir) => {
+    val week = 604800000000L
+    val p = t(s, dir, "events").filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        col("ts_us").as("pts"), dec(col("value"), 14, 4).as("rev"))
+    val tch = t(s, dir, "events").filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type").as("touch_type"),
+        col("ts_us").as("tts"))
+    val wP = Window.partitionBy(col("pid"))
+    p.join(tch, Seq("user_id"))
+      .filter(col("tts") < col("pts") && col("tts") >= col("pts") - week)
+      .withColumn("n_t", count(lit(1)).over(wP))
+      .withColumn("conv_credit",
+        dec(lit(1.0) / dbl(col("n_t")), 14, 10))
+      .withColumn("rev_credit",
+        dec(dbl(col("rev")) / dbl(col("n_t")), 18, 8))
+      .groupBy(col("touch_type"))
+      .agg(r6(dbl(sum(col("conv_credit")))).as("conversions"),
+        r6(dbl(sum(col("rev_credit")))).as("attributed_revenue"))
+      .orderBy(col("touch_type"))
+  }
+
   /** Time-weighted average (r8) — the IoT/finance aggregation a plain
     * mean gets wrong on irregular samples: per event type, TWA(value) =
     * Σ vᵢ·Δtᵢ / ΣΔtᵢ with Δtᵢ the microseconds until the next event of
@@ -659,6 +694,7 @@ object EventsQ {
   }
 
   val queries: Map[String, QFn] = Map(
+    "attribution_linear"    -> attributionLinear,
     "interval_union_len"    -> intervalUnionLen,
     "funnel_time_conv"      -> funnelTimeConv,
     "time_weighted_avg"     -> timeWeightedAvg,
@@ -735,6 +771,32 @@ object EventsQ {
   }
 
   val oracle: Map[String, String] = Map(
+    "attribution_linear" ->
+      s"""WITH p AS (
+         |  SELECT user_id, event_id AS pid, epoch_us(ts) AS pts,
+         |    CAST(value AS DECIMAL(14,4)) AS rev
+         |  FROM events WHERE event_type = 'purchase'),
+         |t AS (
+         |  SELECT user_id, event_type AS touch_type, epoch_us(ts) AS tts
+         |  FROM events WHERE event_type <> 'purchase'),
+         |j AS (
+         |  SELECT pid, rev, touch_type
+         |  FROM p JOIN t ON p.user_id = t.user_id
+         |    AND t.tts < p.pts AND t.tts >= p.pts - 604800000000),
+         |n AS (SELECT pid, CAST(count(*) AS BIGINT) AS n_t
+         |      FROM j GROUP BY pid),
+         |c AS (
+         |  SELECT j.touch_type,
+         |    CAST(1.0 / CAST(n_t AS DOUBLE) AS DECIMAL(14,10))
+         |      AS conv_credit,
+         |    CAST(CAST(rev AS DOUBLE) / CAST(n_t AS DOUBLE)
+         |      AS DECIMAL(18,8)) AS rev_credit
+         |  FROM j JOIN n USING (pid))
+         |SELECT touch_type,
+         |  ${r6Sql("CAST(sum(conv_credit) AS DOUBLE)")} AS conversions,
+         |  ${r6Sql("CAST(sum(rev_credit) AS DOUBLE)")}
+         |    AS attributed_revenue
+         |FROM c GROUP BY touch_type ORDER BY touch_type""".stripMargin,
     "interval_union_len" ->
       """WITH iv AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS s,
