@@ -116,12 +116,14 @@ object Verify {
     val cmsRows = SparkEntry.queries("cms_heavy_hitters")(spark, sfDir)
       .collect()
     val cmsNeg = cmsRows.count(_.getAs[Long]("overcount") < 0)
-    val cmsMaxOver = cmsRows.map(_.getAs[Long]("overcount")).max
+    // foldLeft, not .max: an empty result must yield an explicit FAILING
+    // bounds entry below, not throw and silently leave a stale file.
+    val cmsMaxOver = cmsRows.foldLeft(0L)(_ max _.getAs[Long]("overcount"))
     val nWords = Tables(spark, sfDir, "documents")
       .select(explode(graft.operators.TextOps.tokens(col("text"))))
       .count()
     val cmsBound = math.ceil(1e-4 * nWords).toLong
-    val cmsPass = cmsNeg == 0 && cmsMaxOver <= cmsBound
+    val cmsPass = cmsRows.nonEmpty && cmsNeg == 0 && cmsMaxOver <= cmsBound
     f"""{"approx_distinct":{"metric":"max_rel_err_vs_exact","value":$adErr%.4f,"bound":0.05,"pass":${adErr <= 0.05}},"hll_sketch_union":{"metric":"max_rel_err_vs_exact","value":$hllErr%.4f,"bound":0.05,"pass":${hllErr <= 0.05}},"approx_percentile":{"metric":"values_outside_1pct_rank_window","value":$pViolations,"bound":0,"pass":${pViolations == 0}},"cms_heavy_hitters":{"metric":"max_overcount_vs_eps_n","value":$cmsMaxOver,"bound":$cmsBound,"undercounts":$cmsNeg,"pass":$cmsPass}}"""
   }
 }

@@ -278,10 +278,15 @@ object DepthQ {
     * side — the textbook distributed spatial join; work tracks occupied
     * cells × density, never n². */
   val spatialGridJoin: QFn = (s, dir) => {
+    // Reduce mod 10000 BEFORE the multiply: (u*K)%m == ((u%m)*(K%m))%m
+    // for u >= 0, and 9999*5761 < 2^26 — no BIGINT overflow at ANY
+    // user_id magnitude (the raw u*2654435761 form overflows past ~3.4e9
+    // ids and would abort under ANSI). 5761 = 2654435761 % 10000,
+    // 2519 = 2246822519 % 10000.
     val users = t(s, dir, "events").select(col("user_id")).distinct()
       .select(col("user_id"),
-        (col("user_id") * lit(2654435761L) % 10000L).as("x"),
-        (col("user_id") * lit(2246822519L) % 10000L).as("y"))
+        (col("user_id") % 10000L * lit(5761L) % 10000L).as("x"),
+        (col("user_id") % 10000L * lit(2519L) % 10000L).as("y"))
     val a = users.select(col("user_id").as("uid_a"), col("x").as("xa"),
       col("y").as("ya"),
       explode(expr("sequence(-1, 1)")).as("dx"))
@@ -431,8 +436,8 @@ object DepthQ {
     "spatial_grid_join" ->
       """WITH u AS (
         |  SELECT DISTINCT user_id,
-        |    user_id * 2654435761 % 10000 AS x,
-        |    user_id * 2246822519 % 10000 AS y
+        |    user_id % 10000 * 5761 % 10000 AS x,
+        |    user_id % 10000 * 2519 % 10000 AS y
         |  FROM events)
         |SELECT a.user_id AS uid_a, b.user_id AS uid_b,
         |  CAST((a.x - b.x) * (a.x - b.x) +

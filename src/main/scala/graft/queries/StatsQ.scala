@@ -571,10 +571,10 @@ object StatsQ {
     * ×2 as BIGINT (rank2 = 2·rank, u1_x2 = 2·U₁ — also the emitted
     * form) and every sum is exact integer arithmetic; z is ONE mirrored
     * double expression over exact ints (casts of identical ints, IEEE
-    * division/sqrt — the abtest_ztest determinism argument). BIGINT
-    * headroom: Σ c₁·rank2 < n·(2N+1), and Σt³ is bounded by tie-group
-    * cubes — beyond ~10⁶ rows per (type, value) group DECIMAL(38,0)
-    * takes over, documented like acf_lag. Scale shape: one (type,
+    * division/sqrt — the abtest_ztest determinism argument). Headroom:
+    * Σ c₁·rank2 < n·(2N+1) stays BIGINT-exact to ~10⁹ rows; the tie
+    * cube Σ(t³−t) is carried in DECIMAL(38,0) (HUGEINT on the oracle),
+    * exact at any tie-group size — no latent ANSI overflow abort. Scale shape: one (type,
     * value) groupBy shuffle, rank windows over the per-value aggregate
     * (≤ distinct values rows), final rollup per type. */
   val mannWhitneyU: QFn = (s, dir) => {
@@ -598,7 +598,11 @@ object StatsQ {
       .agg(sum(col("c1")).as("n1"),
         sum(col("c") - col("c1")).as("n2"),
         sum(col("c1") * col("rank2")).as("r1_x2"),
-        sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+        // DECIMAL(38,0) pins the cube term exact at ANY tie-group size
+        // (the BIGINT form overflows once one (type,value) group passes
+        // ~2.1M rows -> mid-job ANSI abort); DuckDB mirrors via HUGEINT.
+        sum(col("c").cast("decimal(38,0)") * col("c") * col("c")
+          - col("c")).as("ties"))
     val n = col("n1") + col("n2")
     val u1x2 = col("r1_x2") - col("n1") * (col("n1") + lit(1))
     // nullif-guarded tie denominator: a group with ONE pooled value has
@@ -1386,7 +1390,7 @@ object StatsQ {
          |    CAST(sum(c1) AS BIGINT) AS n1,
          |    CAST(sum(c - c1) AS BIGINT) AS n2,
          |    CAST(sum(c1 * rank2) AS BIGINT) AS r1_x2,
-         |    CAST(sum(c * c * c - c) AS BIGINT) AS ties
+         |    sum(CAST(c AS HUGEINT) * c * c - c) AS ties
          |  FROM ranked GROUP BY event_type),
          |f AS (
          |  SELECT event_type, n1, n2,
