@@ -163,7 +163,12 @@ object FormatsQ {
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
-    s.read.schema(schema).json(s"$path/*.jsonl")
+    // Manifest-driven read: consume exactly the parts the 2PC commit
+    // published, never whatever a directory glob happens to see.
+    val committed = graft.sources.AuditCommit.committedFiles(
+      graft.sources.AuditCommit.fs(path, s.sparkContext.hadoopConfiguration),
+      path)
+    s.read.schema(schema).json(committed: _*)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),

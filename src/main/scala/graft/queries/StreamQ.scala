@@ -1060,7 +1060,13 @@ object StreamQ {
         .start()
       q.awaitTermination()
     }
-    s.read.json(s"$out/*.jsonl")
+    // Manifest-driven read: each epoch's commit marker lists its parts,
+    // so the read provably consumes only committed epochs (vs a glob,
+    // which would also pick up parts of an epoch that never committed).
+    val committed = graft.sources.AuditCommit.committedFiles(
+      graft.sources.AuditCommit.fs(out, s.sparkContext.hadoopConfiguration),
+      out)
+    s.read.json(committed: _*)
       .select(col("event_id").cast("long"), col("user_id").cast("long"),
         col("event_type"))
       .orderBy(col("event_id"))

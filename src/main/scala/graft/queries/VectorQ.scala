@@ -285,7 +285,12 @@ object VectorQ {
     * cells, and exact cosine ranks only the probed candidates. The other
     * canonical ANN layout next to ann_lsh_knn — candidates shrink from |N|
     * to ~2|N|/cells, and at scale the centroid set stays broadcastable. */
-  val annIvfKnn: QFn = (s, dir) => {
+  /** The shared IVF coarse stage: per-label centroids (rounded, identical
+    * cell geometry both engines), every vector scored against the
+    * broadcast centroid set, `crn` ranking cells by distance per vector.
+    * Consumed by ann_ivf_knn (probe + exact cosine) and ann_ivfpq_knn
+    * (probe + PQ-residual ADC + rerank). */
+  private[graft] def ivfCoarse(s: SparkSession, dir: String) = {
     val centroids = t(s, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "ev")))
       .groupBy(col("label"), col("pos"))
@@ -300,10 +305,14 @@ object VectorQ {
       gdot(col("cvec"), col("cvec")))
     val wCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("fdist"), col("clabel"))
-    val asg = e.select(col("vec_id"), col("v"), col("nrm"))
+    e.select(col("vec_id"), col("v"), col("nrm"))
       .crossJoin(broadcast(centroids.select(col("label").as("clabel"), col("cvec"))))
       .withColumn("fdist", dist)
       .withColumn("crn", row_number().over(wCell))
+  }
+
+  val annIvfKnn: QFn = (s, dir) => {
+    val asg = ivfCoarse(s, dir)
     val cells = asg.filter(col("crn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("clabel").as("cell"))
     val probes = asg.filter(col("crn") <= 2 && col("vec_id") < 50)
@@ -643,6 +652,104 @@ object VectorQ {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** IVF-PQ kNN (r10) — the COMPOSED production index (Jégou et al.,
+    * TPAMI 2011, public): the IVF coarse stage prunes the corpus to the
+    * 2 probed cells per query, PQ codes compress the RESIDUAL v − c(cell)
+    * (residuals concentrate near 0, so a shared fixed-size codebook
+    * represents them far better than raw vectors — the reason real
+    * systems quantize residuals, not vectors), the ADC scan scores
+    * queries against cell-centroid + reconstructed residual, and only
+    * the top-20 survivors pay full-precision cosine for the final top-5.
+    * Completes the tier ladder: brute → LSH → multiprobe → IVF → SQ8 →
+    * PQ → IVF-PQ.
+    *
+    * Determinism: the coarse stage is ann_ivf_knn's proven geometry;
+    * residual components are r6-rounded at formation (so the
+    * DECIMAL(12,9) training sums are EXACT casts, no rounding-rule
+    * exposure); codebook training reuses kmeans_embed's conventions
+    * (init = residual sub-vectors of the 16 lowest vec_ids, argmin with
+    * r6 distances + cluster-id tiebreak, DECIMAL-exact means, 2
+    * re-estimations); every ranking rounds to r6 with vec_id tiebreaks.
+    * The oracle unrolls the whole train → encode → probe → ADC → rerank
+    * pipeline per subspace.
+    *
+    * Scale shape: codebooks are 4×16×16 doubles trained once and
+    * broadcast; encoding is broadcast-join passes over the corpus; the
+    * ADC scan joins probes to reconstructions ON THE CELL KEY — candidate
+    * volume is Σ probed-cell sizes (~2|N|/cells per query), never
+    * |Q|·|N| (AnnQualitySpec pins this). The home assignment is
+    * localCheckpointed once and reused by all 4 subspace trainings, the
+    * reconstruction, and the rerank. */
+  val annIvfPqKnn: QFn = (s, dir) => {
+    val asg = ivfCoarse(s, dir)
+    val home = asg.filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("clabel").as("cell"), col("cvec"))
+      .localCheckpoint()
+    val dist = r6(gdot(col("sv"), col("sv")) -
+      lit(2) * gdot(col("sv"), col("cvec")) + gdot(col("cvec"), col("cvec")))
+    // per-subspace residual codebook + winning residual centroid
+    def reconPart(m: Int): org.apache.spark.sql.DataFrame = {
+      val sub = home.select(col("vec_id"),
+        zip_with(slice(col("v"), m * PqSub + 1, PqSub),
+          slice(col("cvec"), m * PqSub + 1, PqSub),
+          (a, b) => r6(a - b)).as("sv"))
+      var cents = sub.filter(col("vec_id") < PqK)
+        .select(col("vec_id").as("cl"), col("sv").as("cvec"))
+      for (_ <- 1 to 2) {
+        cents = sub.crossJoin(broadcast(cents))
+          .withColumn("dist", dist)
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("dist"), col("cl"), col("sv"))).as("m"))
+          .select(col("vec_id"), col("m.sv").as("sv"), col("m.cl").as("cl"))
+          .select(col("cl"), posexplode(col("sv")).as(Seq("pos", "ev")))
+          .groupBy(col("cl"), col("pos"))
+          .agg(sum(dec(col("ev"), 12, 9)).as("sv"), count(lit(1)).as("n"))
+          .select(col("cl"), col("pos"), r6(dbl(col("sv")) / col("n")).as("c"))
+          .groupBy(col("cl"))
+          .agg(transform(
+            sort_array(collect_list(struct(col("pos"), col("c")))),
+            x => x.getField("c")).as("cvec"))
+      }
+      sub.crossJoin(broadcast(cents))
+        .withColumn("dist", dist)
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cl"), col("cvec"))).as("mm"))
+        .select(col("vec_id"), lit(m).as("m"), col("mm.cvec").as("cvec"))
+    }
+    val rhat = (0 until PqM).map(reconPart).reduce(_ unionByName _)
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("m"), col("cvec")))),
+        x => x.getField("cvec"))).as("rhat"))
+    val recon = home.join(rhat, "vec_id")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("cvec"), col("rhat"), (a, b) => a + b).as("vhat"))
+    val probes = asg.filter(col("crn") <= 2 && col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("clabel").as("cell"))
+    val w1 = Window.partitionBy(col("qid"))
+      .orderBy(col("approx").desc, col("vec_id"))
+    val w2 = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val cand20 = probes.join(recon, "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("approx", r6(gdot(col("qv"), col("vhat"))))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= 20)
+      .select(col("qid"), col("vec_id"))
+    cand20
+      .join(home.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .join(home.select(col("vec_id").as("qid"), col("v").as("qfull"),
+        col("nrm").as("qn")), "qid")
+      .withColumn("cos_sim",
+        r6(gdot(col("qfull"), col("v")) / (col("qn") * col("nrm"))))
+      .withColumn("rn", row_number().over(w2).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"), col("cos_sim"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** Maximal Marginal Relevance selection (r9, Carbonell & Goldstein
     * SIGIR'98 — public algorithm) — the DIVERSITY-aware consumer of the
     * similarity stack: where qknn returns the 5 most similar vectors
@@ -708,6 +815,7 @@ object VectorQ {
   val queries: Map[String, QFn] = Map(
     "mmr_select"         -> mmrSelect,
     "ann_pq_knn"         -> annPqKnn,
+    "ann_ivfpq_knn"      -> annIvfPqKnn,
     "ann_sq_knn"         -> annSqKnn,
     "semdedup_prune"     -> semdedupPrune,
     "kmeans_embed"       -> kmeansEmbed,
@@ -929,9 +1037,117 @@ object VectorQ {
        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   }
 
+  /** IVF-PQ oracle: the ann_ivf_knn coarse CTEs (ex/comp/cent/asg) feed a
+    * residual table rv (home cell, r6 residual components), then per
+    * subspace the pqSql training conventions run over the residual
+    * slices; reconstruction adds the winning residual centroids back to
+    * the home-cell centroid, the ADC scan joins probes to
+    * reconstructions on the cell key, and the rerank mirrors the Spark
+    * side stage for stage. */
+  private def ivfpqSql: String = {
+    val dims = PqM * PqSub
+    def distSql(cv: String) = r6Sql(
+      s"list_dot_product(e.sv, e.sv) - 2 * list_dot_product(e.sv, $cv) " +
+        s"+ list_dot_product($cv, $cv)")
+    def assignCte(name: String, sub: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, sv, cl FROM (
+         |    SELECT e.vec_id, e.sv, c.cl,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${distSql("c.cvec")}, c.cl) AS rn
+         |    FROM $sub e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def meanCte(asg: String, mName: String, cents: String) =
+      s"""$mName AS (
+         |  SELECT cl, pos,
+         |    ${r6Sql("CAST(sum(CAST(ev AS DECIMAL(12,9))) AS DOUBLE) / count(*)")} AS c
+         |  FROM (SELECT cl, generate_subscripts(sv, 1) AS pos,
+         |          unnest(sv) AS ev FROM $asg)
+         |  GROUP BY cl, pos),
+         |$cents AS (SELECT cl, list(c ORDER BY pos) AS cvec FROM $mName
+         |           GROUP BY cl)""".stripMargin
+    def finalCte(name: String, sub: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cvec FROM (
+         |    SELECT e.vec_id, c.cvec,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${distSql("c.cvec")}, c.cl) AS rn
+         |    FROM $sub e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    val per = (0 until PqM).map { m =>
+      val lo = m * PqSub + 1
+      val hi = (m + 1) * PqSub
+      s"""rsub$m AS (
+         |  SELECT vec_id, list_transform(range($lo, ${hi + 1}),
+         |    i -> ${r6Sql("v[i] - cvec[i]")}) AS sv
+         |  FROM rv),
+         |cb${m}_0 AS (SELECT vec_id AS cl, sv AS cvec FROM rsub$m
+         |             WHERE vec_id < $PqK),
+         |${assignCte(s"as${m}_1", s"rsub$m", s"cb${m}_0")},
+         |${meanCte(s"as${m}_1", s"mm${m}_1", s"cb${m}_1")},
+         |${assignCte(s"as${m}_2", s"rsub$m", s"cb${m}_1")},
+         |${meanCte(s"as${m}_2", s"mm${m}_2", s"cb${m}_2")},
+         |${finalCte(s"fin$m", s"rsub$m", s"cb${m}_2")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |            FROM embeddings),
+       |comp AS (
+       |  SELECT label, pos,
+       |    ${r6Sql("CAST(sum(CAST(CAST(ev AS DOUBLE) AS DECIMAL(12,9))) AS DOUBLE) / count(*)")} AS c
+       |  FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+       |          unnest(embedding) AS ev FROM embeddings)
+       |  GROUP BY label, pos),
+       |cent AS (SELECT label, list(c ORDER BY pos) AS cvec FROM comp
+       |         GROUP BY label),
+       |asg AS (
+       |  SELECT vec_id, label AS cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY fdist, label)
+       |      AS crn
+       |  FROM (SELECT e.vec_id, c.label,
+       |          ${r6Sql("list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cvec) + list_dot_product(c.cvec, c.cvec)")} AS fdist
+       |        FROM ex e CROSS JOIN cent c)),
+       |rv AS (
+       |  SELECT a.vec_id, e.v, a.cell, c.cvec
+       |  FROM asg a JOIN ex e USING (vec_id)
+       |    JOIN cent c ON c.label = a.cell
+       |  WHERE a.crn = 1),
+       |$per,
+       |rcat AS (
+       |  SELECT f0.vec_id, f0.cvec || f1.cvec || f2.cvec || f3.cvec AS rhat
+       |  FROM fin0 f0 JOIN fin1 f1 USING (vec_id)
+       |    JOIN fin2 f2 USING (vec_id) JOIN fin3 f3 USING (vec_id)),
+       |recon AS (
+       |  SELECT r.vec_id, r.cell,
+       |    list_transform(range(1, ${dims + 1}),
+       |      i -> r.cvec[i] + rc.rhat[i]) AS vhat
+       |  FROM rv r JOIN rcat rc USING (vec_id)),
+       |nr AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm FROM ex),
+       |probes AS (SELECT vec_id AS qid, cell FROM asg
+       |           WHERE crn <= 2 AND vec_id < 50),
+       |cand AS (
+       |  SELECT p.qid, b.vec_id,
+       |    ${r6Sql("list_dot_product(q.v, b.vhat)")} AS approx
+       |  FROM probes p JOIN recon b USING (cell)
+       |    JOIN ex q ON q.vec_id = p.qid
+       |  WHERE b.vec_id <> p.qid),
+       |c20 AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |          ORDER BY approx DESC, vec_id) AS r1 FROM cand),
+       |x AS (SELECT c.qid, c.vec_id,
+       |        ${r6Sql("list_dot_product(qq.v, bb.v) / (nq.nrm * nb.nrm)")}
+       |          AS cos_sim
+       |      FROM c20 c JOIN ex qq ON qq.vec_id = c.qid
+       |        JOIN ex bb ON bb.vec_id = c.vec_id
+       |        JOIN nr nq ON nq.vec_id = c.qid
+       |        JOIN nr nb ON nb.vec_id = c.vec_id
+       |      WHERE c.r1 <= 20),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |        ORDER BY cos_sim DESC, vec_id) AS rn FROM x)
+       |SELECT qid, vec_id, cos_sim, rn FROM r
+       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "mmr_select" -> mmrSql,
     "ann_pq_knn" -> pqSql,
+    "ann_ivfpq_knn" -> ivfpqSql,
     "kmeans_embed" -> kmeansSql,
     "semdedup_prune" -> semdedupSql,
     "neardup_clusters" -> neardupClustersSql,

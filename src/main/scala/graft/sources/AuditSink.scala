@@ -134,7 +134,7 @@ object AuditCommit {
     val dest = new Path(path)
     fs.mkdirs(dest)
     var rows = 0L
-    var parts = 0
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
     messages.collect { case m: AuditCommitMessage => m }.foreach { m =>
       val temp = new Path(m.tempPath)
       if (m.rows > 0) {
@@ -145,15 +145,38 @@ object AuditCommit {
         if (!fs.rename(temp, target))
           throw new java.io.IOException(
             s"AuditSink commit: rename $temp -> $target failed")
-        parts += 1
+        names += target.getName
       } else fs.delete(temp, false)
       rows += m.rows
     }
     val out = fs.create(new Path(dest, s"_manifest-$tag.json"), true)
     try out.write(
-      s"""{"queryId":"$queryId","rows":$rows,"parts":$parts}"""
+      s"""{"queryId":"$queryId","rows":$rows,"parts":${names.size},"files":[${names.map("\"" + _ + "\"").mkString(",")}]}"""
         .getBytes(StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** The READ side of the 2PC contract: enumerate committed parts by
+    * parsing the `files` list of every `_manifest-*.json` commit marker
+    * under `path`. The read consumes exactly what successful commits
+    * published — stray temps, parts orphaned by aborted attempts, and
+    * in-flight epochs are structurally invisible, unlike a `*.jsonl`
+    * glob which trusts the directory listing. Driver-side cost is
+    * O(#manifests), i.e. #epochs, never #rows. */
+  def committedFiles(fs: FileSystem, path: String): Seq[String] = {
+    val dest = new Path(path)
+    val sts = fs.globStatus(new Path(dest, "_manifest-*.json"))
+    if (sts == null) Seq.empty
+    else sts.toSeq.flatMap { st =>
+      val in = fs.open(st.getPath)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      // Manifest is sink-authored with a fixed shape; part names are
+      // %05d-printf + UUID tags, so a quote can never appear inside one.
+      "\"([^\"]+\\.jsonl)\"".r.findAllMatchIn(txt)
+        .map(m => new Path(dest, m.group(1)).toString).toSeq
+    }
   }
 
   def dropTemps(fs: FileSystem,
