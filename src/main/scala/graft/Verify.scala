@@ -58,7 +58,7 @@ object Verify {
     val jsonAll = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql_all.json"), jsonAll)
-    // The 3 ⊘ sketch keys have no bit-comparable oracle; without this
+    // The 5 ⊘ sketch keys have no bit-comparable oracle; without this
     // their CORRECTNESS rows read `err: no_oracle`, indistinguishable
     // from a broken query. Emit the measured error bounds (the same
     // bounds OperatorSpec gates) so the round artifacts carry the
@@ -111,6 +111,16 @@ object Verify {
       val (lo, hi) = windows(et)
       vals.indices.count(i => vals(i) < lo(i) || vals(i) > hi(i))
     }.sum
+    // t-digest: same exact-rank 1% window as approx_percentile (the
+    // windows map reuses identical q ± 0.01 percentile arrays).
+    val tdIdx = Map(0.5 -> 0, 0.9 -> 1, 0.99 -> 2)
+    val tdViolations = SparkEntry.queries("tdigest_quantile")(spark, sfDir)
+      .collect().count { r =>
+        val (lo, hi) = windows(r.getString(0))
+        val i = tdIdx(r.getAs[Double]("q"))
+        val v = r.getAs[Double]("est")
+        v < lo(i) || v > hi(i)
+      }
     // CMS one-sided error: overcount ≥ 0 always; ≤ ε·N with prob 1−δ
     // (ε = 1e-4, the key's build parameter; N = total word instances).
     val cmsRows = SparkEntry.queries("cms_heavy_hitters")(spark, sfDir)
@@ -124,6 +134,6 @@ object Verify {
       .count()
     val cmsBound = math.ceil(1e-4 * nWords).toLong
     val cmsPass = cmsRows.nonEmpty && cmsNeg == 0 && cmsMaxOver <= cmsBound
-    f"""{"approx_distinct":{"metric":"max_rel_err_vs_exact","value":$adErr%.4f,"bound":0.05,"pass":${adErr <= 0.05}},"hll_sketch_union":{"metric":"max_rel_err_vs_exact","value":$hllErr%.4f,"bound":0.05,"pass":${hllErr <= 0.05}},"approx_percentile":{"metric":"values_outside_1pct_rank_window","value":$pViolations,"bound":0,"pass":${pViolations == 0}},"cms_heavy_hitters":{"metric":"max_overcount_vs_eps_n","value":$cmsMaxOver,"bound":$cmsBound,"undercounts":$cmsNeg,"pass":$cmsPass}}"""
+    f"""{"approx_distinct":{"metric":"max_rel_err_vs_exact","value":$adErr%.4f,"bound":0.05,"pass":${adErr <= 0.05}},"hll_sketch_union":{"metric":"max_rel_err_vs_exact","value":$hllErr%.4f,"bound":0.05,"pass":${hllErr <= 0.05}},"approx_percentile":{"metric":"values_outside_1pct_rank_window","value":$pViolations,"bound":0,"pass":${pViolations == 0}},"tdigest_quantile":{"metric":"values_outside_1pct_rank_window","value":$tdViolations,"bound":0,"pass":${tdViolations == 0}},"cms_heavy_hitters":{"metric":"max_overcount_vs_eps_n","value":$cmsMaxOver,"bound":$cmsBound,"undercounts":$cmsNeg,"pass":$cmsPass}}"""
   }
 }

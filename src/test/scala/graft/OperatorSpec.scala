@@ -52,6 +52,30 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("tdigest_quantile estimates inside the exact q +- 1% rank window") {
+    // k1 scale function with delta=200 bounds cluster mass at ~pi/(2*200)
+    // = 0.8% of n, and the centroid-mean estimate sits inside its
+    // cluster's value span — so the rank error stays under the 1% window
+    // BY CONSTRUCTION (0.50% measured at sf0.1).
+    val e = Tables(spark, sf, "events")
+    val est = SparkEntry.queries("tdigest_quantile")(spark, sf)
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Double]("q")) -> r.getAs[Double]("est")).toMap
+    assert(est.size == 15, s"expected 5 types x 3 quantiles, got ${est.size}")
+    val qs = Seq(0.5, 0.9, 0.99)
+    val bounds = e.groupBy(col("event_type")).agg(
+      expr("percentile(value, array(0.49, 0.89, 0.98))").as("lo"),
+      expr("percentile(value, array(0.51, 0.91, 1.0))").as("hi"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getSeq[Double](1), r.getSeq[Double](2))).toMap
+    est.foreach { case ((et, q), v) =>
+      val i = qs.indexOf(q)
+      val (lo, hi) = bounds(et)
+      assert(v >= lo(i) && v <= hi(i),
+        s"$et q=$q: t-digest $v outside [${lo(i)}, ${hi(i)}]")
+    }
+  }
+
   test("hdr_quantile_sketch midpoint within 1/16 relative error of the " +
       "exact rank-selected value") {
     // The sketch walks to the bin containing the value at rank ceil(q·n);
