@@ -542,6 +542,94 @@ object StreamQ {
     s.read.parquet(out).orderBy(col("click_id"), col("view_id"))
   }
 
+  /** Stream-stream FULL OUTER interval join through the real engine
+    * (r10) — the remaining outer topology. Inner results = the batch
+    * join; the null-extension rule now fires on BOTH sides, and the two
+    * sides evict under DIFFERENT state watermarks derived from the join
+    * condition: a click can only stop matching once the watermark passes
+    * cts (latest qualifying view has vts = cts) → null-emit iff
+    * unmatched AND cts < wm_final; a view can match clicks up to
+    * cts = vts + 4 h, so its state lives 4 h LONGER → null-emit iff
+    * unmatched AND vts < wm_final − 4 h. That asymmetry — one condition,
+    * two eviction clocks — is exactly what this key pins (and what makes
+    * full-outer state bounded at 100 TB: each side holds only its
+    * condition-derived horizon). Same staged single-data-batch replay,
+    * wm_final = global max (ms-truncated) − 8 h; output is a set of
+    * (click_id, view_id) with nulls on both sides. */
+  val streamFullOuterJoinExec: QFn = (s, dir) => {
+    val run = "stream_fojoin/" + java.util.UUID.randomUUID().toString.take(8)
+    val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
+    val clicks = sourceEvents(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "8 hours")
+    val views = sourceEvents(s, dir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vuser"),
+        col("ts").as("vts"))
+      .withWatermark("vts", "8 hours")
+    withStreamPartitions(s, 4) {
+      val q = clicks.join(views,
+          col("user_id") === col("vuser") &&
+            col("vts") >= col("cts") - expr("INTERVAL 4 HOURS") &&
+            col("vts") <= col("cts"),
+          "full_outer")
+        .select(col("click_id"), col("view_id"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+          new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out)
+      .orderBy(col("click_id"), col("view_id"))
+  }
+
+  /** Stream-stream RIGHT OUTER interval join through the real engine
+    * (r10) — the mirror of stream_outer_join_exec, null-extending the
+    * VIEW side only. The view eviction clock is the interesting one:
+    * a view stays joinable until the watermark passes vts + 4 h (the
+    * latest click it could match), so null-emission lags a full
+    * interval behind the left-outer case — the production surprise this
+    * key pins (right-outer results arrive later than left-outer ones
+    * under identical watermarks). Same replay + wm_final rule. */
+  val streamRightOuterJoinExec: QFn = (s, dir) => {
+    val run = "stream_rojoin/" + java.util.UUID.randomUUID().toString.take(8)
+    val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
+    val clicks = sourceEvents(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "8 hours")
+    val views = sourceEvents(s, dir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vuser"),
+        col("ts").as("vts"))
+      .withWatermark("vts", "8 hours")
+    withStreamPartitions(s, 4) {
+      val q = clicks.join(views,
+          col("user_id") === col("vuser") &&
+            col("vts") >= col("cts") - expr("INTERVAL 4 HOURS") &&
+            col("vts") <= col("cts"),
+          "right_outer")
+        .select(col("click_id"), col("view_id"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+          new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out)
+      .orderBy(col("click_id"), col("view_id"))
+  }
+
   /** Stage events into 5 single-file micro-batches in a deterministic
     * SCRAMBLED order (ntile over md5(event_id) — same expression the
     * oracle replays), once per (JVM, dir). File order is pinned by both
@@ -1218,6 +1306,8 @@ object StreamQ {
     "stream_cdc_exec"     -> streamCdcExec,
     "stream_tws_exec"     -> streamTwsExec,
     "stream_outer_join_exec" -> streamOuterJoinExec,
+    "stream_full_outer_join_exec" -> streamFullOuterJoinExec,
+    "stream_right_outer_join_exec" -> streamRightOuterJoinExec,
     "stream_sliding_exec" -> streamSlidingExec,
     "stream_update_exec"  -> streamUpdateExec,
     "stream_tumble_exec"  -> streamTumbleExec,
@@ -1595,13 +1685,19 @@ object StreamQ {
         |FROM per ORDER BY bucket_ts, event_type, n""".stripMargin,
     // Inner pairs = the batch interval join (single-batch run: nothing is
     // late); null-extended clicks = unmatched AND evicted, i.e. cts
-    // strictly below the FINAL watermark (global max, ms-truncated, − 8 h
-    // — the AvailableNow no-data batch advances it; calibrated at
-    // sf0.001: 188/188 null clicks match the strict rule). NULLS FIRST
-    // mirrors Spark's ascending null ordering.
+    // strictly below the FINAL watermark. The engine's watermark is the
+    // MIN over both watermark nodes of (that side's max event time,
+    // ms-truncated, − 8 h) — each node only sees its own filtered side
+    // (r10 calibration: the min-of-sides rule matches the engine's view
+    // eviction exactly, 164/164 at sf0.001, where a global-max rule
+    // over-emits by 2; for clicks the two rules agree at every sf).
+    // NULLS FIRST mirrors Spark's ascending null ordering.
     "stream_outer_join_exec" ->
       """WITH wm AS (
-        |  SELECT max(epoch_us(ts)) // 1000 * 1000 - 28800000000 AS w
+        |  SELECT least(
+        |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END),
+        |    max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END))
+        |    // 1000 * 1000 - 28800000000 AS w
         |  FROM events),
         |inner_j AS (
         |  SELECT c.event_id AS click_id, v.event_id AS view_id
@@ -1620,6 +1716,70 @@ object StreamQ {
         |      AND epoch_us(v.ts) <= epoch_us(c.ts)))
         |SELECT * FROM inner_j UNION ALL SELECT * FROM outer_j
         |ORDER BY click_id, view_id NULLS FIRST""".stripMargin,
+    // Full outer: the left-outer rule on clicks PLUS the view-side rule —
+    // a view's state lives until the watermark passes vts + 4 h (the
+    // latest click it could still match), so null-extended views require
+    // vts + 4 h < wm_final, i.e. vts < wm_final − 4 h.
+    "stream_full_outer_join_exec" ->
+      """WITH wm AS (
+        |  SELECT least(
+        |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END),
+        |    max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END))
+        |    // 1000 * 1000 - 28800000000 AS w
+        |  FROM events),
+        |inner_j AS (
+        |  SELECT c.event_id AS click_id, v.event_id AS view_id
+        |  FROM events c JOIN events v
+        |    ON v.user_id = c.user_id
+        |    AND epoch_us(v.ts) >= epoch_us(c.ts) - 14400000000
+        |    AND epoch_us(v.ts) <= epoch_us(c.ts)
+        |  WHERE c.event_type = 'click' AND v.event_type = 'view'),
+        |outer_c AS (
+        |  SELECT c.event_id AS click_id, CAST(NULL AS BIGINT) AS view_id
+        |  FROM events c, wm
+        |  WHERE c.event_type = 'click' AND epoch_us(c.ts) < wm.w
+        |    AND NOT EXISTS (SELECT 1 FROM events v
+        |      WHERE v.event_type = 'view' AND v.user_id = c.user_id
+        |      AND epoch_us(v.ts) >= epoch_us(c.ts) - 14400000000
+        |      AND epoch_us(v.ts) <= epoch_us(c.ts))),
+        |outer_v AS (
+        |  SELECT CAST(NULL AS BIGINT) AS click_id, v.event_id AS view_id
+        |  FROM events v, wm
+        |  WHERE v.event_type = 'view'
+        |    AND epoch_us(v.ts) < wm.w - 14400000000
+        |    AND NOT EXISTS (SELECT 1 FROM events c
+        |      WHERE c.event_type = 'click' AND c.user_id = v.user_id
+        |      AND epoch_us(v.ts) >= epoch_us(c.ts) - 14400000000
+        |      AND epoch_us(v.ts) <= epoch_us(c.ts)))
+        |SELECT * FROM inner_j UNION ALL SELECT * FROM outer_c
+        |UNION ALL SELECT * FROM outer_v
+        |ORDER BY click_id NULLS FIRST, view_id NULLS FIRST""".stripMargin,
+    // Right outer: the view-side rule alone.
+    "stream_right_outer_join_exec" ->
+      """WITH wm AS (
+        |  SELECT least(
+        |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END),
+        |    max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END))
+        |    // 1000 * 1000 - 28800000000 AS w
+        |  FROM events),
+        |inner_j AS (
+        |  SELECT c.event_id AS click_id, v.event_id AS view_id
+        |  FROM events c JOIN events v
+        |    ON v.user_id = c.user_id
+        |    AND epoch_us(v.ts) >= epoch_us(c.ts) - 14400000000
+        |    AND epoch_us(v.ts) <= epoch_us(c.ts)
+        |  WHERE c.event_type = 'click' AND v.event_type = 'view'),
+        |outer_v AS (
+        |  SELECT CAST(NULL AS BIGINT) AS click_id, v.event_id AS view_id
+        |  FROM events v, wm
+        |  WHERE v.event_type = 'view'
+        |    AND epoch_us(v.ts) < wm.w - 14400000000
+        |    AND NOT EXISTS (SELECT 1 FROM events c
+        |      WHERE c.event_type = 'click' AND c.user_id = v.user_id
+        |      AND epoch_us(v.ts) >= epoch_us(c.ts) - 14400000000
+        |      AND epoch_us(v.ts) <= epoch_us(c.ts)))
+        |SELECT * FROM inner_j UNION ALL SELECT * FROM outer_v
+        |ORDER BY click_id NULLS FIRST, view_id""".stripMargin,
     // Batch simulation of the engine's watermark protocol over the SAME
     // deterministic 5-batch split (identical ntile expression). Spark's
     // micro-batch engine carries TWO watermarks per batch (since 3.4):
