@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggr
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -232,15 +232,72 @@ class RangeAggReaderFactory(values: Seq[Any])
 
 class RangeScan(lo: Long, hi: Long, partitions: Int, rowsPerBatch: Long,
     required: StructType)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def description(): String =
     s"RangeScan lo=$lo hi=$hi cols=[${required.fieldNames.mkString(",")}]"
 
+  // ---- runtime filtering (the V2 analogue of dynamic partition pruning):
+  // Spark plans a DPP subquery over the join's other side, evaluates it at
+  // execution start, and hands the key set to `filter()` as an In filter;
+  // the exec node then RE-plans input partitions, so the generated ranges
+  // shrink to the surviving id runs before any reader is created. The
+  // compile-time [lo, hi) stays immutable — runtime state lives beside it
+  // and only ever narrows. Unhandled runtime filters are safely ignored
+  // (the join re-applies its own condition; runtime pruning is an access-
+  // path optimization, never a semantics carrier).
+  private var rtLo: Long = lo
+  private var rtHi: Long = hi // exclusive
+  private var rtIds: Option[Array[Long]] = None // sorted surviving ids
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("id", vs) =>
+      val incoming = vs.iterator.collect { case v: Long => v }
+        .filter(v => v >= rtLo && v < rtHi).toArray.sorted
+      rtIds = Some(rtIds match {
+        case Some(prev) => // repeated runtime filters intersect
+          val p = prev.toSet; incoming.filter(p.contains)
+        case None => incoming
+      })
+    case EqualTo("id", v: Long) =>
+      rtLo = math.max(rtLo, v)
+      if (v < Long.MaxValue) rtHi = math.min(rtHi, v + 1)
+    case GreaterThan("id", v: Long) =>
+      rtLo = if (v == Long.MaxValue) Long.MaxValue else math.max(rtLo, v + 1)
+    case GreaterThanOrEqual("id", v: Long) => rtLo = math.max(rtLo, v)
+    case LessThan("id", v: Long) => rtHi = math.min(rtHi, v)
+    case LessThanOrEqual("id", v: Long) =>
+      if (v < Long.MaxValue) rtHi = math.min(rtHi, v + 1)
+    case _ => ()
+  }
+
+  /** Surviving ids coalesced into maximal contiguous [start, end) runs —
+    * one partition per run (run count is bounded by the DPP key-set size,
+    * the same granularity file-source DPP prunes at). */
+  private def idRuns(ids: Array[Long]): Array[InputPartition] = {
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var i = 0
+    while (i < ids.length) {
+      val start = ids(i)
+      var end = start + 1
+      i += 1
+      while (i < ids.length && ids(i) == end) { end += 1; i += 1 }
+      runs += ((start, end))
+    }
+    runs.map { case (a, b) => RangePartition(a, b): InputPartition }.toArray
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    RangeSource.slices(lo, hi, partitions)
+    rtIds match {
+      case Some(ids) =>
+        idRuns(ids.filter(v => v >= rtLo && v < rtHi))
+      case None => RangeSource.slices(rtLo, rtHi, partitions)
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RangeReaderFactory(required)

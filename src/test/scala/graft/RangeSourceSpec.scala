@@ -57,6 +57,54 @@ class RangeSourceSpec extends SparkSpec {
     assert(rows.getLong(0) == 100 && rows.getLong(1) == 104)
   }
 
+  test("runtime filtering: a join-derived DPP filter shrinks the " +
+    "generated ranges before any reader runs") {
+    // The V2 analogue of SourcesSpec's file-source DPP proof: the dim
+    // side's selective filter becomes a dynamic-pruning subquery whose
+    // key set reaches RangeScan.filter() as an In filter at execution
+    // start; planInputPartitions() then regenerates ONLY the surviving id
+    // runs. Without runtime filtering, the scan would emit all 100k rows
+    // into the join; the scan's own numOutputRows metric proves it read
+    // the 3 dim keys instead — corpus-size-independent fact I/O.
+    val dimDir =
+      java.nio.file.Files.createTempDirectory("graft_rt_dim").toString
+    spark.range(0, 1000).selectExpr("id AS k",
+        "CASE WHEN id IN (7, 4242, 99999) OR id IN (17, 23) " +
+          "THEN 'hit' ELSE 'miss' END AS cat")
+      .union(spark.createDataFrame(Seq((4242L, "hit"), (99999L, "hit")))
+        .toDF("k", "cat"))
+      .write.mode("overwrite").parquet(dimDir)
+    val fact = spark.read.format("graft.sources.RangeSource")
+      .option("rows", 100000).option("partitions", 8).load()
+    val dim = spark.read.parquet(dimDir).filter(col("cat") === "hit")
+    val joined = fact.join(dim, col("id") === col("k"))
+      .select(col("id"), col("sq"))
+    val rows = joined.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(7L, 17L, 23L, 4242L,
+      99999L), rows.mkString(","))
+    val exec = joined.queryExecution.executedPlan
+    // AQE wraps stages in leaf nodes; unwrap to reach the physical scan.
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          findScan(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          findScan(q.plan)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[graft.sources.RangeScan] => Some(b)
+        case other => other.children.iterator.map(findScan)
+          .collectFirst { case Some(s) => s }
+      }
+    val scan = findScan(exec)
+      .getOrElse(fail("no RangeScan BatchScanExec in:\n" + exec))
+    assert(scan.runtimeFilters.nonEmpty,
+      "no runtime filter was planned on the range scan:\n" + exec)
+    val out = scan.metrics("numOutputRows").value
+    assert(out == 5,
+      s"scan emitted $out rows — runtime filter did not shrink the ranges")
+  }
+
   test("count/min/max push into the source completely (no aggregate node)") {
     val df = ranged(5000000, 8).filter(col("id") >= 1000)
       .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
