@@ -53,7 +53,9 @@ object ScaleSynth {
   def synth10x(spark: SparkSession, srcDir: String,
       targetDir: String): String = synchronized {
     val root = new java.io.File(targetDir)
-    val marker = new java.io.File(root, "_synth_complete")
+    // v2: r10 added events + lineitem synthesis (graph/spatial exponent
+    // gates); a v1 marker must not short-circuit the new tables.
+    val marker = new java.io.File(root, "_synth_complete_v2")
     if (marker.exists()) return targetDir
     root.mkdirs()
 
@@ -94,10 +96,37 @@ object ScaleSynth {
             .cast("double") / 1000.0 * col("amp")).cast("float")))
       .drop("rep", "amp")
 
+    // events (r10): replica users are NEW users (user domain grows 10×,
+    // the node domain spatial_grid_join hashes); temporal pattern repeats
+    // per replica, which the spatial key never reads.
+    val ev = Tables(spark, srcDir, "events")
+      .crossJoin(broadcast(reps))
+      .withColumn("event_id", col("event_id") + col("rep") * ID_STRIDE)
+      .withColumn("user_id", col("user_id") + col("rep") * 100000L)
+      .drop("rep")
+
+    // lineitem (r10): replica orders are disjoint; ~1/3 of replica line
+    // items keep their ORIGINAL part key (hash-selected), so the
+    // co-purchase graph's hub parts densify across replicas instead of
+    // splitting into 10 disconnected copies — the realistic growth mode
+    // for the label_propagation / kcore_peel exponent gates.
+    val li = Tables(spark, srcDir, "lineitem")
+      .crossJoin(broadcast(reps))
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * ID_STRIDE)
+      .withColumn("l_partkey",
+        when(pmod(xxhash64(col("l_orderkey"), col("l_partkey")), lit(3))
+          === 0, col("l_partkey"))
+          .otherwise(col("l_partkey") + col("rep") * 1000000L))
+      .drop("rep")
+
     docs.repartition(8).write.mode("overwrite")
       .parquet(s"$targetDir/documents.parquet")
     emb.repartition(8).write.mode("overwrite")
       .parquet(s"$targetDir/embeddings.parquet")
+    ev.repartition(8).write.mode("overwrite")
+      .parquet(s"$targetDir/events.parquet")
+    li.repartition(8).write.mode("overwrite")
+      .parquet(s"$targetDir/lineitem.parquet")
     java.nio.file.Files.createFile(marker.toPath)
     targetDir
   }

@@ -743,6 +743,61 @@ object TextQ {
       .limit(20)
   }
 
+  /** Variable-length maximal-repeat dedup (r10) — upgrading
+    * dup_sequences' fixed 10-token report to the LONGEST shared span per
+    * doc pair (the object Lee et al. ACL'22 substring dedup actually
+    * removes). The diagonal-runs construction makes it exact and fully
+    * relational: any repeated span of length L ≥ 10 contains exactly
+    * L − 9 matching 10-token windows, and all of them share one OFFSET
+    * DIAGONAL (pa − pb constant); so seed matches grouped by
+    * (a, b, diagonal) and split into consecutive-position islands
+    * (the gaps-and-islands device, pa − row_number) yield every maximal
+    * span as an island of size k ⇒ span length k + 9. Per pair, the
+    * longest span wins (start/diagonal tiebreaks); the span TEXT is
+    * re-sliced from doc a's token array, so a wrong start, length, or
+    * diagonal cannot reproduce the oracle's string.
+    *
+    * Scale shape: seeds explode linearly in tokens; the seed equi-join
+    * is the dup_sequences shuffle (at 100 TB the join key becomes
+    * xxhash64(seq) with per-seq fan-out caps — the documented
+    * dup_sequences upgrade); islands/argmax ride (a_id, b_id)-keyed
+    * windows over the MATCH set, which near-dup corpora keep sparse.
+    * ScalingSpec fits the growth exponent. */
+  val maximalRepeatSpans: QFn = (s, dir) => {
+    val ws = col("ws")
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+    val seeds = words
+      .select(col("doc_id"), ws,
+        explode(when(size(ws) >= 10, sequence(lit(0), size(ws) - 10))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"), col("i"), concat_ws(" ",
+        (0 until 10).map(k => element_at(ws, col("i") + 1 + k)): _*)
+        .as("seq"))
+    val m = seeds.select(col("doc_id").as("a_id"), col("i").as("pa"),
+        col("seq"))
+      .join(seeds.select(col("doc_id").as("b_id"), col("i").as("pb"),
+        col("seq")), "seq")
+      .filter(col("a_id") < col("b_id"))
+    val wIsl = Window.partitionBy(col("a_id"), col("b_id"), col("diag"))
+      .orderBy(col("pa"))
+    val spans = m.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(wIsl))
+      .groupBy(col("a_id"), col("b_id"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("start_a"),
+        (count(lit(1)) + 9).as("len_tokens"))
+    val wBest = Window.partitionBy(col("a_id"), col("b_id"))
+      .orderBy(col("len_tokens").desc, col("start_a"), col("diag"))
+    spans.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .join(words.select(col("doc_id").as("a_id"), ws), "a_id")
+      .select(col("a_id"), col("b_id"), col("len_tokens"), col("start_a"),
+        array_join(slice(ws, col("start_a") + 1,
+          col("len_tokens").cast("int")), " ").as("span_text"))
+      .orderBy(col("len_tokens").desc, col("a_id"), col("b_id"))
+      .limit(20)
+  }
+
   /** Inverted-index build (r5) — the IR/search indexing step: per term,
     * document frequency and the sorted posting list, for the 20
     * highest-df terms. Postings materialize as a comma-joined sorted
@@ -952,6 +1007,7 @@ object TextQ {
     "inverted_postings"  -> invertedPostings,
     "rep_ngram_audit"    -> repNgramAudit,
     "dup_sequences"      -> dupSequences,
+    "maximal_repeat_spans" -> maximalRepeatSpans,
     "skipgram_pairs"     -> skipgramPairs,
     "token_entropy"      -> tokenEntropy,
     "typo_neardup_words" -> typoNeardupWords,
@@ -1244,6 +1300,44 @@ object TextQ {
          |SELECT seq, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
          |FROM s GROUP BY seq HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY n_docs DESC, n_occ DESC, seq LIMIT 20""".stripMargin,
+    // Diagonal-runs maximal repeats: matching 10-token windows grouped by
+    // (pair, pa − pb) split into consecutive-pa islands; island size k ⇒
+    // span length k + 9; per-pair argmax re-slices the text from doc a.
+    "maximal_repeat_spans" ->
+      s"""WITH $wordsCte,
+         |seeds AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    ws[i]   || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+         |    ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+         |    ws[i+6] || ' ' || ws[i+7] || ' ' || ws[i+8] || ' ' || ws[i+9]
+         |      AS seq
+         |  FROM words, (SELECT unnest(range(1,
+         |      (SELECT max(len(ws)) FROM words) + 1)) AS i)
+         |  WHERE i + 9 <= len(ws)),
+         |m AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS pa,
+         |    b.pos AS pb
+         |  FROM seeds a JOIN seeds b
+         |    ON a.seq = b.seq AND a.doc_id < b.doc_id),
+         |isl AS (
+         |  SELECT a_id, b_id, pa - pb AS diag, pa,
+         |    pa - row_number() OVER (PARTITION BY a_id, b_id, pa - pb
+         |      ORDER BY pa) AS grp
+         |  FROM m),
+         |sp AS (
+         |  SELECT a_id, b_id, diag, min(pa) AS start_a,
+         |    count(*) + 9 AS len_tokens
+         |  FROM isl GROUP BY a_id, b_id, diag, grp),
+         |best AS (
+         |  SELECT *, row_number() OVER (PARTITION BY a_id, b_id
+         |    ORDER BY len_tokens DESC, start_a, diag) AS rn
+         |  FROM sp)
+         |SELECT b.a_id, b.b_id, b.len_tokens, b.start_a,
+         |  array_to_string(w.ws[b.start_a + 1 : b.start_a + b.len_tokens],
+         |    ' ') AS span_text
+         |FROM best b JOIN words w ON w.doc_id = b.a_id
+         |WHERE b.rn = 1
+         |ORDER BY len_tokens DESC, a_id, b_id LIMIT 20""".stripMargin,
     "skipgram_pairs" ->
       s"""WITH $wordsCte,
          |idx AS (

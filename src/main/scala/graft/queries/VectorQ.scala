@@ -427,12 +427,15 @@ object VectorQ {
 
   private[graft] def kmeansAssignFinal(s: SparkSession, dir: String) = {
     val e = unitBase(s, dir).select(col("vec_id"), col("v"))
-    // k = ceil(n / target): derived relationally from the corpus count
-    // (one O(1)-to-driver metadata aggregate, the CC-convergence pattern),
+    // k = ceil(n / target): n comes from TABLE STATISTICS (parquet footer
+    // row counts via aggregate pushdown, cached per session — r9 verdict:
+    // a per-invocation count() scan is the wrong cost model at 100 TB),
     // mirrored verbatim in the oracle CTE. vec_ids are 0..n-1, so the k
     // lowest ids = vec_id < k.
     val k = math.ceil(
-      e.count().toDouble / KmeansTarget).toLong
+      graft.Tables.statsRowCount(s, dir, "embeddings").toDouble
+        / KmeansTarget)
+      .toLong
     val dist = r6(gdot(col("v"), col("v")) - lit(2) * gdot(col("v"), col("cvec")) +
       gdot(col("cvec"), col("cvec")))
     // argmin via min(struct(dist, cl, v)) — lexicographic struct ordering

@@ -184,6 +184,142 @@ class ScalingSpec extends SparkSpec {
       s"${t.minhashCand} candidates exceed 0.05% of all doc pairs")
   }
 
+  // ---- r10: fitted-growth gates for the round-9 heavy keys (verdict
+  // task #9) — the graph family (label_propagation, kcore_peel,
+  // link_adamic_adar), collocation_llr, spatial_grid_join, and r10's
+  // maximal_repeat_spans now carry MEASURED exponents across four decades
+  // (three real fixture tiers + the 10× ScaleSynth expansion, which
+  // since r10 also synthesizes events and lineitem).
+
+  private case class HeavyTier(dir: String, li: Long, docs: Long,
+      users: Long, tokens: Long, bigrams: Long, wedges: Long,
+      lpaShuf: Long, kcoreShuf: Long, collocShuf: Long,
+      aaShuf: Long, mrsShuf: Long, spatialShuf: Long, spatialCand: Long)
+
+  private lazy val heavy: Seq[HeavyTier] = tiers.map { dir =>
+    def shufOf(key: String): Long =
+      withShuffleRows(SparkEntry.queries(key)(spark, dir).count())._2
+    val li = Tables(spark, dir, "lineitem").count()
+    val docs = Tables(spark, dir, "documents").count()
+    // the word-graph keys' TRUE work domains: token volume (edge
+    // discovery), distinct adjacent pairs (collocation's aggregate
+    // domain), and wedge volume Σ_z C(deg(z), 2) (adamic-adar's
+    // candidate domain). Vocabulary obeys Heaps' law on real corpora but
+    // the ScaleSynth word mutation inflates it ~25×, so doc count is the
+    // WRONG x-axis for these keys — their gates fit against the domains
+    // the operators actually shuffle.
+    val ws = col("ws")
+    val bigr = Tables(spark, dir, "documents")
+      .select(graft.operators.TextOps.tokens(col("text")).as("ws"))
+      .select(ws, explode(when(size(ws) >= 2,
+        sequence(lit(1), size(ws) - 1))
+        .otherwise(array().cast("array<int>"))).as("i"))
+      .select(element_at(ws, col("i")).as("a"),
+        element_at(ws, col("i") + 1).as("b"))
+      .localCheckpoint()
+    val tokens = Tables(spark, dir, "documents")
+      .select(explode(graft.operators.TextOps.tokens(col("text"))))
+      .count()
+    val bigrams = bigr.distinct().count()
+    val und = bigr.filter(col("a") =!= col("b")).distinct()
+      .select(col("a"), col("b"))
+      .union(bigr.filter(col("a") =!= col("b")).distinct()
+        .select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val wedges = und.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)))
+      .head.getLong(0)
+    val u = Tables(spark, dir, "events").select(col("user_id")).distinct()
+      .select(col("user_id"),
+        // the key's reduced-multiplier grid hash, kept in sync
+        (col("user_id") % 10000L * lit(5761L) % 10000L).as("x"),
+        (col("user_id") % 10000L * lit(2519L) % 10000L).as("y"))
+      .localCheckpoint()
+    val users = u.count()
+    // candidate volume straight from the grid geometry: Σ over cell
+    // pairs within the 3×3 neighborhood of cn·cn′ (unordered, ≈ 2× the
+    // key's uid_a < uid_b candidate count)
+    val cells = u.select(expr("x div 2000").as("cx"),
+        expr("y div 2000").as("cy"))
+      .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("cn"))
+      .localCheckpoint()
+    val spatialCand = cells
+      .select(col("cx"), col("cy"), col("cn"),
+        explode(expr("sequence(-1, 1)")).as("dx"))
+      .select(col("cn"), (col("cx") + col("dx")).as("cx2"), col("cy"),
+        explode(expr("sequence(-1, 1)")).as("dy"))
+      .select(col("cn"), col("cx2"), (col("cy") + col("dy")).as("cy2"))
+      .join(cells.select(col("cx").as("cx2"), col("cy").as("cy2"),
+        col("cn").as("cn2")), Seq("cx2", "cy2"))
+      .agg(coalesce(sum(col("cn") * col("cn2")), lit(0L)))
+      .head.getLong(0)
+    val t = HeavyTier(dir, li, docs, users, tokens, bigrams, wedges,
+      shufOf("label_propagation"), shufOf("kcore_peel"),
+      shufOf("collocation_llr"), shufOf("link_adamic_adar"),
+      shufOf("maximal_repeat_spans"), shufOf("spatial_grid_join"),
+      spatialCand)
+    println(s"[scaling] $t")
+    t
+  }
+
+  test("graph-family shuffle volume grows ~linearly in the edge source " +
+    "(label_propagation, kcore_peel over four decades of lineitem)") {
+    val eLpa = exponent(heavy.map(t => (t.li, t.lpaShuf)))
+    val eKcore = exponent(heavy.map(t => (t.li, t.kcoreShuf)))
+    info(f"label_propagation shuffle exponent: $eLpa%.3f")
+    info(f"kcore_peel shuffle exponent: $eKcore%.3f")
+    assert(eLpa <= 1.3, f"label_propagation shuffle grew as n^$eLpa%.2f " +
+      "— a round regressed into pair-scale shuffling")
+    assert(eKcore <= 1.3, f"kcore_peel shuffle grew as n^$eKcore%.2f")
+  }
+
+  test("text heavy keys' shuffle volume tracks their true work domains " +
+    "(collocation_llr ~ bigrams, link_adamic_adar ~ wedges, " +
+    "maximal_repeat_spans ~ corpus)") {
+    // collocation's shuffle is the (pair) aggregate — linear in the
+    // DISTINCT-BIGRAM domain at every tier (vs docs it looks 1.4: the
+    // synth tier's mutated vocabulary is ~25× larger, a corpus property,
+    // not operator behavior — Heaps' law keeps real vocab sublinear).
+    val eC = exponent(heavy.map(t => (t.bigrams, t.collocShuf)))
+    info(f"collocation_llr shuffle exponent vs bigram domain: $eC%.3f")
+    assert(eC <= 1.15, f"collocation_llr shuffle grew as bigrams^$eC%.2f" +
+      " — the aggregate shuffles more than its output domain")
+    // adamic-adar's work = edge discovery (tokens) + the wedge join
+    // (Σ C(deg,2) candidates); gate the measured shuffle against that
+    // analytic volume at EVERY tier — if a stage ever shuffles beyond
+    // its wedge domain, the multiplier breaks long before n² does.
+    heavy.foreach { t =>
+      val dom = t.tokens + t.wedges
+      val ratio = t.aaShuf.toDouble / dom
+      info(f"${t.dir}: AA shuffle ${t.aaShuf} vs tokens+wedges $dom " +
+        f"(${ratio}%.2f×)")
+      assert(t.aaShuf <= 5L * dom + 20000,
+        f"adamic-adar shuffled ${t.aaShuf} rows vs work domain $dom — " +
+          "a stage left the wedge-candidate regime")
+    }
+    val eM = exponent(heavy.map(t => (t.docs, t.mrsShuf)))
+    info(f"maximal_repeat_spans shuffle exponent: $eM%.3f")
+    assert(eM <= 1.6, f"maximal_repeat_spans shuffle grew as n^$eM%.2f " +
+      "— the seed-match join left the sparse regime")
+  }
+
+  test("spatial grid join: shuffle stays ~linear in users; candidates " +
+    "stay under the 9/25-neighborhood ceiling") {
+    val eS = exponent(heavy.map(t => (t.users, t.spatialShuf)))
+    info(f"spatial_grid_join shuffle exponent: $eS%.3f")
+    assert(eS <= 1.3, f"spatial_grid_join shuffle grew as n^$eS%.2f — " +
+      "candidate pairs leaked into a shuffle (they must stay inside the " +
+      "cell-join stage)")
+    heavy.foreach { t =>
+      val ratio = t.spatialCand.toDouble / (t.users.toDouble * t.users)
+      info(f"${t.dir}: ${t.spatialCand} grid candidates = " +
+        f"${ratio * 100}%.1f%% of n² (9/25 = 36%%)")
+      assert(ratio <= 0.45,
+        f"grid admitted ${ratio * 100}%.1f%% of n² — above the 3×3/25 " +
+          "neighborhood ceiling; the bucketing is broken")
+    }
+  }
+
   test("no candidate job shuffles all-pairs-scale row volume") {
     meas.foreach { t =>
       val docPairs = allPairs(t.docs)

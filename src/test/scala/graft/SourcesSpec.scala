@@ -73,6 +73,29 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
+  test("statsRowCount is a footer-statistics read (pushed COUNT) and " +
+    "matches the scan count") {
+    val n = Tables.statsRowCount(spark, sf, "embeddings")
+    assert(n == Tables(spark, sf, "embeddings").count())
+    // plan proof that the v2 path answers count(*) from row-group stats
+    val v1Key = "spark.sql.sources.useV1SourceList"
+    val aggKey = "spark.sql.parquet.aggregatePushdown"
+    val pv = spark.conf.get(v1Key)
+    val pa = spark.conf.get(aggKey)
+    try {
+      spark.conf.set(v1Key, "")
+      spark.conf.set(aggKey, "true")
+      val plan = spark.read.parquet(s"$sf/embeddings.parquet")
+        .groupBy().count().queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [COUNT(*)]"),
+        "count(*) was not answered from parquet footers:\n" +
+          plan.take(800))
+    } finally {
+      spark.conf.set(v1Key, pv)
+      spark.conf.set(aggKey, pa)
+    }
+  }
+
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
     // The 100 TB star-join pattern: the fact table is partitioned on the
     // join key, the dimension filter is only known at plan time on the DIM
