@@ -267,6 +267,108 @@ object EventsQ {
       .orderBy(col("event_type"), col("q"))
   }
 
+  /** Markov removal-effect attribution (r10, Anderl et al. 2016 —
+    * public method) — the DATA-DRIVEN member of the attribution family:
+    * last-touch and linear (attribution_last_touch / attribution_linear)
+    * assign credit by position; the Markov model assigns it by
+    * COUNTERFACTUAL — how much does P(conversion) drop if a channel is
+    * removed from the graph? Journeys are each user's events up to and
+    * including the FIRST purchase (CONV) or their whole history (NULL
+    * terminal); first-order transition probabilities are count ratios;
+    * absorption P(CONV | START) is approximated by 8 unrolled
+    * matrix-vector steps (CONV/NULL absorbing) — the state space is the
+    * 4 channels + 3 markers, so each step is a ≤49-row join. Removing
+    * channel c redirects its outgoing mass to NULL (the standard
+    * removal semantics); all five variants (none + 4 channels) ride ONE
+    * plan via a variant column.
+    *
+    * Determinism: transition probabilities are single divisions of
+    * exact counts; each step's products are pinned DECIMAL(16,12) and
+    * summed exactly (the pagerank device); removal effects and shares
+    * are mirrored double expressions over r6-rounded absorption masses.
+    * Scale shape: the corpus-sized work is ONE user-keyed window pass +
+    * one (src, dst) count — everything after runs on a ≤7-state table;
+    * at 100 TB this is why Markov attribution is feasible at all. */
+  val markovAttribution: QFn = (s, dir) => {
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val rows = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts_us"),
+        col("event_id"))
+      .withColumn("rn", row_number().over(wU))
+      .withColumn("prn", min(when(col("event_type") === "purchase",
+        col("rn"))).over(Window.partitionBy(col("user_id"))))
+      .filter(col("prn").isNull || col("rn") <= col("prn"))
+      .withColumn("state", when(col("event_type") === "purchase",
+        lit("CONV")).otherwise(col("event_type")))
+    val steps = rows
+      .withColumn("src", coalesce(lag(col("state"), 1).over(wU),
+        lit("START")))
+      .select(col("src"), col("state").as("dst"))
+    val wMax = Window.partitionBy(col("user_id"))
+    val terminals = rows
+      .withColumn("mx", max(col("rn")).over(wMax))
+      .filter(col("rn") === col("mx") && col("prn").isNull)
+      .select(col("state").as("src"), lit("NULL").as("dst"))
+    val counts = steps.unionByName(terminals)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+    val probs = counts
+      .withColumn("p", dbl(col("c")) /
+        sum(col("c")).over(Window.partitionBy(col("src"))))
+      .select(col("src"), col("dst"), col("p"))
+    val channels = Seq("none", "view", "click", "signup", "error")
+    val variants = channels
+      .map(v => probs.withColumn("variant", lit(v)))
+      .reduce(_ unionByName _)
+    // removal: drop the removed channel's outgoing rows, give it a
+    // NULL-absorbing row instead; CONV/NULL self-loops close the chain
+    val redirect = channels.filterNot(_ == "none")
+      .map(v => s.range(1).select(lit(v).as("variant"),
+        lit(v).as("src"), lit("NULL").as("dst"), lit(1.0).as("p")))
+      .reduce(_ unionByName _)
+    val loops = channels.flatMap(v => Seq("CONV", "NULL").map(a =>
+      (v, a))).map { case (v, a) =>
+      s.range(1).select(lit(v).as("variant"), lit(a).as("src"),
+        lit(a).as("dst"), lit(1.0).as("p"))
+    }.reduce(_ unionByName _)
+    val vt = variants
+      .filter(col("variant") === "none" || col("src") =!= col("variant"))
+      .unionByName(redirect).unionByName(loops)
+      .localCheckpoint() // ≤ 5·(49+3) rows; 8 steps re-read it
+    var v = channels.map(c => s.range(1).select(lit(c).as("variant"),
+        lit("START").as("st"), lit(1.0).as("mass")))
+      .reduce(_ unionByName _)
+    for (_ <- 1 to 8) {
+      v = vt.join(v.select(col("variant"), col("st").as("src"),
+          col("mass")), Seq("variant", "src"))
+        .select(col("variant"), col("dst"),
+          dec(col("p") * col("mass"), 16, 12).as("m"))
+        .groupBy(col("variant"), col("dst"))
+        .agg(dbl(sum(col("m"))).as("mass"))
+        .select(col("variant"), col("dst").as("st"), col("mass"))
+    }
+    val conv = v.filter(col("st") === "CONV")
+      .select(col("variant"), r6(col("mass")).as("p_conv"))
+    val pFull = conv.filter(col("variant") === "none")
+      .select(col("p_conv").as("p_full"))
+    val re = conv.filter(col("variant") =!= "none")
+      .crossJoin(broadcast(pFull))
+      .select(col("variant").as("channel"), col("p_full"),
+        col("p_conv").as("p_removed"),
+        r6(lit(1.0) - col("p_conv") / nullif(col("p_full"), lit(0.0)))
+          .as("removal_effect"))
+    // r6-rounded effects are exact DECIMAL(16,6) values — the 4-row sum
+    // is order-free on both engines
+    val tot = re.agg(dbl(sum(dec(col("removal_effect"), 16, 6)))
+      .as("tot_re"))
+    re.crossJoin(broadcast(tot))
+      .select(col("channel"), col("p_full"), col("p_removed"),
+        col("removal_effect"),
+        r6(col("removal_effect") / nullif(col("tot_re"), lit(0.0)))
+          .as("attribution"))
+      .orderBy(col("channel"))
+  }
+
   /** t-digest quantile sketch (r10, Dunning & Ertl — public design) —
     * the MERGEABLE RANK sketch completing the tier (HLL counts distinct,
     * CMS counts frequency, HDR bins fixed ranges, t-digest adapts its
@@ -791,10 +893,89 @@ object EventsQ {
     "approx_distinct"      -> approxDistinct,
     "approx_percentile"    -> approxPercentile,
     "hdr_quantile_sketch"  -> hdrQuantileSketch,
-    "tdigest_quantile"     -> tdigestQuantile)
+    "tdigest_quantile"     -> tdigestQuantile,
+    "markov_attribution"   -> markovAttribution)
 
   /** The identical fixed binning + rank walk in DuckDB — every boundary
     * an exact power-of-2 literal, every step exact double arithmetic. */
+  /** Markov attribution oracle: journeys → transition ratios → 8
+    * unrolled matrix-vector steps per removal variant → removal
+    * effects; DECIMAL(16,12) step pinning and DECIMAL(16,6) effect
+    * summation mirror the Spark side exactly. */
+  private def markovSql: String = {
+    def step(k: Int, prev: String): String =
+      s"""v$k AS (
+         |  SELECT t.variant, t.dst AS st,
+         |    CAST(sum(CAST(t.p * v.mass AS DECIMAL(16,12))) AS DOUBLE)
+         |      AS mass
+         |  FROM vt t JOIN $prev v
+         |    ON v.variant = t.variant AND v.st = t.src
+         |  GROUP BY 1, 2)""".stripMargin
+    val stepCtes = (1 to 8)
+      .map(k => step(k, s"v${k - 1}")).mkString(",\n")
+    s"""WITH rows0 AS (
+       |  SELECT user_id, event_type, event_id,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events),
+       |prr AS (
+       |  SELECT user_id,
+       |    min(CASE WHEN event_type = 'purchase' THEN rn END) AS prn,
+       |    max(rn) AS mx
+       |  FROM rows0 GROUP BY user_id),
+       |j AS (
+       |  SELECT r.user_id, r.rn,
+       |    CASE WHEN r.event_type = 'purchase' THEN 'CONV'
+       |         ELSE r.event_type END AS state,
+       |    p.prn, p.mx
+       |  FROM rows0 r JOIN prr p USING (user_id)
+       |  WHERE p.prn IS NULL OR r.rn <= p.prn),
+       |st AS (
+       |  SELECT user_id, rn, state, prn, mx,
+       |    coalesce(lag(state) OVER (PARTITION BY user_id ORDER BY rn),
+       |      'START') AS src
+       |  FROM j),
+       |trans AS (
+       |  SELECT src, state AS dst FROM st
+       |  UNION ALL
+       |  SELECT state, 'NULL' FROM st WHERE rn = mx AND prn IS NULL),
+       |cnt AS (SELECT src, dst, count(*) AS c FROM trans GROUP BY 1, 2),
+       |probs AS (
+       |  SELECT src, dst,
+       |    CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY src) AS p
+       |  FROM cnt),
+       |ch AS (SELECT unnest(['none','view','click','signup','error'])
+       |         AS variant),
+       |vt AS (
+       |  SELECT variant, src, dst, p FROM ch CROSS JOIN probs
+       |  WHERE variant = 'none' OR src <> variant
+       |  UNION ALL
+       |  SELECT variant, variant, 'NULL', 1.0 FROM ch
+       |  WHERE variant <> 'none'
+       |  UNION ALL
+       |  SELECT variant, a, a, 1.0 FROM ch
+       |    CROSS JOIN (SELECT unnest(['CONV','NULL']) AS a)),
+       |v0 AS (SELECT variant, 'START' AS st, 1.0 AS mass FROM ch),
+       |$stepCtes,
+       |conv AS (
+       |  SELECT variant, ${r6Sql("mass")} AS p_conv
+       |  FROM v8 WHERE st = 'CONV'),
+       |pf AS (SELECT p_conv AS p_full FROM conv WHERE variant = 'none'),
+       |re AS (
+       |  SELECT variant AS channel, (SELECT p_full FROM pf) AS p_full,
+       |    p_conv AS p_removed,
+       |    ${r6Sql("1.0 - p_conv / nullif((SELECT p_full FROM pf), 0)")}
+       |      AS removal_effect
+       |  FROM conv WHERE variant <> 'none'),
+       |tot AS (
+       |  SELECT CAST(sum(CAST(removal_effect AS DECIMAL(16,6)))
+       |    AS DOUBLE) AS t FROM re)
+       |SELECT channel, p_full, p_removed, removal_effect,
+       |  ${r6Sql("removal_effect / nullif((SELECT t FROM tot), 0)")}
+       |    AS attribution
+       |FROM re ORDER BY channel""".stripMargin
+  }
+
   private def hdrSql: String = {
     val ks = 9 to -10 by -1
     def lits(k: Int): String =
@@ -921,6 +1102,7 @@ object EventsQ {
          |  p50_minutes, p90_minutes
          |FROM summary""".stripMargin,
     "hdr_quantile_sketch" -> hdrSql,
+    "markov_attribution" -> markovSql,
     "time_weighted_avg" ->
       s"""WITH seq AS (
          |  SELECT event_type, CAST(value AS DECIMAL(14,4)) AS v,

@@ -82,6 +82,57 @@ object GraphQ {
       .orderBy(col("word"))
   }
 
+  /** Personalized PageRank (r10, d = 0.85, 3 iterations) from a
+    * deterministic seed — the LOCAL-relevance member of the rank family
+    * (global pagerank answers "important overall"; PPR answers
+    * "important RELATIVE TO this node", the primitive behind
+    * related-item recommendation and local community scoring). Teleport
+    * goes to the seed alone: r₀ = 𝟙[seed], rₜ₊₁ = 0.15·𝟙[seed] +
+    * 0.85·Σ contrib — so mass decays with graph distance from the seed.
+    * Seed choice is part of the contract: the max-out-degree word,
+    * lexicographic tiebreak, resolved as a 1-row broadcast (no
+    * hardcoded vocab dependence). Same DECIMAL(16,12) contribution
+    * pinning and dangling-mass convention as pagerank_words; top-20 by
+    * r6-rounded score (word tiebreak) keeps the emitted order
+    * engine-identical. Scale shape: identical to pagerank (per-round
+    * src-keyed join + dst-keyed sum); at 100 TB PPR usually runs as
+    * many-seeds-batched — same plan with a seed column added to the
+    * rank key. */
+  val pprSeed: QFn = (s, dir) => {
+    val edges = edgesOf(s, dir)
+    val words = t(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .distinct()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val seed = outdeg.orderBy(col("od").desc, col("src")).limit(1)
+      .select(col("src").as("seed"))
+    var ranks = words.crossJoin(broadcast(seed))
+      .select(col("word"),
+        when(col("word") === col("seed"), lit(1.0)).otherwise(lit(0.0))
+          .as("rank"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(ranks.select(col("word").as("src"), col("rank")), "src")
+        .join(outdeg, "src")
+        .select(col("dst"), dec(col("rank") / col("od"), 16, 12).as("c"))
+      val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      ranks = words
+        .join(sums.select(col("dst").as("word"), col("sc")),
+          Seq("word"), "left")
+        .crossJoin(broadcast(seed))
+        .select(col("word"),
+          (when(col("word") === col("seed"), lit(0.15)).otherwise(lit(0.0))
+            + lit(0.85)
+            * dbl(coalesce(col("sc"), lit(0).cast("decimal(16,12)"))))
+            .as("rank"))
+    }
+    ranks.crossJoin(broadcast(seed))
+      .select(col("seed"), col("word"), r6(col("rank")).as("ppr"))
+      .filter(col("ppr") > 0)
+      .orderBy(col("ppr").desc, col("word"))
+      .limit(20)
+  }
+
   /** Exact triangle count + global clustering coefficient over the
     * undirected word graph, via DEGREE ORIENTATION (Suri &
     * Vassilvitskii, WWW'11 — public algorithm): orient every edge from
@@ -413,6 +464,7 @@ object GraphQ {
     "link_adamic_adar" -> linkAdamicAdar,
     "bfs_distance"   -> bfsDistance,
     "pagerank_words" -> pagerankWords,
+    "ppr_seed" -> pprSeed,
     "triangle_count" -> triangleCount)
 
   /** The identical power iteration unrolled as a DuckDB CTE chain. */
@@ -443,6 +495,42 @@ object GraphQ {
        |${iter(3, "r2")}
        |SELECT word, floor(rank * 1000000 + 0.5) / 1000000 AS pagerank
        |FROM r3 ORDER BY word""".stripMargin
+  }
+
+  /** PPR oracle: pagerank's CTE chain with seed-teleport init and
+    * seed-only restart, seed resolved by the same (od DESC, src) rule. */
+  private def pprSql: String = {
+    def iter(k: Int, prev: String): String =
+      s"""c$k AS (SELECT e.dst, CAST(r.rank / o.od AS DECIMAL(16,12)) AS c
+         |  FROM edges e JOIN $prev r ON e.src = r.word
+         |    JOIN od o ON o.src = e.src),
+         |s$k AS (SELECT dst, sum(c) AS sc FROM c$k GROUP BY dst),
+         |r$k AS (SELECT w.word,
+         |    (CASE WHEN w.word = (SELECT seed FROM sd) THEN 0.15
+         |          ELSE 0.0 END)
+         |      + 0.85 * CAST(coalesce(s.sc, 0) AS DOUBLE) AS rank
+         |  FROM words w LEFT JOIN s$k s ON s.dst = w.word)""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |    w -> w <> '') AS ws FROM documents),
+       |words AS (SELECT DISTINCT unnest(ws) AS word FROM toks),
+       |edges AS (
+       |  SELECT DISTINCT ws[i] AS src, ws[i+1] AS dst
+       |  FROM toks,
+       |    (SELECT unnest(range(1, (SELECT max(len(ws)) FROM toks))) AS i)
+       |  WHERE i + 1 <= len(ws) AND ws[i] <> ws[i+1]),
+       |od AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+       |sd AS (SELECT src AS seed FROM od ORDER BY od DESC, src LIMIT 1),
+       |r0 AS (SELECT word,
+       |    CASE WHEN word = (SELECT seed FROM sd) THEN 1.0 ELSE 0.0 END
+       |      AS rank FROM words),
+       |${iter(1, "r0")},
+       |${iter(2, "r1")},
+       |${iter(3, "r2")},
+       |f AS (SELECT (SELECT seed FROM sd) AS seed, word,
+       |        floor(rank * 1000000 + 0.5) / 1000000 AS ppr FROM r3)
+       |SELECT seed, word, ppr FROM f WHERE ppr > 0
+       |ORDER BY ppr DESC, word LIMIT 20""".stripMargin
   }
 
   /** DuckDB mirror: identical orientation, wedge and closure joins. */
@@ -651,5 +739,6 @@ object GraphQ {
     "link_adamic_adar" -> adamicAdarSql,
     "bfs_distance"   -> bfsSql,
     "pagerank_words" -> pagerankSql,
+    "ppr_seed" -> pprSql,
     "triangle_count" -> triangleSql)
 }

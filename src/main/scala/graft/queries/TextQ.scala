@@ -618,6 +618,45 @@ object TextQ {
       .orderBy(col("a_word"), col("b_word"))
   }
 
+  /** Jaro-Winkler linkage pairs (r10) — the GRADED similarity tier of
+    * the word-linkage family: typo_neardup_words answers "edit distance
+    * ≤ 1?" (binary, deletion-neighborhood blocked); this key ranks
+    * vocabulary pairs by the Winkler-boosted Jaro score via the native
+    * codegen expression `graft_jaro_winkler` (expressions/JaroWinkler —
+    * the record-linkage metric census bureaus actually run, prefix-
+    * weighted because real-world name typos cluster at the tail).
+    * Blocking is Winkler's own: same first character + length window ≤ 2
+    * — candidates are Σ per-letter-block C(n,2), vocabulary-quadratic
+    * within a block but corpus-independent (vocabulary saturates under
+    * Heaps' law; at 100 TB the block key grows a second character /
+    * phonetic code — recall-vs-volume knob, not a plan change). Scores
+    * r6-round BEFORE the 0.92 threshold and the ranking, so the
+    * cross-engine boundary is pinned on both sides. */
+  val jwLinkage: QFn = (s, dir) => {
+    graft.expressions.JaroWinkler.register(s)
+    // canonicalize first (the standard linkage move: distinct names carry
+    // their record counts, so similarity runs on the NAME domain — which
+    // saturates — and record-pair multiplicity is recovered by product)
+    val names = t(s, dir, "part")
+      .select(lower(col("p_name")).as("nm"))
+      .groupBy(col("nm")).agg(count(lit(1)).as("cnt"))
+      .select(col("nm"), col("cnt"),
+        substring(col("nm"), 1, 1).as("blk"), length(col("nm")).as("l"))
+    names.select(col("nm").as("name_a"), col("cnt").as("ca"),
+        col("blk"), col("l").as("la"))
+      .join(names.select(col("nm").as("name_b"), col("cnt").as("cb"),
+        col("blk"), col("l").as("lb")), "blk")
+      .filter(col("name_a") < col("name_b") &&
+        abs(col("la") - col("lb")) <= 3)
+      .select(col("name_a"), col("name_b"),
+        r6(call_function("graft_jaro_winkler", col("name_a"),
+          col("name_b"))).as("jw"),
+        (col("ca") * col("cb")).as("n_record_pairs"))
+      .filter(col("jw") >= 0.8 && col("jw") < 1.0)
+      .orderBy(col("jw").desc, col("name_a"), col("name_b"))
+      .limit(20)
+  }
+
   /** Shannon entropy (nats) of each language's token distribution — the
     * standard corpus-diversity / degenerate-text signal next to
     * quality_score (a collapsed crawl segment shows entropy ≈ 0).
@@ -1008,6 +1047,7 @@ object TextQ {
     "rep_ngram_audit"    -> repNgramAudit,
     "dup_sequences"      -> dupSequences,
     "maximal_repeat_spans" -> maximalRepeatSpans,
+    "jw_linkage"         -> jwLinkage,
     "skipgram_pairs"     -> skipgramPairs,
     "token_entropy"      -> tokenEntropy,
     "typo_neardup_words" -> typoNeardupWords,
@@ -1300,6 +1340,24 @@ object TextQ {
          |SELECT seq, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
          |FROM s GROUP BY seq HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY n_docs DESC, n_occ DESC, seq LIMIT 20""".stripMargin,
+    // Same blocking + DuckDB's own jaro_winkler_similarity (semantics
+    // probed equal to graft_jaro_winkler: byte-wise match window,
+    // 0.7 boost threshold, prefix ≤ 4).
+    "jw_linkage" ->
+      s"""WITH names AS (
+         |  SELECT lower(p_name) AS nm, count(*) AS cnt FROM part
+         |  GROUP BY 1),
+         |b AS (SELECT nm, cnt, nm[1:1] AS blk, len(nm) AS l FROM names),
+         |sc AS (
+         |  SELECT a.nm AS name_a, b2.nm AS name_b,
+         |    ${r6Sql("jaro_winkler_similarity(a.nm, b2.nm)")} AS jw,
+         |    a.cnt * b2.cnt AS n_record_pairs
+         |  FROM b a JOIN b b2
+         |    ON a.blk = b2.blk AND a.nm < b2.nm
+         |    AND abs(a.l - b2.l) <= 3)
+         |SELECT name_a, name_b, jw, n_record_pairs FROM sc
+         |WHERE jw >= 0.8 AND jw < 1.0
+         |ORDER BY jw DESC, name_a, name_b LIMIT 20""".stripMargin,
     // Diagonal-runs maximal repeats: matching 10-token windows grouped by
     // (pair, pa − pb) split into consecutive-pa islands; island size k ⇒
     // span length k + 9; per-pair argmax re-slices the text from doc a.
