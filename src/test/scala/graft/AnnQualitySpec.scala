@@ -102,6 +102,21 @@ class AnnQualitySpec extends SparkSpec {
         f"(enrichment $enrichment%.1f) — ADC scan not concentrating signal")
   }
 
+  test("JL random projection: rerank enrichment >= 3x over its top-20 " +
+    "candidate fraction") {
+    // 32 ±1 directions on an isotropic corpus is a coarse filter (noise
+    // ~1/sqrt(k) vs ~0.3 signal) — the gate is enrichment, as for LSH:
+    // measured 6.3x at calibration (recall 12.7% / 2% candidates).
+    val jl = knnPairs("ann_randproj_knn", 3)
+    val recall = (jl intersect exactTop3).size.toDouble / exactTop3.size
+    val frac = 20.0 / (nVecs - 1)
+    val enrichment = recall / frac
+    assert(enrichment >= 3.0,
+      f"JL recall@3=$recall%.3f at candidate fraction $frac%.4f " +
+        f"(enrichment $enrichment%.1f) — projection not concentrating " +
+        "signal")
+  }
+
   /** Exact cosine near-dup pairs at τ = 0.45, computed driver-side in the
     * test (the all-pairs tier deliberately absent from the contract). */
   private lazy val exactNeardupPairs: Set[(Long, Long)] = {
