@@ -376,6 +376,57 @@ object DepthQ {
     * 1-row order-total aggregate rides an allowlisted broadcast. One
     * double expression per output row, r6 floor-rounded, identical op
     * order both engines. */
+  /** Frequent 3-itemsets (r10) — the a-priori tier above
+    * copurchase_pairs: baskets = distinct parts per order, triples
+    * enumerated inside each basket from the SORTED item array (i<j<k
+    * index explode — per-basket fan-out is C(items,3) ≤ C(7,3) = 35,
+    * bounded by basket size, never corpus-sized), support counted per
+    * triple, top-20 with lift vs the independence assumption
+    * n_abc·N²/(n_a·n_b·n_c) — the signal that separates a real bundle
+    * from three individually-popular items. Exact integer counts; lift
+    * is one mirrored double expression. Scale shape: one basket
+    * groupBy + one triple groupBy — the same two shuffles as the pair
+    * tier; at 100 TB a support-threshold pre-prune (a-priori) cuts the
+    * candidate space, same plan. */
+  val itemsets3: QFn = (s, dir) => {
+    val op = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val ps = col("ps")
+    val triples = op.groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(ps, explode(when(size(ps) >= 3, sequence(lit(0), size(ps) - 3))
+        .otherwise(array().cast("array<int>"))).as("i"))
+      .select(ps, col("i"),
+        explode(sequence(col("i") + 1, size(ps) - 2)).as("j"))
+      .select(ps, col("i"), col("j"),
+        explode(sequence(col("j") + 1, size(ps) - 1)).as("k"))
+      .select(element_at(ps, col("i") + 1).as("pa"),
+        element_at(ps, col("j") + 1).as("pb"),
+        element_at(ps, col("k") + 1).as("pc"))
+      .groupBy(col("pa"), col("pb"), col("pc"))
+      .agg(count(lit(1)).as("n_abc"))
+      .orderBy(col("n_abc").desc, col("pa"), col("pb"), col("pc"))
+      .limit(20)
+    val pcnt = op.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+    val tot = op.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    triples
+      .join(pcnt.select(col("pk").as("ka"), col("n").as("n_a")),
+        col("pa") === col("ka"))
+      .join(pcnt.select(col("pk").as("kb"), col("n").as("n_b")),
+        col("pb") === col("kb"))
+      .join(pcnt.select(col("pk").as("kc"), col("n").as("n_c")),
+        col("pc") === col("kc"))
+      .crossJoin(broadcast(tot))
+      .select(col("pa"), col("pb"), col("pc"), col("n_abc"),
+        col("n_a"), col("n_b"), col("n_c"),
+        r6(dbl(col("n_abc")) * dbl(col("n_orders")) * dbl(col("n_orders"))
+          / (dbl(col("n_a")) * dbl(col("n_b")) * dbl(col("n_c"))))
+          .as("lift"))
+      .orderBy(col("n_abc").desc, col("pa"), col("pb"), col("pc"))
+  }
+
   val copurchasePairs: QFn = (s, dir) => {
     val op = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -410,6 +461,7 @@ object DepthQ {
 
   val queries: Map[String, QFn] = Map(
     "copurchase_pairs"   -> copurchasePairs,
+    "itemsets_3"         -> itemsets3,
     "agg_topk_native"    -> aggTopkNative,
     "bitmap_distinct"    -> bitmapDistinct,
     "approx_topk_words"  -> approxTopkWords,
@@ -446,6 +498,38 @@ object DepthQ {
         |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
         |  <= 4000000
         |ORDER BY dist_sq, uid_a, uid_b LIMIT 20""".stripMargin,
+    "itemsets_3" ->
+      s"""WITH op AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem),
+         |baskets AS (
+         |  SELECT ok, list_sort(list(DISTINCT pk)) AS ps FROM op
+         |  GROUP BY ok),
+         |tri AS (
+         |  SELECT ps[i+1] AS pa, ps[j+1] AS pb, ps[k+1] AS pc
+         |  FROM baskets,
+         |    (SELECT unnest(range(0, (SELECT max(len(ps)) FROM baskets)))
+         |       AS i),
+         |    (SELECT unnest(range(0, (SELECT max(len(ps)) FROM baskets)))
+         |       AS j),
+         |    (SELECT unnest(range(0, (SELECT max(len(ps)) FROM baskets)))
+         |       AS k)
+         |  WHERE i < j AND j < k AND k <= len(ps) - 1),
+         |top AS (
+         |  SELECT pa, pb, pc, count(*) AS n_abc FROM tri
+         |  GROUP BY 1, 2, 3
+         |  ORDER BY n_abc DESC, pa, pb, pc LIMIT 20),
+         |pcnt AS (SELECT pk, count(*) AS n FROM op GROUP BY pk),
+         |tot AS (SELECT count(DISTINCT ok) AS n_orders FROM op)
+         |SELECT t.pa, t.pb, t.pc, t.n_abc, a.n AS n_a, b.n AS n_b,
+         |  c.n AS n_c,
+         |  ${r6Sql("CAST(t.n_abc AS DOUBLE) * CAST(tot.n_orders AS DOUBLE) * CAST(tot.n_orders AS DOUBLE) / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE) * CAST(c.n AS DOUBLE))")}
+         |    AS lift
+         |FROM top t JOIN pcnt a ON a.pk = t.pa
+         |  JOIN pcnt b ON b.pk = t.pb
+         |  JOIN pcnt c ON c.pk = t.pc
+         |  CROSS JOIN tot
+         |ORDER BY n_abc DESC, pa, pb, pc""".stripMargin,
     "copurchase_pairs" ->
       s"""WITH op AS (
          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

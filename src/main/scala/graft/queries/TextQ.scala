@@ -657,6 +657,83 @@ object TextQ {
       .limit(20)
   }
 
+  /** BPE merge TRAINING (r10, Sennrich et al. ACL'16 — the public
+    * byte-pair-encoding algorithm every modern tokenizer descends from)
+    * — token_bpe APPLIES a fixed segmentation; this key LEARNS the
+    * merge table, distributed: 6 greedy merge rounds over the word-type
+    * count table (the Sennrich formulation — pair statistics weight by
+    * word frequency, so the corpus-sized work is ONE word count and
+    * every round runs on the VOCABULARY domain, which saturates under
+    * Heaps' law; this is exactly why BPE training scales to 100 TB).
+    *
+    * Each round, relationally: (1) adjacent symbol pairs from each
+    * word's symbol array, weighted by word count; (2) the argmax pair
+    * (weight DESC, pair ASC) as a 1-row broadcast; (3) GREEDY
+    * LEFT-TO-RIGHT merge application — the sequential-looking step made
+    * relational with the gaps-and-islands device: runs of consecutive
+    * matching positions keep alternating members from the run start
+    * ((pos − run_start) % 2 == 0), which reproduces greedy scanning
+    * exactly (the "aaa" + (a,a) case merges positions 1-2 and leaves 3);
+    * (4) rebuild arrays by dropping consumed right-halves and
+    * re-collecting in position order. The graded output is the learned
+    * MERGE TABLE trajectory (round, left, right, merged, weight) — a
+    * wrong tie-break, overlap rule, or weight model cannot reproduce it.
+    * All counts exact BIGINTs; no floats anywhere. */
+  val bpeTrainMerges: QFn = (s, dir) => {
+    val chars = transform(sequence(lit(1), length(col("word"))),
+      i => col("word").substr(i, lit(1)))
+    var vocab = t(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"), chars.as("syms"))
+      .localCheckpoint()
+    val wPos = Window.partitionBy(col("word")).orderBy(col("pos"))
+    var merges: org.apache.spark.sql.DataFrame = null
+    for (round <- 1 to 6) {
+      val ex = vocab
+        .select(col("word"), col("cnt"),
+          posexplode(col("syms")).as(Seq("pos", "sym")))
+        .withColumn("nxt", lead(col("sym"), 1).over(wPos))
+      val top = ex.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("pa"), col("nxt").as("pb"))
+        .agg(sum(col("cnt")).as("weight"))
+        .orderBy(col("weight").desc, col("pa"), col("pb"))
+        .limit(1)
+      val m = top.select(lit(round.toLong).as("round"),
+        col("pa").as("left_sym"), col("pb").as("right_sym"),
+        concat(col("pa"), col("pb")).as("merged"), col("weight"))
+      merges = if (merges == null) m else merges.unionByName(m)
+      // greedy application: islands of consecutive matching positions
+      val flagged = ex.crossJoin(broadcast(top))
+        .withColumn("hit", col("sym") === col("pa")
+          && col("nxt") === col("pb"))
+      val wRun = Window.partitionBy(col("word"), col("grp"))
+      val kept = flagged.filter(col("hit"))
+        .withColumn("rnm", row_number().over(wPos))
+        .withColumn("grp", col("pos") - col("rnm"))
+        .withColumn("start", min(col("pos")).over(wRun))
+        .filter((col("pos") - col("start")) % 2 === 0)
+        .select(col("word").as("kw"), col("pos").as("kpos"))
+        .localCheckpoint()
+      vocab = flagged
+        .join(kept, col("word") === col("kw")
+          && col("pos") === col("kpos"), "left")
+        .withColumn("ismerge", col("kpos").isNotNull)
+        .drop("kw", "kpos")
+        .join(kept, col("word") === col("kw")
+          && col("pos") === col("kpos") + 1, "left")
+        .filter(col("kpos").isNull) // drop consumed right halves
+        .select(col("word"), col("cnt"), col("pos"),
+          when(col("ismerge"), concat(col("sym"), col("nxt")))
+            .otherwise(col("sym")).as("sym"))
+        .groupBy(col("word"), col("cnt"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"),
+          col("sym")))), x => x.getField("sym")).as("syms"))
+        .localCheckpoint()
+    }
+    merges.orderBy(col("round"))
+  }
+
   /** Shannon entropy (nats) of each language's token distribution — the
     * standard corpus-diversity / degenerate-text signal next to
     * quality_score (a collapsed crawl segment shows entropy ≈ 0).
@@ -1048,6 +1125,7 @@ object TextQ {
     "dup_sequences"      -> dupSequences,
     "maximal_repeat_spans" -> maximalRepeatSpans,
     "jw_linkage"         -> jwLinkage,
+    "bpe_train_merges"   -> bpeTrainMerges,
     "skipgram_pairs"     -> skipgramPairs,
     "token_entropy"      -> tokenEntropy,
     "typo_neardup_words" -> typoNeardupWords,
@@ -1070,6 +1148,64 @@ object TextQ {
     "text_langid"       -> langIdQ,
     "quality_score"     -> qualityScore,
     "token_count"       -> tokenCount)
+
+  /** BPE training oracle: 6 generated merge rounds, each mirroring the
+    * Spark round stage for stage (pair weights → argmax → islands-greedy
+    * application → array rebuild). Pure integer arithmetic throughout. */
+  private def bpeTrainSql: String = {
+    def round(k: Int): String = {
+      val prev = s"vocab${k - 1}"
+      s"""ex$k AS MATERIALIZED (
+         |  SELECT word, cnt, i - 1 AS pos, syms[i] AS sym,
+         |    CASE WHEN i < len(syms) THEN syms[i + 1] END AS nxt
+         |  FROM $prev, (SELECT unnest(range(1,
+         |      (SELECT max(len(syms)) FROM $prev) + 1)) AS i)
+         |  WHERE i <= len(syms)),
+         |top$k AS MATERIALIZED (
+         |  SELECT sym AS pa, nxt AS pb,
+         |    CAST(sum(cnt) AS BIGINT) AS weight FROM ex$k
+         |  WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |  ORDER BY weight DESC, pa, pb LIMIT 1),
+         |hit$k AS MATERIALIZED (
+         |  SELECT e.*, (e.sym = t.pa AND e.nxt = t.pb) AS hit
+         |  FROM ex$k e CROSS JOIN top$k t),
+         |kept$k AS MATERIALIZED (
+         |  SELECT word AS kw, pos AS kpos FROM (
+         |    SELECT word, pos, min(pos) OVER (PARTITION BY word, grp)
+         |      AS start
+         |    FROM (SELECT word, pos,
+         |        pos - row_number() OVER (PARTITION BY word ORDER BY pos)
+         |          AS grp
+         |      FROM hit$k WHERE hit))
+         |  WHERE (pos - start) % 2 = 0),
+         |nv$k AS MATERIALIZED (
+         |  SELECT h.word, h.cnt, h.pos,
+         |    CASE WHEN k1.kpos IS NOT NULL THEN h.sym || h.nxt
+         |         ELSE h.sym END AS sym
+         |  FROM hit$k h
+         |  LEFT JOIN kept$k k1 ON h.word = k1.kw AND h.pos = k1.kpos
+         |  LEFT JOIN kept$k k2 ON h.word = k2.kw AND h.pos = k2.kpos + 1
+         |  WHERE k2.kpos IS NULL),
+         |vocab$k AS MATERIALIZED (
+         |  SELECT word, cnt, list(sym ORDER BY pos) AS syms FROM nv$k
+         |  GROUP BY word, cnt),
+         |mg$k AS (
+         |  SELECT CAST($k AS BIGINT) AS round, pa AS left_sym,
+         |    pb AS right_sym, pa || pb AS merged, weight
+         |  FROM top$k)""".stripMargin
+    }
+    s"""WITH $wordsCte,
+       |vocab0 AS MATERIALIZED (
+       |  SELECT word, count(*) AS cnt,
+       |    list_transform(range(1, len(word) + 1), i -> word[i:i])
+       |      AS syms
+       |  FROM (SELECT unnest(ws) AS word FROM words) GROUP BY word),
+       |${(1 to 6).map(round).mkString(",\n")}
+       |SELECT * FROM (
+       |  ${(1 to 6).map(k => s"SELECT * FROM mg$k").mkString(
+             " UNION ALL ")})
+       |ORDER BY round""".stripMargin
+  }
 
   /** Shared oracle CTEs for tokenized / shingled docs. */
   private val wordsCte =
@@ -1340,6 +1476,7 @@ object TextQ {
          |SELECT seq, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
          |FROM s GROUP BY seq HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY n_docs DESC, n_occ DESC, seq LIMIT 20""".stripMargin,
+    "bpe_train_merges" -> bpeTrainSql,
     // Same blocking + DuckDB's own jaro_winkler_similarity (semantics
     // probed equal to graft_jaro_winkler: byte-wise match window,
     // 0.7 boost threshold, prefix ≤ 4).

@@ -817,6 +817,69 @@ object VectorQ {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Reciprocal-rank fusion (r10, Cormack et al. SIGIR'09 — public
+    * method) — the rank-COMBINATION primitive behind hybrid retrieval
+    * (RAG stacks fuse a lexical and a vector ranker exactly this way):
+    * RRF(d) = Σ_rankers 1/(60 + rank_r(d)), which rewards agreement
+    * without trusting either ranker's raw scores. Here the two rankers
+    * are the exact-cosine top-10 and the JL-projected top-10 (the
+    * full-precision and compressed views of the same geometry); the
+    * fused top-5 per query is the output. The fusion itself is
+    * rank-arithmetic only — exact integer ranks, one mirrored double
+    * expression per row (two reciprocals + add, no aggregation order) —
+    * so determinism is structural. Scale shape: each ranker's list is
+    * top-k-bounded per query; the fusion is a full outer join on
+    * (qid, vec_id) of two k-row-per-query lists — trivially
+    * distributed, independent of corpus size past the ranker stages. */
+  val rrfFusion: QFn = (s, dir) => {
+    val e = unitBase(s, dir)
+    // ranker A: exact cosine top-10 (the qknn shape)
+    val wA = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val rankA = q.crossJoin(e.select(col("vec_id"), col("v"), col("nrm")))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim",
+        r6(gdot(col("qv"), col("v")) / (col("qn") * col("nrm"))))
+      .withColumn("ra", row_number().over(wA))
+      .filter(col("ra") <= 10)
+      .select(col("qid"), col("vec_id"), col("ra"))
+    // ranker B: JL-projected cosine top-10 (the compressed view)
+    val signRows = (0 until RpDims).map { j =>
+      array((0 until 64).map(d => lit(rpSign(j, d))): _*)
+    }
+    val pv = array(signRows.map(sr => gdot(col("v"), sr)): _*)
+    val p = e.select(col("vec_id"), pv.as("pv"))
+      .withColumn("pnrm", sqrt(gdot(col("pv"), col("pv"))))
+      .localCheckpoint()
+    val wB = Window.partitionBy(col("qid"))
+      .orderBy(col("approx").desc, col("vec_id"))
+    val rankB = p.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("pv").as("qpv"),
+        col("pnrm").as("qpn"))
+      .crossJoin(p.select(col("vec_id"), col("pv"), col("pnrm")))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("approx",
+        r6(gdot(col("qpv"), col("pv")) / (col("qpn") * col("pnrm"))))
+      .withColumn("rb", row_number().over(wB))
+      .filter(col("rb") <= 10)
+      .select(col("qid"), col("vec_id"), col("rb"))
+    val wF = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("vec_id"))
+    rankA.join(rankB, Seq("qid", "vec_id"), "full_outer")
+      .select(col("qid"), col("vec_id"),
+        r6(coalesce(lit(1.0) / (lit(60) + col("ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0)))
+          .as("rrf"),
+        coalesce(col("ra"), lit(0)).as("rank_exact"),
+        coalesce(col("rb"), lit(0)).as("rank_jl"))
+      .withColumn("rn", row_number().over(wF).cast("long"))
+      .filter(col("rn") <= 5)
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** Maximal Marginal Relevance selection (r9, Carbonell & Goldstein
     * SIGIR'98 — public algorithm) — the DIVERSITY-aware consumer of the
     * similarity stack: where qknn returns the 5 most similar vectors
@@ -884,6 +947,7 @@ object VectorQ {
     "ann_pq_knn"         -> annPqKnn,
     "ann_ivfpq_knn"      -> annIvfPqKnn,
     "ann_randproj_knn"   -> annRandProjKnn,
+    "rrf_fusion"         -> rrfFusion,
     "ann_sq_knn"         -> annSqKnn,
     "semdedup_prune"     -> semdedupPrune,
     "kmeans_embed"       -> kmeansEmbed,
@@ -1216,6 +1280,50 @@ object VectorQ {
     "mmr_select" -> mmrSql,
     "ann_pq_knn" -> pqSql,
     "ann_ivfpq_knn" -> ivfpqSql,
+    "rrf_fusion" -> {
+      val signLists = (0 until RpDims).map { j =>
+        "[" + (0 until 64).map(d =>
+          if (rpSign(j, d) > 0) "1.0" else "-1.0").mkString(", ") + "]"
+      }
+      val pvSql = "[" + signLists.map(sl =>
+        s"list_dot_product(v, $sl)").mkString(",\n      ") + "]"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |n2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+         |       FROM e),
+         |ra0 AS (
+         |  SELECT q.vec_id AS qid, b.vec_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${r6Sql("list_dot_product(q.v, b.v) / (q.nrm * b.nrm)")}
+         |        DESC, b.vec_id) AS ra
+         |  FROM n2 q JOIN n2 b ON b.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 50),
+         |ra AS (SELECT qid, vec_id, ra FROM ra0 WHERE ra <= 10),
+         |p AS (SELECT vec_id, $pvSql AS pv FROM e),
+         |p2 AS (SELECT vec_id, pv,
+         |         sqrt(list_dot_product(pv, pv)) AS pnrm FROM p),
+         |rb0 AS (
+         |  SELECT q.vec_id AS qid, b.vec_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${r6Sql("list_dot_product(q.pv, b.pv) / (q.pnrm * b.pnrm)")}
+         |        DESC, b.vec_id) AS rb
+         |  FROM p2 q JOIN p2 b ON b.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 50),
+         |rb AS (SELECT qid, vec_id, rb FROM rb0 WHERE rb <= 10),
+         |f AS (
+         |  SELECT coalesce(ra.qid, rb.qid) AS qid,
+         |    coalesce(ra.vec_id, rb.vec_id) AS vec_id,
+         |    ${r6Sql("coalesce(1.0 / (60 + ra.ra), 0.0) + coalesce(1.0 / (60 + rb.rb), 0.0)")}
+         |      AS rrf,
+         |    coalesce(ra.ra, 0) AS rank_exact,
+         |    coalesce(rb.rb, 0) AS rank_jl
+         |  FROM ra FULL OUTER JOIN rb
+         |    ON ra.qid = rb.qid AND ra.vec_id = rb.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY rrf DESC, vec_id) AS rn FROM f)
+         |SELECT qid, vec_id, rrf, rank_exact, rank_jl, rn FROM r
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    },
     "ann_randproj_knn" -> {
       val signLists = (0 until RpDims).map { j =>
         "[" + (0 until 64).map(d =>
