@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import core._
@@ -556,6 +557,152 @@ object StatsQ {
         r6(p1).as("p1"), r6(p2).as("p2"),
         r6((p1 - p2) / nullif(se, lit(0.0))).as("z"))
       .orderBy(col("event_type"))
+  }
+
+  /** Distributed logistic regression by IRLS (r10) — actual MODEL
+    * TRAINING in the engine (the GLM workhorse; Newton/IRLS is the
+    * textbook fit): P(purchase | value, hour) with 2 Newton steps from
+    * β = 0. Each step is ONE pass: per-row p = σ(xᵀβ), weight w =
+    * p(1−p), then the 3×3 normal matrix XᵀWX (6 moments) and gradient
+    * Xᵀ(y−p) (3 moments) as DECIMAL(30,14)-pinned sums (order-free —
+    * per-row doubles are identical cross-engine, the decimal cast pins
+    * identical values, exact summation kills merge-order drift), and the
+    * Newton solve is the EXPLICIT 3×3 adjugate over the aggregated
+    * moments — mirrored double expressions, no linear-algebra library.
+    * β flows between steps as a 1-row broadcast; the graded output is
+    * the (iter, b0, b1, b2) TRAJECTORY plus each step's DECIMAL-pinned
+    * log-likelihood — a wrong weight, solve, or feature scaling cannot
+    * reproduce it. Features scaled to O(1) (value/100, hour/24) for
+    * conditioning, documented as part of the contract.
+    * Scale shape: each Newton step is one partial+final aggregate over
+    * the corpus (9 moment sums) + O(1) driver-free algebra — the
+    * canonical distributed GLM layout; iterations are a fixed budget
+    * like pagerank's. */
+  val logisticIrls: QFn = (s, dir) => {
+    val base = t(s, dir, "events")
+      .select(
+        when(col("event_type") === "purchase", lit(1.0)).otherwise(lit(0.0))
+          .as("y"),
+        (col("value") / lit(100.0)).as("x1"),
+        (dbl(hour(col("ts"))) / lit(24.0)).as("x2"))
+    def pin(c: Column) = dec(c, 30, 14)
+    def step(beta: org.apache.spark.sql.DataFrame, iter: Int) = {
+      val z = col("b0") + col("b1") * col("x1") + col("b2") * col("x2")
+      val rows = base.crossJoin(broadcast(beta))
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-z)))
+        .withColumn("w", col("p") * (lit(1.0) - col("p")))
+      val m = rows.agg(
+        sum(pin(col("w"))).as("a00"),
+        sum(pin(col("w") * col("x1"))).as("a01"),
+        sum(pin(col("w") * col("x2"))).as("a02"),
+        sum(pin(col("w") * col("x1") * col("x1"))).as("a11"),
+        sum(pin(col("w") * col("x1") * col("x2"))).as("a12"),
+        sum(pin(col("w") * col("x2") * col("x2"))).as("a22"),
+        sum(pin(col("y") - col("p"))).as("g0"),
+        sum(pin((col("y") - col("p")) * col("x1"))).as("g1"),
+        sum(pin((col("y") - col("p")) * col("x2"))).as("g2"),
+        // log-likelihood of the CURRENT β: y·z − ln(1+eᶻ), per-row
+        // double pinned to decimal so the sum is order-free
+        sum(pin(col("y") * z - log(lit(1.0) + exp(z)))).as("ll"))
+      // explicit symmetric 3×3 inverse via adjugate / determinant
+      val (a00, a01, a02) = (dbl(col("a00")), dbl(col("a01")), dbl(col("a02")))
+      val (a11, a12, a22) = (dbl(col("a11")), dbl(col("a12")), dbl(col("a22")))
+      val det = a00 * (a11 * a22 - a12 * a12) -
+        a01 * (a01 * a22 - a12 * a02) + a02 * (a01 * a12 - a11 * a02)
+      val i00 = (a11 * a22 - a12 * a12) / det
+      val i01 = (a02 * a12 - a01 * a22) / det
+      val i02 = (a01 * a12 - a02 * a11) / det
+      val i11 = (a00 * a22 - a02 * a02) / det
+      val i12 = (a02 * a01 - a00 * a12) / det
+      val i22 = (a00 * a11 - a01 * a01) / det
+      val (g0, g1, g2) = (dbl(col("g0")), dbl(col("g1")), dbl(col("g2")))
+      m.crossJoin(broadcast(beta))
+        .select(lit(iter.toLong).as("iter"),
+          (col("b0") + i00 * g0 + i01 * g1 + i02 * g2).as("b0"),
+          (col("b1") + i01 * g0 + i11 * g1 + i12 * g2).as("b1"),
+          (col("b2") + i02 * g0 + i12 * g1 + i22 * g2).as("b2"),
+          dbl(col("ll")).as("ll"))
+    }
+    val beta0 = s.range(1).select(lit(0.0).as("b0"), lit(0.0).as("b1"),
+      lit(0.0).as("b2"))
+    val it1 = step(beta0, 1).localCheckpoint()
+    val it2 = step(it1.select(col("b0"), col("b1"), col("b2")), 2)
+    it1.unionByName(it2)
+      .select(col("iter"), r6(col("b0")).as("b0"), r6(col("b1")).as("b1"),
+        r6(col("b2")).as("b2"), r6(col("ll")).as("loglik"))
+      .orderBy(col("iter"))
+  }
+
+  /** IRLS oracle: two generated Newton steps, each with the identical
+    * per-row sigmoid/weight doubles, DECIMAL(30,14)-pinned moment sums,
+    * and the explicit 3×3 adjugate solve. */
+  private def logisticSql: String = {
+    def pinSql(e: String) = s"CAST($e AS DECIMAL(30,14))"
+    def step(k: Int): String = {
+      val b = s"beta${k - 1}"
+      def bref(c: String) = s"(SELECT $c FROM $b)"
+      s"""r$k AS MATERIALIZED (
+         |  SELECT y, x1, x2,
+         |    ${bref("b0")} + ${bref("b1")} * x1 + ${bref("b2")} * x2 AS z
+         |  FROM base),
+         |p$k AS MATERIALIZED (
+         |  SELECT y, x1, x2, z, p, p * (1.0 - p) AS w
+         |  FROM (SELECT *, 1.0 / (1.0 + exp(-z)) AS p FROM r$k)),
+         |m$k AS MATERIALIZED (
+         |  SELECT
+         |    sum(${pinSql("w")}) AS a00,
+         |    sum(${pinSql("w * x1")}) AS a01,
+         |    sum(${pinSql("w * x2")}) AS a02,
+         |    sum(${pinSql("w * x1 * x1")}) AS a11,
+         |    sum(${pinSql("w * x1 * x2")}) AS a12,
+         |    sum(${pinSql("w * x2 * x2")}) AS a22,
+         |    sum(${pinSql("y - p")}) AS g0,
+         |    sum(${pinSql("(y - p) * x1")}) AS g1,
+         |    sum(${pinSql("(y - p) * x2")}) AS g2,
+         |    sum(${pinSql("y * z - ln(1.0 + exp(z))")}) AS ll
+         |  FROM p$k),
+         |i$k AS MATERIALIZED (
+         |  SELECT *,
+         |    a00d * (a11d * a22d - a12d * a12d)
+         |      - a01d * (a01d * a22d - a12d * a02d)
+         |      + a02d * (a01d * a12d - a11d * a02d) AS det
+         |  FROM (SELECT CAST(a00 AS DOUBLE) AS a00d,
+         |      CAST(a01 AS DOUBLE) AS a01d, CAST(a02 AS DOUBLE) AS a02d,
+         |      CAST(a11 AS DOUBLE) AS a11d, CAST(a12 AS DOUBLE) AS a12d,
+         |      CAST(a22 AS DOUBLE) AS a22d, CAST(g0 AS DOUBLE) AS g0d,
+         |      CAST(g1 AS DOUBLE) AS g1d, CAST(g2 AS DOUBLE) AS g2d,
+         |      CAST(ll AS DOUBLE) AS lld
+         |    FROM m$k)),
+         |beta$k AS MATERIALIZED (
+         |  SELECT CAST($k AS BIGINT) AS iter,
+         |    ${bref("b0")}
+         |      + ((a11d * a22d - a12d * a12d) / det) * g0d
+         |      + ((a02d * a12d - a01d * a22d) / det) * g1d
+         |      + ((a01d * a12d - a02d * a11d) / det) * g2d AS b0,
+         |    ${bref("b1")}
+         |      + ((a02d * a12d - a01d * a22d) / det) * g0d
+         |      + ((a00d * a22d - a02d * a02d) / det) * g1d
+         |      + ((a02d * a01d - a00d * a12d) / det) * g2d AS b1,
+         |    ${bref("b2")}
+         |      + ((a01d * a12d - a02d * a11d) / det) * g0d
+         |      + ((a02d * a01d - a00d * a12d) / det) * g1d
+         |      + ((a00d * a11d - a01d * a01d) / det) * g2d AS b2,
+         |    lld AS ll
+         |  FROM i$k)""".stripMargin
+    }
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END
+       |      AS y,
+       |    value / 100.0 AS x1,
+       |    CAST(hour(ts) AS DOUBLE) / 24.0 AS x2
+       |  FROM events),
+       |beta0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+       |${step(1)},
+       |${step(2)}
+       |SELECT iter, ${r6Sql("b0")} AS b0, ${r6Sql("b1")} AS b1,
+       |  ${r6Sql("b2")} AS b2, ${r6Sql("ll")} AS loglik
+       |FROM (SELECT * FROM beta1 UNION ALL SELECT * FROM beta2)
+       |ORDER BY iter""".stripMargin
   }
 
   /** Mann-Whitney U rank-sum test (r9) — the NONPARAMETRIC two-sample
@@ -1132,6 +1279,7 @@ object StatsQ {
     "theil_sen"           -> theilSen,
     "anova_f"             -> anovaF,
     "mann_whitney_u"      -> mannWhitneyU,
+    "logistic_irls"       -> logisticIrls,
     "corr_matrix"         -> corrMatrix,
     "drift_psi"           -> driftPsi,
     "acf_lag"             -> acfLag,
@@ -1368,6 +1516,7 @@ object StatsQ {
          |  ${r6Sql("ssb / nullif(ssb + CAST(ssw AS DOUBLE), 0.0)")}
          |    AS eta_sq
          |FROM f""".stripMargin,
+    "logistic_irls" -> logisticSql,
     "mann_whitney_u" ->
       s"""WITH pooled AS (
          |  SELECT event_type, value, count(*) AS c,
