@@ -478,7 +478,50 @@ object CurationQ {
       .orderBy(col("doc_id"))
   }
 
+  /** Quantile normalization (r10) — the cross-source BATCH-EFFECT
+    * corrector (Bolstad et al. 2003, the microarray classic — the same
+    * move data pipelines use to make per-source length/quality
+    * distributions comparable before mixing): every document's size is
+    * replaced by the POOLED corpus value at its within-source quantile,
+    * so each source's normalized distribution becomes the pooled
+    * reference exactly. Rank math is all integer: within-source rank
+    * rₛ (value, doc_id order), target pooled rank = ceil(rₛ·N/nₛ)
+    * (exact ceil-division), normalized value = pooled sorted value at
+    * that rank — selection semantics, no interpolation, both engines
+    * agree by construction. Output per source: raw vs normalized means
+    * (exact int sums, one division) and the normalized median — equal
+    * medians across sources is the visible proof the batch effect is
+    * gone. Scale shape: two rank windows (per-source and pooled) + one
+    * equi-join on the pooled rank; at 100 TB the pooled rank table
+    * yields to a t-digest/HDR quantile sketch, same contract. */
+  val quantileNormalize: QFn = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val wPool = Window.orderBy(col("n_chars"), col("doc_id"))
+    val pool = d.select(col("n_chars").as("pool_v"),
+        row_number().over(wPool).cast("long").as("prn"))
+    val tot = pool.agg(count(lit(1)).as("n_pool"))
+    val ranked = d
+      .withColumn("rs", row_number().over(wSrc).cast("long"))
+      .withColumn("ns", count(lit(1))
+        .over(Window.partitionBy(col("source"))))
+      .crossJoin(broadcast(tot))
+      .withColumn("target",
+        expr("(rs * n_pool + ns - 1) div ns"))
+      .join(pool, col("target") === col("prn"))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        r6(dbl(sum(col("n_chars"))) / count(lit(1))).as("mean_raw"),
+        r6(dbl(sum(col("pool_v"))) / count(lit(1))).as("mean_norm"),
+        max(when(col("rs") === expr("(ns + 1) div 2"), col("pool_v")))
+          .as("median_norm"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "quantile_normalize" -> quantileNormalize,
     "mix_temperature"       -> mixTemperature,
     "dsir_weight"           -> dsirWeight,
     "feature_hash_audit"    -> featureHashAudit,
@@ -522,6 +565,27 @@ object CurationQ {
     "(e - CAST(floor(e * 127.0 / sc + 0.5) AS BIGINT) * sc / 127.0)"
 
   val oracle: Map[String, String] = Map(
+    "quantile_normalize" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |pool AS (SELECT n_chars AS pool_v,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS prn FROM d),
+        |tot AS (SELECT count(*) AS n_pool FROM pool),
+        |r AS (SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rs,
+        |    count(*) OVER (PARTITION BY source) AS ns
+        |  FROM d),
+        |j AS (
+        |  SELECT r.source, r.n_chars, r.rs, r.ns, p.pool_v
+        |  FROM r JOIN pool p
+        |    ON p.prn = (r.rs * (SELECT n_pool FROM tot) + r.ns - 1) // r.ns)
+        |SELECT source, count(*) AS n_docs,
+        |  floor((CAST(sum(n_chars) AS DOUBLE) / count(*)) * 1000000 + 0.5)
+        |    / 1000000 AS mean_raw,
+        |  floor((CAST(sum(pool_v) AS DOUBLE) / count(*)) * 1000000 + 0.5)
+        |    / 1000000 AS mean_norm,
+        |  max(CASE WHEN rs = (ns + 1) // 2 THEN pool_v END) AS median_norm
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     "mix_temperature" ->
       """WITH m AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

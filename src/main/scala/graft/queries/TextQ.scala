@@ -657,6 +657,84 @@ object TextQ {
       .limit(20)
   }
 
+  /** Entity resolution end-to-end (r10) — the full linkage pipeline
+    * composed from graded parts: canonicalized part names → blocked
+    * Jaro-Winkler candidate pairs (jw_linkage's stages, threshold 0.84)
+    * → connected components by min-label propagation TO FIXPOINT (the
+    * neardup_clusters device: labels only decrease, the lexicographic
+    * min name is the cluster id, convergence detected by an unchanged
+    * label multiset via an order-free count of self-labeled rows) →
+    * SURVIVORSHIP: each cluster's golden record is the name with the
+    * most underlying part records (count DESC, name ASC — the rule a
+    * real MDM pipeline configures). Output: one row per multi-name
+    * cluster (cluster id, member/record counts, survivor) — a wrong
+    * threshold, broken propagation, or wrong survivorship rule all
+    * change it. Scale shape: pair generation is the jw_linkage
+    * name-domain join; propagation shuffles the NAME graph (vocabulary-
+    * bounded); survivorship is one window over cluster keys. */
+  val entityDedupE2e: QFn = (s, dir) => {
+    graft.expressions.JaroWinkler.register(s)
+    val names = t(s, dir, "part")
+      .select(lower(col("p_name")).as("nm"))
+      .groupBy(col("nm")).agg(count(lit(1)).as("cnt"))
+      .select(col("nm"), col("cnt"),
+        substring(col("nm"), 1, 1).as("blk"), length(col("nm")).as("l"))
+      .localCheckpoint()
+    val pairs = names.select(col("nm").as("a"), col("blk"),
+        col("l").as("la"))
+      .join(names.select(col("nm").as("b"), col("blk"),
+        col("l").as("lb")), "blk")
+      .filter(col("a") < col("b") && abs(col("la") - col("lb")) <= 3)
+      .filter(r6(call_function("graft_jaro_winkler", col("a"), col("b")))
+        >= 0.84)
+      .select(col("a"), col("b"))
+    val adj = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    // String labels rule out neardup_clusters' label-sum convergence
+    // metric; instead each round OBSERVES the count of rows whose label
+    // strictly decreases (labels are monotone non-increasing, so 0
+    // changed rows IS the fixpoint — provable, no hashing). The metric
+    // rides the same job that materializes the round's checkpoint.
+    var labels = adj.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn"))
+        .as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    var round = 1
+    while (!converged) {
+      val nbr = adj
+        .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")),
+          "dst")
+        .groupBy(col("src")).agg(min(col("dlbl")).as("nlbl"))
+      val obs = org.apache.spark.sql.Observation(s"er_changed_r$round")
+      val next = labels
+        .join(nbr.select(col("src").as("id"), col("nlbl")),
+          Seq("id"), "left")
+        .observe(obs, sum(when(col("nlbl") < col("lbl"), 1L)
+          .otherwise(0L)).as("chg"))
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = obs.get("chg").asInstanceOf[Long] == 0L
+      labels = next
+      round += 1
+    }
+    adj.unpersist()
+    val wSurv = Window.partitionBy(col("lbl"))
+      .orderBy(col("cnt").desc, col("id"))
+    labels.join(names.select(col("nm").as("id"), col("cnt")), "id")
+      .withColumn("srn", row_number().over(wSurv))
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_names"),
+        sum(col("cnt")).as("n_records"),
+        max(when(col("srn") === 1, col("id"))).as("survivor"))
+      .filter(col("n_names") >= 2)
+      .select(col("lbl").as("cluster_id"), col("n_names"),
+        col("n_records"), col("survivor"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** BPE merge TRAINING (r10, Sennrich et al. ACL'16 — the public
     * byte-pair-encoding algorithm every modern tokenizer descends from)
     * — token_bpe APPLIES a fixed segmentation; this key LEARNS the
@@ -1126,6 +1204,7 @@ object TextQ {
     "maximal_repeat_spans" -> maximalRepeatSpans,
     "jw_linkage"         -> jwLinkage,
     "bpe_train_merges"   -> bpeTrainMerges,
+    "entity_dedup_e2e"   -> entityDedupE2e,
     "skipgram_pairs"     -> skipgramPairs,
     "token_entropy"      -> tokenEntropy,
     "typo_neardup_words" -> typoNeardupWords,
@@ -1477,6 +1556,35 @@ object TextQ {
          |FROM s GROUP BY seq HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY n_docs DESC, n_occ DESC, seq LIMIT 20""".stripMargin,
     "bpe_train_merges" -> bpeTrainSql,
+    // Recursive min-reachable-label mirror of the propagation fixpoint
+    // (the neardup_clusters oracle device) over the JW candidate graph.
+    "entity_dedup_e2e" ->
+      s"""WITH RECURSIVE nms AS (
+         |  SELECT lower(p_name) AS nm, count(*) AS cnt FROM part
+         |  GROUP BY 1),
+         |b AS (SELECT nm, cnt, nm[1:1] AS blk, len(nm) AS l FROM nms),
+         |pr AS (
+         |  SELECT a.nm AS a, b2.nm AS b FROM b a JOIN b b2
+         |  ON a.blk = b2.blk AND a.nm < b2.nm AND abs(a.l - b2.l) <= 3
+         |  WHERE ${r6Sql("jaro_winkler_similarity(a.nm, b2.nm)")}
+         |    >= 0.84),
+         |adj AS (SELECT a AS src, b AS dst FROM pr
+         |        UNION ALL SELECT b, a FROM pr),
+         |walk(id, r) AS (
+         |  SELECT DISTINCT src, src FROM adj
+         |  UNION
+         |  SELECT a.src, w.r FROM adj a JOIN walk w ON a.dst = w.id),
+         |lbl AS (SELECT id, min(r) AS cluster_id FROM walk GROUP BY id),
+         |j AS (
+         |  SELECT l.cluster_id, l.id, n.cnt,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |      ORDER BY n.cnt DESC, l.id) AS srn
+         |  FROM lbl l JOIN nms n ON n.nm = l.id)
+         |SELECT cluster_id, count(*) AS n_names,
+         |  CAST(sum(cnt) AS BIGINT) AS n_records,
+         |  max(CASE WHEN srn = 1 THEN id END) AS survivor
+         |FROM j GROUP BY cluster_id HAVING count(*) >= 2
+         |ORDER BY cluster_id""".stripMargin,
     // Same blocking + DuckDB's own jaro_winkler_similarity (semantics
     // probed equal to graft_jaro_winkler: byte-wise match window,
     // 0.7 boost threshold, prefix ≤ 4).
