@@ -74,7 +74,30 @@ class PlanSweepSpec extends SparkSpec {
       ("sources × vocabulary spine — both domain-bounded dimensions; " +
         "absent words must contribute their q-side JSD mass"),
     "kn_lm_prob" ->
-      "1-row bigram-type-total aggregate broadcast into the KN backoff term")
+      "1-row bigram-type-total aggregate broadcast into the KN backoff term",
+    // ---- r10 additions ----
+    "ann_ivfpq_knn" -> ("IVF-PQ: 10-centroid coarse set + 16-code " +
+      "residual codebooks broadcast for assignment/train/encode — all " +
+      "bounded build sides; the ADC scan itself is a cell equi-join"),
+    "ann_randproj_knn" -> ("JL tier: 50-query bounded side × projected " +
+      "base — the brute-scan shape in the 32-d projected space"),
+    "rrf_fusion" -> ("both rankers are the 50-query bounded side × base " +
+      "(exact and JL-projected); the fusion itself is an equi-join"),
+    "itemsets_3" ->
+      "1-row order-total aggregate broadcast into the lift formula",
+    "ppr_seed" ->
+      "1-row seed aggregate broadcast into teleport init and restart",
+    "markov_attribution" -> ("1-row p_full / total-effect aggregates " +
+      "crossed into the 4-channel report; the chain solve runs on a " +
+      "≤7-state table"),
+    // bpe_train_merges broadcasts the 1-row argmax pair into each merge
+    // round, but the per-round localCheckpoints truncate the returned
+    // merge-table plan before the sweep sees any of it — no entry
+    // needed (or permitted: the shape-check would rot), like semdedup.
+    "logistic_irls" ->
+      "1-row beta vector broadcast into each Newton step's scoring pass",
+    "quantile_normalize" ->
+      "1-row pooled-count aggregate broadcast into the rank mapping")
 
   test("no unlisted query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
