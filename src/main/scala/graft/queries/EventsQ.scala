@@ -301,21 +301,28 @@ object EventsQ {
       .filter(col("prn").isNull || col("rn") <= col("prn"))
       .withColumn("state", when(col("event_type") === "purchase",
         lit("CONV")).otherwise(col("event_type")))
-    val steps = rows
+    // ONE window pass emits both the step edges and the NULL terminal
+    // (a union of two branches would run the corpus windows twice)
+    val edges = rows
       .withColumn("src", coalesce(lag(col("state"), 1).over(wU),
         lit("START")))
-      .select(col("src"), col("state").as("dst"))
-    val wMax = Window.partitionBy(col("user_id"))
-    val terminals = rows
-      .withColumn("mx", max(col("rn")).over(wMax))
-      .filter(col("rn") === col("mx") && col("prn").isNull)
-      .select(col("state").as("src"), lit("NULL").as("dst"))
-    val counts = steps.unionByName(terminals)
+      .withColumn("isLast", lead(col("state"), 1).over(wU).isNull)
+      .select(explode(concat(
+        array(struct(col("src"), col("state").as("dst"))),
+        when(col("isLast") && col("prn").isNull,
+          array(struct(col("state").as("src"), lit("NULL").as("dst"))))
+          .otherwise(array().cast("array<struct<src:string,dst:string>>"))))
+        .as("e"))
+      .select(col("e.src"), col("e.dst"))
+    val counts = edges
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+    // Corpus-sized work ends HERE (user windows + transition count) —
+    // checkpoint at full parallelism before the 1-partition chain block.
     val probs = counts
       .withColumn("p", dbl(col("c")) /
         sum(col("c")).over(Window.partitionBy(col("src"))))
       .select(col("src"), col("dst"), col("p"))
+      .localCheckpoint()
     val channels = Seq("none", "view", "click", "signup", "error")
     val variants = channels
       .map(v => probs.withColumn("variant", lit(v)))
@@ -331,24 +338,42 @@ object EventsQ {
       s.range(1).select(lit(v).as("variant"), lit(a).as("src"),
         lit(a).as("dst"), lit(1.0).as("p"))
     }.reduce(_ unionByName _)
-    val vt = variants
-      .filter(col("variant") === "none" || col("src") =!= col("variant"))
-      .unionByName(redirect).unionByName(loops)
-      .localCheckpoint() // ≤ 5·(49+3) rows; 8 steps re-read it
-    var v = channels.map(c => s.range(1).select(lit(c).as("variant"),
-        lit("START").as("st"), lit(1.0).as("mass")))
-      .reduce(_ unionByName _)
-    for (_ <- 1 to 8) {
-      v = vt.join(v.select(col("variant"), col("st").as("src"),
-          col("mass")), Seq("variant", "src"))
-        .select(col("variant"), col("dst"),
-          dec(col("p") * col("mass"), 16, 12).as("m"))
-        .groupBy(col("variant"), col("dst"))
-        .agg(dbl(sum(col("m"))).as("mass"))
-        .select(col("variant"), col("dst").as("st"), col("mass"))
-    }
+    // 8 absorption steps by MATRIX SQUARING — M² → M⁴ → M⁸ is 3 tiny
+    // joins instead of 8 vector steps (the log₂ trick), and the answer
+    // needs no vector at all: M⁸'s START row IS the 8-step absorption
+    // mass. The ≤250-row model chain runs under ONE shuffle partition
+    // (the withStreamPartitions device, restored in finally; the
+    // corpus-sized transition work was checkpointed above at full
+    // parallelism). Each product term is DECIMAL(16,12)-pinned before
+    // the order-free sum, mirrored in the oracle's squaring CTEs.
+    val prior = s.conf.get("spark.sql.shuffle.partitions")
+    var v: org.apache.spark.sql.DataFrame = null
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "1")
+      var m = variants
+        .filter(col("variant") === "none" || col("src") =!= col("variant"))
+        .unionByName(redirect).unionByName(loops)
+        .coalesce(1)
+        .localCheckpoint() // ≤ 5·(49+3) rows
+      for (_ <- 1 to 3) {
+        val left = m.select(col("variant"), col("src"),
+          col("dst").as("mid"), col("p").as("pa"))
+        val right = m.select(col("variant"), col("src").as("mid"),
+          col("dst"), col("p").as("pb"))
+        m = left.join(right, Seq("variant", "mid"))
+          .groupBy(col("variant"), col("src"), col("dst"))
+          .agg(dbl(sum(dec(col("pa") * col("pb"), 16, 12))).as("p"))
+      }
+      v = m.filter(col("src") === "START")
+        .select(col("variant"), col("dst").as("st"), col("p").as("mass"))
+        .localCheckpoint()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prior)
+    // ≤5 rows, but FOUR downstream consumers (p_full, effects, total,
+    // report) would each replay the 8-step × 5-variant join chain —
+    // checkpoint once (measured 7.1 s → the chain runs once).
     val conv = v.filter(col("st") === "CONV")
       .select(col("variant"), r6(col("mass")).as("p_conv"))
+      .localCheckpoint()
     val pFull = conv.filter(col("variant") === "none")
       .select(col("p_conv").as("p_full"))
     val re = conv.filter(col("variant") =!= "none")
@@ -357,6 +382,7 @@ object EventsQ {
         col("p_conv").as("p_removed"),
         r6(lit(1.0) - col("p_conv") / nullif(col("p_full"), lit(0.0)))
           .as("removal_effect"))
+      .localCheckpoint() // 4 rows; read by both the total and the report
     // r6-rounded effects are exact DECIMAL(16,6) values — the 4-row sum
     // is order-free on both engines
     val tot = re.agg(dbl(sum(dec(col("removal_effect"), 16, 6)))
@@ -899,20 +925,22 @@ object EventsQ {
   /** The identical fixed binning + rank walk in DuckDB — every boundary
     * an exact power-of-2 literal, every step exact double arithmetic. */
   /** Markov attribution oracle: journeys → transition ratios → 8
-    * unrolled matrix-vector steps per removal variant → removal
-    * effects; DECIMAL(16,12) step pinning and DECIMAL(16,6) effect
-    * summation mirror the Spark side exactly. */
+    * absorption steps by matrix SQUARING (M² → M⁴ → M⁸, mirroring the
+    * Spark association order exactly) per removal variant → removal
+    * effects; DECIMAL(16,12) product pinning and DECIMAL(16,6) effect
+    * summation mirror the Spark side. */
   private def markovSql: String = {
-    def step(k: Int, prev: String): String =
-      s"""v$k AS (
-         |  SELECT t.variant, t.dst AS st,
-         |    CAST(sum(CAST(t.p * v.mass AS DECIMAL(16,12))) AS DOUBLE)
-         |      AS mass
-         |  FROM vt t JOIN $prev v
-         |    ON v.variant = t.variant AND v.st = t.src
-         |  GROUP BY 1, 2)""".stripMargin
-    val stepCtes = (1 to 8)
-      .map(k => step(k, s"v${k - 1}")).mkString(",\n")
+    def square(k: Int, prev: String): String =
+      s"""mm$k AS MATERIALIZED (
+         |  SELECT variant, src, dst,
+         |    CAST(sum(CAST(pa * pb AS DECIMAL(16,12))) AS DOUBLE) AS p
+         |  FROM (SELECT a.variant, a.src, b.dst, a.p AS pa, b.p AS pb
+         |        FROM $prev a JOIN $prev b
+         |          ON a.variant = b.variant AND a.dst = b.src)
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    val stepCtes = (1 to 3)
+      .map(k => square(k, if (k == 1) "vt" else s"mm${k - 1}"))
+      .mkString(",\n")
     s"""WITH rows0 AS (
        |  SELECT user_id, event_type, event_id,
        |    row_number() OVER (PARTITION BY user_id
@@ -955,11 +983,10 @@ object EventsQ {
        |  UNION ALL
        |  SELECT variant, a, a, 1.0 FROM ch
        |    CROSS JOIN (SELECT unnest(['CONV','NULL']) AS a)),
-       |v0 AS (SELECT variant, 'START' AS st, 1.0 AS mass FROM ch),
        |$stepCtes,
        |conv AS (
-       |  SELECT variant, ${r6Sql("mass")} AS p_conv
-       |  FROM v8 WHERE st = 'CONV'),
+       |  SELECT variant, ${r6Sql("p")} AS p_conv
+       |  FROM mm3 WHERE src = 'START' AND dst = 'CONV'),
        |pf AS (SELECT p_conv AS p_full FROM conv WHERE variant = 'none'),
        |re AS (
        |  SELECT variant AS channel, (SELECT p_full FROM pf) AS p_full,
