@@ -692,6 +692,111 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  // ---- r10 property gates ----
+
+  test("markov_attribution: shares sum to 1, removal effects in [0, 1], " +
+    "and removing any channel never raises conversion") {
+    val rows = SparkEntry.queries("markov_attribution")(spark, sf).collect()
+    assert(rows.length == 4)
+    val shares = rows.map(_.getAs[Double]("attribution"))
+    assert(math.abs(shares.sum - 1.0) < 1e-4, s"shares sum ${shares.sum}")
+    rows.foreach { r =>
+      val re = r.getAs[Double]("removal_effect")
+      assert(re >= 0.0 && re <= 1.0, s"${r.getString(0)}: RE $re")
+      assert(r.getAs[Double]("p_removed") <= r.getAs[Double]("p_full") + 1e-9,
+        s"${r.getString(0)}: removal raised conversion")
+    }
+  }
+
+  test("logistic_irls: log-likelihood improves across Newton steps and " +
+    "coefficients stay finite") {
+    val rows = SparkEntry.queries("logistic_irls")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("iter"))
+    assert(rows.length == 2)
+    val lls = rows.map(_.getAs[Double]("loglik"))
+    // iteration 1's ll is evaluated AT beta=0 (= -n·ln 2); step 2's ll is
+    // at the fitted beta — it must improve
+    assert(lls(1) > lls(0), s"ll did not improve: ${lls.toSeq}")
+    rows.foreach(r => Seq("b0", "b1", "b2").foreach(c =>
+      assert(!r.getAs[Double](c).isNaN && !r.getAs[Double](c).isInfinite)))
+  }
+
+  test("quantile_normalize: normalized medians agree across all sources " +
+    "(the batch effect is gone)") {
+    val rows = SparkEntry.queries("quantile_normalize")(spark, sf).collect()
+    assert(rows.length >= 2)
+    val medians = rows.map(_.getAs[Long]("median_norm")).distinct
+    assert(medians.length == 1,
+      s"normalized medians diverge: ${medians.toSeq}")
+    val rawMeans = rows.map(_.getAs[Double]("mean_raw")).distinct
+    assert(rawMeans.length > 1, "raw means were already equal — vacuous")
+  }
+
+  test("entity_dedup_e2e: every survivor is a cluster member and record " +
+    "counts dominate name counts") {
+    val rows = SparkEntry.queries("entity_dedup_e2e")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_records") >= r.getAs[Long]("n_names"))
+      // the cluster id is the lexicographic min — survivor can't precede it
+      assert(r.getAs[String]("survivor") >= r.getAs[String]("cluster_id"))
+    }
+  }
+
+  test("itemsets_3: support never exceeds any member's own support and " +
+    "triples are ordered") {
+    val rows = SparkEntry.queries("itemsets_3")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val abc = r.getAs[Long]("n_abc")
+      assert(abc <= r.getAs[Long]("n_a") && abc <= r.getAs[Long]("n_b") &&
+        abc <= r.getAs[Long]("n_c"))
+      assert(r.getAs[Long]("pa") < r.getAs[Long]("pb") &&
+        r.getAs[Long]("pb") < r.getAs[Long]("pc"))
+      assert(r.getAs[Double]("lift") > 0.0)
+    }
+  }
+
+  test("maximal_repeat_spans: spans are >= 10 tokens and the re-sliced " +
+    "text has exactly len_tokens words") {
+    val rows = SparkEntry.queries("maximal_repeat_spans")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val len = r.getAs[Long]("len_tokens")
+      assert(len >= 10)
+      val words = r.getAs[String]("span_text").split(" ")
+      assert(words.length == len,
+        s"${r.getAs[Long]("a_id")}/${r.getAs[Long]("b_id")}: " +
+          s"${words.length} words vs len $len")
+    }
+  }
+
+  test("rrf_fusion: fused score equals the reciprocal-rank formula and " +
+    "double-ranked docs dominate") {
+    val rows = SparkEntry.queries("rrf_fusion")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ra, rb) = (r.getAs[Int]("rank_exact"), r.getAs[Int]("rank_jl"))
+      val expect = (if (ra > 0) 1.0 / (60 + ra) else 0.0) +
+        (if (rb > 0) 1.0 / (60 + rb) else 0.0)
+      assert(math.abs(r.getAs[Double]("rrf") -
+        math.floor(expect * 1e6 + 0.5) / 1e6) < 1e-9)
+    }
+  }
+
+  test("bpe_train_merges: six rounds, positive weights, merged symbols " +
+    "concatenate their parts") {
+    val rows = SparkEntry.queries("bpe_train_merges")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("round"))
+    assert(rows.map(_.getAs[Long]("round")).toSeq == (1L to 6L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("weight") > 0)
+      assert(r.getAs[String]("merged") ==
+        r.getAs[String]("left_sym") + r.getAs[String]("right_sym"))
+    }
+  }
+
   test("stream_cdc_exec: op counters strictly increase per user and " +
     "tombstoned images are zeroed") {
     val rows = SparkEntry.queries("stream_cdc_exec")(spark, sf).collect()
