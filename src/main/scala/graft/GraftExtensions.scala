@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CharBigrams, DotProduct, TopKDoubles}
+import graft.expressions.{CharBigrams, DotProduct, JaroWinkler, TopKDoubles}
 
 /** SparkSessionExtensions entry point: injects the engine's custom
   * expressions at session build, so a user can enable everything with
@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_bigrams"),
       new ExpressionInfo(classOf[CharBigrams].getName, "graft_bigrams"),
       (children: Seq[Expression]) => CharBigrams(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKDoubles].getName, "graft_topk"),

@@ -28,6 +28,10 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect()(0).getSeq[String](0)
       assert(bg == Seq("ab", "cd"))
 
+      val jw = s.sql("SELECT graft_jaro_winkler('martha', 'marhta')")
+        .collect()(0).getDouble(0)
+      assert(math.abs(jw - 0.9611111111111111) < 1e-12)
+
       // injected optimizer rule: redundant array passes are removed.
       // The array must be NON-foldable (derived from range's id) —
       // a literal Seq would be constant-folded/ConvertToLocalRelation'd
