@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import core._
@@ -277,16 +277,20 @@ object DepthQ {
     * candidate join is an equi-join on cell keys with 9× fan-out on one
     * side — the textbook distributed spatial join; work tracks occupied
     * cells × density, never n². */
-  val spatialGridJoin: QFn = (s, dir) => {
-    // Reduce mod 10000 BEFORE the multiply: (u*K)%m == ((u%m)*(K%m))%m
-    // for u >= 0, and 9999*5761 < 2^26 — no BIGINT overflow at ANY
-    // user_id magnitude (the raw u*2654435761 form overflows past ~3.4e9
-    // ids and would abort under ANSI). 5761 = 2654435761 % 10000,
-    // 2519 = 2246822519 % 10000.
-    val users = t(s, dir, "events").select(col("user_id")).distinct()
+  /** Deterministic planar user positions over the 10 km box — shared by
+    * spatial_grid_join and dbscan_grid. Reduce mod 10000 BEFORE the
+    * multiply: (u·K)%m == ((u%m)·(K%m))%m for u ≥ 0, and 9999·5761 <
+    * 2²⁶ — no BIGINT overflow at ANY user_id magnitude (the raw
+    * u·2654435761 form overflows past ~3.4e9 ids and would abort under
+    * ANSI). 5761 = 2654435761 % 10000, 2519 = 2246822519 % 10000. */
+  private def gridUsers(s: SparkSession, dir: String) =
+    t(s, dir, "events").select(col("user_id")).distinct()
       .select(col("user_id"),
         (col("user_id") % 10000L * lit(5761L) % 10000L).as("x"),
         (col("user_id") % 10000L * lit(2519L) % 10000L).as("y"))
+
+  val spatialGridJoin: QFn = (s, dir) => {
+    val users = gridUsers(s, dir)
     val a = users.select(col("user_id").as("uid_a"), col("x").as("xa"),
       col("y").as("ya"),
       explode(expr("sequence(-1, 1)")).as("dx"))
@@ -306,6 +310,125 @@ object DepthQ {
       .filter(col("dist_sq") <= 4000000L)
       .orderBy(col("dist_sq"), col("uid_a"), col("uid_b"))
       .limit(20)
+  }
+
+  /** Grid DBSCAN (r10, Ester et al. KDD'96 — public algorithm) — the
+    * DENSITY member of the clustering family (kmeans partitions by
+    * centroid, SemDeDup prunes within clusters, DBSCAN finds arbitrary-
+    * shape dense regions + explicit NOISE — the outlier-aware clustering
+    * curation pipelines use on geo/embedding-like features): eps = the
+    * grid radius (exact integer dist² ≤ 4 000 000), minPts = 4
+    * (neighborhood INCLUDING self). Cores = points with ≥ minPts
+    * neighbors; clusters = connected components of the core–core
+    * eps-graph (min-label propagation to the DETECTED fixpoint — the
+    * label-sum Observation device, isolated cores self-cluster);
+    * borders join their lowest core-neighbor's cluster (the
+    * deterministic resolution of DBSCAN's only order-dependence);
+    * everything else is noise, reported as the cluster_id = −1 row.
+    * Scale shape: neighbor enumeration is the spatial grid's cell
+    * equi-join; the CC rounds shuffle the CORE graph only. Exact
+    * integer geometry end to end ⇒ full recursive-CTE oracle. */
+  /** DBSCAN's positions are PLANTED: three tight 250-unit blobs at
+    * well-separated centers (cid = user_id % 3) plus a ~1/13 uniform
+    * noise tier — pure BIGINT arithmetic (the gridUsers reduction
+    * trick), so both engines hold identical geometry AND the corpus has
+    * genuine density structure at every sf (the raw lattice positions
+    * are either all-sparse or all-dense — no density contrast to find).
+    * eps² = 160 000 (blob diagonal 354 < eps 400 < center gap ~3900). */
+  private def dbscanUsers(s: SparkSession, dir: String) = {
+    val h1 = col("user_id") % 10000L * lit(5761L) % 10000L
+    val h2 = col("user_id") % 10000L * lit(2519L) % 10000L
+    val noise = col("user_id") % 13 === 0
+    val cid = col("user_id") % 3
+    t(s, dir, "events").select(col("user_id")).distinct()
+      .select(col("user_id"),
+        when(noise, h1).otherwise(lit(1500) + cid * 3000 + h1 % 250)
+          .as("x"),
+        when(noise, h2).otherwise(lit(1500) + cid * 2500 + h2 % 250)
+          .as("y"))
+  }
+
+  val dbscanGrid: QFn = (s, dir) => {
+    val users = dbscanUsers(s, dir)
+    val a = users.select(col("user_id").as("uid_a"), col("x").as("xa"),
+      col("y").as("ya"),
+      explode(expr("sequence(-1, 1)")).as("dx"))
+      .select(col("uid_a"), col("xa"), col("ya"), col("dx"),
+        explode(expr("sequence(-1, 1)")).as("dy"))
+      .select(col("uid_a"), col("xa"), col("ya"),
+        (expr("xa div 2000") + col("dx")).as("cx"),
+        (expr("ya div 2000") + col("dy")).as("cy"))
+    val b = users.select(col("user_id").as("uid_b"), col("x").as("xb"),
+      col("y").as("yb"),
+      expr("x div 2000").as("cx"), expr("y div 2000").as("cy"))
+    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    // directed neighbor pairs (each unordered pair appears both ways)
+    val nbr = a.join(b, Seq("cx", "cy"))
+      .filter(col("uid_a") =!= col("uid_b") && d2 <= 160000L)
+      .select(col("uid_a"), col("uid_b"))
+      .localCheckpoint() // read by degree, core-edge, and border passes
+    val core = nbr.groupBy(col("uid_a")).agg(count(lit(1)).as("n"))
+      .filter(col("n") + 1 >= 4) // neighborhood includes the point
+      .select(col("uid_a").as("id"))
+      .localCheckpoint()
+    val coreEdges = nbr
+      .join(core.select(col("id").as("uid_a")), "uid_a")
+      .join(core.select(col("id").as("uid_b")), "uid_b")
+      .select(col("uid_a").as("src"), col("uid_b").as("dst"))
+      .localCheckpoint()
+    // min-label propagation over core edges; isolated cores self-seed
+    def ckSum(df: org.apache.spark.sql.DataFrame, round: Int)
+        : (org.apache.spark.sql.DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation(s"dbscan_lbl_r$round")
+      val ck = df.observe(obs, coalesce(sum(col("lbl")), lit(0L)).as("s"))
+        .localCheckpoint()
+      (ck, obs.get("s").asInstanceOf[Long])
+    }
+    var (labels, prevSum) = ckSum(
+      core.join(coreEdges.groupBy(col("src")).agg(min(col("dst")).as("mn")),
+          col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("id"), coalesce(col("mn"), col("id"))).as("lbl")),
+      0)
+    var converged = false
+    var round = 1
+    while (!converged) {
+      val nb2 = coreEdges
+        .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")),
+          "dst")
+        .groupBy(col("src")).agg(min(col("dlbl")).as("nlbl"))
+      val (next, sumN) = ckSum(
+        labels.join(nb2.select(col("src").as("id"), col("nlbl")),
+            Seq("id"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl")))
+              .as("lbl")),
+        round)
+      converged = sumN == prevSum
+      prevSum = sumN
+      labels = next
+      round += 1
+    }
+    val borders = nbr
+      .join(labels.select(col("id").as("uid_b"), col("lbl")), "uid_b")
+      .join(core.select(col("id").as("uid_a")), Seq("uid_a"), "left_anti")
+      .groupBy(col("uid_a")).agg(min(col("lbl")).as("lbl"))
+    val clusters = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_core"))
+      .join(borders.groupBy(col("lbl")).agg(count(lit(1)).as("n_border")),
+        Seq("lbl"), "left")
+      .select(col("lbl").as("cluster_id"), col("n_core"),
+        coalesce(col("n_border"), lit(0L)).as("n_border"))
+    val noise = users
+      .join(labels.select(col("id").as("user_id")), Seq("user_id"),
+        "left_anti")
+      .join(borders.select(col("uid_a").as("user_id")), Seq("user_id"),
+        "left_anti")
+      .agg(count(lit(1)).as("n_border"))
+      .select(lit(-1L).as("cluster_id"), lit(0L).as("n_core"),
+        col("n_border"))
+    clusters.unionByName(noise).orderBy(col("cluster_id"))
   }
 
   /** Count-Min heavy-hitter verification (r9) — the third sketch family
@@ -462,6 +585,7 @@ object DepthQ {
   val queries: Map[String, QFn] = Map(
     "copurchase_pairs"   -> copurchasePairs,
     "itemsets_3"         -> itemsets3,
+    "dbscan_grid"        -> dbscanGrid,
     "agg_topk_native"    -> aggTopkNative,
     "bitmap_distinct"    -> bitmapDistinct,
     "approx_topk_words"  -> approxTopkWords,
@@ -498,6 +622,52 @@ object DepthQ {
         |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
         |  <= 4000000
         |ORDER BY dist_sq, uid_a, uid_b LIMIT 20""".stripMargin,
+    "dbscan_grid" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT DISTINCT user_id,
+        |    CASE WHEN user_id % 13 = 0 THEN user_id % 10000 * 5761 % 10000
+        |         ELSE 1500 + (user_id % 3) * 3000
+        |           + (user_id % 10000 * 5761 % 10000) % 250 END AS x,
+        |    CASE WHEN user_id % 13 = 0 THEN user_id % 10000 * 2519 % 10000
+        |         ELSE 1500 + (user_id % 3) * 2500
+        |           + (user_id % 10000 * 2519 % 10000) % 250 END AS y
+        |  FROM events),
+        |nb AS MATERIALIZED (
+        |  SELECT a.user_id AS ua, b.user_id AS ub FROM u a JOIN u b
+        |  ON a.user_id <> b.user_id
+        |  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |    <= 160000),
+        |deg AS (SELECT ua, count(*) AS n FROM nb GROUP BY ua),
+        |core AS MATERIALIZED (SELECT ua AS id FROM deg WHERE n + 1 >= 4),
+        |ce AS MATERIALIZED (
+        |  SELECT n.ua AS src, n.ub AS dst FROM nb n
+        |  JOIN core c1 ON c1.id = n.ua JOIN core c2 ON c2.id = n.ub),
+        |walk(id, r) AS (
+        |  SELECT id, id FROM core
+        |  UNION
+        |  SELECT c.src, w.r FROM ce c JOIN walk w ON c.dst = w.id),
+        |lbl AS MATERIALIZED (
+        |  SELECT id, min(r) AS lbl FROM walk GROUP BY id),
+        |bord AS MATERIALIZED (
+        |  SELECT n.ua AS id, min(l.lbl) AS lbl FROM nb n
+        |  JOIN lbl l ON l.id = n.ub
+        |  WHERE n.ua NOT IN (SELECT id FROM core) GROUP BY n.ua),
+        |cl AS (SELECT lbl AS cluster_id, count(*) AS n_core FROM lbl
+        |       GROUP BY 1),
+        |bc AS (SELECT lbl AS cluster_id, count(*) AS n_border FROM bord
+        |       GROUP BY 1),
+        |noise AS (
+        |  SELECT CAST(-1 AS BIGINT) AS cluster_id,
+        |    CAST(0 AS BIGINT) AS n_core,
+        |    CAST((SELECT count(*) FROM u) - (SELECT count(*) FROM lbl)
+        |      - (SELECT count(*) FROM bord) AS BIGINT) AS n_border)
+        |SELECT cluster_id, CAST(n_core AS BIGINT) AS n_core,
+        |  CAST(n_border AS BIGINT) AS n_border FROM (
+        |  SELECT c.cluster_id, c.n_core, coalesce(b.n_border, 0)
+        |      AS n_border
+        |  FROM cl c LEFT JOIN bc b USING (cluster_id)
+        |  UNION ALL SELECT * FROM noise)
+        |ORDER BY cluster_id""".stripMargin,
     "itemsets_3" ->
       s"""WITH op AS (
          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import core._
@@ -578,13 +578,21 @@ object StatsQ {
     * the corpus (9 moment sums) + O(1) driver-free algebra — the
     * canonical distributed GLM layout; iterations are a fixed budget
     * like pagerank's. */
-  val logisticIrls: QFn = (s, dir) => {
-    val base = t(s, dir, "events")
-      .select(
+  /** The scored training frame (label + scaled features + unique key),
+    * shared by the fit and the evaluation keys. */
+  private def irlsBase(s: SparkSession, dir: String) =
+    t(s, dir, "events")
+      .select(col("event_id"),
         when(col("event_type") === "purchase", lit(1.0)).otherwise(lit(0.0))
           .as("y"),
         (col("value") / lit(100.0)).as("x1"),
         (dbl(hour(col("ts"))) / lit(24.0)).as("x2"))
+
+  /** Both IRLS Newton-step frames (iter, b0, b1, b2, ll); it1 is
+    * checkpointed so it2 and every evaluation consumer share one fit. */
+  private def irlsSteps(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val base = irlsBase(s, dir)
     def pin(c: Column) = dec(c, 30, 14)
     def step(beta: org.apache.spark.sql.DataFrame, iter: Int) = {
       val z = col("b0") + col("b1") * col("x1") + col("b2") * col("x2")
@@ -627,16 +635,81 @@ object StatsQ {
       lit(0.0).as("b2"))
     val it1 = step(beta0, 1).localCheckpoint()
     val it2 = step(it1.select(col("b0"), col("b1"), col("b2")), 2)
+      .localCheckpoint()
+    (it1, it2)
+  }
+
+  val logisticIrls: QFn = (s, dir) => {
+    val (it1, it2) = irlsSteps(s, dir)
     it1.unionByName(it2)
       .select(col("iter"), r6(col("b0")).as("b0"), r6(col("b1")).as("b1"),
         r6(col("b2")).as("b2"), r6(col("ll")).as("loglik"))
       .orderBy(col("iter"))
   }
 
+  /** Per-row fitted probabilities under the 2-step IRLS β — the scoring
+    * pass the evaluation keys share. */
+  private def irlsScored(s: SparkSession, dir: String) = {
+    val beta = irlsSteps(s, dir)._2.select(col("b0"), col("b1"), col("b2"))
+    irlsBase(s, dir).crossJoin(broadcast(beta))
+      .withColumn("p", lit(1.0) / (lit(1.0) +
+        exp(-(col("b0") + col("b1") * col("x1") + col("b2") * col("x2")))))
+      .select(col("event_id"), col("y"), col("p"))
+  }
+
+  /** Calibration deciles (r10) — the reliability diagram behind every
+    * model-quality review: score the corpus with the FITTED β (the
+    * composition logistic_irls → evaluation a real pipeline runs), decile
+    * the rows by predicted probability (ntile over (p, event_id) — the
+    * unique tiebreak pins the split), and compare mean p̂ with the
+    * empirical purchase rate per decile. A well-calibrated fit tracks
+    * the diagonal; the gap column quantifies miscalibration. mean p̂ is
+    * a DECIMAL(30,14)-pinned sum (order-free); the rate is an exact 0/1
+    * sum over count. Scale shape: one global ntile sort (at 100 TB a
+    * range partitioner on p — same contract) + one decile aggregate. */
+  val modelCalibration: QFn = (s, dir) => {
+    val w = Window.orderBy(col("p"), col("event_id"))
+    irlsScored(s, dir)
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        r6(dbl(sum(dec(col("p"), 30, 14))) / count(lit(1)))
+          .as("mean_pred"),
+        r6(sum(col("y")) / count(lit(1))).as("purchase_rate"))
+      .withColumn("gap", r6(abs(col("mean_pred") - col("purchase_rate"))))
+      .orderBy(col("decile"))
+  }
+
+  /** ROC AUC (r10) by the rank-sum identity AUC = U/(n₊·n₋) — the
+    * mann_whitney_u midrank machinery applied to the fitted scores
+    * (scores r6-rounded BEFORE ranking so tie groups are engine-
+    * identical; midranks carried ×2 as exact BIGINTs). One (score)
+    * aggregate + rank windows over the distinct-score table — the
+    * standard distributed AUC, no per-pair work. */
+  val modelAuc: QFn = (s, dir) => {
+    val pooled = irlsScored(s, dir)
+      .select(r6(col("p")).as("pv"), col("y").cast("long").as("y1"))
+      .groupBy(col("pv"))
+      .agg(count(lit(1)).as("c"), sum(col("y1")).as("c1"))
+    val wBefore = Window.orderBy(col("pv"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g = pooled
+      .withColumn("rank2",
+        lit(2) * coalesce(sum(col("c")).over(wBefore), lit(0L))
+          + col("c") + lit(1))
+      .agg(sum(col("c1")).as("n_pos"),
+        sum(col("c") - col("c1")).as("n_neg"),
+        sum(col("c1") * col("rank2")).as("r1_x2"))
+    g.select(col("n_pos"), col("n_neg"),
+      r6((dbl(col("r1_x2") - col("n_pos") * (col("n_pos") + lit(1))))
+        / (lit(2.0) * dbl(col("n_pos")) * dbl(col("n_neg"))))
+        .as("auc"))
+  }
+
   /** IRLS oracle: two generated Newton steps, each with the identical
     * per-row sigmoid/weight doubles, DECIMAL(30,14)-pinned moment sums,
     * and the explicit 3×3 adjugate solve. */
-  private def logisticSql: String = {
+  private def irlsCtes: String = {
     def pinSql(e: String) = s"CAST($e AS DECIMAL(30,14))"
     def step(k: Int): String = {
       val b = s"beta${k - 1}"
@@ -690,20 +763,71 @@ object StatsQ {
          |    lld AS ll
          |  FROM i$k)""".stripMargin
     }
-    s"""WITH base AS MATERIALIZED (
-       |  SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END
+    s"""base AS MATERIALIZED (
+       |  SELECT event_id,
+       |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END
        |      AS y,
        |    value / 100.0 AS x1,
        |    CAST(hour(ts) AS DOUBLE) / 24.0 AS x2
        |  FROM events),
        |beta0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
        |${step(1)},
-       |${step(2)}
+       |${step(2)}""".stripMargin
+  }
+
+  private def logisticSql: String =
+    s"""WITH $irlsCtes
        |SELECT iter, ${r6Sql("b0")} AS b0, ${r6Sql("b1")} AS b1,
        |  ${r6Sql("b2")} AS b2, ${r6Sql("ll")} AS loglik
        |FROM (SELECT * FROM beta1 UNION ALL SELECT * FROM beta2)
        |ORDER BY iter""".stripMargin
-  }
+
+  /** Shared scored-frame CTE on top of the IRLS prefix. */
+  private def scoredCte: String =
+    s"""scored AS MATERIALIZED (
+       |  SELECT b.event_id, b.y,
+       |    1.0 / (1.0 + exp(-((SELECT b0 FROM beta2)
+       |      + (SELECT b1 FROM beta2) * b.x1
+       |      + (SELECT b2 FROM beta2) * b.x2))) AS p
+       |  FROM base b)""".stripMargin
+
+  private def calibrationSql: String =
+    s"""WITH $irlsCtes,
+       |$scoredCte,
+       |dcl AS (
+       |  SELECT y, p, ntile(10) OVER (ORDER BY p, event_id) AS decile
+       |  FROM scored)
+       |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n,
+       |  ${r6Sql("CAST(sum(CAST(p AS DECIMAL(30,14))) AS DOUBLE) / count(*)")}
+       |    AS mean_pred,
+       |  ${r6Sql("sum(y) / count(*)")} AS purchase_rate,
+       |  ${r6Sql(
+           "abs(" + r6Sql("CAST(sum(CAST(p AS DECIMAL(30,14))) AS DOUBLE) / count(*)")
+             + " - " + r6Sql("sum(y) / count(*)") + ")")} AS gap
+       |FROM dcl GROUP BY decile ORDER BY decile""".stripMargin
+
+  private def aucSql: String =
+    s"""WITH $irlsCtes,
+       |$scoredCte,
+       |pooled AS (
+       |  SELECT ${r6Sql("p")} AS pv, count(*) AS c,
+       |    CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS c1
+       |  FROM scored GROUP BY 1),
+       |ranked AS (
+       |  SELECT pv, c, c1,
+       |    2 * coalesce(sum(c) OVER (ORDER BY pv
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      + c + 1 AS rank2
+       |  FROM pooled),
+       |g AS (
+       |  SELECT CAST(sum(c1) AS BIGINT) AS n_pos,
+       |    CAST(sum(c - c1) AS BIGINT) AS n_neg,
+       |    CAST(sum(c1 * rank2) AS BIGINT) AS r1_x2
+       |  FROM ranked)
+       |SELECT n_pos, n_neg,
+       |  ${r6Sql("CAST(r1_x2 - n_pos * (n_pos + 1) AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))")}
+       |    AS auc
+       |FROM g""".stripMargin
 
   /** Mann-Whitney U rank-sum test (r9) — the NONPARAMETRIC two-sample
     * companion to abtest_ztest (Mann & Whitney 1947, public statistic):
@@ -1280,6 +1404,8 @@ object StatsQ {
     "anova_f"             -> anovaF,
     "mann_whitney_u"      -> mannWhitneyU,
     "logistic_irls"       -> logisticIrls,
+    "model_calibration"   -> modelCalibration,
+    "model_auc"           -> modelAuc,
     "corr_matrix"         -> corrMatrix,
     "drift_psi"           -> driftPsi,
     "acf_lag"             -> acfLag,
@@ -1517,6 +1643,8 @@ object StatsQ {
          |    AS eta_sq
          |FROM f""".stripMargin,
     "logistic_irls" -> logisticSql,
+    "model_calibration" -> calibrationSql,
+    "model_auc" -> aucSql,
     "mann_whitney_u" ->
       s"""WITH pooled AS (
          |  SELECT event_type, value, count(*) AS c,

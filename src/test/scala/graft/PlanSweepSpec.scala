@@ -94,10 +94,15 @@ class PlanSweepSpec extends SparkSpec {
     // round, but the per-round localCheckpoints truncate the returned
     // merge-table plan before the sweep sees any of it — no entry
     // needed (or permitted: the shape-check would rot), like semdedup.
-    "logistic_irls" ->
-      "1-row beta vector broadcast into each Newton step's scoring pass",
+    // logistic_irls broadcasts the 1-row beta into each Newton step, but
+    // both step frames are checkpointed (shared with the model_* keys),
+    // so its returned plan shows no join shape — no entry, like semdedup.
     "quantile_normalize" ->
-      "1-row pooled-count aggregate broadcast into the rank mapping")
+      "1-row pooled-count aggregate broadcast into the rank mapping",
+    "model_calibration" ->
+      "1-row fitted-beta broadcast into the scoring pass",
+    "model_auc" ->
+      "1-row fitted-beta broadcast into the scoring pass")
 
   test("no unlisted query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
