@@ -323,4 +323,62 @@ class EdgeCorpusSpec extends SparkSpec {
     assert(rau.map(_.getAs[Long]("dau")).toSeq == Seq(3L, 1L))
     assert(rau.map(_.getAs[Long]("wau")).toSeq == Seq(3L, 3L))
   }
+
+  test("r10 event keys survive ties, nulls, absent channels, and " +
+    "density-free user sets") {
+    // markov: absent channels (view/signup never occur) must report a
+    // zero removal effect, not crash or divide by zero
+    val mk = SparkEntry.queries("markov_attribution")(spark, edgeEventsDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(mk.keySet == Set("click", "error", "signup", "view"))
+    assert(mk("view").getAs[Double]("removal_effect") == 0.0)
+    assert(mk("signup").getAs[Double]("removal_effect") == 0.0)
+    // logistic: a NULL value row must drop out of the pinned sums
+    // (null-skipping aggregate), never abort; betas stay non-null
+    val lg = SparkEntry.queries("logistic_irls")(spark, edgeEventsDir)
+      .collect()
+    assert(lg.length == 2)
+    lg.foreach(r => assert(!r.isNullAt(r.fieldIndex("b0"))))
+    // AUC: both classes exist; value must be a real probability
+    val auc = SparkEntry.queries("model_auc")(spark, edgeEventsDir)
+      .collect()(0)
+    assert(auc.getAs[Long]("n_pos") == 2 && auc.getAs[Long]("n_neg") > 0)
+    val a = auc.getAs[Double]("auc")
+    assert(!a.isNaN && a >= 0.0 && a <= 1.0, s"auc $a")
+    // t-digest: 8 events incl. a NULL value — estimates stay inside the
+    // observed range per type
+    val td = SparkEntry.queries("tdigest_quantile")(spark, edgeEventsDir)
+      .collect()
+    assert(td.nonEmpty)
+    td.filter(_.getString(0) == "click").foreach { r =>
+      val est = r.getAs[Double]("est")
+      assert(est >= 1.5 && est <= 4.0, s"click est $est")
+    }
+    // dbscan: 3 users can never reach minPts=4 — everything is the
+    // explicit noise row, not an empty result
+    val db = SparkEntry.queries("dbscan_grid")(spark, edgeEventsDir)
+      .collect()
+    assert(db.length == 1 && db(0).getAs[Long]("cluster_id") == -1L
+      && db(0).getAs[Long]("n_border") == 3L, db.mkString(","))
+  }
+
+  test("r10 text keys survive empty, whitespace, and sub-window docs") {
+    // maximal repeats need 10-token spans; the edge docs max out at 5
+    assert(SparkEntry.queries("maximal_repeat_spans")(spark, edgeDir)
+      .count() == 0)
+    // BPE: pairs exist only inside 'hello'; merge rounds past pair
+    // exhaustion must vanish quietly, not abort — and every emitted
+    // merge still concatenates its parts
+    val bpe = SparkEntry.queries("bpe_train_merges")(spark, edgeDir)
+      .collect()
+    assert(bpe.length <= 6)
+    bpe.foreach(r => assert(r.getAs[String]("merged") ==
+      r.getAs[String]("left_sym") + r.getAs[String]("right_sym")))
+    // quantile normalization over the 2-source edge corpus: each doc maps
+    // to a pooled value; normalized medians agree
+    val qn = SparkEntry.queries("quantile_normalize")(spark, edgeDir)
+      .collect()
+    assert(qn.length == 2)
+    assert(qn.map(_.getAs[Long]("median_norm")).distinct.length == 1)
+  }
 }
