@@ -43,6 +43,33 @@ class AuditSinkSpec extends SparkSpec {
     assert(back == (0L until 100L).map(i => (i, i * 2, s"row$i")))
   }
 
+  test("committedFiles reads exactly the manifest's part list — an " +
+    "orphaned .jsonl is structurally invisible (r10)") {
+    import graft.sources.AuditCommit
+    val dir = freshDir()
+    spark.range(10).select(col("id"))
+      .coalesce(2)
+      .write.format("graft.sources.AuditSink")
+      .option("path", dir).mode("append").save()
+    // plant an orphan: a stray part a failed/foreign writer left behind
+    // WITHOUT a commit marker — a *.jsonl glob would happily read it
+    Files.write(new File(dir, "part-99999-orphan.jsonl").toPath,
+      "{\"id\": 424242}\n".getBytes("UTF-8"))
+    val fs = AuditCommit.fs(dir, spark.sparkContext.hadoopConfiguration)
+    val committed = AuditCommit.committedFiles(fs, dir)
+    assert(committed.nonEmpty)
+    assert(!committed.exists(_.contains("orphan")),
+      s"orphan leaked into the committed list: $committed")
+    val ids = spark.read.json(committed: _*)
+      .select(col("id").cast("long")).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until 10L),
+      s"manifest read returned ${ids.toSeq}")
+    // the glob, by contrast, WOULD see the orphan — the exact hazard
+    // the manifest contract removes
+    val globIds = spark.read.json(s"$dir/*.jsonl").count()
+    assert(globIds == 11, s"glob saw $globIds rows")
+  }
+
   test("empty partitions produce no part files but count in the manifest") {
     val dir = freshDir()
     spark.range(3).repartition(8)
