@@ -98,10 +98,29 @@ object Tables {
       }
     }
 
+  /** Lifetime-unique registry key per session. identityHashCode (the
+    * pre-r11 key) can repeat after GC, silently serving one session's
+    * cache entries to a later one; Spark's own `sessionUUID` is
+    * private[sql]. So mint a UUID per session on first sight, held in a
+    * weak identity map (SparkSession does not override equals): unique
+    * for the JVM's lifetime, and a collected session's entry vanishes
+    * instead of pinning the session live. */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String])
+  private[graft] def sessionKey(spark: SparkSession): String =
+    sessionIds.synchronized {
+      var id = sessionIds.get(spark)
+      if (id == null) {
+        id = java.util.UUID.randomUUID().toString
+        sessionIds.put(spark, id)
+      }
+      id
+    }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     prepareSession(spark)
     registry.getOrElseUpdate(
-      (System.identityHashCode(spark).toString, sfDir, name), name match {
+      (sessionKey(spark), sfDir, name), name match {
       case "events" =>
         val raw = spark.read.parquet(s"$sfDir/events.parquet")
         normalizeEventsTs(raw, raw.schema("ts").dataType)
@@ -127,7 +146,7 @@ object Tables {
       name: String): Long = {
     prepareSession(spark)
     rowCounts.getOrElseUpdate(
-      (System.identityHashCode(spark).toString, sfDir, name), {
+      (sessionKey(spark), sfDir, name), {
         val v1Key = "spark.sql.sources.useV1SourceList"
         val aggKey = "spark.sql.parquet.aggregatePushdown"
         val priorV1 = spark.conf.getOption(v1Key)

@@ -23,10 +23,21 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // Per-key line protocol on STDOUT (bounded: one line per key, no
+      // stack traces) so any log capture — even one that drops stderr or
+      // truncates tails — still yields a machine-parseable per-key status.
+      // CORRECTNESS_r{9,10}.json arrived empty from the driver; these
+      // lines are the grep-able fallback evidence trail (same fix Bench
+      // got in r3 when its tail was truncated).
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        println(s"GRAFT_VERIFY key=$name dump=OK")
+      } catch { case e: Throwable =>
         failed += name
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replaceAll("\\s+", " ").take(160)
+        println(s"GRAFT_VERIFY key=$name dump=FAIL msg=$msg")
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

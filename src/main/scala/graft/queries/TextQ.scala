@@ -812,6 +812,163 @@ object TextQ {
     merges.orderBy(col("round"))
   }
 
+  /** The trained BPE merge table APPLIED from scratch (r11) — the encode
+    * half of the tokenizer: `bpe_train_merges` learns the table; this
+    * helper re-segments the word-TYPE vocabulary by applying each merge
+    * in priority order with the training-time islands device, and every
+    * consumer (per-doc token counts, token-budgeted packing) joins its
+    * word instances against the result. The 6-row merge table is the
+    * trained ARTIFACT: collecting it to the driver is the bounded O(1)
+    * read the iterative family already uses for convergence metrics —
+    * the corpus never moves. Apply-equals-train is the PINNED property:
+    * training applies merge k to vocab_{k-1} as it learns (Sennrich
+    * ACL'16), so encoding the training corpus under the trained table
+    * must reproduce training's final vocabulary exactly — the oracle
+    * grades the apply output against the training chain's vocab6, which
+    * a wrong priority order, overlap rule, or tie-break cannot match.
+    *
+    * Per-merge cost is cut by a substring prefilter: a word's syms
+    * concatenate to the word itself, so adjacent syms (l, r) imply the
+    * word CONTAINS l||r — words without the substring skip the
+    * explode+window rebuild entirely (the dominant fraction). The whole
+    * apply phase runs on the vocabulary domain, which saturates under
+    * Heaps' law — corpus-independent at 100 TB; the corpus-sized work is
+    * the one word count in training plus the instance joins downstream. */
+  private val bpeSegCache =
+    new scala.collection.concurrent.TrieMap[(String, String), DataFrame]
+
+  /** Session-scoped standing artifact: the tokenizer (trained merges +
+    * applied segmentation) is built ONCE per (session, fixture dir) and
+    * every consumer key reuses the checkpointed result — the operational
+    * shape of a real tokenizer, which is trained once and then applied by
+    * every downstream job, and the same per-JVM staging amortization
+    * lateInbox / bucketed_join already use. */
+  private def bpeApplied(s: SparkSession, dir: String): DataFrame =
+    bpeSegCache.getOrElseUpdate((graft.Tables.sessionKey(s), dir),
+      bpeAppliedBuild(s, dir))
+
+  private def bpeAppliedBuild(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTrainMerges(s, dir)
+      .select(col("round"), col("left_sym"), col("right_sym"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val chars = transform(sequence(lit(1), length(col("word"))),
+      i => col("word").substr(i, lit(1)))
+    var vocab = t(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .distinct()
+      .select(col("word"), chars.as("syms"))
+      .localCheckpoint()
+    val wPos = Window.partitionBy(col("word")).orderBy(col("pos"))
+    withShuffleParts(s, 8) { for ((l, r) <- merges) {
+      val touched = vocab.filter(col("word").contains(l + r))
+      val untouched = vocab.filter(!col("word").contains(l + r))
+      val ex = touched
+        .select(col("word"), posexplode(col("syms")).as(Seq("pos", "sym")))
+        .withColumn("nxt", lead(col("sym"), 1).over(wPos))
+        .withColumn("hit", col("sym") === lit(l) && col("nxt") === lit(r))
+      val wRun = Window.partitionBy(col("word"), col("grp"))
+      val kept = ex.filter(col("hit"))
+        .withColumn("rnm", row_number().over(wPos))
+        .withColumn("grp", col("pos") - col("rnm"))
+        .withColumn("start", min(col("pos")).over(wRun))
+        .filter((col("pos") - col("start")) % 2 === 0)
+        .select(col("word").as("kw"), col("pos").as("kpos"))
+        .localCheckpoint() // probed twice below (merge site + consumed right)
+      val rebuilt = ex
+        .join(kept, col("word") === col("kw")
+          && col("pos") === col("kpos"), "left")
+        .withColumn("ismerge", col("kpos").isNotNull)
+        .drop("kw", "kpos")
+        .join(kept, col("word") === col("kw")
+          && col("pos") === col("kpos") + 1, "left")
+        .filter(col("kpos").isNull) // drop consumed right halves
+        .select(col("word"), col("pos"),
+          when(col("ismerge"), concat(col("sym"), col("nxt")))
+            .otherwise(col("sym")).as("sym"))
+        .groupBy(col("word"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"),
+          col("sym")))), x => x.getField("sym")).as("syms"))
+      vocab = rebuilt.unionByName(untouched).localCheckpoint()
+    } }
+    vocab
+  }
+
+  /** BPE tokenization of the corpus under the trained merge table (r11)
+    * — the most-executed operator of a real pretraining pipeline
+    * (every document is encoded before packing/training), graded as the
+    * per-language encode manifest: word/token/merged-token volumes plus
+    * the most frequent multi-character token (count DESC, token ASC tie
+    * rule). Every number is an exact BIGINT over the full corpus —
+    * a single mis-applied merge anywhere shifts n_tokens/n_merged and
+    * breaks the hash. Scale shape: the apply phase is vocabulary-domain
+    * (bpeApplied); corpus-sized work is one (lang, word) instance count
+    * joined against the segmentation — wordcount-shaped, one shuffle. */
+  val tokenBpeApply: QFn = (s, dir) => {
+    val seg = bpeApplied(s, dir)
+    val wc = t(s, dir, "documents")
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("wn"))
+    // (lang, word-type) × segmentation — reused by the totals and the
+    // top-token branch; vocabulary-sized, so pinning it is free.
+    val wv = wc.join(seg, "word").localCheckpoint()
+    val stats = wv.groupBy(col("lang"))
+      .agg(sum(col("wn")).as("n_words"),
+        sum(col("wn") * size(col("syms"))).as("n_tokens"),
+        sum(col("wn") * size(filter(col("syms"), y => length(y) >= 2)))
+          .as("n_merged"))
+    val wTop = Window.partitionBy(col("lang"))
+      .orderBy(col("tn").desc, col("tok"))
+    val top = wv.select(col("lang"), col("wn"), explode(col("syms")).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .groupBy(col("lang"), col("tok")).agg(sum(col("wn")).as("tn"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("tok"), col("tn"))
+    t(s, dir, "documents").groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .join(stats, Seq("lang"), "left")
+      .join(top, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_merged"), lit(0L)).as("n_merged"),
+        coalesce(col("tok"), lit("")).as("top_merged"),
+        coalesce(col("tn"), lit(0L)).as("top_merged_n"))
+      .orderBy(col("lang"))
+  }
+
+  /** TOKEN-budgeted sequence packing (r11) — pack_sequences with the real
+    * currency: bins are 512 BPE TOKENS under the trained merge table
+    * (pack_sequences' char-proxy bins mis-size the moment merges shorten
+    * dense words unevenly). Composition is the full text→training-batches
+    * path: train (bpe_train_merges) → encode (bpeApplied) → per-doc token
+    * counts → the same one-prefix-sum-window-per-lang-shard packing
+    * device, emitting the per-bin manifest. Docs with no tokens pack at
+    * zero width (left join + coalesce), exactly like the char version
+    * counts them as 0-token docs. Scale shape unchanged from
+    * pack_sequences: packing parallelizes across lang shards, the only
+    * additions are the vocabulary-domain segmentation join and one
+    * doc-keyed count — no new corpus-scale shuffle class. */
+  val packTokensBpe: QFn = (s, dir) => {
+    val seg = bpeApplied(s, dir)
+    val dtok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      .join(seg, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(size(col("syms")).cast("long")).as("tok"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      .join(dtok, Seq("doc_id"), "left")
+      .withColumn("tok", coalesce(col("tok"), lit(0L)))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("bin", expr("(cum - tok) div 512"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
   /** Shannon entropy (nats) of each language's token distribution — the
     * standard corpus-diversity / degenerate-text signal next to
     * quality_score (a collapsed crawl segment shows entropy ≈ 0).
@@ -1204,6 +1361,8 @@ object TextQ {
     "maximal_repeat_spans" -> maximalRepeatSpans,
     "jw_linkage"         -> jwLinkage,
     "bpe_train_merges"   -> bpeTrainMerges,
+    "token_bpe_apply"    -> tokenBpeApply,
+    "pack_tokens_bpe"    -> packTokensBpe,
     "entity_dedup_e2e"   -> entityDedupE2e,
     "skipgram_pairs"     -> skipgramPairs,
     "token_entropy"      -> tokenEntropy,
@@ -1231,7 +1390,15 @@ object TextQ {
   /** BPE training oracle: 6 generated merge rounds, each mirroring the
     * Spark round stage for stage (pair weights → argmax → islands-greedy
     * application → array rebuild). Pure integer arithmetic throughout. */
-  private def bpeTrainSql: String = {
+  /** The 6 generated BPE merge rounds through `vocab6` + `mg1..6`, shared
+    * by the training oracle and — because training's final vocabulary IS
+    * the greedy application of the learned merges in priority order — by
+    * the apply/pack oracles, which read `vocab6` as the segmentation.
+    * That reuse is the cross-engine statement of apply-equals-train: the
+    * Spark side re-applies the collected merge table from scratch, the
+    * oracle takes training's incremental state, and the hash match proves
+    * them identical. */
+  private def bpeVocabCtes: String = {
     def round(k: Int): String = {
       val prev = s"vocab${k - 1}"
       s"""ex$k AS MATERIALIZED (
@@ -1273,18 +1440,76 @@ object TextQ {
          |    pb AS right_sym, pa || pb AS merged, weight
          |  FROM top$k)""".stripMargin
     }
-    s"""WITH $wordsCte,
+    s"""$wordsCte,
        |vocab0 AS MATERIALIZED (
        |  SELECT word, count(*) AS cnt,
        |    list_transform(range(1, len(word) + 1), i -> word[i:i])
        |      AS syms
        |  FROM (SELECT unnest(ws) AS word FROM words) GROUP BY word),
-       |${(1 to 6).map(round).mkString(",\n")}
+       |${(1 to 6).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private def bpeTrainSql: String =
+    s"""WITH $bpeVocabCtes
        |SELECT * FROM (
        |  ${(1 to 6).map(k => s"SELECT * FROM mg$k").mkString(
              " UNION ALL ")})
        |ORDER BY round""".stripMargin
-  }
+
+  /** Apply oracle: vocab6 (= the trained merges greedily applied, see
+    * bpeVocabCtes) joined back to the word instances — per-lang exact
+    * token volumes + argmax multi-char token. */
+  private def bpeApplySql: String =
+    s"""WITH $bpeVocabCtes,
+       |inst AS MATERIALIZED (
+       |  SELECT doc_id, unnest(ws) AS word FROM words),
+       |wc AS MATERIALIZED (
+       |  SELECT d.lang, i.word, count(*) AS wn
+       |  FROM inst i JOIN documents d USING (doc_id) GROUP BY 1, 2),
+       |wv AS MATERIALIZED (
+       |  SELECT lang, wn, syms FROM wc JOIN vocab6 USING (word)),
+       |st AS (SELECT lang, CAST(sum(wn) AS BIGINT) AS n_words,
+       |    CAST(sum(wn * len(syms)) AS BIGINT) AS n_tokens,
+       |    CAST(sum(wn * len(list_filter(syms, y -> len(y) >= 2)))
+       |      AS BIGINT) AS n_merged
+       |  FROM wv GROUP BY 1),
+       |tc AS (SELECT lang, tok, CAST(sum(wn) AS BIGINT) AS tn
+       |  FROM (SELECT lang, wn, unnest(syms) AS tok FROM wv)
+       |  WHERE len(tok) >= 2 GROUP BY 1, 2),
+       |topt AS (SELECT lang, tok, tn FROM (
+       |    SELECT lang, tok, tn, row_number() OVER (PARTITION BY lang
+       |      ORDER BY tn DESC, tok) AS rn FROM tc) WHERE rn = 1),
+       |nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1)
+       |SELECT nd.lang, nd.n_docs,
+       |  coalesce(st.n_words, CAST(0 AS BIGINT)) AS n_words,
+       |  coalesce(st.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+       |  coalesce(st.n_merged, CAST(0 AS BIGINT)) AS n_merged,
+       |  coalesce(topt.tok, '') AS top_merged,
+       |  coalesce(topt.tn, CAST(0 AS BIGINT)) AS top_merged_n
+       |FROM nd LEFT JOIN st USING (lang) LEFT JOIN topt USING (lang)
+       |ORDER BY lang""".stripMargin
+
+  /** Token-budgeted packing oracle: vocab6 segmentation → per-doc token
+    * counts → the pack_sequences prefix-sum window at 512 tokens. */
+  private def bpePackSql: String =
+    s"""WITH $bpeVocabCtes,
+       |inst AS MATERIALIZED (
+       |  SELECT doc_id, unnest(ws) AS word FROM words),
+       |dtok AS MATERIALIZED (
+       |  SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS tok
+       |  FROM inst JOIN vocab6 USING (word) GROUP BY doc_id),
+       |alltok AS (
+       |  SELECT d.doc_id, d.lang, coalesce(t.tok, CAST(0 AS BIGINT)) AS tok
+       |  FROM documents d LEFT JOIN dtok t USING (doc_id)),
+       |binned AS (
+       |  SELECT lang, doc_id, tok,
+       |    CAST((sum(tok) OVER (PARTITION BY lang ORDER BY doc_id) - tok)
+       |      // 512 AS BIGINT) AS bin
+       |  FROM alltok)
+       |SELECT lang, bin, count(*) AS n_docs,
+       |  CAST(sum(tok) AS BIGINT) AS sum_tok,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM binned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Shared oracle CTEs for tokenized / shingled docs. */
   private val wordsCte =
@@ -1556,6 +1781,8 @@ object TextQ {
          |FROM s GROUP BY seq HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY n_docs DESC, n_occ DESC, seq LIMIT 20""".stripMargin,
     "bpe_train_merges" -> bpeTrainSql,
+    "token_bpe_apply" -> bpeApplySql,
+    "pack_tokens_bpe" -> bpePackSql,
     // Recursive min-reachable-label mirror of the propagation fixpoint
     // (the neardup_clusters oracle device) over the JW candidate graph.
     "entity_dedup_e2e" ->

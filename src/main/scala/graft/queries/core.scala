@@ -33,6 +33,19 @@ object core {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables(s, dir, name)
 
+  /** Run eager (checkpointing) plan rounds at a reduced shuffle-partition
+    * count — iterative stages whose state is DOMAIN-sized (vocabulary,
+    * labels) pay per-partition job overhead × rounds at the session's
+    * corpus-scan setting; sizing partitions to the state is the same
+    * per-stage decision StreamQ makes for state stores. Restored in
+    * finally; safe for any key that is partition-count-deterministic
+    * (all graft keys are — DeterminismSpec perturbs this very knob). */
+  def withShuffleParts[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prior = s.conf.get("spark.sql.shuffle.partitions")
+    try { s.conf.set("spark.sql.shuffle.partitions", n.toString); body }
+    finally s.conf.set("spark.sql.shuffle.partitions", prior)
+  }
+
   /** Cast to an exact decimal before aggregating (both engines). */
   def dec(c: Column, p: Int, s: Int): Column = c.cast(s"decimal($p,$s)")
 
