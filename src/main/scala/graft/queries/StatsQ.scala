@@ -706,6 +706,101 @@ object StatsQ {
         .as("auc"))
   }
 
+  /** Gini impurity 1 − (p/n)² − ((n−p)/n)² as one mirrored double
+    * expression over exact BIGINT counts. */
+  private def stumpGini(n: Column, p: Column): Column = {
+    val q = dbl(p) / dbl(n)
+    val q0 = (dbl(n) - dbl(p)) / dbl(n)
+    lit(1.0) - q * q - q0 * q0
+  }
+
+  /** Histogram-based decision-tree training (r11) — the XGBoost/LightGBM
+    * split-finding layout (Chen & Guestrin KDD'16; Ke et al.
+    * NeurIPS'17): bin features ONCE against corpus min/max (one
+    * aggregate, broadcast back), then ONE partial+final histogram
+    * aggregate per tree LEVEL decides every split of that level — the
+    * non-linear supervised member of the training family next to
+    * logistic_irls (same label and features: purchase ~ value/100,
+    * hour/24). Depth 2: the root split from the level-0 histogram, both
+    * children split from a single level-1 histogram over the
+    * root-assigned rows. Candidate splits are the populated bin
+    * boundaries of either feature (prefix sums over the ≤ nodes×2×16-row
+    * histogram, never the corpus); Gini gain is an identical double
+    * expression over exact BIGINT counts, r6-rounded BEFORE the argmax,
+    * ties broken (feat, bin). Graded output is the 3-row split
+    * TRAJECTORY — feature, bin boundary, real threshold, gain, child
+    * counts/positives, child leaf rates — which a wrong impurity,
+    * boundary enumeration, prefix sum, or tie-break cannot reproduce.
+    * Scale shape: per level = one corpus scan + a histogram whose size
+    * is nodes×features×bins (the whole point of histogram GBMs at
+    * 100 TB); the binned frame is checkpointed once and reused by both
+    * levels, exactly how a real trainer persists its binned matrix. */
+  val treeStumpTrain: QFn = (s, dir) => {
+    val base = irlsBase(s, dir)
+      .select(col("y").cast("long").as("yl"), col("x1"), col("x2"))
+    val mm = base.agg(min(col("x1")).as("mn1"), max(col("x1")).as("mx1"),
+      min(col("x2")).as("mn2"), max(col("x2")).as("mx2"))
+    def bin(x: Column, mn: Column, mx: Column): Column =
+      least(floor(((x - mn) / (mx - mn)) * lit(16.0)), lit(15L))
+    val rows = base.crossJoin(broadcast(mm))
+      .select(col("yl"),
+        bin(col("x1"), col("mn1"), col("mx1")).as("b1"),
+        bin(col("x2"), col("mn2"), col("mx2")).as("b2"))
+      .localCheckpoint() // the binned matrix — scanned by both levels
+    // One level: histogram → boundary candidates via prefix sums →
+    // best split per node under (gain_r6 DESC, feat, bin).
+    def level(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val h = df.select(col("node"), col("yl"), inline(array(
+          struct(lit("x1").as("feat"), col("b1").as("bin")),
+          struct(lit("x2").as("feat"), col("b2").as("bin")))))
+        .groupBy(col("node"), col("feat"), col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("yl")).as("p"))
+      val wB = Window.partitionBy(col("node"), col("feat"))
+        .orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy(col("node"), col("feat"))
+      val cand = h
+        .withColumn("nl", coalesce(sum(col("n")).over(wB), lit(0L)))
+        .withColumn("pl", coalesce(sum(col("p")).over(wB), lit(0L)))
+        .withColumn("nt", sum(col("n")).over(wAll))
+        .withColumn("pt", sum(col("p")).over(wAll))
+        .filter(col("nl") > 0)
+        .withColumn("nr", col("nt") - col("nl"))
+        .withColumn("pr", col("pt") - col("pl"))
+      val gain = stumpGini(col("nt"), col("pt")) -
+        (dbl(col("nl")) / dbl(col("nt"))) * stumpGini(col("nl"), col("pl")) -
+        (dbl(col("nr")) / dbl(col("nt"))) * stumpGini(col("nr"), col("pr"))
+      val wBest = Window.partitionBy(col("node"))
+        .orderBy(col("gain").desc, col("feat"), col("bin"))
+      cand.withColumn("gain", r6(gain))
+        .withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("feat"), col("bin"), col("gain"),
+          col("nl"), col("pl"), col("nr"), col("pr"))
+    }
+    val best0 = level(rows.select(lit(0L).as("node"), col("yl"),
+      col("b1"), col("b2"))).localCheckpoint()
+    val assigned = rows.crossJoin(broadcast(
+        best0.select(col("feat").as("bf"), col("bin").as("bb"))))
+      .select(when(when(col("bf") === "x1", col("b1")).otherwise(col("b2"))
+          < col("bb"), lit(1L)).otherwise(lit(2L)).as("node"),
+        col("yl"), col("b1"), col("b2"))
+    val allBest = best0.unionByName(level(assigned))
+    allBest.crossJoin(broadcast(mm))
+      .select(col("node"), col("feat"), col("bin").as("split_bin"),
+        r6(when(col("feat") === "x1",
+            col("mn1") + dbl(col("bin")) * (col("mx1") - col("mn1")) / lit(16.0))
+          .otherwise(
+            col("mn2") + dbl(col("bin")) * (col("mx2") - col("mn2")) / lit(16.0)))
+          .as("thr"),
+        col("gain"), col("nl").as("n_left"), col("pl").as("pos_left"),
+        col("nr").as("n_right"), col("pr").as("pos_right"),
+        r6(dbl(col("pl")) / dbl(col("nl"))).as("leaf_left"),
+        r6(dbl(col("pr")) / dbl(col("nr"))).as("leaf_right"))
+      .orderBy(col("node"))
+  }
+
   /** IRLS oracle: two generated Newton steps, each with the identical
     * per-row sigmoid/weight doubles, DECIMAL(30,14)-pinned moment sums,
     * and the explicit 3×3 adjugate solve. */
@@ -773,6 +868,75 @@ object StatsQ {
        |beta0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
        |${step(1)},
        |${step(2)}""".stripMargin
+  }
+
+  /** Tree oracle: identical binning, stacked histograms, prefix-sum
+    * boundary candidates, mirrored Gini-gain doubles, same argmax order. */
+  private def treeStumpSql: String = {
+    def gini(n: String, p: String): String = {
+      val q = s"(CAST($p AS DOUBLE) / CAST($n AS DOUBLE))"
+      val q0 = s"((CAST($n AS DOUBLE) - CAST($p AS DOUBLE)) / CAST($n AS DOUBLE))"
+      s"(1.0 - $q * $q - $q0 * $q0)"
+    }
+    val gainSql = s"${gini("nt", "pt")} - " +
+      s"(CAST(nl AS DOUBLE) / CAST(nt AS DOUBLE)) * ${gini("nl", "pl")} - " +
+      s"(CAST(nr AS DOUBLE) / CAST(nt AS DOUBLE)) * ${gini("nr", "pr")}"
+    // One level: rowsK (node, yl, b1, b2) → bstK (best split per node).
+    def level(k: Int): String =
+      s"""h$k AS (SELECT node, feat, bin, count(*) AS n,
+         |    CAST(sum(yl) AS BIGINT) AS p
+         |  FROM (SELECT node, yl, 'x1' AS feat, b1 AS bin FROM rows$k
+         |        UNION ALL SELECT node, yl, 'x2', b2 FROM rows$k)
+         |  GROUP BY 1, 2, 3),
+         |c$k AS (SELECT *, nt - nl AS nr, pt - pl AS pr FROM (
+         |    SELECT node, feat, bin,
+         |      CAST(coalesce(sum(n) OVER (PARTITION BY node, feat
+         |        ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+         |        AND 1 PRECEDING), 0) AS BIGINT) AS nl,
+         |      CAST(coalesce(sum(p) OVER (PARTITION BY node, feat
+         |        ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+         |        AND 1 PRECEDING), 0) AS BIGINT) AS pl,
+         |      CAST(sum(n) OVER (PARTITION BY node, feat) AS BIGINT) AS nt,
+         |      CAST(sum(p) OVER (PARTITION BY node, feat) AS BIGINT) AS pt
+         |    FROM h$k) WHERE nl > 0),
+         |bst$k AS MATERIALIZED (
+         |  SELECT node, feat, bin, gain, nl, pl, nr, pr FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY node
+         |      ORDER BY gain DESC, feat, bin) AS rn
+         |    FROM (SELECT *, ${r6Sql(gainSql)} AS gain FROM c$k))
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT CASE WHEN event_type = 'purchase'
+       |      THEN CAST(1 AS BIGINT) ELSE 0 END AS yl,
+       |    value / 100.0 AS x1,
+       |    CAST(hour(ts) AS DOUBLE) / 24.0 AS x2
+       |  FROM events),
+       |mm AS (SELECT min(x1) AS mn1, max(x1) AS mx1,
+       |    min(x2) AS mn2, max(x2) AS mx2 FROM base),
+       |rows0 AS MATERIALIZED (
+       |  SELECT CAST(0 AS BIGINT) AS node, yl,
+       |    least(CAST(floor(((x1 - mm.mn1) / (mm.mx1 - mm.mn1)) * 16.0)
+       |      AS BIGINT), CAST(15 AS BIGINT)) AS b1,
+       |    least(CAST(floor(((x2 - mm.mn2) / (mm.mx2 - mm.mn2)) * 16.0)
+       |      AS BIGINT), CAST(15 AS BIGINT)) AS b2
+       |  FROM base, mm),
+       |${level(0)},
+       |rows1 AS MATERIALIZED (
+       |  SELECT CASE WHEN (CASE WHEN b.feat = 'x1' THEN r.b1 ELSE r.b2 END)
+       |      < b.bin THEN CAST(1 AS BIGINT) ELSE 2 END AS node,
+       |    r.yl, r.b1, r.b2
+       |  FROM rows0 r, bst0 b),
+       |${level(1)},
+       |sel AS (SELECT * FROM bst0 UNION ALL SELECT * FROM bst1)
+       |SELECT node, feat, bin AS split_bin,
+       |  ${r6Sql("CASE WHEN feat = 'x1' THEN mm.mn1 + " +
+           "(CAST(bin AS DOUBLE) * (mm.mx1 - mm.mn1)) / 16.0 " +
+           "ELSE mm.mn2 + (CAST(bin AS DOUBLE) * (mm.mx2 - mm.mn2)) / 16.0 " +
+           "END")} AS thr,
+       |  gain, nl AS n_left, pl AS pos_left, nr AS n_right, pr AS pos_right,
+       |  ${r6Sql("CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE)")} AS leaf_left,
+       |  ${r6Sql("CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE)")} AS leaf_right
+       |FROM sel, mm ORDER BY node""".stripMargin
   }
 
   private def logisticSql: String =
@@ -1404,6 +1568,7 @@ object StatsQ {
     "anova_f"             -> anovaF,
     "mann_whitney_u"      -> mannWhitneyU,
     "logistic_irls"       -> logisticIrls,
+    "tree_stump_train"    -> treeStumpTrain,
     "model_calibration"   -> modelCalibration,
     "model_auc"           -> modelAuc,
     "corr_matrix"         -> corrMatrix,
@@ -1643,6 +1808,7 @@ object StatsQ {
          |    AS eta_sq
          |FROM f""".stripMargin,
     "logistic_irls" -> logisticSql,
+    "tree_stump_train" -> treeStumpSql,
     "model_calibration" -> calibrationSql,
     "model_auc" -> aucSql,
     "mann_whitney_u" ->
