@@ -457,7 +457,101 @@ object GraphQ {
           .as("assortativity"))
   }
 
+  /** Modularity community detection (r11) — the Louvain local-move pass
+    * (Blondel et al. 2008, public algorithm), the algorithm
+    * practitioners actually reach for when "find communities" is the
+    * ask; LPA's plurality rule has no objective, this key OPTIMIZES
+    * Newman-Girvan modularity Q = Σ_c [e_c/m − (Σtot_c/2m)²]. Runs on
+    * the part co-purchase graph (the corpus-growing node domain LPA and
+    * kcore share — the word graph's vocabulary saturates). Sequential
+    * Louvain's node order is unreproducible by design, so this is the
+    * distributed form every engine ships: 2 SYNCHRONOUS local-move
+    * rounds from singleton communities; each round every node evaluates
+    * all neighbor communities ∪ its own and takes the best ΔQ-rank
+    * community. The gain comparison is EXACT INTEGER arithmetic: ranking
+    * by ΔQ(v→c) ∝ k_{v,c}/m − k_v·Σtot(c\v)/(2m²) is equivalent to
+    * ranking by the 2m-scaled score 2m·k_{v,c} − k_v·(Σtot(c) − [v∈c]k_v)
+    * — all BIGINTs, so the argmax has no float anywhere; ties prefer
+    * staying, then min community label. Graded output: top-20
+    * communities (n_nodes DESC, label) with exact degree/edge masses,
+    * each community's DECIMAL-pinned modularity contribution, and the
+    * global (n_comms, modularity) on every row — a wrong gain, eviction
+    * of the stay-option, or tie order cannot reproduce it.
+    * Scale shape: per round = one neighbor-keyed join + one (v,c) count
+    * + one community-keyed degree sum + one per-node argmax window —
+    * all vertex/community-keyed shuffles (the LPA layout); 2m rides a
+    * 1-row broadcast; assignments checkpoint per round. */
+  val communityModularity: QFn = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_orderkey"), col("l_partkey"))
+    val und = li.join(li.select(col("l_orderkey"),
+        col("l_partkey").as("p2")), Seq("l_orderkey"))
+      .filter(col("l_partkey") < col("p2"))
+      .select(col("l_partkey").as("a"), col("p2").as("b"))
+      .distinct()
+      .localCheckpoint()
+    val nbr = und.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("u")))
+    val deg = nbr.groupBy(col("v")).agg(count(lit(1)).as("kv"))
+      .localCheckpoint() // probed by every round + the final stats
+    val m2 = und.agg((count(lit(1)) * 2).as("m2"))
+    var comm = deg.select(col("v"), col("v").as("c"))
+    for (_ <- 1 to 2) {
+      val kvc = nbr
+        .join(comm.select(col("v").as("u"), col("c")), "u")
+        .groupBy(col("v"), col("c")).agg(count(lit(1)).as("kvc"))
+      // candidate communities = neighbor communities ∪ own (k_{v,own}
+      // may be 0 — the stay option must stay rankable)
+      val cand = kvc.unionByName(
+          comm.select(col("v"), col("c"), lit(0L).as("kvc")))
+        .groupBy(col("v"), col("c")).agg(max(col("kvc")).as("kvc"))
+      val tot = comm.join(deg, "v").groupBy(col("c"))
+        .agg(sum(col("kv")).as("tot"))
+      val wBest = Window.partitionBy(col("v")).orderBy(col("score").desc,
+        when(col("c") === col("cv"), 0).otherwise(1), col("c"))
+      comm = cand
+        .join(tot, "c")
+        .join(deg, "v")
+        .join(comm.select(col("v"), col("c").as("cv")), "v")
+        .crossJoin(broadcast(m2))
+        .withColumn("score", col("m2") * col("kvc") -
+          col("kv") * (col("tot") -
+            when(col("c") === col("cv"), col("kv")).otherwise(lit(0L))))
+        .withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .select(col("v"), col("c"))
+        .localCheckpoint()
+    }
+    val sizes = comm.join(deg, "v").groupBy(col("c"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("kv")).as("sum_deg"))
+    val intra = und
+      .join(comm.select(col("v").as("a"), col("c").as("ca")), "a")
+      .join(comm.select(col("v").as("b"), col("c").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("intra_edges"))
+    val per = sizes.join(intra, Seq("c"), "left")
+      .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
+      .crossJoin(broadcast(m2))
+      .withColumn("qc", dec(
+        (lit(2.0) * dbl(col("intra_edges"))) / dbl(col("m2")) -
+          (dbl(col("sum_deg")) / dbl(col("m2"))) *
+          (dbl(col("sum_deg")) / dbl(col("m2"))), 16, 12))
+      .localCheckpoint() // read by the summary AND the top-20 emission
+    val summary = per.agg(count(lit(1)).as("n_comms"),
+      r6(dbl(sum(col("qc")))).as("modularity"))
+    per.crossJoin(broadcast(summary))
+      .orderBy(col("n_nodes").desc, col("c"))
+      .limit(20)
+      .select(col("c").as("community"), col("n_nodes"), col("sum_deg"),
+        col("intra_edges"), r6(dbl(col("qc"))).as("q_contrib"),
+        col("n_comms"), col("modularity"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "community_modularity" -> communityModularity,
     "graph_assortativity" -> graphAssortativity,
     "kcore_peel" -> kcorePeel,
     "label_propagation" -> labelPropagation,
@@ -732,7 +826,70 @@ object GraphQ {
        |FROM m, st""".stripMargin
   }
 
+  /** The identical 2 synchronous local-move rounds as generated CTEs:
+    * same candidate set (neighbor communities ∪ own), same integer
+    * 2m-scaled gain, same (score DESC, stay-first, label) order, same
+    * DECIMAL-pinned per-community modularity terms. */
+  private def communityModularitySql: String = {
+    def round(k: Int, prev: String): String =
+      s"""kvc$k AS (SELECT n.v, l.c, count(*) AS kvc
+         |  FROM nbr n JOIN $prev l ON n.u = l.v GROUP BY 1, 2),
+         |cand$k AS (SELECT v, c, max(kvc) AS kvc FROM (
+         |    SELECT v, c, kvc FROM kvc$k
+         |    UNION ALL SELECT v, c, CAST(0 AS BIGINT) FROM $prev)
+         |  GROUP BY 1, 2),
+         |tot$k AS (SELECT l.c, CAST(sum(d.kv) AS BIGINT) AS tot
+         |  FROM $prev l JOIN deg d USING (v) GROUP BY 1),
+         |c$k AS MATERIALIZED (SELECT v, c FROM (
+         |    SELECT x.v, x.c, row_number() OVER (PARTITION BY x.v
+         |      ORDER BY ((SELECT m2 FROM m2) * x.kvc
+         |          - d.kv * (t.tot - CASE WHEN x.c = p.c THEN d.kv
+         |            ELSE 0 END)) DESC,
+         |        CASE WHEN x.c = p.c THEN 0 ELSE 1 END, x.c) AS rn
+         |    FROM cand$k x JOIN tot$k t ON x.c = t.c
+         |      JOIN deg d ON x.v = d.v JOIN $prev p ON x.v = p.v)
+         |  WHERE rn = 1)""".stripMargin
+    val qcSql = "(2.0 * CAST(intra_edges AS DOUBLE)) " +
+      "/ CAST((SELECT m2 FROM m2) AS DOUBLE) " +
+      "- (CAST(sum_deg AS DOUBLE) / CAST((SELECT m2 FROM m2) AS DOUBLE)) " +
+      "* (CAST(sum_deg AS DOUBLE) / CAST((SELECT m2 FROM m2) AS DOUBLE))"
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1997-01-01'),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+       |  WHERE x.l_partkey < y.l_partkey),
+       |nbr AS MATERIALIZED (
+       |  SELECT a AS v, b AS u FROM und
+       |  UNION ALL SELECT b, a FROM und),
+       |deg AS MATERIALIZED (SELECT v, count(*) AS kv FROM nbr GROUP BY v),
+       |m2 AS (SELECT CAST(2 * count(*) AS BIGINT) AS m2 FROM und),
+       |c0 AS MATERIALIZED (SELECT v, v AS c FROM deg),
+       |${round(1, "c0")},
+       |${round(2, "c1")},
+       |sizes AS (SELECT c, count(*) AS n_nodes,
+       |    CAST(sum(kv) AS BIGINT) AS sum_deg
+       |  FROM c2 JOIN deg USING (v) GROUP BY c),
+       |intra AS (SELECT ca.c AS c, count(*) AS intra_edges
+       |  FROM und e JOIN c2 ca ON e.a = ca.v JOIN c2 cb ON e.b = cb.v
+       |  WHERE ca.c = cb.c GROUP BY 1),
+       |per AS MATERIALIZED (
+       |  SELECT s.c, s.n_nodes, s.sum_deg,
+       |    coalesce(i.intra_edges, CAST(0 AS BIGINT)) AS intra_edges
+       |  FROM sizes s LEFT JOIN intra i USING (c)),
+       |perq AS MATERIALIZED (
+       |  SELECT *, CAST($qcSql AS DECIMAL(16,12)) AS qc FROM per),
+       |summ AS (SELECT CAST(count(*) AS BIGINT) AS n_comms,
+       |    ${r6Sql("CAST(sum(qc) AS DOUBLE)")} AS modularity FROM perq)
+       |SELECT perq.c AS community, n_nodes, sum_deg, intra_edges,
+       |  ${r6Sql("CAST(qc AS DOUBLE)")} AS q_contrib, n_comms, modularity
+       |FROM perq, summ ORDER BY n_nodes DESC, perq.c LIMIT 20""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "community_modularity" -> communityModularitySql,
     "graph_assortativity" -> assortativitySql,
     "kcore_peel" -> kcoreSql,
     "label_propagation" -> lpaSql,
