@@ -630,6 +630,104 @@ object StreamQ {
       .orderBy(col("click_id"), col("view_id"))
   }
 
+  /** Stream-stream LEFT SEMI interval join through the real engine (r11)
+    * — the remaining join topology Spark supports (inner + 3 outers are
+    * engine-graded since r10): "clicks that HAD a qualifying view",
+    * emitted at most once per click, with no null-extension path at all.
+    * Semi is the odd one out semantically: a left row emits as soon as a
+    * match EXISTS (no watermark wait — emission needs no proof of
+    * absence, unlike outer nulls), and unmatched clicks are evicted
+    * silently when the watermark passes. Under the single-data-batch
+    * replay every match is visible in-batch, so the emitted set must be
+    * exactly the batch EXISTS semi join — watermark-independent, which
+    * is itself the graded property (an implementation that held semi
+    * results for eviction like outer nulls would emit the same SET here,
+    * but one that dropped rows by the outer eviction rule would lose the
+    * clicks above the final watermark — the oracle pins those). */
+  val streamSemiJoinExec: QFn = (s, dir) => {
+    val run = "stream_sjoin/" + java.util.UUID.randomUUID().toString.take(8)
+    val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
+    val clicks = sourceEvents(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "8 hours")
+    val views = sourceEvents(s, dir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vuser"),
+        col("ts").as("vts"))
+      .withWatermark("vts", "8 hours")
+    withStreamPartitions(s, 4) {
+      val q = clicks.join(views,
+          col("user_id") === col("vuser") &&
+            col("vts") >= col("cts") - expr("INTERVAL 4 HOURS") &&
+            col("vts") <= col("cts"),
+          "left_semi")
+        .select(col("click_id"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+          new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out).orderBy(col("click_id"))
+  }
+
+  /** Stream-stream join FEEDING a windowed aggregation (r11) — the
+    * chained MULTI-STATEFUL topology (join state + agg state in one
+    * query), i.e. the real medallion/sessionized-revenue shape;
+    * stream_chain_agg_exec chains two aggs, this chains join → agg,
+    * which Spark only supports through its multi-stateful watermark
+    * propagation (SPARK-42376). Clicks ⋈ views (the §2.19 interval
+    * condition) → 1 h tumbling windows on the CLICK time → per-window
+    * pair count + DECIMAL-pinned click-value sum, append mode: a window
+    * emits only when proven complete. The graded semantics is the
+    * PROPAGATED watermark: the aggregate's input watermark is the JOIN's
+    * output watermark, which the engine delays by the join's maximum
+    * state retention — the view side holds rows 4 h past their event
+    * time (a view matches clicks up to vts + 4 h), so wm_agg =
+    * min-of-sides wm − 4 h, and only windows with end ≤ wm_agg finalize
+    * (strictly fewer than the un-chained rule — the production surprise
+    * this key pins; calibrated against the engine at sf0.001/0.01,
+    * where a non-delayed rule over-emits). */
+  val streamJoinAggExec: QFn = (s, dir) => {
+    val run = "stream_jagg/" + java.util.UUID.randomUUID().toString.take(8)
+    val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
+    val clicks = sourceEvents(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("cts"), col("value").as("cval"))
+      .withWatermark("cts", "8 hours")
+    val views = sourceEvents(s, dir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vuser"),
+        col("ts").as("vts"))
+      .withWatermark("vts", "8 hours")
+    withStreamPartitions(s, 4) {
+      val q = clicks.join(views,
+          col("user_id") === col("vuser") &&
+            col("vts") >= col("cts") - expr("INTERVAL 4 HOURS") &&
+            col("vts") <= col("cts"))
+        .groupBy(window(col("cts"), "1 hour"))
+        .agg(count(lit(1)).as("n"),
+          dbl(sum(dec(col("cval"), 14, 4))).as("sum_click_value"))
+        .select(unix_timestamp(col("window.start")).as("bucket_ts"),
+          col("n"), col("sum_click_value"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+          new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out).orderBy(col("bucket_ts"))
+  }
+
   /** Stage events into 5 single-file micro-batches in a deterministic
     * SCRAMBLED order (ntile over md5(event_id) — same expression the
     * oracle replays), once per (JVM, dir). File order is pinned by both
@@ -1314,6 +1412,8 @@ object StreamQ {
     "stream_session_exec" -> streamSessionExec,
     "stream_dedup_exec"   -> streamDedupExec,
     "stream_join_exec"    -> streamJoinExec,
+    "stream_semi_join_exec" -> streamSemiJoinExec,
+    "stream_join_agg_exec"  -> streamJoinAggExec,
     "late_data_exec"      -> lateDataExec,
     "stream_dedup_wm_exec" -> streamDedupWmExec,
     "stream_state_exec"   -> streamStateExec)
@@ -1538,6 +1638,45 @@ object StreamQ {
         |  AND epoch_us(v.ts) <= epoch_us(c.ts)
         |WHERE c.event_type = 'click' AND v.event_type = 'view'
         |ORDER BY click_id, view_id""".stripMargin,
+    // Semi join: emission needs only match EXISTENCE (no watermark wait,
+    // no null path) — under the single-data-batch replay the emitted set
+    // is exactly the batch EXISTS semi join.
+    "stream_semi_join_exec" ->
+      """SELECT c.event_id AS click_id FROM events c
+        |WHERE c.event_type = 'click' AND EXISTS (SELECT 1 FROM events v
+        |  WHERE v.event_type = 'view' AND v.user_id = c.user_id
+        |  AND epoch_us(v.ts) >= epoch_us(c.ts) - 14400000000
+        |  AND epoch_us(v.ts) <= epoch_us(c.ts))
+        |ORDER BY click_id""".stripMargin,
+    // Chained join → windowed agg: the aggregate sees the JOIN's output
+    // watermark, i.e. min-of-sides wm delayed by the join's max state
+    // retention (the view side holds 4 h of state), and append mode
+    // finalizes exactly the windows whose end is STRICTLY below that
+    // delayed watermark (delay calibrated against the engine at
+    // sf0.001/0.01; the strict boundary discovered by the manufactured
+    // tie in WatermarkTieSpec — the fixtures never tie it).
+    "stream_join_agg_exec" ->
+      """WITH wm AS (
+        |  SELECT least(
+        |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END),
+        |    max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END))
+        |    // 1000 * 1000 - 28800000000 AS w
+        |  FROM events),
+        |pairs AS (
+        |  SELECT epoch_us(c.ts) AS cus, c.value AS cval
+        |  FROM events c JOIN events v
+        |    ON v.user_id = c.user_id
+        |    AND epoch_us(v.ts) >= epoch_us(c.ts) - 14400000000
+        |    AND epoch_us(v.ts) <= epoch_us(c.ts)
+        |  WHERE c.event_type = 'click' AND v.event_type = 'view'),
+        |agg AS (
+        |  SELECT (cus // 3600000000) * 3600 AS bucket_ts, count(*) AS n,
+        |    CAST(sum(CAST(cval AS DECIMAL(14,4))) AS DOUBLE)
+        |      AS sum_click_value
+        |  FROM pairs GROUP BY 1)
+        |SELECT bucket_ts, n, sum_click_value FROM agg, wm
+        |WHERE (bucket_ts + 3600) * 1000000 < wm.w - 14400000000
+        |ORDER BY bucket_ts""".stripMargin,
     // Unrolled 5-batch replay of the event-time TIMER protocol,
     // calibrated against the engine at all three tiers (bit-exact):
     //   - transformWithState receives ALL input rows — NO late-input

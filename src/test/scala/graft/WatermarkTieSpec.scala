@@ -136,6 +136,63 @@ class WatermarkTieSpec extends SparkSpec {
         s"click may null-emit; got ${rows()}")
   }
 
+  /** The chained join→agg finalization rule `stream_join_agg_exec`'s
+    * oracle encodes: the aggregate's input watermark is the JOIN's
+    * output watermark — min-of-sides wm DELAYED by the join's max state
+    * retention (the view side holds an interval's worth of state) — and
+    * a window finalizes when its end is STRICTLY below that delayed
+    * watermark. The tie rule is the OPPOSITE of the plain-agg emission
+    * tie above (inclusive): discovered by this very test — the first
+    * draft asserted inclusive and the engine held the tied window back.
+    * The fixture tiers calibrate the delay (sf0.01: 131 emitted vs 132
+    * under the un-delayed rule) but never tie the boundary; this
+    * manufactures both: a window end exactly AT the delayed watermark
+    * (must NOT emit) and the delay gap itself (a window between the
+    * delayed and un-delayed watermarks must NOT emit). */
+  test("chained join→agg tie: windows finalize STRICTLY below the " +
+      "join-delayed watermark (protocol pin for stream_join_agg_exec)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    val left = clicks.toDF()
+      .select(col("user_id").as("cuid"), col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val right = views.toDF()
+      .select(col("user_id").as("vuid"), col("ts").as("vts"))
+      .withWatermark("vts", "1 hour")
+    val q = left.join(right,
+        col("cuid") === col("vuid") &&
+          col("vts") >= col("cts") - expr("INTERVAL 1 HOUR") &&
+          col("vts") <= col("cts"))
+      .groupBy(window(col("cts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("n"))
+      .writeStream.format("memory").queryName("jagg_tie")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def rows() = spark.table("jagg_tie").as[(Timestamp, Long)]
+      .collect().sortBy(_._1.getTime).toList
+    try {
+      // One matched pair per window [08,09) [09,10) [10,11); the 12:00
+      // rows drive both side watermarks to 11:00 (delay 1 h) and join
+      // nothing. Join delay = 1 h (the interval) → agg watermark 10:00.
+      clicks.addData(Ev(hts(8, 30), 1, "click", 0),
+        Ev(hts(9, 30), 2, "click", 0), Ev(hts(10, 30), 3, "click", 0),
+        Ev(hts(12), 9, "click", 0))
+      views.addData(Ev(hts(8, 30), 1, "view", 0),
+        Ev(hts(9, 30), 2, "view", 0), Ev(hts(10, 30), 3, "view", 0),
+        Ev(hts(12), 8, "view", 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // [08,09): end 09:00 < 10:00 → emits. [09,10): end == 10:00 → the
+    // TIE, stays in state (strict). [10,11): end 11:00 ≤ the un-delayed
+    // wm but above the delayed one → stays in state (the delay itself).
+    assert(rows() == List((hts(8), 1L)),
+      "chained agg must finalize strictly below the join-delayed " +
+        s"watermark; got ${rows()}")
+  }
+
   /** The timer-fire tie `stream_timer_exec`'s oracle encodes: an
     * event-time timer fires as soon as the watermark REACHES its expiry
     * (`expiry <= wm`, INCLUSIVE — unlike the strict join-state eviction
