@@ -330,6 +330,114 @@ object VectorQ {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Build the STANDING IVF index once per (JVM, fixture dir) — the
+    * operational shape of a real vector store: centroids and cell
+    * assignments for the HISTORY corpus (vec_id % 4 ≠ 0, the
+    * incremental_dedup batch convention) are trained and PERSISTED to
+    * parquet; later batches probe and upsert against the files, never
+    * re-deriving the index. Geometry matches ivfCoarse (per-label
+    * centroids, r6-rounded; nearest-cell assignment with (fdist, label)
+    * ties) but trained on history only — exactly what an index built
+    * yesterday knows. Idempotent re-entry via the `_built` marker (the
+    * lateInbox staging pattern). */
+  private def annIndexDir(s: SparkSession, dir: String): String =
+    synchronized {
+      val root = new java.io.File(core.scratchRoot,
+        "ann_index_" + Integer.toHexString(dir.hashCode))
+      val done = new java.io.File(root, "_built")
+      if (!done.exists()) {
+        root.mkdirs()
+        val centroids = t(s, dir, "embeddings")
+          .filter(col("vec_id") % 4 =!= 0)
+          .select(col("label"),
+            posexplode(col("embedding")).as(Seq("pos", "ev")))
+          .groupBy(col("label"), col("pos"))
+          .agg(sum(dec(col("ev").cast("double"), 12, 9)).as("sv"),
+            count(lit(1)).as("cn"))
+          .select(col("label"), col("pos"),
+            r6(dbl(col("sv")) / col("cn")).as("c"))
+          .groupBy(col("label"))
+          .agg(transform(sort_array(collect_list(struct(col("pos"),
+            col("c")))), x => x.getField("c")).as("cvec"))
+        centroids.coalesce(1).write.mode("overwrite")
+          .parquet(s"$root/centroids")
+        val cents = s.read.parquet(s"$root/centroids")
+          .select(col("label").as("clabel"), col("cvec"))
+        val dist = r6(gdot(col("v"), col("v")) -
+          lit(2) * gdot(col("v"), col("cvec")) +
+          gdot(col("cvec"), col("cvec")))
+        val wCell = Window.partitionBy(col("vec_id"))
+          .orderBy(col("fdist"), col("clabel"))
+        unitBase(s, dir).filter(col("vec_id") % 4 =!= 0)
+          .select(col("vec_id"), col("v"), col("nrm"))
+          .crossJoin(broadcast(cents))
+          .withColumn("fdist", dist)
+          .withColumn("crn", row_number().over(wCell))
+          .filter(col("crn") === 1)
+          .select(col("vec_id"), col("clabel").as("cell"), col("v"),
+            col("nrm"))
+          .write.mode("overwrite").parquet(s"$root/base")
+        done.createNewFile()
+      }
+      root.getAbsolutePath
+    }
+
+  /** Standing-index ANN maintenance (r11) — probe + upsert a NEW batch
+    * against the persisted IVF index (annIndexDir): the per-batch
+    * operational loop of a production vector store, closing the "every
+    * ANN key rebuilds its index in-query" gap. The batch (vec_id % 4 = 0,
+    * the daily-delta convention incremental_dedup set) is (a) assigned
+    * against the PERSISTED centroids — index geometry is read, never
+    * recomputed; (b) UPSERTED: its own cell assignments land in a delta
+    * index beside the base (mode overwrite = per-batch idempotence — a
+    * replayed batch cannot double-insert, the real ingestion contract);
+    * (c) PROBED: 2 nearest cells per batch vector, exact cosine over the
+    * base-index candidates, top-3 per vector. Output carries the graded
+    * probe results plus (n_index_base, n_upserted) — the index-mass
+    * audit — on every row. Scale shape: per batch = one bounded
+    * centroid broadcast over the BATCH (not the corpus), one cell
+    * equi-join whose volume is the batch's probed-cell mass, one delta
+    * write sized to the batch — cost tracks batch size; the base index
+    * build is paid once (ScalingSpec gates the amortization). */
+  val incrementalAnn: QFn = (s, dir) => {
+    DotProduct.register(s)
+    val root = annIndexDir(s, dir)
+    val cents = s.read.parquet(s"$root/centroids")
+      .select(col("label").as("clabel"), col("cvec"))
+    val base = s.read.parquet(s"$root/base")
+    val dist = r6(gdot(col("v"), col("v")) -
+      lit(2) * gdot(col("v"), col("cvec")) +
+      gdot(col("cvec"), col("cvec")))
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("fdist"), col("clabel"))
+    val asg = unitBase(s, dir).filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("fdist", dist)
+      .withColumn("crn", row_number().over(wCell))
+      .localCheckpoint() // consumed by the upsert write AND the probe
+    asg.filter(col("crn") === 1)
+      .select(col("vec_id"), col("clabel").as("cell"), col("v"), col("nrm"))
+      .write.mode("overwrite").parquet(s"$root/delta")
+    val probes = asg.filter(col("crn") <= 2)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("clabel").as("cell"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val res = probes
+      .join(base.select(col("vec_id"), col("v"), col("nrm"), col("cell")),
+        "cell")
+      .withColumn("cos_sim",
+        r6(gdot(col("qv"), col("v")) / (col("qn") * col("nrm"))))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id"), col("cos_sim"), col("rn"))
+    val summary = base.agg(count(lit(1)).as("n_index_base"))
+      .crossJoin(s.read.parquet(s"$root/delta")
+        .agg(count(lit(1)).as("n_upserted")))
+    res.crossJoin(broadcast(summary)).orderBy(col("qid"), col("rn"))
+  }
+
   /** Near-dup cluster assignment: min-label propagation iterated **to
     * fixpoint** over the banded near-dup graph — what a real dedup
     * pipeline needs downstream of pair detection: a cluster id per
@@ -959,6 +1067,7 @@ object VectorQ {
     "embed_neardup"      -> embedNeardup,
     "ann_lsh_knn"        -> annLshKnn,
     "ann_multiprobe_knn" -> annMultiprobeKnn,
+    "incremental_ann"    -> incrementalAnn,
     "ann_ivf_knn"        -> annIvfKnn)
 
   /** The identical 8 greedy MMR steps unrolled as CTEs: same r6-rounded
@@ -1442,6 +1551,56 @@ object VectorQ {
       s"""WITH $bandedPairCtes
          |SELECT a_id, b_id, cos_sim FROM p
          |ORDER BY a_id, b_id""".stripMargin,
+    // Standing-index probe+upsert: centroids and cell geometry from the
+    // HISTORY corpus only; every vector assigned against them; base =
+    // history crn=1 rows, upserts = batch crn=1 rows, probes = batch
+    // crn≤2 — the disk roundtrip on the Spark side is value-preserving,
+    // so the relational replay is exact.
+    "incremental_ann" ->
+      """WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |            FROM embeddings),
+        |comp AS (
+        |  SELECT label, pos,
+        |    floor((CAST(sum(CAST(CAST(ev AS DOUBLE) AS DECIMAL(12,9)))
+        |      AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS c
+        |  FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |          unnest(embedding) AS ev FROM embeddings
+        |        WHERE vec_id % 4 <> 0)
+        |  GROUP BY label, pos),
+        |cent AS (SELECT label, list(c ORDER BY pos) AS cvec FROM comp
+        |         GROUP BY label),
+        |asg AS (
+        |  SELECT vec_id, label AS cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY fdist, label)
+        |      AS crn
+        |  FROM (SELECT e.vec_id, c.label,
+        |          floor((list_dot_product(e.v, e.v)
+        |            - 2 * list_dot_product(e.v, c.cvec)
+        |            + list_dot_product(c.cvec, c.cvec)) * 1000000 + 0.5)
+        |            / 1000000 AS fdist
+        |        FROM ex e CROSS JOIN cent c)),
+        |base AS (SELECT vec_id, cell FROM asg
+        |         WHERE crn = 1 AND vec_id % 4 <> 0),
+        |probes AS (SELECT vec_id AS qid, cell FROM asg
+        |           WHERE crn <= 2 AND vec_id % 4 = 0),
+        |nr AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS n FROM ex),
+        |sc AS (
+        |  SELECT p.qid, b.vec_id,
+        |    floor((list_dot_product(a.v, bb.v) / (na.n * nb.n)) * 1000000
+        |      + 0.5) / 1000000 AS cos_sim
+        |  FROM probes p JOIN base b USING (cell)
+        |    JOIN ex a ON a.vec_id = p.qid
+        |    JOIN ex bb ON bb.vec_id = b.vec_id
+        |    JOIN nr na ON na.vec_id = p.qid
+        |    JOIN nr nb ON nb.vec_id = b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos_sim DESC, vec_id) AS rn FROM sc),
+        |summ AS (SELECT
+        |    (SELECT count(*) FROM base) AS n_index_base,
+        |    (SELECT count(*) FROM asg
+        |     WHERE crn = 1 AND vec_id % 4 = 0) AS n_upserted)
+        |SELECT qid, vec_id, cos_sim, rn, n_index_base, n_upserted
+        |FROM r, summ WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
     "ann_ivf_knn" ->
       """WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |            FROM embeddings),
