@@ -438,6 +438,44 @@ object VectorQ {
     res.crossJoin(broadcast(summary)).orderBy(col("qid"), col("rn"))
   }
 
+  /** ANN recall@k as a GRADED artifact (r11) — the quality of every
+    * approximate tier measured against brute force on the same 50
+    * queries, as an oracle-checked report instead of spec-only gates
+    * (AnnQualitySpec keeps its enrichment gates; this key makes the
+    * recall numbers themselves reproducible evidence). Per tier: k is
+    * the tier's own emission contract (3 for the probe tiers, 5 for the
+    * rerank tiers), hits = |tier results ∩ brute top-k|, recall =
+    * hits / |brute top-k| — the standard ANN evaluation (Faiss's
+    * recall@k). The Spark side COMPOSES the tier queries themselves and
+    * the oracle nests each tier's own SQL as a CTE, so any tier drift
+    * breaks both sides identically — the report can never go stale
+    * against the tiers it grades. */
+  val annRecallReport: QFn = (s, dir) => {
+    val brute = knnTop5(s, dir).select(col("qid"), col("vec_id"), col("rn"))
+      .localCheckpoint()
+    val tiers: Seq[(String, QFn, Int)] = Seq(
+      ("ann_ivf_knn", annIvfKnn, 3),
+      ("ann_ivfpq_knn", annIvfPqKnn, 5),
+      ("ann_lsh_knn", annLshKnn, 3),
+      ("ann_multiprobe_knn", annMultiprobeKnn, 3),
+      ("ann_pq_knn", annPqKnn, 5),
+      ("ann_randproj_knn", annRandProjKnn, 5),
+      ("ann_sq_knn", annSqKnn, 5))
+    tiers.map { case (name, fn, k) =>
+      val hits = fn(s, dir).select(col("qid"), col("vec_id"))
+        .join(brute.filter(col("rn") <= k), Seq("qid", "vec_id"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      brute.filter(col("rn") <= k)
+        .agg(countDistinct(col("qid")).as("n_queries"),
+          count(lit(1)).as("n_brute"))
+        .crossJoin(hits)
+        .select(lit(name).as("tier"), lit(k.toLong).as("k"),
+          col("n_queries"), col("n_brute"), col("n_hits"),
+          r6(dbl(col("n_hits")) / dbl(col("n_brute"))).as("recall"))
+    }.reduce(_ unionByName _).orderBy(col("tier"))
+  }
+
   /** Near-dup cluster assignment: min-label propagation iterated **to
     * fixpoint** over the banded near-dup graph — what a real dedup
     * pipeline needs downstream of pair detection: a cluster id per
@@ -1068,6 +1106,7 @@ object VectorQ {
     "ann_lsh_knn"        -> annLshKnn,
     "ann_multiprobe_knn" -> annMultiprobeKnn,
     "incremental_ann"    -> incrementalAnn,
+    "ann_recall_report"  -> annRecallReport,
     "ann_ivf_knn"        -> annIvfKnn)
 
   /** The identical 8 greedy MMR steps unrolled as CTEs: same r6-rounded
@@ -1385,7 +1424,40 @@ object VectorQ {
        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map(
+  /** Recall-report oracle: each tier's OWN oracle SQL nested verbatim as
+    * a CTE (a CTE body is a full SELECT, so the tiers' inner WITH chains
+    * scope privately), joined per tier against the brute top-k — any
+    * drift in a tier's oracle changes this one identically. */
+  private def annRecallSql(base: Map[String, String]): String = {
+    val tiers = Seq("ann_ivf_knn" -> 3, "ann_ivfpq_knn" -> 5,
+      "ann_lsh_knn" -> 3, "ann_multiprobe_knn" -> 3, "ann_pq_knn" -> 5,
+      "ann_randproj_knn" -> 5, "ann_sq_knn" -> 5)
+    val tierCtes = (("brute", base("qknn_cosine_top5")) +:
+      tiers.map { case (n, _) => (n, base(n)) })
+      .map { case (n, sql) => s"$n AS MATERIALIZED (\n$sql)" }
+      .mkString(",\n")
+    val rows = tiers.map { case (n, k) =>
+      s"""SELECT '$n' AS tier, CAST($k AS BIGINT) AS k,
+         |  (SELECT count(DISTINCT qid) FROM brute WHERE rn <= $k)
+         |    AS n_queries,
+         |  (SELECT count(*) FROM brute WHERE rn <= $k) AS n_brute,
+         |  (SELECT count(*) FROM $n t JOIN brute b
+         |     ON t.qid = b.qid AND t.vec_id = b.vec_id AND b.rn <= $k)
+         |    AS n_hits""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $tierCtes,
+       |rep AS ($rows)
+       |SELECT tier, k, n_queries, n_brute, n_hits,
+       |  ${r6Sql("CAST(n_hits AS DOUBLE) / CAST(n_brute AS DOUBLE)")}
+       |    AS recall
+       |FROM rep ORDER BY tier""".stripMargin
+  }
+
+  // lazy: composes oracleBase, which is declared below (object init order)
+  lazy val oracle: Map[String, String] = oracleBase +
+    ("ann_recall_report" -> annRecallSql(oracleBase))
+
+  private val oracleBase: Map[String, String] = Map(
     "mmr_select" -> mmrSql,
     "ann_pq_knn" -> pqSql,
     "ann_ivfpq_knn" -> ivfpqSql,
