@@ -427,8 +427,12 @@ object VectorQ {
     val res = probes
       .join(base.select(col("vec_id"), col("v"), col("nrm"), col("cell")),
         "cell")
+      // nullif: a zero-norm (all-zero) batch vector has no defined cosine
+      // — null, not an ANSI divide-by-zero abort (fixtures are zero-free;
+      // EdgeCorpusSpec manufactures the case)
       .withColumn("cos_sim",
-        r6(gdot(col("qv"), col("v")) / (col("qn") * col("nrm"))))
+        r6(gdot(col("qv"), col("v")) /
+          nullif(col("qn") * col("nrm"), lit(0.0))))
       .withColumn("rn", row_number().over(wTop).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("qid"), col("vec_id"), col("cos_sim"), col("rn"))

@@ -263,6 +263,30 @@ class EdgeCorpusSpec extends SparkSpec {
     assert(SparkEntry.queries("dup_sequences")(spark, edgeDir).count() == 0)
   }
 
+  test("r11 BPE encode/pack survive the edge corpus (a 6-word vocabulary " +
+    "exhausts mergeable pairs before round 6 — the apply path must handle " +
+    "a short merge table and token-less docs)") {
+    // training on {hello, a..e}: later rounds find no pairs → empty argmax
+    // → fewer than 6 merges collected; apply must use exactly the learned
+    // prefix and keep zero-token docs at width 0
+    SparkEntry.queries("token_bpe_apply")(spark, edgeDir).collect()
+    val bins = SparkEntry.queries("pack_tokens_bpe")(spark, edgeDir)
+      .collect()
+    assert(bins.map(_.getAs[Long]("n_docs")).sum == 4)
+    // BPE can only SHORTEN: "hello"(5 chars) + 5 single-char tokens ≤ 10
+    assert(bins.map(_.getAs[Long]("sum_tok")).sum <= 10)
+  }
+
+  test("r11 tree/ann keys survive degenerate inputs (NULL feature values, " +
+    "a zero query vector) without throwing") {
+    // edge events carry a NULL value → a NULL feature bin; the histogram
+    // and boundary windows must pass through, not abort
+    SparkEntry.queries("tree_stump_train")(spark, edgeEventsDir).collect()
+    // 3 vectors: history {1,2}, batch {0} = the all-zero vector (0-norm
+    // cosine → NaN scores rank deterministically; no division abort)
+    SparkEntry.queries("incremental_ann")(spark, edgeVecDir).collect()
+  }
+
   /** Events with a censored user (signup, no purchase), an excluded user
     * (purchase with no signup), and a converting user — ts stored as
     * nanos longs to match the driver fixture's nanosAsLong read path. */

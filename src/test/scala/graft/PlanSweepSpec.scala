@@ -102,7 +102,26 @@ class PlanSweepSpec extends SparkSpec {
     "model_calibration" ->
       "1-row fitted-beta broadcast into the scoring pass",
     "model_auc" ->
-      "1-row fitted-beta broadcast into the scoring pass")
+      "1-row fitted-beta broadcast into the scoring pass",
+    // ---- r11 additions ----
+    // token_bpe_apply / pack_tokens_bpe broadcast the 1-row argmax pair
+    // per training round and the trained table per apply round, but the
+    // per-round localCheckpoints + the segmentation checkpoint truncate
+    // everything before the sweep — no entry (or permitted), like
+    // bpe_train_merges.
+    "tree_stump_train" -> ("1-row bin-geometry (min/max) and root-split " +
+      "broadcasts crossed into binning, node assignment, and the " +
+      "threshold report — all 1-row build sides"),
+    "community_modularity" -> ("1-row 2m-edge aggregate broadcast into " +
+      "each round's integer gain + the 1-row (n_comms, modularity) " +
+      "summary crossed onto the top-20 rows"),
+    "incremental_ann" -> ("bounded centroid set (≤10 cells) broadcast " +
+      "for batch assignment + the 1-row (index, upsert) audit summary " +
+      "crossed onto the probe results"),
+    "ann_recall_report" -> ("7 per-tier 1-row (brute-count × hit-count) " +
+      "aggregates crossed into the report rows; the tiers' own bounded " +
+      "broadcast shapes (50-query brute sides, centroid/codebook " +
+      "builds) are each justified on their own keys"))
 
   test("no unlisted query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
