@@ -105,6 +105,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(2500))
   }
 
+  test("pack_tokens_bpe: tokenize → pack consumer stage holds a 4-shuffle " +
+    "budget with the trained segmentation BROADCAST") {
+    // downstream of the checkpointed tokenizer artifact the full
+    // text→training-batches path is: word-instance join (vocabulary side
+    // broadcast), per-doc token rollup, per-lang packing window, and the
+    // presentation sort — 4 exchanges. A 5th means the packing stage
+    // stopped reusing its upstream partitioning; a shuffled (non-
+    // broadcast) segmentation join would shuffle the corpus instances
+    // against a vocabulary-sized table.
+    val p = planOf("pack_tokens_bpe")
+    assert("""\([0-9]+\) Exchange""".r.findAllIn(p).size == 4,
+      "tokenize→pack consumer shuffle budget is 4:\n" + p.take(2500))
+    assert(p.contains("BroadcastExchange"),
+      "the vocabulary segmentation must broadcast, not shuffle:\n" +
+        p.take(2000))
+  }
+
   test("q01: partial+final hash aggregation") {
     val p = planOf("q01_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(500))
