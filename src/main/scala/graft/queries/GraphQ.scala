@@ -481,7 +481,11 @@ object GraphQ {
     * + one community-keyed degree sum + one per-node argmax window —
     * all vertex/community-keyed shuffles (the LPA layout); 2m rides a
     * 1-row broadcast; assignments checkpoint per round. */
-  val communityModularity: QFn = (s, dir) => {
+  /** Louvain phase 1 shared by the modularity keys: the co-purchase
+    * graph, degrees, 2m, and the 2-round synchronous local-move
+    * assignment (all checkpointed). */
+  private def louvainPhase1(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val li = t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01") &&
@@ -525,11 +529,20 @@ object GraphQ {
         .select(col("v"), col("c"))
         .localCheckpoint()
     }
-    val sizes = comm.join(deg, "v").groupBy(col("c"))
+    (und, deg, m2, comm)
+  }
+
+  /** Per-community stats + DECIMAL-pinned modularity contributions of an
+    * assignment (v, c), plus the (n_comms, modularity) summary — shared
+    * by both modularity keys (`per` is checkpointed: read by the summary
+    * and the top-20 emission). */
+  private def partitionStats(und: DataFrame, deg: DataFrame, m2: DataFrame,
+      asg: DataFrame): (DataFrame, DataFrame) = {
+    val sizes = asg.join(deg, "v").groupBy(col("c"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("kv")).as("sum_deg"))
     val intra = und
-      .join(comm.select(col("v").as("a"), col("c").as("ca")), "a")
-      .join(comm.select(col("v").as("b"), col("c").as("cb")), "b")
+      .join(asg.select(col("v").as("a"), col("c").as("ca")), "a")
+      .join(asg.select(col("v").as("b"), col("c").as("cb")), "b")
       .filter(col("ca") === col("cb"))
       .groupBy(col("ca").as("c")).agg(count(lit(1)).as("intra_edges"))
     val per = sizes.join(intra, Seq("c"), "left")
@@ -539,9 +552,15 @@ object GraphQ {
         (lit(2.0) * dbl(col("intra_edges"))) / dbl(col("m2")) -
           (dbl(col("sum_deg")) / dbl(col("m2"))) *
           (dbl(col("sum_deg")) / dbl(col("m2"))), 16, 12))
-      .localCheckpoint() // read by the summary AND the top-20 emission
+      .localCheckpoint()
     val summary = per.agg(count(lit(1)).as("n_comms"),
       r6(dbl(sum(col("qc")))).as("modularity"))
+    (per, summary)
+  }
+
+  val communityModularity: QFn = (s, dir) => {
+    val (und, deg, m2, comm) = louvainPhase1(s, dir)
+    val (per, summary) = partitionStats(und, deg, m2, comm)
     per.crossJoin(broadcast(summary))
       .orderBy(col("n_nodes").desc, col("c"))
       .limit(20)
@@ -550,8 +569,72 @@ object GraphQ {
         col("n_comms"), col("modularity"))
   }
 
+  /** Louvain PHASE 2 (r11) — the aggregation/coarsening step that makes
+    * Louvain Louvain (Blondel 2008 §2, "the passes"): phase-1
+    * communities become SUPER-NODES, inter-community edge counts become
+    * integer WEIGHTS, each super-node's weighted degree is the exact sum
+    * of its members' degrees (self-loop mass included by construction),
+    * and one synchronous weighted local-move round runs on the coarse
+    * graph — merging whole communities at once, which single-node moves
+    * cannot do. The weighted gain stays in EXACT INTEGER arithmetic
+    * (edge weights are counts): 2m·w(u,C) − K_u·(Σtot(C) − [u∈C]K_u).
+    * Graded output: top-20 REFINED communities (original-node masses)
+    * with the refined global modularity AND phase-1's — the improvement
+    * a wrong coarsening (lost self-loop mass, wrong weight aggregation,
+    * wrong tie rule) cannot reproduce. Scale shape: the coarse graph is
+    * communities×communities-sparse (≤ inter-community edge count);
+    * everything after phase 1 runs on the SHRUNK domain — exactly why
+    * Louvain terminates in O(log n) passes at 100 TB. */
+  val communityLouvain2: QFn = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val (und, deg, m2, comm) = louvainPhase1(s, dir)
+    val (_, summary1) = partitionStats(und, deg, m2, comm)
+    val lab = und
+      .join(comm.select(col("v").as("a"), col("c").as("ca")), "a")
+      .join(comm.select(col("v").as("b"), col("c").as("cb")), "b")
+      .localCheckpoint() // feeds super-edges AND refined intra counts
+    // coarse weighted adjacency (both directions) — inter-community only
+    val snbr = lab.filter(col("ca") =!= col("cb"))
+      .select(col("ca").as("u"), col("cb").as("x"))
+      .unionAll(lab.filter(col("ca") =!= col("cb"))
+        .select(col("cb").as("u"), col("ca").as("x")))
+      .groupBy(col("u"), col("x")).agg(count(lit(1)).as("w"))
+    // weighted super-degree K_u = Σ member degrees (carries the
+    // self-loop/intra mass exactly)
+    val sdeg = comm.join(deg, "v").groupBy(col("c"))
+      .agg(sum(col("kv")).as("ku"))
+      .select(col("c").as("u"), col("ku"))
+      .localCheckpoint()
+    val cand = snbr.unionByName(
+      sdeg.select(col("u"), col("u").as("x"), lit(0L).as("w")))
+    val wBest = Window.partitionBy(col("u")).orderBy(col("score").desc,
+      when(col("x") === col("u"), 0).otherwise(1), col("x"))
+    val d1 = cand
+      .join(sdeg.select(col("u").as("x"), col("ku").as("kx")), "x")
+      .join(sdeg, "u")
+      .crossJoin(broadcast(m2))
+      .withColumn("score", col("m2") * col("w") -
+        col("ku") * (col("kx") -
+          when(col("x") === col("u"), col("ku")).otherwise(lit(0L))))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("u").as("c"), col("x").as("sc"))
+      .localCheckpoint()
+    val refined = comm.join(d1, "c").select(col("v"), col("sc").as("c"))
+    val (per2, summary2) = partitionStats(und, deg, m2, refined)
+    per2.crossJoin(broadcast(summary2))
+      .crossJoin(broadcast(
+        summary1.select(col("modularity").as("modularity_p1"))))
+      .orderBy(col("n_nodes").desc, col("c"))
+      .limit(20)
+      .select(col("c").as("community"), col("n_nodes"), col("sum_deg"),
+        col("intra_edges"), r6(dbl(col("qc"))).as("q_contrib"),
+        col("n_comms"), col("modularity"), col("modularity_p1"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "community_modularity" -> communityModularity,
+    "community_louvain2" -> communityLouvain2,
     "graph_assortativity" -> graphAssortativity,
     "kcore_peel" -> kcorePeel,
     "label_propagation" -> labelPropagation,
@@ -830,7 +913,9 @@ object GraphQ {
     * same candidate set (neighbor communities ∪ own), same integer
     * 2m-scaled gain, same (score DESC, stay-first, label) order, same
     * DECIMAL-pinned per-community modularity terms. */
-  private def communityModularitySql: String = {
+  /** Phase-1 CTE chain (graph, degrees, 2m, two local-move rounds →
+    * `c2`), shared by both modularity oracles. */
+  private def louvainP1Ctes: String = {
     def round(k: Int, prev: String): String =
       s"""kvc$k AS (SELECT n.v, l.c, count(*) AS kvc
          |  FROM nbr n JOIN $prev l ON n.u = l.v GROUP BY 1, 2),
@@ -849,11 +934,7 @@ object GraphQ {
          |    FROM cand$k x JOIN tot$k t ON x.c = t.c
          |      JOIN deg d ON x.v = d.v JOIN $prev p ON x.v = p.v)
          |  WHERE rn = 1)""".stripMargin
-    val qcSql = "(2.0 * CAST(intra_edges AS DOUBLE)) " +
-      "/ CAST((SELECT m2 FROM m2) AS DOUBLE) " +
-      "- (CAST(sum_deg AS DOUBLE) / CAST((SELECT m2 FROM m2) AS DOUBLE)) " +
-      "* (CAST(sum_deg AS DOUBLE) / CAST((SELECT m2 FROM m2) AS DOUBLE))"
-    s"""WITH li AS (
+    s"""li AS (
        |  SELECT l_orderkey, l_partkey FROM lineitem
        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
        |    AND l_shipdate < TIMESTAMP '1997-01-01'),
@@ -868,28 +949,79 @@ object GraphQ {
        |m2 AS (SELECT CAST(2 * count(*) AS BIGINT) AS m2 FROM und),
        |c0 AS MATERIALIZED (SELECT v, v AS c FROM deg),
        |${round(1, "c0")},
-       |${round(2, "c1")},
-       |sizes AS (SELECT c, count(*) AS n_nodes,
+       |${round(2, "c1")}""".stripMargin
+  }
+
+  /** Per-community stats + modularity summary over an assignment CTE
+    * `asg(v, c)`, CTE names suffixed by `sfx` — shared by both
+    * modularity oracles. */
+  private def partitionStatsCtes(asg: String, sfx: String): String = {
+    val qcSql = "(2.0 * CAST(intra_edges AS DOUBLE)) " +
+      "/ CAST((SELECT m2 FROM m2) AS DOUBLE) " +
+      "- (CAST(sum_deg AS DOUBLE) / CAST((SELECT m2 FROM m2) AS DOUBLE)) " +
+      "* (CAST(sum_deg AS DOUBLE) / CAST((SELECT m2 FROM m2) AS DOUBLE))"
+    s"""sizes$sfx AS (SELECT c, count(*) AS n_nodes,
        |    CAST(sum(kv) AS BIGINT) AS sum_deg
-       |  FROM c2 JOIN deg USING (v) GROUP BY c),
-       |intra AS (SELECT ca.c AS c, count(*) AS intra_edges
-       |  FROM und e JOIN c2 ca ON e.a = ca.v JOIN c2 cb ON e.b = cb.v
+       |  FROM $asg JOIN deg USING (v) GROUP BY c),
+       |intra$sfx AS (SELECT ca.c AS c, count(*) AS intra_edges
+       |  FROM und e JOIN $asg ca ON e.a = ca.v JOIN $asg cb ON e.b = cb.v
        |  WHERE ca.c = cb.c GROUP BY 1),
-       |per AS MATERIALIZED (
+       |per$sfx AS MATERIALIZED (
        |  SELECT s.c, s.n_nodes, s.sum_deg,
        |    coalesce(i.intra_edges, CAST(0 AS BIGINT)) AS intra_edges
-       |  FROM sizes s LEFT JOIN intra i USING (c)),
-       |perq AS MATERIALIZED (
-       |  SELECT *, CAST($qcSql AS DECIMAL(16,12)) AS qc FROM per),
-       |summ AS (SELECT CAST(count(*) AS BIGINT) AS n_comms,
-       |    ${r6Sql("CAST(sum(qc) AS DOUBLE)")} AS modularity FROM perq)
+       |  FROM sizes$sfx s LEFT JOIN intra$sfx i USING (c)),
+       |perq$sfx AS MATERIALIZED (
+       |  SELECT *, CAST($qcSql AS DECIMAL(16,12)) AS qc FROM per$sfx),
+       |summ$sfx AS (SELECT CAST(count(*) AS BIGINT) AS n_comms,
+       |    ${r6Sql("CAST(sum(qc) AS DOUBLE)")} AS modularity
+       |  FROM perq$sfx)""".stripMargin
+  }
+
+  private def communityModularitySql: String =
+    s"""WITH $louvainP1Ctes,
+       |${partitionStatsCtes("c2", "")}
        |SELECT perq.c AS community, n_nodes, sum_deg, intra_edges,
        |  ${r6Sql("CAST(qc AS DOUBLE)")} AS q_contrib, n_comms, modularity
        |FROM perq, summ ORDER BY n_nodes DESC, perq.c LIMIT 20""".stripMargin
-  }
+
+  /** Louvain phase-2 oracle: coarsen to the weighted super-graph, one
+    * weighted local-move round (same integer score, weights = counts),
+    * refined-partition stats + both modularities. */
+  private def louvain2Sql: String =
+    s"""WITH $louvainP1Ctes,
+       |${partitionStatsCtes("c2", "1")},
+       |lab AS MATERIALIZED (
+       |  SELECT e.a, e.b, ca.c AS ca, cb.c AS cb
+       |  FROM und e JOIN c2 ca ON e.a = ca.v JOIN c2 cb ON e.b = cb.v),
+       |snbr AS (SELECT u, x, CAST(count(*) AS BIGINT) AS w FROM (
+       |    SELECT ca AS u, cb AS x FROM lab WHERE ca <> cb
+       |    UNION ALL SELECT cb, ca FROM lab WHERE ca <> cb)
+       |  GROUP BY 1, 2),
+       |sdeg AS MATERIALIZED (
+       |  SELECT c AS u, CAST(sum(kv) AS BIGINT) AS ku
+       |  FROM c2 JOIN deg USING (v) GROUP BY 1),
+       |scand AS (SELECT u, x, w FROM snbr
+       |  UNION ALL SELECT u, u, CAST(0 AS BIGINT) FROM sdeg),
+       |d1 AS MATERIALIZED (SELECT u AS c, x AS sc FROM (
+       |    SELECT q.u, q.x, row_number() OVER (PARTITION BY q.u
+       |      ORDER BY ((SELECT m2 FROM m2) * q.w
+       |          - du.ku * (dx.ku - CASE WHEN q.x = q.u THEN du.ku
+       |            ELSE 0 END)) DESC,
+       |        CASE WHEN q.x = q.u THEN 0 ELSE 1 END, q.x) AS rn
+       |    FROM scand q JOIN sdeg du ON q.u = du.u
+       |      JOIN sdeg dx ON q.x = dx.u) WHERE rn = 1),
+       |ref AS MATERIALIZED (
+       |  SELECT c2.v, d1.sc AS c FROM c2 JOIN d1 ON c2.c = d1.c),
+       |${partitionStatsCtes("ref", "2")}
+       |SELECT perq2.c AS community, n_nodes, sum_deg, intra_edges,
+       |  ${r6Sql("CAST(qc AS DOUBLE)")} AS q_contrib,
+       |  summ2.n_comms, summ2.modularity,
+       |  (SELECT modularity FROM summ1) AS modularity_p1
+       |FROM perq2, summ2 ORDER BY n_nodes DESC, perq2.c LIMIT 20""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "community_modularity" -> communityModularitySql,
+    "community_louvain2" -> louvain2Sql,
     "graph_assortativity" -> assortativitySql,
     "kcore_peel" -> kcoreSql,
     "label_propagation" -> lpaSql,

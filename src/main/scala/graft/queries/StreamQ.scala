@@ -728,6 +728,50 @@ object StreamQ {
     s.read.parquet(out).orderBy(col("bucket_ts"))
   }
 
+  /** TWO windowed aggregations JOINED on window equality (r11) — the
+    * other documented multi-stateful chain (SPARK-42376's agg→join
+    * direction; stream_join_agg_exec grades join→agg): per-hour click
+    * counts ⋈ per-hour view counts, the streaming fact-to-fact rollup
+    * join every metrics pipeline runs. Each aggregate finalizes windows
+    * at the global (min-of-sides) watermark under the plain-agg
+    * INCLUSIVE tie rule; the window-equality join then matches the two
+    * finalized streams — Spark derives both sides' state eviction from
+    * the window bounds themselves. The AvailableNow drain must flush the
+    * CHAIN: agg emissions happen in the closing no-data batch and the
+    * join consumes them in a further no-data batch — the engine's
+    * multi-batch quiesce is exactly what this key grades (a single
+    * no-data sweep would emit nothing). Calibrated at sf0.001/0.01. */
+  val streamAggJoinExec: QFn = (s, dir) => {
+    val run = "stream_ajoin/" + java.util.UUID.randomUUID().toString.take(8)
+    val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
+    val clicks = sourceEvents(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("ts").as("cts"))
+      .withWatermark("cts", "8 hours")
+      .groupBy(window(col("cts"), "1 hour").as("cw"))
+      .agg(count(lit(1)).as("n_clicks"))
+    val views = sourceEvents(s, dir)
+      .filter(col("event_type") === "view")
+      .select(col("ts").as("vts"))
+      .withWatermark("vts", "8 hours")
+      .groupBy(window(col("vts"), "1 hour").as("vw"))
+      .agg(count(lit(1)).as("n_views"))
+    withStreamPartitions(s, 4) {
+      val q = clicks.join(views, col("cw") === col("vw"))
+        .select(unix_timestamp(col("cw.start")).as("bucket_ts"),
+          col("n_clicks"), col("n_views"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+          new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out).orderBy(col("bucket_ts"))
+  }
+
   /** Stage events into 5 single-file micro-batches in a deterministic
     * SCRAMBLED order (ntile over md5(event_id) — same expression the
     * oracle replays), once per (JVM, dir). File order is pinned by both
@@ -1414,6 +1458,7 @@ object StreamQ {
     "stream_join_exec"    -> streamJoinExec,
     "stream_semi_join_exec" -> streamSemiJoinExec,
     "stream_join_agg_exec"  -> streamJoinAggExec,
+    "stream_agg_join_exec"  -> streamAggJoinExec,
     "late_data_exec"      -> lateDataExec,
     "stream_dedup_wm_exec" -> streamDedupWmExec,
     "stream_state_exec"   -> streamStateExec)
@@ -1648,6 +1693,27 @@ object StreamQ {
         |  AND epoch_us(v.ts) >= epoch_us(c.ts) - 14400000000
         |  AND epoch_us(v.ts) <= epoch_us(c.ts))
         |ORDER BY click_id""".stripMargin,
+    // Chained agg → join: both aggregates finalize at the global
+    // (min-of-sides) watermark with the plain-agg INCLUSIVE boundary;
+    // the window-equality join matches the two finalized streams —
+    // emitted = hours where both sides have a finalized row.
+    "stream_agg_join_exec" ->
+      """WITH wm AS (
+        |  SELECT least(
+        |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END),
+        |    max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END))
+        |    // 1000 * 1000 - 28800000000 AS w
+        |  FROM events),
+        |ca AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS b,
+        |    count(*) AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |va AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS b,
+        |    count(*) AS n_views
+        |  FROM events WHERE event_type = 'view' GROUP BY 1)
+        |SELECT ca.b AS bucket_ts, n_clicks, n_views
+        |FROM ca JOIN va ON ca.b = va.b, wm
+        |WHERE (ca.b + 3600) * 1000000 <= wm.w
+        |ORDER BY bucket_ts""".stripMargin,
     // Chained join → windowed agg: the aggregate sees the JOIN's output
     // watermark, i.e. min-of-sides wm delayed by the join's max state
     // retention (the view side holds 4 h of state), and append mode

@@ -442,6 +442,50 @@ object VectorQ {
     res.crossJoin(broadcast(summary)).orderBy(col("qid"), col("rn"))
   }
 
+  /** Standing-index COMPACTION (r11) — the maintenance step that closes
+    * the index lifecycle build → probe/upsert → COMPACT: the batch
+    * delta folds into a new base GENERATION (the LSM/vector-store
+    * pattern — deltas accumulate per batch, compaction rewrites one
+    * merged, cell-complete index so probe fan-in stays one file set per
+    * cell). Self-contained: the delta is re-derived by the same
+    * assignment rule incremental_ann upserts, so compaction never
+    * depends on invocation order; the write is mode-overwrite
+    * idempotent. Graded output is the per-cell mass manifest of the
+    * RE-READ compacted generation — cell, total, base-vs-delta
+    * provenance split (the batch rule is vec_id % 4), id range — which
+    * a lost cell, duplicated delta, or wrong assignment cannot match.
+    * Scale shape: compaction cost = base + delta sequential rewrite
+    * keyed by cell (at 100 TB, per-cell file groups compact
+    * independently — embarrassingly parallel). */
+  val annIndexCompact: QFn = (s, dir) => {
+    DotProduct.register(s)
+    val root = annIndexDir(s, dir)
+    val cents = s.read.parquet(s"$root/centroids")
+      .select(col("label").as("clabel"), col("cvec"))
+    val base = s.read.parquet(s"$root/base")
+    val dist = r6(gdot(col("v"), col("v")) -
+      lit(2) * gdot(col("v"), col("cvec")) +
+      gdot(col("cvec"), col("cvec")))
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("fdist"), col("clabel"))
+    val delta = unitBase(s, dir).filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("fdist", dist)
+      .withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("clabel").as("cell"), col("v"), col("nrm"))
+    base.unionByName(delta)
+      .write.mode("overwrite").parquet(s"$root/compacted")
+    s.read.parquet(s"$root/compacted")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("vec_id") % 4 =!= 0, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("vec_id") % 4 === 0, 1L).otherwise(0L)).as("n_delta"),
+        min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+      .orderBy(col("cell"))
+  }
+
   /** ANN recall@k as a GRADED artifact (r11) — the quality of every
     * approximate tier measured against brute force on the same 50
     * queries, as an oracle-checked report instead of spec-only gates
@@ -1110,6 +1154,7 @@ object VectorQ {
     "ann_lsh_knn"        -> annLshKnn,
     "ann_multiprobe_knn" -> annMultiprobeKnn,
     "incremental_ann"    -> incrementalAnn,
+    "ann_index_compact"  -> annIndexCompact,
     "ann_recall_report"  -> annRecallReport,
     "ann_ivf_knn"        -> annIvfKnn)
 
@@ -1627,6 +1672,39 @@ object VectorQ {
       s"""WITH $bandedPairCtes
          |SELECT a_id, b_id, cos_sim FROM p
          |ORDER BY a_id, b_id""".stripMargin,
+    // Compaction manifest: same history-trained assignment as
+    // incremental_ann; per-cell masses of the merged generation with the
+    // base/delta provenance split by the batch rule.
+    "ann_index_compact" ->
+      """WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |            FROM embeddings),
+        |comp AS (
+        |  SELECT label, pos,
+        |    floor((CAST(sum(CAST(CAST(ev AS DOUBLE) AS DECIMAL(12,9)))
+        |      AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS c
+        |  FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |          unnest(embedding) AS ev FROM embeddings
+        |        WHERE vec_id % 4 <> 0)
+        |  GROUP BY label, pos),
+        |cent AS (SELECT label, list(c ORDER BY pos) AS cvec FROM comp
+        |         GROUP BY label),
+        |asg AS (
+        |  SELECT vec_id, label AS cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY fdist, label)
+        |      AS crn
+        |  FROM (SELECT e.vec_id, c.label,
+        |          floor((list_dot_product(e.v, e.v)
+        |            - 2 * list_dot_product(e.v, c.cvec)
+        |            + list_dot_product(c.cvec, c.cvec)) * 1000000 + 0.5)
+        |            / 1000000 AS fdist
+        |        FROM ex e CROSS JOIN cent c))
+        |SELECT cell, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN vec_id % 4 <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_base,
+        |  CAST(sum(CASE WHEN vec_id % 4 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_delta,
+        |  min(vec_id) AS min_vec, max(vec_id) AS max_vec
+        |FROM asg WHERE crn = 1 GROUP BY cell ORDER BY cell""".stripMargin,
     // Standing-index probe+upsert: centroids and cell geometry from the
     // HISTORY corpus only; every vector assigned against them; base =
     // history crn=1 rows, upserts = batch crn=1 rows, probes = batch

@@ -121,7 +121,13 @@ class PlanSweepSpec extends SparkSpec {
     "ann_recall_report" -> ("7 per-tier 1-row (brute-count × hit-count) " +
       "aggregates crossed into the report rows; the tiers' own bounded " +
       "broadcast shapes (50-query brute sides, centroid/codebook " +
-      "builds) are each justified on their own keys"))
+      "builds) are each justified on their own keys"),
+    "gbm_round" -> ("1-row broadcasts throughout: bin geometry + base " +
+      "score into the binning pass, the chosen split into the loss " +
+      "update, and the 1-row loss aggregate crossed into the report"),
+    "community_louvain2" -> ("1-row 2m broadcast into the weighted " +
+      "coarse-graph gain + the 1-row phase-1/phase-2 modularity " +
+      "summaries crossed onto the top-20 rows"))
 
   test("no unlisted query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>

@@ -193,6 +193,52 @@ class WatermarkTieSpec extends SparkSpec {
         s"watermark; got ${rows()}")
   }
 
+  /** The chained agg→join rule `stream_agg_join_exec`'s oracle encodes:
+    * both windowed aggregates finalize INCLUSIVELY at the global
+    * (min-of-sides) watermark — the plain-agg emission tie — and the
+    * window-equality join passes the tied finalized rows through
+    * without a late-drop (the join's event-time columns are the window
+    * bounds themselves, never older than the watermark that released
+    * them). Manufactured: window end exactly AT the watermark on both
+    * sides must traverse the whole chain. */
+  test("chained agg→join tie: windows finalized AT the watermark " +
+      "(inclusive) traverse the join (protocol pin for " +
+      "stream_agg_join_exec)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    val left = clicks.toDF().select(col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+      .groupBy(window(col("cts"), "1 hour").as("cw"))
+      .agg(count(lit(1)).as("n_clicks"))
+    val right = views.toDF().select(col("ts").as("vts"))
+      .withWatermark("vts", "1 hour")
+      .groupBy(window(col("vts"), "1 hour").as("vw"))
+      .agg(count(lit(1)).as("n_views"))
+    val q = left.join(right, col("cw") === col("vw"))
+      .select(col("cw.start").as("bucket"), col("n_clicks"),
+        col("n_views"))
+      .writeStream.format("memory").queryName("ajoin_tie")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def rows() = spark.table("ajoin_tie")
+      .as[(Timestamp, Long, Long)].collect().sortBy(_._1.getTime).toList
+    try {
+      // [08,09) populated on BOTH sides; the 10:00 max rows drive both
+      // watermarks to exactly 09:00 == the window end (the tie); the
+      // [09,10) rows stay open. Inclusive finalization + join passthrough
+      // ⇒ exactly the hour-8 joined row emits.
+      clicks.addData(Ev(hts(8, 15), 1, "click", 0),
+        Ev(hts(8, 45), 2, "click", 0), Ev(hts(10), 9, "click", 0))
+      views.addData(Ev(hts(8, 30), 3, "view", 0), Ev(hts(10), 8, "view", 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rows() == List((hts(8), 2L, 1L)),
+      "a window whose end ties the watermark must finalize on both " +
+        s"sides and traverse the join; got ${rows()}")
+  }
+
   /** The timer-fire tie `stream_timer_exec`'s oracle encodes: an
     * event-time timer fires as soon as the watermark REACHES its expiry
     * (`expiry <= wm`, INCLUSIVE — unlike the strict join-state eviction
