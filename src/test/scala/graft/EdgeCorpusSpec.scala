@@ -283,8 +283,13 @@ class EdgeCorpusSpec extends SparkSpec {
     // and boundary windows must pass through, not abort
     SparkEntry.queries("tree_stump_train")(spark, edgeEventsDir).collect()
     // 3 vectors: history {1,2}, batch {0} = the all-zero vector (0-norm
-    // cosine → NaN scores rank deterministically; no division abort)
+    // cosine → null via the nullif guard; no division abort)
     SparkEntry.queries("incremental_ann")(spark, edgeVecDir).collect()
+    // compaction folds the zero vector's delta row into the generation
+    val comp = SparkEntry.queries("ann_index_compact")(spark, edgeVecDir)
+      .collect()
+    assert(comp.map(_.getAs[Long]("n_total")).sum == 3)
+    assert(comp.map(_.getAs[Long]("n_delta")).sum == 1)
   }
 
   /** Events with a censored user (signup, no purchase), an excluded user
