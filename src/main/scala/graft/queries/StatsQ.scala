@@ -801,93 +801,106 @@ object StatsQ {
       .orderBy(col("node"))
   }
 
-  /** One GRADIENT-BOOSTING round (r11) — the actual XGBoost Newton step
-    * (Chen & Guestrin KDD'16 §2): tree_stump_train grades the histogram
-    * MECHANISM on raw labels; this key grades the BOOSTING math. From
-    * the base score F₀ = ln(p̄/(1−p̄)): per-row gradient g = p₀ − y and
-    * hessian h = p₀(1−p₀) of the logistic loss, ONE (feat, bin)
-    * histogram of DECIMAL(30,14)-pinned (G, H) sums, split gain =
-    * ½(G_L²/H_L + G_R²/H_R − G_T²/H_T) over prefix sums (exact decimal
-    * arithmetic until the one mirrored double expression, r6 before the
-    * argmax), Newton leaf values w = −η·G/H (η = 0.3), and the graded
-    * payoff: train logloss BEFORE and AFTER the boost — a wrong
-    * gradient, hessian, gain, or leaf cannot reproduce the loss drop.
-    * Scale shape: two corpus passes (histogram, loss update) + a 32-row
-    * candidate table — the per-round cost profile of a real GBM. */
+  /** GRADIENT-BOOSTING trajectory, 2 Newton rounds (r11) — the actual
+    * XGBoost math (Chen & Guestrin KDD'16 §2) on top of
+    * tree_stump_train's histogram mechanism. Round 1 boosts from the
+    * base score F₀ = ln(p̄/(1−p̄)); round 2 re-derives per-row gradients
+    * g = p − y and hessians h = p(1−p) at the UPDATED margins — the
+    * per-row-varying weighted-histogram path a single round never
+    * exercises (at F₀ every row shares one hessian). Per round: ONE
+    * (feat, bin) histogram of DECIMAL(30,14)-pinned (G, H) sums, split
+    * gain ½(G_L²/H_L + G_R²/H_R − G_T²/H_T) over prefix sums (exact
+    * decimal arithmetic until the one mirrored double expression, r6
+    * before the argmax), Newton leaves w = −η·G/H (η = 0.3), margin
+    * update, and the graded payoff: train logloss BEFORE and AFTER each
+    * round — a strictly-decreasing trajectory a wrong gradient,
+    * hessian, gain, or leaf cannot reproduce. Scale shape per round:
+    * histogram pass + loss passes over the checkpointed margin frame +
+    * a 32-row candidate table — the real per-round GBM cost profile. */
   val gbmRound: QFn = (s, dir) => {
     def pin(c: Column) = dec(c, 30, 14)
+    def lossTerm(p: Column) = pin(-(col("y") * log(p) +
+      (lit(1.0) - col("y")) * log(lit(1.0) - p)))
     val base = irlsBase(s, dir)
     val mm = base.agg(min(col("x1")).as("mn1"), max(col("x1")).as("mx1"),
       min(col("x2")).as("mn2"), max(col("x2")).as("mx2"),
       sum(col("y").cast("long")).as("npos"), count(lit(1)).as("nn"))
     def bin(x: Column, mn: Column, mx: Column): Column =
       least(floor(((x - mn) / (mx - mn)) * lit(16.0)), lit(15L))
-    val rows = base.crossJoin(broadcast(mm))
-      .withColumn("f0",
+    // margin frame (y, f, b1, b2), re-checkpointed per round
+    var cur = base.crossJoin(broadcast(mm))
+      .withColumn("f",
         log(dbl(col("npos")) / (dbl(col("nn")) - dbl(col("npos")))))
-      .withColumn("p0", lit(1.0) / (lit(1.0) + exp(-col("f0"))))
-      .withColumn("g", col("p0") - col("y"))
-      .withColumn("h", col("p0") * (lit(1.0) - col("p0")))
-      .select(col("y"), col("p0"), col("g"), col("h"), col("f0"),
+      .select(col("y"), col("f"),
         bin(col("x1"), col("mn1"), col("mx1")).as("b1"),
         bin(col("x2"), col("mn2"), col("mx2")).as("b2"))
-      .localCheckpoint() // reused by the histogram AND the loss update
-    val hist = rows.select(col("g"), col("h"), inline(array(
-        struct(lit("x1").as("feat"), col("b1").as("bin")),
-        struct(lit("x2").as("feat"), col("b2").as("bin")))))
-      .groupBy(col("feat"), col("bin"))
-      .agg(count(lit(1)).as("n"), sum(pin(col("g"))).as("gs"),
-        sum(pin(col("h"))).as("hs"))
-    val wB = Window.partitionBy(col("feat")).orderBy(col("bin"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.partitionBy(col("feat"))
-    val zero = lit(0).cast("decimal(30,14)")
-    val cand = hist
-      .withColumn("nl", coalesce(sum(col("n")).over(wB), lit(0L)))
-      .withColumn("gl", coalesce(sum(col("gs")).over(wB), zero))
-      .withColumn("hl", coalesce(sum(col("hs")).over(wB), zero))
-      .withColumn("nt", sum(col("n")).over(wAll))
-      .withColumn("gt", sum(col("gs")).over(wAll))
-      .withColumn("ht", sum(col("hs")).over(wAll))
-      .filter(col("nl") > 0)
-      .withColumn("nr", col("nt") - col("nl"))
-      // exact decimal differences, THEN one double cast per factor
-      .withColumn("gr", dbl(col("gt") - col("gl")))
-      .withColumn("hr", dbl(col("ht") - col("hl")))
-      .withColumn("gld", dbl(col("gl"))).withColumn("hld", dbl(col("hl")))
-      .withColumn("gtd", dbl(col("gt"))).withColumn("htd", dbl(col("ht")))
-    val gain = (col("gld") * col("gld") / col("hld") +
-      col("gr") * col("gr") / col("hr") -
-      col("gtd") * col("gtd") / col("htd")) * lit(0.5)
-    // one node ⇒ one unpartitioned 31-row argmax window
-    val wBest = Window.orderBy(col("gain").desc, col("feat"), col("bin"))
-    val best = cand.withColumn("gain", r6(gain))
-      .withColumn("rn", row_number().over(wBest))
-      .filter(col("rn") === 1)
-      .localCheckpoint() // 1 row; consumed by scoring AND the report
-    val scored = rows.crossJoin(broadcast(
-        best.select(col("feat").as("bf"), col("bin").as("bb"),
-          (lit(-0.3) * col("gld") / col("hld")).as("wl"),
-          (lit(-0.3) * col("gr") / col("hr")).as("wr"))))
-      .withColumn("f1", col("f0") + when(
-        when(col("bf") === "x1", col("b1")).otherwise(col("b2"))
-          < col("bb"), col("wl")).otherwise(col("wr")))
-      .withColumn("p1", lit(1.0) / (lit(1.0) + exp(-col("f1"))))
-      .agg(
-        sum(pin(-(col("y") * log(col("p0")) +
-          (lit(1.0) - col("y")) * log(lit(1.0) - col("p0"))))).as("l0"),
-        sum(pin(-(col("y") * log(col("p1")) +
-          (lit(1.0) - col("y")) * log(lit(1.0) - col("p1"))))).as("l1"),
+      .localCheckpoint()
+    var trail: org.apache.spark.sql.DataFrame = null
+    for (round <- 1 to 2) {
+      val p = cur.withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("f"))))
+        .withColumn("g", col("p") - col("y"))
+        .withColumn("h", col("p") * (lit(1.0) - col("p")))
+        .localCheckpoint() // consumed by loss-before, histogram, update
+      val lb = p.agg(sum(lossTerm(col("p"))).as("l"),
         count(lit(1)).as("cnt"))
-    best.crossJoin(broadcast(scored))
-      .select(col("feat"), col("bin").as("split_bin"), col("gain"),
-        col("nl").as("n_left"), col("nr").as("n_right"),
-        r6(col("gld")).as("g_left"), r6(col("hld")).as("h_left"),
-        r6(col("gr")).as("g_right"), r6(col("hr")).as("h_right"),
-        r6(lit(-0.3) * col("gld") / col("hld")).as("leaf_left"),
-        r6(lit(-0.3) * col("gr") / col("hr")).as("leaf_right"),
-        r6(dbl(col("l0")) / col("cnt")).as("logloss_base"),
-        r6(dbl(col("l1")) / col("cnt")).as("logloss_boosted"))
+      val hist = p.select(col("g"), col("h"), inline(array(
+          struct(lit("x1").as("feat"), col("b1").as("bin")),
+          struct(lit("x2").as("feat"), col("b2").as("bin")))))
+        .groupBy(col("feat"), col("bin"))
+        .agg(count(lit(1)).as("n"), sum(pin(col("g"))).as("gs"),
+          sum(pin(col("h"))).as("hs"))
+      val wB = Window.partitionBy(col("feat")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy(col("feat"))
+      val zero = lit(0).cast("decimal(30,14)")
+      val cand = hist
+        .withColumn("nl", coalesce(sum(col("n")).over(wB), lit(0L)))
+        .withColumn("gl", coalesce(sum(col("gs")).over(wB), zero))
+        .withColumn("hl", coalesce(sum(col("hs")).over(wB), zero))
+        .withColumn("nt", sum(col("n")).over(wAll))
+        .withColumn("gt", sum(col("gs")).over(wAll))
+        .withColumn("ht", sum(col("hs")).over(wAll))
+        .filter(col("nl") > 0)
+        .withColumn("nr", col("nt") - col("nl"))
+        // exact decimal differences, THEN one double cast per factor
+        .withColumn("gr", dbl(col("gt") - col("gl")))
+        .withColumn("hr", dbl(col("ht") - col("hl")))
+        .withColumn("gld", dbl(col("gl"))).withColumn("hld", dbl(col("hl")))
+        .withColumn("gtd", dbl(col("gt"))).withColumn("htd", dbl(col("ht")))
+      val gain = (col("gld") * col("gld") / col("hld") +
+        col("gr") * col("gr") / col("hr") -
+        col("gtd") * col("gtd") / col("htd")) * lit(0.5)
+      // one node ⇒ one unpartitioned 31-row argmax window
+      val wBest = Window.orderBy(col("gain").desc, col("feat"), col("bin"))
+      val best = cand.withColumn("gain", r6(gain))
+        .withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .localCheckpoint() // 1 row; consumed by the update AND the report
+      cur = p.crossJoin(broadcast(
+          best.select(col("feat").as("bf"), col("bin").as("bb"),
+            (lit(-0.3) * col("gld") / col("hld")).as("wl"),
+            (lit(-0.3) * col("gr") / col("hr")).as("wr"))))
+        .withColumn("f", col("f") + when(
+          when(col("bf") === "x1", col("b1")).otherwise(col("b2"))
+            < col("bb"), col("wl")).otherwise(col("wr")))
+        .select(col("y"), col("f"), col("b1"), col("b2"))
+        .localCheckpoint()
+      val la = cur
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("f"))))
+        .agg(sum(lossTerm(col("p"))).as("l2"))
+      val row = best.crossJoin(broadcast(lb)).crossJoin(broadcast(la))
+        .select(lit(round.toLong).as("round"), col("feat"),
+          col("bin").as("split_bin"), col("gain"),
+          col("nl").as("n_left"), col("nr").as("n_right"),
+          r6(col("gld")).as("g_left"), r6(col("hld")).as("h_left"),
+          r6(col("gr")).as("g_right"), r6(col("hr")).as("h_right"),
+          r6(lit(-0.3) * col("gld") / col("hld")).as("leaf_left"),
+          r6(lit(-0.3) * col("gr") / col("hr")).as("leaf_right"),
+          r6(dbl(col("l")) / col("cnt")).as("logloss_before"),
+          r6(dbl(col("l2")) / col("cnt")).as("logloss_after"))
+      trail = if (trail == null) row else trail.unionByName(row)
+    }
+    trail.orderBy(col("round"))
   }
 
   /** IRLS oracle: two generated Newton steps, each with the identical
@@ -1028,12 +1041,68 @@ object StatsQ {
        |FROM sel, mm ORDER BY node""".stripMargin
   }
 
-  /** GBM-round oracle: identical base score, gradient/hessian doubles,
-    * DECIMAL-pinned histogram sums, mirrored ½·G²/H gain, Newton leaves,
-    * and the before/after logloss aggregates. */
+  /** GBM-trajectory oracle: 2 generated rounds, each with identical
+    * per-row gradient/hessian doubles at the CURRENT margins,
+    * DECIMAL-pinned histogram sums, mirrored ½·G²/H gain, Newton
+    * leaves, margin update, and before/after logloss aggregates. */
   private def gbmRoundSql: String = {
     val r6g = r6Sql("(gld * gld / hld + gr * gr / hr - gtd * gtd / htd) " +
       "* 0.5")
+    def round(r: Int): String = {
+      val prev = s"m${r - 1}"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT y, b1, b2, f, 1.0 / (1.0 + exp(-f)) AS p FROM $prev),
+         |lb$r AS (SELECT
+         |    sum(CAST(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))
+         |      AS DECIMAL(30,14))) AS l,
+         |    count(*) AS cnt FROM p$r),
+         |hist$r AS (SELECT feat, bin, count(*) AS n,
+         |    sum(CAST(p - y AS DECIMAL(30,14))) AS gs,
+         |    sum(CAST(p * (1.0 - p) AS DECIMAL(30,14))) AS hs
+         |  FROM (SELECT 'x1' AS feat, b1 AS bin, p, y FROM p$r
+         |        UNION ALL SELECT 'x2', b2, p, y FROM p$r)
+         |  GROUP BY 1, 2),
+         |cand$r AS (SELECT *, nt - nl AS nr,
+         |    CAST(gt - gl AS DOUBLE) AS gr, CAST(ht - hl AS DOUBLE) AS hr,
+         |    CAST(gl AS DOUBLE) AS gld, CAST(hl AS DOUBLE) AS hld,
+         |    CAST(gt AS DOUBLE) AS gtd, CAST(ht AS DOUBLE) AS htd
+         |  FROM (
+         |    SELECT feat, bin,
+         |      CAST(coalesce(sum(n) OVER wb, 0) AS BIGINT) AS nl,
+         |      coalesce(sum(gs) OVER wb, CAST(0 AS DECIMAL(30,14))) AS gl,
+         |      coalesce(sum(hs) OVER wb, CAST(0 AS DECIMAL(30,14))) AS hl,
+         |      CAST(sum(n) OVER wa AS BIGINT) AS nt,
+         |      sum(gs) OVER wa AS gt, sum(hs) OVER wa AS ht
+         |    FROM hist$r
+         |    WINDOW wb AS (PARTITION BY feat ORDER BY bin
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      wa AS (PARTITION BY feat))
+         |  WHERE nl > 0),
+         |best$r AS MATERIALIZED (SELECT * FROM (
+         |    SELECT *, $r6g AS gain,
+         |      row_number() OVER (ORDER BY $r6g DESC, feat, bin) AS rn
+         |    FROM cand$r) WHERE rn = 1),
+         |m$r AS MATERIALIZED (
+         |  SELECT q.y, q.b1, q.b2,
+         |    q.f + CASE WHEN
+         |      (CASE WHEN b.feat = 'x1' THEN q.b1 ELSE q.b2 END) < b.bin
+         |      THEN -0.3 * b.gld / b.hld
+         |      ELSE -0.3 * b.gr / b.hr END AS f
+         |  FROM p$r q, best$r b),
+         |la$r AS (SELECT
+         |    sum(CAST(-(y * ln(pp) + (1.0 - y) * ln(1.0 - pp))
+         |      AS DECIMAL(30,14))) AS l2
+         |  FROM (SELECT y, 1.0 / (1.0 + exp(-f)) AS pp FROM m$r)),
+         |row$r AS (SELECT CAST($r AS BIGINT) AS round, feat,
+         |    bin AS split_bin, gain, nl AS n_left, nr AS n_right,
+         |    ${r6Sql("gld")} AS g_left, ${r6Sql("hld")} AS h_left,
+         |    ${r6Sql("gr")} AS g_right, ${r6Sql("hr")} AS h_right,
+         |    ${r6Sql("-0.3 * gld / hld")} AS leaf_left,
+         |    ${r6Sql("-0.3 * gr / hr")} AS leaf_right,
+         |    ${r6Sql("CAST(l AS DOUBLE) / cnt")} AS logloss_before,
+         |    ${r6Sql("CAST(l2 AS DOUBLE) / cnt")} AS logloss_after
+         |  FROM best$r, lb$r, la$r)""".stripMargin
+    }
     s"""WITH base AS MATERIALIZED (
        |  SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END
        |      AS y,
@@ -1044,64 +1113,20 @@ object StatsQ {
        |    min(x2) AS mn2, max(x2) AS mx2,
        |    CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS npos,
        |    count(*) AS nn FROM base),
-       |rws AS MATERIALIZED (
-       |  SELECT y, p0, p0 - y AS g, p0 * (1.0 - p0) AS h, f0, b1, b2
-       |  FROM (SELECT y, 1.0 / (1.0 + exp(-f0)) AS p0, f0,
+       |m0 AS MATERIALIZED (
+       |  SELECT y, f, b1, b2
+       |  FROM (SELECT y,
+       |      ln(CAST(npos AS DOUBLE)
+       |        / (CAST(nn AS DOUBLE) - CAST(npos AS DOUBLE))) AS f,
        |      least(CAST(floor(((x1 - mn1) / (mx1 - mn1)) * 16.0)
        |        AS BIGINT), CAST(15 AS BIGINT)) AS b1,
        |      least(CAST(floor(((x2 - mn2) / (mx2 - mn2)) * 16.0)
        |        AS BIGINT), CAST(15 AS BIGINT)) AS b2
-       |    FROM (SELECT base.*, mm.*,
-       |        ln(CAST(npos AS DOUBLE)
-       |          / (CAST(nn AS DOUBLE) - CAST(npos AS DOUBLE))) AS f0
-       |      FROM base, mm))),
-       |hist AS (SELECT feat, bin, count(*) AS n,
-       |    sum(CAST(g AS DECIMAL(30,14))) AS gs,
-       |    sum(CAST(h AS DECIMAL(30,14))) AS hs
-       |  FROM (SELECT 'x1' AS feat, b1 AS bin, g, h FROM rws
-       |        UNION ALL SELECT 'x2', b2, g, h FROM rws)
-       |  GROUP BY 1, 2),
-       |cand AS (SELECT *, nt - nl AS nr,
-       |    CAST(gt - gl AS DOUBLE) AS gr, CAST(ht - hl AS DOUBLE) AS hr,
-       |    CAST(gl AS DOUBLE) AS gld, CAST(hl AS DOUBLE) AS hld,
-       |    CAST(gt AS DOUBLE) AS gtd, CAST(ht AS DOUBLE) AS htd
-       |  FROM (
-       |    SELECT feat, bin,
-       |      CAST(coalesce(sum(n) OVER wb, 0) AS BIGINT) AS nl,
-       |      coalesce(sum(gs) OVER wb, CAST(0 AS DECIMAL(30,14))) AS gl,
-       |      coalesce(sum(hs) OVER wb, CAST(0 AS DECIMAL(30,14))) AS hl,
-       |      CAST(sum(n) OVER wa AS BIGINT) AS nt,
-       |      sum(gs) OVER wa AS gt, sum(hs) OVER wa AS ht
-       |    FROM hist
-       |    WINDOW wb AS (PARTITION BY feat ORDER BY bin
-       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-       |      wa AS (PARTITION BY feat))
-       |  WHERE nl > 0),
-       |best AS MATERIALIZED (SELECT * FROM (
-       |    SELECT *, $r6g AS gain,
-       |      row_number() OVER (ORDER BY $r6g DESC, feat, bin) AS rn
-       |    FROM cand) WHERE rn = 1),
-       |scored AS (SELECT
-       |    sum(CAST(-(y * ln(p0) + (1.0 - y) * ln(1.0 - p0))
-       |      AS DECIMAL(30,14))) AS l0,
-       |    sum(CAST(-(y * ln(p1) + (1.0 - y) * ln(1.0 - p1))
-       |      AS DECIMAL(30,14))) AS l1,
-       |    count(*) AS cnt
-       |  FROM (SELECT r.y, r.p0,
-       |      1.0 / (1.0 + exp(-(r.f0 + CASE WHEN
-       |        (CASE WHEN b.feat = 'x1' THEN r.b1 ELSE r.b2 END) < b.bin
-       |        THEN -0.3 * b.gld / b.hld
-       |        ELSE -0.3 * b.gr / b.hr END))) AS p1
-       |    FROM rws r, best b))
-       |SELECT feat, bin AS split_bin, gain,
-       |  nl AS n_left, nr AS n_right,
-       |  ${r6Sql("gld")} AS g_left, ${r6Sql("hld")} AS h_left,
-       |  ${r6Sql("gr")} AS g_right, ${r6Sql("hr")} AS h_right,
-       |  ${r6Sql("-0.3 * gld / hld")} AS leaf_left,
-       |  ${r6Sql("-0.3 * gr / hr")} AS leaf_right,
-       |  ${r6Sql("CAST(l0 AS DOUBLE) / cnt")} AS logloss_base,
-       |  ${r6Sql("CAST(l1 AS DOUBLE) / cnt")} AS logloss_boosted
-       |FROM best, scored""".stripMargin
+       |    FROM base, mm)),
+       |${round(1)},
+       |${round(2)}
+       |SELECT * FROM (SELECT * FROM row1 UNION ALL SELECT * FROM row2)
+       |ORDER BY round""".stripMargin
   }
 
   private def logisticSql: String =

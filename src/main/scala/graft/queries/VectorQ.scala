@@ -290,7 +290,23 @@ object VectorQ {
     * broadcast centroid set, `crn` ranking cells by distance per vector.
     * Consumed by ann_ivf_knn (probe + exact cosine) and ann_ivfpq_knn
     * (probe + PQ-residual ADC + rerank). */
-  private[graft] def ivfCoarse(s: SparkSession, dir: String) = {
+  private val ivfCoarseCache =
+    new scala.collection.concurrent.TrieMap[(String, String),
+      org.apache.spark.sql.DataFrame]
+
+  /** Session-scoped coarse-quantizer artifact (r11): the assignment is a
+    * trained INDEX — ann_ivf_knn, ann_ivfpq_knn, and the recall report
+    * all consume the same geometry, so it is built once per (session,
+    * dir) and checkpointed, restricted to the crn ≤ 2 rows every
+    * consumer reads (cells + probes). The same train-once/probe-
+    * everywhere amortization the tokenizer and standing-index artifacts
+    * follow. */
+  private[graft] def ivfCoarse(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    ivfCoarseCache.getOrElseUpdate((graft.Tables.sessionKey(s), dir),
+      ivfCoarseBuild(s, dir).filter(col("crn") <= 2).localCheckpoint())
+
+  private def ivfCoarseBuild(s: SparkSession, dir: String) = {
     val centroids = t(s, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "ev")))
       .groupBy(col("label"), col("pos"))

@@ -19,7 +19,10 @@ class PlanSweepSpec extends SparkSpec {
     // semdedup_prune inherits kmeans' bounded broadcast too, but its
     // localCheckpoint truncates the visible plan before the sweep sees it
     // — no allowlist entry needed (or permitted: the shape-check would rot)
-    "ann_ivf_knn" -> "centroid set (10) broadcast for cell assignment — bounded",
+    // ann_ivf_knn's bounded centroid broadcast lives inside the shared
+    // ivfCoarse artifact, checkpointed per session since r11 — the
+    // returned plan shows only the cell equi-join, so no entry (or
+    // permitted: the rot-check would fire), like semdedup/bpe.
     "gap_fill_ffill" -> "1-row bounds aggregate crossed with the day spine — O(days)",
     "bigram_pmi" -> "1-row corpus-total aggregate broadcast into the PMI formula",
     "tfidf_top_terms" -> "1-row corpus doc-count aggregate broadcast into idf",
