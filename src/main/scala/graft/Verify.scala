@@ -41,6 +41,18 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Machine-readable status beside the parquet dumps: if the driver
+    // copies the verify out dir but its log capture truncates (the
+    // r9/r10 empty-artifact failure mode), this file is the third
+    // independent record of per-key dump status.
+    def qs(s: String): String = "\"" + s.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\""
+    val statusJson = SparkEntry.queries.keys.toSeq.sorted
+      .filter(k => only.forall(_.contains(k)))
+      .map(k => s"${qs(k)}: ${qs(if (failed.contains(k)) "dump_fail"
+        else "dump_ok")}")
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_status.json"), statusJson)
     // One-line round-log summary: a systematic failure (e.g. a fixture
     // schema drift breaking one table's whole key family) must be visible
     // at a glance, not spread over 46 interleaved stack traces.
