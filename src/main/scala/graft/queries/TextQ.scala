@@ -969,6 +969,49 @@ object TextQ {
       .orderBy(col("lang"), col("bin"))
   }
 
+  /** The tokenized training corpus MATERIALIZED (r11) — the artifact a
+    * pretraining run actually reads: every document's ordered BPE token
+    * sequence under the trained merge table, written to parquet and
+    * RE-READ (the sink roundtrip is part of the graded path, like the
+    * formats keys). Order reconstruction is fully relational: word
+    * position × within-word symbol position sort the collected tokens,
+    * so the sequence survives any shuffle. Token-less docs materialize
+    * as empty sequences (they are rows in the training manifest, not
+    * dropped). Graded per lang on exact token volume AND an
+    * ORDER-SENSITIVE content fingerprint (md5 of the space-joined
+    * re-read sequence — min/max/distinct-count per lang): a dropped
+    * doc, reordered token, or lossy roundtrip cannot match it.
+    * Scale shape: two corpus-linear explodes + one doc-keyed rebuild +
+    * a doc-partitioned write — the exact shape of a production
+    * tokenize-and-shard job; the vocabulary join is the broadcast
+    * segmentation artifact (built once per session). */
+  val tokenizeCorpusSink: QFn = (s, dir) => {
+    val seg = bpeApplied(s, dir)
+    val out = scratch(dir, "bpe_corpus")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("wpos", "word")))
+      .join(seg, "word")
+      .select(col("doc_id"), col("wpos"),
+        posexplode(col("syms")).as(Seq("spos", "tok")))
+      .groupBy(col("doc_id"))
+      .agg(transform(sort_array(collect_list(struct(col("wpos"),
+        col("spos"), col("tok")))), x => x.getField("tok")).as("toks"))
+      .join(t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        Seq("doc_id"), "right")
+      .withColumn("toks",
+        coalesce(col("toks"), array().cast("array<string>")))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .select(col("lang"), size(col("toks")).cast("long").as("ntok"),
+        md5(concat_ws(" ", col("toks"))).as("fp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+        countDistinct(col("fp")).as("n_distinct_docs"),
+        min(col("fp")).as("fp_min"), max(col("fp")).as("fp_max"))
+      .orderBy(col("lang"))
+  }
+
   /** Shannon entropy (nats) of each language's token distribution — the
     * standard corpus-diversity / degenerate-text signal next to
     * quality_score (a collapsed crawl segment shows entropy ≈ 0).
@@ -1363,6 +1406,7 @@ object TextQ {
     "bpe_train_merges"   -> bpeTrainMerges,
     "token_bpe_apply"    -> tokenBpeApply,
     "pack_tokens_bpe"    -> packTokensBpe,
+    "tokenize_corpus_sink" -> tokenizeCorpusSink,
     "entity_dedup_e2e"   -> entityDedupE2e,
     "skipgram_pairs"     -> skipgramPairs,
     "token_entropy"      -> tokenEntropy,
@@ -1488,6 +1532,39 @@ object TextQ {
        |  coalesce(topt.tn, CAST(0 AS BIGINT)) AS top_merged_n
        |FROM nd LEFT JOIN st USING (lang) LEFT JOIN topt USING (lang)
        |ORDER BY lang""".stripMargin
+
+  /** Tokenized-corpus oracle: vocab6 segmentation re-expanded to ordered
+    * per-doc token sequences ((wpos, spos) sort), same order-sensitive
+    * md5 fingerprints — the Spark side's disk roundtrip is
+    * value-preserving, so the relational replay is exact. */
+  private def bpeCorpusSinkSql: String =
+    s"""WITH $bpeVocabCtes,
+       |wtok AS MATERIALIZED (
+       |  SELECT doc_id, i - 1 AS wpos, ws[i] AS word FROM words,
+       |    (SELECT unnest(range(1, (SELECT max(len(ws)) FROM words) + 1))
+       |      AS i)
+       |  WHERE i <= len(ws)),
+       |stok AS MATERIALIZED (
+       |  SELECT w.doc_id, w.wpos, j - 1 AS spos, v.syms[j] AS tok
+       |  FROM wtok w JOIN vocab6 v USING (word),
+       |    (SELECT unnest(range(1,
+       |        (SELECT max(len(syms)) FROM vocab6) + 1)) AS j)
+       |  WHERE j <= len(v.syms)),
+       |docs_t AS MATERIALIZED (
+       |  SELECT doc_id, list(tok ORDER BY wpos, spos) AS toks
+       |  FROM stok GROUP BY doc_id),
+       |full_t AS (
+       |  SELECT d.doc_id, d.lang,
+       |    coalesce(t.toks, CAST([] AS VARCHAR[])) AS toks
+       |  FROM documents d LEFT JOIN docs_t t USING (doc_id)),
+       |per AS (SELECT lang, CAST(len(toks) AS BIGINT) AS ntok,
+       |    md5(array_to_string(toks, ' ')) AS fp
+       |  FROM full_t)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       |  CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_docs,
+       |  min(fp) AS fp_min, max(fp) AS fp_max
+       |FROM per GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Token-budgeted packing oracle: vocab6 segmentation → per-doc token
     * counts → the pack_sequences prefix-sum window at 512 tokens. */
@@ -1783,6 +1860,7 @@ object TextQ {
     "bpe_train_merges" -> bpeTrainSql,
     "token_bpe_apply" -> bpeApplySql,
     "pack_tokens_bpe" -> bpePackSql,
+    "tokenize_corpus_sink" -> bpeCorpusSinkSql,
     // Recursive min-reachable-label mirror of the propagation fixpoint
     // (the neardup_clusters oracle device) over the JW candidate graph.
     "entity_dedup_e2e" ->

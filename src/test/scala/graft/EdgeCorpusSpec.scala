@@ -275,6 +275,12 @@ class EdgeCorpusSpec extends SparkSpec {
     assert(bins.map(_.getAs[Long]("n_docs")).sum == 4)
     // BPE can only SHORTEN: "hello"(5 chars) + 5 single-char tokens ≤ 10
     assert(bins.map(_.getAs[Long]("sum_tok")).sum <= 10)
+    // the materialized corpus keeps token-less docs as empty sequences
+    val sink = SparkEntry.queries("tokenize_corpus_sink")(spark, edgeDir)
+      .collect()
+    assert(sink.map(_.getAs[Long]("n_docs")).sum == 4)
+    assert(sink.map(_.getAs[Long]("n_tokens")).sum ==
+      bins.map(_.getAs[Long]("sum_tok")).sum)
   }
 
   test("r11 tree/ann keys survive degenerate inputs (NULL feature values, " +
