@@ -21,6 +21,7 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logs.quietNoisy()
     // Deterministic warm-up: touch every table once before the timed loop
     // so one-time session costs (first parquet read per table, codegen/JIT
     // of the scan path) don't land on whichever query map-order runs
@@ -191,6 +192,13 @@ object Bench {
           fullDisk + "\n")
         catch { case _: Throwable => () }
       }
+    // Tail defense v5 (BENCH_r10/_r11 both read `parsed: None` off the
+    // driver's stdout-tail even though the lines above printed fine —
+    // session-shutdown log noise landed AFTER them in the merged
+    // capture): stop the session FIRST, then re-emit both summary lines
+    // so the very last bytes of the process's output are the payload.
     spark.stop()
+    println(full)
+    println(compact)
   }
 }

@@ -113,9 +113,42 @@ object Tables {
       if (id == null) {
         id = java.util.UUID.randomUUID().toString
         sessionIds.put(spark, id)
+        // Value-side leak defense (r12 advisory): the WeakHashMap frees
+        // the KEY of a collected session, but every session-scoped
+        // artifact cache (Tables.registry, the Louvain/BPE/IVF module
+        // caches) holds strong references to that session's DataFrames —
+        // and through them the session and its localCheckpoint blocks —
+        // for the JVM lifetime. Register a Cleaner action per session:
+        // when the session becomes phantom-reachable, evict its id from
+        // every registered cache. The action captures only the id string,
+        // never the session, so it cannot keep the session alive itself.
+        val sid = id
+        cleaner.register(spark, () => evictSession(sid))
       }
       id
     }
+
+  private val cleaner = java.lang.ref.Cleaner.create()
+  private val sessionEvictors =
+    new java.util.concurrent.ConcurrentLinkedQueue[String => Unit]()
+  private def evictSession(sid: String): Unit =
+    sessionEvictors.forEach(f => f(sid))
+
+  /** A TrieMap whose keys lead with [[sessionKey]], wired into the
+    * session-collection Cleaner above: entries for a GC'd session are
+    * evicted instead of pinning its DataFrames (and localCheckpoint
+    * blocks) for the JVM lifetime. The ONE constructor every
+    * session-scoped artifact cache in the query modules must use. */
+  private[graft] def sessionScopedCache[K, V]()
+      : scala.collection.concurrent.TrieMap[(String, K), V] = {
+    val m = new scala.collection.concurrent.TrieMap[(String, K), V]()
+    sessionEvictors.add(sid =>
+      m.keys.filter(_._1 == sid).foreach(m.remove))
+    m
+  }
+  // The table registry itself is session-scoped too (3-part key).
+  sessionEvictors.add(sid =>
+    registry.keys.filter(_._1 == sid).foreach(registry.remove))
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     prepareSession(spark)
@@ -132,6 +165,8 @@ object Tables {
   /** Cached per (session, dir, table) like the relation registry. */
   private val rowCounts =
     new scala.collection.concurrent.TrieMap[(String, String, String), Long]
+  sessionEvictors.add(sid =>
+    rowCounts.keys.filter(_._1 == sid).foreach(rowCounts.remove))
 
   /** Table row count from parquet FOOTER statistics — the catalog
     * table-statistics lookup, not a data scan: the count(*) runs through

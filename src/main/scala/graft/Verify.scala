@@ -18,6 +18,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logs.quietNoisy()
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries
@@ -99,7 +100,19 @@ object Verify {
         System.err.println(s"[verify] sketch bounds failed: ${e.getMessage}")
       }
     }
+    // Tail defense (r12, mirroring Bench): CORRECTNESS_r{9,10,11} all
+    // arrived empty from the driver's capture, so the per-key pass map
+    // must ALSO be the very last stdout of the process — after
+    // spark.stop(), past any shutdown log noise. Two lines: the full
+    // per-key map (may be clipped by a bounded tail), then a compact
+    // summary whose final position survives any truncation window.
     spark.stop()
+    println("GRAFT_VERIFY_MAP " + statusJson)
+    val nOk = SparkEntry.queries.keys
+      .count(k => only.forall(_.contains(k)) && !failed.contains(k))
+    println(s"""GRAFT_VERIFY_SUMMARY {"dump_ok":$nOk,""" +
+      s""""dump_fail":${failed.size},""" +
+      s""""failed":${failed.sorted.map(qs).mkString("[", ",", "]")}}""")
   }
 
   /** Measured sketch error vs exact, as one JSON line:

@@ -129,6 +129,95 @@ object CurationQ {
       .orderBy(col("doc_id"))
   }
 
+  /** Perplexity gate (r12) — the CCNet/C4 composition the LM pieces
+    * lacked a CONSUMER for (Wenzek et al. 2020: train an LM on a clean
+    * slice, score every document, keep the well-modeled tail): the
+    * lm_bigram_score add-one model is trained on the train split
+    * (doc_id % 17 ≠ 0, the curation split convention), then scores the
+    * WHOLE corpus; the keep/drop threshold is the exact-rank 30th
+    * percentile of the r6-rounded per-doc scores (winsorize selection —
+    * no interpolation; ranked over the DISTINCT-score histogram, the
+    * model_auc bounded-window move, ≤ 10⁶+1 rows by rounding); kept =
+    * strictly above the threshold value, so tie groups drop whole and
+    * both engines agree by construction. Output: the per-(lang, source)
+    * kept/dropped MANIFEST a curation run ships — doc counts, scored
+    * counts, kept counts/rate, mean kept score (DECIMAL-pinned sum of
+    * per-doc r6 scores), and the threshold as evidence. Docs with no
+    * bigram (token-less) are unscoreable and drop — visible as
+    * n_scored < n_docs.
+    *
+    * Scale shape: training counts live on the vocabulary domain
+    * (Heaps-saturating); scoring is one linear bigram explode + two
+    * vocab-keyed left joins + a doc-keyed aggregate; the threshold is
+    * ONE bounded-histogram prefix window + a 1-row broadcast back —
+    * nothing corpus-sized is ever single-partitioned. */
+  /** The (per-doc score, 1-row threshold) LM-gate artifact, built once
+    * per (session, dir) and checkpointed — quality_lm_gate reports it,
+    * TextQ's pretrain capstone consumes it as a filter (score once,
+    * gate everywhere — the artifact amortization the tokenizer and
+    * standing-index caches follow). */
+  private val lmGateCache =
+    graft.Tables.sessionScopedCache[String, (DataFrame, DataFrame)]()
+  private[queries] def lmGateArtifact(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    lmGateCache.getOrElseUpdate((graft.Tables.sessionKey(s), dir), {
+      val bg = bigramRows(s, dir)
+      val c2 = bg.filter(!isEval(col("doc_id")))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = t(s, dir, "documents")
+        .filter(!isEval(col("doc_id")))
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val v = c1.agg(count(lit(1)).as("v"))
+      val scored = bg
+        .join(c2, Seq("w1", "w2"), "left")
+        .join(c1.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          dec(log(dbl(coalesce(col("c2"), lit(0L)) + 1) /
+            dbl(coalesce(col("c1"), lit(0L)) + col("v"))), 14, 10)
+            .as("term"))
+        .groupBy(col("doc_id"))
+        .agg(r6(dbl(sum(col("term"))) / count(lit(1))).as("score"))
+        .localCheckpoint()
+      val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("c"))
+      val wS = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = hist
+        .withColumn("cb", coalesce(sum(col("c")).over(wS), lit(0L)))
+        .withColumn("ce", col("cb") + col("c"))
+      val tot = scored.agg(count(lit(1)).as("n"))
+      val thr = cum.crossJoin(broadcast(tot)).agg(
+        max(when(col("cb") < expr("(3 * n + 9) div 10") &&
+          expr("(3 * n + 9) div 10") <= col("ce"), col("score")))
+          .as("lm_threshold"))
+        .localCheckpoint()
+      (scored, thr)
+    })
+
+  val qualityLmGate: QFn = (s, dir) => {
+    val (scored, thr) = lmGateArtifact(s, dir)
+    t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source"))
+      .join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(thr))
+      .withColumn("kept",
+        col("score").isNotNull && col("score") > col("lm_threshold"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), dec(col("score"), 14, 8))).as("kept_sum"),
+        max(col("lm_threshold")).as("lm_threshold"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_scored"),
+        col("n_kept"),
+        r6(dbl(col("n_kept")) /
+          nullif(dbl(col("n_scored")), lit(0.0))).as("kept_rate"),
+        r6(dbl(col("kept_sum")) /
+          nullif(dbl(col("n_kept")), lit(0.0))).as("mean_kept_score"),
+        col("lm_threshold"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val quantizeEmbed: QFn = (s, dir) => {
     val x = transform(col("embedding"), e => e.cast("double"))
     val scale = array_max(transform(col("x"), e => abs(e)))
@@ -491,32 +580,51 @@ object CurationQ {
     * agree by construction. Output per source: raw vs normalized means
     * (exact int sums, one division) and the normalized median — equal
     * medians across sources is the visible proof the batch effect is
-    * gone. Scale shape: two rank windows (per-source and pooled) + one
-    * equi-join on the pooled rank; at 100 TB the pooled rank table
-    * yields to a t-digest/HDR quantile sketch, same contract. */
+    * gone.
+    *
+    * Scale shape (r12): the output NEVER needs per-doc ranks. Within a
+    * source the ranks rs are exactly 1..nₛ, so the multiset of pooled
+    * targets {ceil(rs·N/nₛ)} is tie-order-free, and the number of
+    * source ranks mapping onto pooled rank t telescopes per distinct
+    * value: #{rs : ceil(rs·N/nₛ)∈(cb,ce]} = ⌊ce·nₛ/N⌋ − ⌊cb·nₛ/N⌋
+    * (cb/ce = the value's exclusive/inclusive pooled prefix counts). So
+    * the whole key runs on the DISTINCT-n_chars histogram — one groupBy
+    * per axis, ONE prefix-sum window over the bounded value domain
+    * (doc sizes, not doc count), a (values × sources) bounded join, and
+    * a per-source rollup. The r10 corpus-sized pooled row_number (the
+    * r11 weak flag) is gone; outputs are bit-identical to the rank
+    * formulation, so the oracle is unchanged. Rank products ride
+    * DECIMAL(38,0) (cb·nₛ overflows BIGINT past ~3·10⁹ docs). */
   val quantileNormalize: QFn = (s, dir) => {
     val d = t(s, dir, "documents")
-      .select(col("doc_id"), col("source"), col("n_chars"))
-    val wSrc = Window.partitionBy(col("source"))
-      .orderBy(col("n_chars"), col("doc_id"))
-    val wPool = Window.orderBy(col("n_chars"), col("doc_id"))
-    val pool = d.select(col("n_chars").as("pool_v"),
-        row_number().over(wPool).cast("long").as("prn"))
-    val tot = pool.agg(count(lit(1)).as("n_pool"))
-    val ranked = d
-      .withColumn("rs", row_number().over(wSrc).cast("long"))
-      .withColumn("ns", count(lit(1))
-        .over(Window.partitionBy(col("source"))))
-      .crossJoin(broadcast(tot))
-      .withColumn("target",
-        expr("(rs * n_pool + ns - 1) div ns"))
-      .join(pool, col("target") === col("prn"))
-    ranked.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        r6(dbl(sum(col("n_chars"))) / count(lit(1))).as("mean_raw"),
-        r6(dbl(sum(col("pool_v"))) / count(lit(1))).as("mean_norm"),
-        max(when(col("rs") === expr("(ns + 1) div 2"), col("pool_v")))
-          .as("median_norm"))
+      .select(col("source"), col("n_chars"))
+    val src = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("ns"), sum(col("n_chars")).as("sum_raw"))
+    val hist = d.groupBy(col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wV = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("cb", coalesce(sum(col("c")).over(wV), lit(0L)))
+      .withColumn("ce", col("cb") + col("c"))
+    val tot = d.agg(count(lit(1)).as("n_pool"))
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(src))
+      .withColumn("w",
+        expr("(CAST(ce AS DECIMAL(38,0)) * ns) div n_pool" +
+          " - (CAST(cb AS DECIMAL(38,0)) * ns) div n_pool"))
+      .withColumn("tm",
+        expr("(((ns + 1) div 2) * CAST(n_pool AS DECIMAL(38,0)) + ns - 1)" +
+          " div ns"))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_docs"),
+        max(col("sum_raw")).as("sum_raw"),
+        sum(dec(col("v"), 28, 0) * col("w")).as("sum_norm"),
+        max(when(col("cb") < col("tm") && col("tm") <= col("ce"),
+          col("v"))).as("median_norm"))
+      .select(col("source"), col("n_docs"),
+        r6(dbl(col("sum_raw")) / col("n_docs")).as("mean_raw"),
+        r6(dbl(col("sum_norm")) / col("n_docs")).as("mean_norm"),
+        col("median_norm"))
       .orderBy(col("source"))
   }
 
@@ -530,6 +638,7 @@ object CurationQ {
     "train_test_split"      -> trainTestSplit,
     "contamination_overlap" -> contaminationOverlap,
     "lm_bigram_score"       -> lmBigramScore,
+    "quality_lm_gate"       -> qualityLmGate,
     "quantize_embed"        -> quantizeEmbed,
     "dedup_pipeline_e2e"    -> dedupPipeline,
     "union_by_name_evolve"  -> unionByNameEvolve,
@@ -774,6 +883,53 @@ object CurationQ {
          |SELECT doc_id, count(*) AS n_bigrams,
          |  ${r6Sql("CAST(sum(term) AS DOUBLE) / count(*)")} AS avg_ll
          |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "quality_lm_gate" ->
+      s"""WITH $bigramCte,
+         |uni AS (
+         |  SELECT w, count(*) AS c1 FROM (
+         |    SELECT unnest(ws) AS w FROM words WHERE doc_id % 17 <> 0)
+         |  GROUP BY w),
+         |vv AS (SELECT count(*) AS v FROM uni),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg
+         |       WHERE doc_id % 17 <> 0 GROUP BY w1, w2),
+         |terms AS (
+         |  SELECT bg.doc_id, CAST(ln(
+         |      CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE) /
+         |      CAST(coalesce(uni.c1, 0) + vv.v AS DOUBLE))
+         |    AS DECIMAL(14,10)) AS term
+         |  FROM bg
+         |  LEFT JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+         |  LEFT JOIN uni ON bg.w1 = uni.w
+         |  CROSS JOIN vv),
+         |scored AS (
+         |  SELECT doc_id,
+         |    ${r6Sql("CAST(sum(term) AS DOUBLE) / count(*)")} AS score
+         |  FROM terms GROUP BY doc_id),
+         |ranked AS (
+         |  SELECT score, row_number() OVER (ORDER BY score) AS rn,
+         |    count(*) OVER () AS n
+         |  FROM scored),
+         |thr AS (
+         |  SELECT max(CASE WHEN rn = (3 * n + 9) // 10 THEN score END)
+         |    AS lm_threshold FROM ranked),
+         |gated AS (
+         |  SELECT d.lang, d.source, s.score, t.lm_threshold,
+         |    (s.score IS NOT NULL AND s.score > t.lm_threshold) AS kept
+         |  FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+         |  CROSS JOIN thr t)
+         |SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN score IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_scored,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  ${r6Sql("CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)" +
+             " / nullif(CAST(sum(CASE WHEN score IS NOT NULL THEN 1 ELSE 0" +
+             " END) AS DOUBLE), 0.0)")} AS kept_rate,
+         |  ${r6Sql("CAST(sum(CASE WHEN kept THEN" +
+             " CAST(score AS DECIMAL(14,8)) END) AS DOUBLE)" +
+             " / nullif(CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END)" +
+             " AS DOUBLE), 0.0)")} AS mean_kept_score,
+         |  max(lm_threshold) AS lm_threshold
+         |FROM gated GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "quantize_embed" ->
       s"""WITH v AS (
          |  SELECT vec_id,

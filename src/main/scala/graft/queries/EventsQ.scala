@@ -501,18 +501,21 @@ object EventsQ {
     * a growth team actually alerts on). First view per user → earliest
     * strictly-later purchase (event_funnel's `>` convention) → exact
     * integer µs delays → whole-minute percentiles by EXACT-RANK
-    * selection (value at row_number = ceil(q·n), computed as integer
-    * (q·n) ceil-division — the winsorize estimator: no interpolation,
+    * selection (value at rank ceil(q·n), computed as integer (q·n)
+    * ceil-division — the winsorize estimator: no interpolation,
     * engine-identical by construction). conv_rate is one double
     * division of exact counts.
     *
-    * Scale shape: both funnel stages are user-keyed shuffles that
-    * co-partition with each other; the rank selection runs over the
-    * per-user CONVERSION aggregate (one row per converting user — far
-    * smaller than the event log, though still corpus-growing: at 100 TB
-    * the exact-rank window yields to approx_percentile/hdr sketches,
-    * same plan shape, which is why both tiers are contract keys). The
-    * 1-row viewer-count aggregate rides an allowlisted broadcast. */
+    * Scale shape (r12): both funnel stages are user-keyed shuffles that
+    * co-partition with each other. The rank selection does NOT
+    * row_number the per-user conversion table (a corpus-growing
+    * single-partition sort, the r11 weak flag): because integer `div`
+    * is monotone, order statistics commute with the µs→minute map, so
+    * the percentile runs on the MINUTE histogram — delay minutes are
+    * bounded by the log's time span, not the user count. One groupBy on
+    * minute, one prefix-sum window over that bounded domain, and the
+    * rank-in-(cb, ce] membership test selects the exact same value the
+    * per-row rank did. The 1-row totals ride allowlisted broadcasts. */
   val funnelTimeConv: QFn = (s, dir) => {
     val e = t(s, dir, "events")
     val fv = e.filter(col("event_type") === "view")
@@ -521,22 +524,26 @@ object EventsQ {
       .join(fv, "user_id").filter(col("ts_us") > col("fv"))
       .groupBy(col("user_id"), col("fv")).agg(min(col("ts_us")).as("fp"))
       .select(col("user_id"), (col("fp") - col("fv")).as("d_us"))
-    val ranked = conv
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("d_us"), col("user_id"))).cast("long"))
-      .withColumn("tot", count(lit(1)).over(Window.partitionBy()))
-    val summary = ranked.agg(
-      count(lit(1)).as("n_converted"),
-      max(when(col("rn") === expr("(tot + 1) div 2"),
-        expr("d_us div 60000000"))).as("p50_minutes"),
-      max(when(col("rn") === expr("(9 * tot + 9) div 10"),
-        expr("d_us div 60000000"))).as("p90_minutes"))
-    summary
+    val hist = conv.groupBy(expr("d_us div 60000000").as("m"))
+      .agg(count(lit(1)).as("c"))
+    val wM = Window.orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("cb", coalesce(sum(col("c")).over(wM), lit(0L)))
+      .withColumn("ce", col("cb") + col("c"))
+    val tot = conv.agg(count(lit(1)).as("tot"))
+    val pcts = cum.crossJoin(broadcast(tot)).agg(
+      max(when(col("cb") < expr("(tot + 1) div 2") &&
+        expr("(tot + 1) div 2") <= col("ce"), col("m"))).as("p50_minutes"),
+      max(when(col("cb") < expr("(9 * tot + 9) div 10") &&
+        expr("(9 * tot + 9) div 10") <= col("ce"), col("m")))
+        .as("p90_minutes"))
+    tot.crossJoin(broadcast(pcts))
       .crossJoin(broadcast(fv.agg(count(lit(1)).as("n_viewers"))))
-      .select(col("n_viewers"), col("n_converted"),
+      .select(col("n_viewers"), col("tot").as("n_converted"),
         // nullif: a corpus slice with zero viewers must report a null
         // rate, not abort under ANSI (the EdgeCorpusSpec finding class)
-        r6(dbl(col("n_converted")) / nullif(dbl(col("n_viewers")), lit(0.0)))
+        r6(dbl(col("tot")) / nullif(dbl(col("n_viewers")), lit(0.0)))
           .as("conv_rate"),
         col("p50_minutes"), col("p90_minutes"))
   }

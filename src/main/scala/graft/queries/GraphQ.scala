@@ -481,8 +481,8 @@ object GraphQ {
     * + one community-keyed degree sum + one per-node argmax window —
     * all vertex/community-keyed shuffles (the LPA layout); 2m rides a
     * 1-row broadcast; assignments checkpoint per round. */
-  private val louvainCache = new scala.collection.concurrent.TrieMap[
-    (String, String), (DataFrame, DataFrame, DataFrame, DataFrame)]
+  private val louvainCache = graft.Tables
+    .sessionScopedCache[String, (DataFrame, DataFrame, DataFrame, DataFrame)]()
 
   /** Louvain phase 1 shared by the modularity keys: the co-purchase
     * graph, degrees, 2m, and the 2-round synchronous local-move
@@ -568,8 +568,8 @@ object GraphQ {
     (per, summary)
   }
 
-  private val p1StatsCache = new scala.collection.concurrent.TrieMap[
-    (String, String), (DataFrame, DataFrame)]
+  private val p1StatsCache =
+    graft.Tables.sessionScopedCache[String, (DataFrame, DataFrame)]()
 
   /** Phase-1 partition stats, cached like the assignment (consumed by
     * communityModularity's report AND louvain2's improvement column). */
@@ -653,7 +653,124 @@ object GraphQ {
         col("n_comms"), col("modularity"), col("modularity_p1"))
   }
 
+  /** Strongly-connected components (r12) — the DIRECTED axis the graph
+    * family lacked (CC/LPA/Louvain/k-core/triangles are all undirected;
+    * PageRank/BFS use direction but answer reachability, not mutuality).
+    * FW-BW coloring with trim (Fleischer-Hendrickson-Pinar DCSC plus the
+    * min-label coloring of Orzan / Slota et al.'s MultiStep — public
+    * algorithms), on the word-adjacency DIGRAPH:
+    *
+    *   1. TRIM — a vertex with no in-edge or no out-edge in the active
+    *      subgraph lies on no cycle: settle as a singleton SCC; peel to
+    *      fixpoint (kills DAG periphery, the worst case for coloring).
+    *   2. FORWARD color — F(v) = min over {v} ∪ ancestors(v), by
+    *      min-label propagation along edge direction to a DETECTED
+    *      fixpoint (per-round changed-row count — sound, no hash-sum
+    *      collision risk). Each color class {F = c} contains SCC(c)
+    *      whole, and c is the class minimum.
+    *   3. BACKWARD within color — propagate min labels AGAINST edge
+    *      direction, restricted to edges whose endpoints share a color.
+    *      B(v) = F(v) = c ⟺ c →* v (F side) ∧ v →* c (B side, and an
+    *      SCC's internal path never leaves its color class) ⟺
+    *      v ∈ SCC(c). Settle those, drop them, repeat from 1 — every
+    *      class pivot settles per round, so the loop provably shrinks.
+    *
+    * Every loop structure (vertices, distinct edges, labels) lives on
+    * the VOCABULARY domain, which saturates under Heaps' law — the only
+    * corpus-sized work is edgesOf's one scan. At 100 TB the same rounds
+    * run with vertex-keyed shuffles; the driver sees only O(1) counts.
+    * Output: top-20 SCCs by size with the 1-row (n_sccs, n_verts)
+    * summary crossed on (the community_modularity report shape). Oracle:
+    * full recursive-CTE reachability closure + mutual-pair min — an
+    * INDEPENDENT formulation (closure is oracle-tractable on the
+    * fixture vocabulary; the coloring loop is the scale path). */
+  val sccComponents: QFn = (s, dir) => {
+    val e0 = edgesOf(s, dir).localCheckpoint()
+    var verts = e0.select(col("src").as("w"))
+      .union(e0.select(col("dst").as("w"))).distinct().localCheckpoint()
+    var edges = e0
+    // seed with an empty (w, scc) frame so a cycle-free corpus still
+    // yields the right schema
+    var settled = List(e0.limit(0)
+      .select(col("src").as("w"), col("src").as("scc")))
+    var remaining = verts.count()
+    while (remaining > 0) {
+      // ---- 1. trim to fixpoint
+      var trimming = true
+      while (trimming && remaining > 0) {
+        val cyc = edges.select(col("src").as("w")).distinct()
+          .intersect(edges.select(col("dst").as("w")).distinct())
+          .localCheckpoint()
+        val nCyc = cyc.count()
+        if (nCyc == remaining) trimming = false
+        else {
+          settled ::= verts.join(cyc, Seq("w"), "left_anti")
+            .select(col("w"), col("w").as("scc")).localCheckpoint()
+          verts = cyc
+          edges = edges
+            .join(cyc.select(col("w").as("src")), Seq("src"))
+            .join(cyc.select(col("w").as("dst")), Seq("dst"))
+            .select(col("src"), col("dst")).localCheckpoint()
+          remaining = nCyc
+        }
+      }
+      if (remaining > 0) {
+        // min-label propagation over `e`, labels flowing from the
+        // `from` endpoint to the `to` endpoint, to a detected fixpoint
+        def minProp(e: DataFrame, from: String, to: String): DataFrame = {
+          var lbl = verts.select(col("w"), col("w").as("lbl"))
+            .localCheckpoint()
+          var changed = 1L
+          while (changed > 0) {
+            val inc = e
+              .join(lbl.select(col("w").as(from), col("lbl").as("nl")),
+                from)
+              .groupBy(col(to).as("w")).agg(min(col("nl")).as("nl"))
+            val next = lbl.join(inc, Seq("w"), "left")
+              .select(col("w"),
+                least(col("lbl"), coalesce(col("nl"), col("lbl")))
+                  .as("lbl"),
+                (col("nl") < col("lbl")).as("chg"))
+              .localCheckpoint()
+            changed = next.filter(col("chg")).count()
+            lbl = next.select(col("w"), col("lbl"))
+          }
+          lbl
+        }
+        // ---- 2. forward color
+        val f = minProp(edges, "src", "dst")
+        // ---- 3. backward min-label within color
+        val fe = edges
+          .join(f.select(col("w").as("src"), col("lbl").as("fs")), "src")
+          .join(f.select(col("w").as("dst"), col("lbl").as("fd")), "dst")
+          .filter(col("fs") === col("fd"))
+          .select(col("src"), col("dst")).localCheckpoint()
+        val b = minProp(fe, "dst", "src")
+        val done = f.join(b.select(col("w"), col("lbl").as("bl")), Seq("w"))
+          .filter(col("lbl") === col("bl"))
+          .select(col("w"), col("lbl").as("scc")).localCheckpoint()
+        settled ::= done
+        verts = verts.join(done.select(col("w")), Seq("w"), "left_anti")
+          .localCheckpoint()
+        edges = edges
+          .join(verts.select(col("w").as("src")), Seq("src"))
+          .join(verts.select(col("w").as("dst")), Seq("dst"))
+          .select(col("src"), col("dst")).localCheckpoint()
+        remaining = verts.count()
+      }
+    }
+    val comp = settled.reduce(_ unionByName _)
+    val sizes = comp.groupBy(col("scc")).agg(count(lit(1)).as("n_words"))
+    val summary = sizes.agg(count(lit(1)).as("n_sccs"),
+      sum(col("n_words")).as("n_verts"))
+    sizes.orderBy(col("n_words").desc, col("scc")).limit(20)
+      .crossJoin(broadcast(summary))
+      .select(col("scc"), col("n_words"), col("n_sccs"), col("n_verts"))
+      .orderBy(col("n_words").desc, col("scc"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "scc_components" -> sccComponents,
     "community_modularity" -> communityModularity,
     "community_louvain2" -> communityLouvain2,
     "graph_assortativity" -> graphAssortativity,
@@ -1040,7 +1157,43 @@ object GraphQ {
        |  (SELECT modularity FROM summ1) AS modularity_p1
        |FROM perq2, summ2 ORDER BY n_nodes DESC, perq2.c LIMIT 20""".stripMargin
 
+  /** SCC oracle: full reachability closure (recursive CTE) + mutual-pair
+    * min — independent of the Spark side's FW-BW coloring rounds. */
+  private def sccSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |    w -> w <> '') AS ws FROM documents),
+      |e0 AS (
+      |  SELECT DISTINCT ws[i] AS src, ws[i+1] AS dst
+      |  FROM toks,
+      |    (SELECT unnest(range(1, (SELECT max(len(ws)) FROM toks))) AS i)
+      |  WHERE i + 1 <= len(ws) AND ws[i] <> ws[i+1]),
+      |-- explicit DISTINCT: inside a WITH RECURSIVE block DuckDB 1.0
+      |-- compiles a plain `UNION` CTE without deduplicating the seed
+      |-- (observed: 885+885 rows), so spell the dedup out
+      |verts AS (SELECT DISTINCT w FROM (
+      |  SELECT src AS w FROM e0 UNION ALL SELECT dst FROM e0)),
+      |reach(v, u) AS (
+      |  SELECT src, dst FROM e0
+      |  UNION
+      |  SELECT r.v, e.dst FROM reach r JOIN e0 e ON r.u = e.src),
+      |mut AS (
+      |  SELECT r1.v AS w, min(r1.u) AS mn
+      |  FROM reach r1 JOIN reach r2 ON r1.u = r2.v AND r2.u = r1.v
+      |  GROUP BY r1.v),
+      |comp AS (
+      |  SELECT v.w, least(v.w, coalesce(m.mn, v.w)) AS scc
+      |  FROM verts v LEFT JOIN mut m ON m.w = v.w),
+      |sizes AS (SELECT scc, count(*) AS n_words FROM comp GROUP BY scc),
+      |summary AS (SELECT count(*) AS n_sccs,
+      |  CAST(sum(n_words) AS BIGINT) AS n_verts FROM sizes)
+      |SELECT scc, n_words, n_sccs, n_verts
+      |FROM (SELECT * FROM sizes ORDER BY n_words DESC, scc LIMIT 20),
+      |  summary
+      |ORDER BY n_words DESC, scc""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "scc_components" -> sccSql,
     "community_modularity" -> communityModularitySql,
     "community_louvain2" -> louvain2Sql,
     "graph_assortativity" -> assortativitySql,

@@ -53,14 +53,14 @@ object ModernQ {
     * checkpointed-RDD handle is not reachable through public API, and
     * relying on ContextCleaner GC recreates the stranded-block pressure
     * this cache exists to avoid (determinism axes clear it 2-3× per key).
-    * The cached DataFrame's OWN session is re-checked on every hit:
-    * identityHashCode can alias a GC'd session in a long JVM, and blocks
-    * belonging to a stopped context must never be served to a new
-    * session — on mismatch the entry is rebuilt (old entry unpersisted;
-    * a no-op if its context is already down). */
-  private val edgeCache =
-    new scala.collection.concurrent.TrieMap[(String, String),
-      org.apache.spark.sql.DataFrame]
+    * Keyed on Tables.sessionKey (lifetime-unique per session) inside a
+    * sessionScopedCache, so a collected session's entry is evicted by
+    * the Cleaner instead of pinning its blocks; the cached DataFrame's
+    * OWN session is still re-checked on every hit as belt-and-braces —
+    * on mismatch the entry is rebuilt (old entry unpersisted; a no-op
+    * if its context is already down). */
+  private val edgeCache = graft.Tables
+    .sessionScopedCache[String, org.apache.spark.sql.DataFrame]()
 
   private def dropEntry(df: org.apache.spark.sql.DataFrame): Unit =
     try df.unpersist(blocking = false)
@@ -81,7 +81,7 @@ object ModernQ {
     // joins it, and without the cut each of the ~log2(n) iterations
     // re-scans the parquet and re-derives the parent expression
     // (measured 2.2 → ~1.3 s at sf0.1).
-    val key = (System.identityHashCode(s).toString, dir)
+    val key = (graft.Tables.sessionKey(s), dir)
     def build() = {
       val df = t(s, dir, "supplier").filter(col("s_suppkey") > 0)
         .select(col("s_suppkey").as("child"),

@@ -244,7 +244,7 @@ object Relational {
     * demo spec. */
   val partitionedScan: QFn = (s, dir) => {
     val scratch = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_scratch/orders_by_status_" + Integer.toHexString(dir.hashCode))
+      "graft_scratch/orders_by_status_" + core.dirKey(dir))
       .getAbsolutePath
     t(s, dir, "orders")
       .write.mode("overwrite").partitionBy("o_orderstatus").parquet(scratch)
@@ -271,7 +271,7 @@ object Relational {
     * access-path property, not a semantic one — the oracle runs the same
     * join+agg on the raw tables. */
   val bucketedJoin: QFn = (s, dir) => {
-    val tag = Integer.toHexString(dir.hashCode)
+    val tag = core.dirKey(dir)
     val (ot, lt) = (s"orders_zb_$tag", s"lineitem_zb_$tag")
     // Layout is built ONCE per (session, fixture dir) and reused on every
     // subsequent invocation — the steady-state pattern this key exists to

@@ -657,25 +657,41 @@ object StatsQ {
       .select(col("event_id"), col("y"), col("p"))
   }
 
-  /** Calibration deciles (r10) — the reliability diagram behind every
-    * model-quality review: score the corpus with the FITTED β (the
-    * composition logistic_irls → evaluation a real pipeline runs), decile
-    * the rows by predicted probability (ntile over (p, event_id) — the
-    * unique tiebreak pins the split), and compare mean p̂ with the
-    * empirical purchase rate per decile. A well-calibrated fit tracks
-    * the diagonal; the gap column quantifies miscalibration. mean p̂ is
-    * a DECIMAL(30,14)-pinned sum (order-free); the rate is an exact 0/1
-    * sum over count. Scale shape: one global ntile sort (at 100 TB a
-    * range partitioner on p — same contract) + one decile aggregate. */
+  /** Calibration deciles (r10, re-planned r12) — the reliability diagram
+    * behind every model-quality review: score the corpus with the FITTED
+    * β (the composition logistic_irls → evaluation a real pipeline
+    * runs), decile the rows by predicted probability, and compare mean
+    * p̂ with the empirical purchase rate per decile. A well-calibrated
+    * fit tracks the diagonal; the gap column quantifies miscalibration.
+    *
+    * Decile semantics (r12): rows are pooled by their r6-ROUNDED score
+    * (the model_auc move — tie groups engine-identical by construction)
+    * and a score group at exclusive prefix count cb lands in decile
+    * ⌊cb·10/n⌋+1 — the ntile boundary of the group's FIRST row, so a
+    * tie group never splits across deciles. That replaces r10's global
+    * ntile(10) over every scored row (the r11 weak flag: a corpus-sized
+    * single-partition sort) with ONE prefix-sum window over the
+    * distinct-score table, ≤ 10⁶+1 rows by r6 rounding — the bounded
+    * model_auc shape. mean p̂ still sums the UNROUNDED scores as pinned
+    * DECIMAL(30,14) per group (order-free, exact through the rollup);
+    * the rate is an exact 0/1 sum over count. */
   val modelCalibration: QFn = (s, dir) => {
-    val w = Window.orderBy(col("p"), col("event_id"))
-    irlsScored(s, dir)
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    val pooled = irlsScored(s, dir)
+      .select(r6(col("p")).as("pv"), col("y"),
+        dec(col("p"), 30, 14).as("pd"))
+      .groupBy(col("pv"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("c1"),
+        sum(col("pd")).as("sp"))
+    val wB = Window.orderBy(col("pv"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pooled
+      .withColumn("cb", coalesce(sum(col("c")).over(wB), lit(0L)))
+      .crossJoin(broadcast(pooled.agg(sum(col("c")).as("n_all"))))
+      .withColumn("decile", expr("(cb * 10) div n_all + 1"))
       .groupBy(col("decile"))
-      .agg(count(lit(1)).as("n"),
-        r6(dbl(sum(dec(col("p"), 30, 14))) / count(lit(1)))
-          .as("mean_pred"),
-        r6(sum(col("y")) / count(lit(1))).as("purchase_rate"))
+      .agg(sum(col("c")).as("n"),
+        r6(dbl(sum(col("sp"))) / sum(col("c"))).as("mean_pred"),
+        r6(sum(col("c1")) / sum(col("c"))).as("purchase_rate"))
       .withColumn("gap", r6(abs(col("mean_pred") - col("purchase_rate"))))
       .orderBy(col("decile"))
   }
@@ -741,7 +757,10 @@ object StatsQ {
     val mm = base.agg(min(col("x1")).as("mn1"), max(col("x1")).as("mx1"),
       min(col("x2")).as("mn2"), max(col("x2")).as("mx2"))
     def bin(x: Column, mn: Column, mx: Column): Column =
-      least(floor(((x - mn) / (mx - mn)) * lit(16.0)), lit(15L))
+      // explicit NULL bin for a NULL feature: least() SKIPS nulls in
+      // BOTH engines, which would silently bin missing values at 15
+      when(x.isNotNull,
+        least(floor(((x - mn) / (mx - mn)) * lit(16.0)), lit(15L)))
     val rows = base.crossJoin(broadcast(mm))
       .select(col("yl"),
         bin(col("x1"), col("mn1"), col("mx1")).as("b1"),
@@ -754,6 +773,11 @@ object StatsQ {
       val h = df.select(col("node"), col("yl"), inline(array(
           struct(lit("x1").as("feat"), col("b1").as("bin")),
           struct(lit("x2").as("feat"), col("b2").as("bin")))))
+        // NULL feature values (NULL bin) are excluded from the histogram
+        // in BOTH engines by construction: Spark windows order NULLs
+        // first, DuckDB's last — an unfiltered NULL group would be
+        // counted into every real bin's prefix on one side only.
+        .filter(col("bin").isNotNull)
         .groupBy(col("node"), col("feat"), col("bin"))
         .agg(count(lit(1)).as("n"), sum(col("yl")).as("p"))
       val wB = Window.partitionBy(col("node"), col("feat"))
@@ -817,6 +841,176 @@ object StatsQ {
     * hessian, gain, or leaf cannot reproduce. Scale shape per round:
     * histogram pass + loss passes over the checkpointed margin frame +
     * a 32-row candidate table — the real per-round GBM cost profile. */
+  /** Midrank ROC AUC of a scored frame (pv = r6-rounded score, y1 = 0/1
+    * long) as a 1-row (auc) aggregate — model_auc's rank-sum machinery
+    * extracted so evaluation keys can grade arbitrary models on
+    * arbitrary slices. The window runs over the DISTINCT r6-score table
+    * (≤ 10⁶+1 rows by rounding — the bounded-window convention). */
+  private def aucOf(scored: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val pooled = scored.groupBy(col("pv"))
+      .agg(count(lit(1)).as("c"), sum(col("y1")).as("c1"))
+    val wBefore = Window.orderBy(col("pv"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pooled
+      .withColumn("rank2",
+        lit(2) * coalesce(sum(col("c")).over(wBefore), lit(0L))
+          + col("c") + lit(1))
+      .agg(sum(col("c1")).as("n_pos"),
+        sum(col("c") - col("c1")).as("n_neg"),
+        sum(col("c1") * col("rank2")).as("r1_x2"))
+      .select(
+        r6((dbl(col("r1_x2") - col("n_pos") * (col("n_pos") + lit(1))))
+          / (lit(2.0) * dbl(col("n_pos")) * dbl(col("n_neg"))))
+          .as("auc"))
+  }
+
+  /** GBM with DEPTH-2 TREES per boosting round + HELD-OUT evaluation
+    * (r12) — gbm_round grades the boosting math with stumps on train
+    * loss; this key grades what a real trainer ships: level-wise depth-2
+    * trees (root split from the train histogram, then BOTH children
+    * split from one node-conditioned histogram at the same margins —
+    * the tree_stump_train level device under gbm_round's g/h), a 20%
+    * held-out slice (event_id % 5 = 0) that never enters a histogram
+    * but is routed and margin-updated, per-round held-out logloss AND
+    * held-out AUC (the aucOf midrank machinery), and the IRLS
+    * baseline's AUC on the SAME slice as the comparison column — the
+    * boosted-vs-linear eval row a model review reads. A node with no
+    * valid level-1 candidate falls back to its Newton leaf −η·G/H.
+    * Scale shape: per round = two partial+final histogram aggregates
+    * over the checkpointed binned matrix + loss/AUC aggregates; every
+    * window is bounded (histogram bins, distinct r6 scores); splits and
+    * leaves ride 1-row broadcasts. */
+  val gbmTreeRound: QFn = (s, dir) => {
+    def pin(c: Column) = dec(c, 30, 14)
+    def lossTerm(p: Column) = pin(-(col("y") * log(p) +
+      (lit(1.0) - col("y")) * log(lit(1.0) - p)))
+    val base0 = irlsBase(s, dir)
+      .withColumn("ho", col("event_id") % 5 === 0)
+    val mm = base0.filter(!col("ho")).agg(
+      min(col("x1")).as("mn1"), max(col("x1")).as("mx1"),
+      min(col("x2")).as("mn2"), max(col("x2")).as("mx2"),
+      sum(col("y").cast("long")).as("npos"), count(lit(1)).as("nn"))
+    def bin(x: Column, mn: Column, mx: Column): Column =
+      // explicit NULL bin for a NULL feature: least() SKIPS nulls in
+      // BOTH engines, which would silently bin missing values at 15
+      when(x.isNotNull,
+        least(floor(((x - mn) / (mx - mn)) * lit(16.0)), lit(15L)))
+    var cur = base0.crossJoin(broadcast(mm))
+      .withColumn("f",
+        log(dbl(col("npos")) / (dbl(col("nn")) - dbl(col("npos")))))
+      .select(col("ho"), col("y"), col("f"),
+        bin(col("x1"), col("mn1"), col("mx1")).as("b1"),
+        bin(col("x2"), col("mn2"), col("mx2")).as("b2"))
+      .localCheckpoint()
+    val zero = lit(0).cast("decimal(30,14)")
+    // prefix-sum split candidates over a (parts..., feat, bin) histogram
+    def cands(hist: org.apache.spark.sql.DataFrame, parts: Seq[String]) = {
+      val pc = parts.map(col) :+ col("feat")
+      val wB = Window.partitionBy(pc: _*).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy(pc: _*)
+      hist
+        .withColumn("nl", coalesce(sum(col("n")).over(wB), lit(0L)))
+        .withColumn("gl", coalesce(sum(col("gs")).over(wB), zero))
+        .withColumn("hl", coalesce(sum(col("hs")).over(wB), zero))
+        .withColumn("nt", sum(col("n")).over(wAll))
+        .withColumn("gt", sum(col("gs")).over(wAll))
+        .withColumn("ht", sum(col("hs")).over(wAll))
+        .filter(col("nl") > 0)
+        .withColumn("nr", col("nt") - col("nl"))
+        .withColumn("gr", dbl(col("gt") - col("gl")))
+        .withColumn("hr", dbl(col("ht") - col("hl")))
+        .withColumn("gld", dbl(col("gl"))).withColumn("hld", dbl(col("hl")))
+        .withColumn("gtd", dbl(col("gt"))).withColumn("htd", dbl(col("ht")))
+        .withColumn("gain", r6((col("gld") * col("gld") / col("hld") +
+          col("gr") * col("gr") / col("hr") -
+          col("gtd") * col("gtd") / col("htd")) * lit(0.5)))
+    }
+    def histOf(df: org.apache.spark.sql.DataFrame, parts: Seq[String]) =
+      df.select((parts.map(col) :+ col("g") :+ col("h") :+ inline(array(
+          struct(lit("x1").as("feat"), col("b1").as("bin")),
+          struct(lit("x2").as("feat"), col("b2").as("bin"))))): _*)
+        .filter(col("bin").isNotNull)
+        .groupBy((parts.map(col) :+ col("feat") :+ col("bin")): _*)
+        .agg(count(lit(1)).as("n"), sum(pin(col("g"))).as("gs"),
+          sum(pin(col("h"))).as("hs"))
+    var trail: org.apache.spark.sql.DataFrame = null
+    for (round <- 1 to 2) {
+      val p = cur.withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("f"))))
+        .withColumn("g", col("p") - col("y"))
+        .withColumn("h", col("p") * (lit(1.0) - col("p")))
+        .localCheckpoint()
+      val best0 = cands(histOf(p.filter(!col("ho")), Seq()), Seq())
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("gain").desc, col("feat"), col("bin"))))
+        .filter(col("rn") === 1)
+        .localCheckpoint() // 1 row
+      val assigned = p.crossJoin(broadcast(
+          best0.select(col("feat").as("rf"), col("bin").as("rb"))))
+        .withColumn("node",
+          when(when(col("rf") === "x1", col("b1")).otherwise(col("b2"))
+            < col("rb"), lit(1L)).otherwise(lit(2L)))
+        .localCheckpoint() // level-1 histogram + routing both scan it
+      val best1 = cands(histOf(assigned.filter(!col("ho")), Seq("node")),
+          Seq("node"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("node"))
+          .orderBy(col("gain").desc, col("feat"), col("bin"))))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("feat").as("cf"), col("bin").as("cb"),
+          (lit(-0.3) * col("gld") / col("hld")).as("wl"),
+          (lit(-0.3) * col("gr") / col("hr")).as("wr"))
+        .localCheckpoint() // <= 2 rows
+      val nodeStats = assigned.filter(!col("ho"))
+        .groupBy(col("node"))
+        .agg((lit(-0.3) * dbl(sum(pin(col("g")))) /
+          dbl(sum(pin(col("h"))))).as("wn"))
+      cur = assigned
+        .join(broadcast(best1), Seq("node"), "left")
+        .join(broadcast(nodeStats), Seq("node"))
+        .withColumn("f", col("f") + when(col("cf").isNull, col("wn"))
+          .otherwise(when(
+            when(col("cf") === "x1", col("b1")).otherwise(col("b2"))
+              < col("cb"), col("wl")).otherwise(col("wr"))))
+        .select(col("ho"), col("y"), col("f"), col("b1"), col("b2"))
+        .localCheckpoint()
+      val trLoss = cur.filter(!col("ho"))
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("f"))))
+        .agg(sum(lossTerm(col("p"))).as("l"), count(lit(1)).as("cnt"))
+      val hoScored = cur.filter(col("ho"))
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("f"))))
+      val hoLoss = hoScored
+        .agg(sum(lossTerm(col("p"))).as("hlo"), count(lit(1)).as("hcnt"))
+      val hoAuc = aucOf(hoScored
+        .select(r6(col("p")).as("pv"), col("y").cast("long").as("y1")))
+      val children = best1.agg(
+        max(when(col("node") === 1, col("cf"))).as("feat_l"),
+        max(when(col("node") === 1, col("cb"))).as("bin_l"),
+        max(when(col("node") === 2, col("cf"))).as("feat_r"),
+        max(when(col("node") === 2, col("cb"))).as("bin_r"))
+      val row = best0.select(lit(round.toLong).as("round"),
+          col("feat").as("root_feat"), col("bin").as("root_bin"),
+          col("gain").as("root_gain"))
+        .crossJoin(broadcast(children))
+        .crossJoin(broadcast(trLoss)).crossJoin(broadcast(hoLoss))
+        .crossJoin(broadcast(hoAuc))
+        .select(col("round"), col("root_feat"), col("root_bin"),
+          col("root_gain"), col("feat_l"), col("bin_l"),
+          col("feat_r"), col("bin_r"),
+          r6(dbl(col("l")) / col("cnt")).as("train_logloss"),
+          r6(dbl(col("hlo")) / col("hcnt")).as("holdout_logloss"),
+          col("auc").as("holdout_auc"))
+      trail = if (trail == null) row else trail.unionByName(row)
+    }
+    val irlsAuc = aucOf(irlsScored(s, dir)
+      .filter(col("event_id") % 5 === 0)
+      .select(r6(col("p")).as("pv"), col("y").cast("long").as("y1")))
+    trail
+      .crossJoin(broadcast(irlsAuc
+        .select(col("auc").as("irls_holdout_auc"))))
+      .orderBy(col("round"))
+  }
+
   val gbmRound: QFn = (s, dir) => {
     def pin(c: Column) = dec(c, 30, 14)
     def lossTerm(p: Column) = pin(-(col("y") * log(p) +
@@ -826,7 +1020,10 @@ object StatsQ {
       min(col("x2")).as("mn2"), max(col("x2")).as("mx2"),
       sum(col("y").cast("long")).as("npos"), count(lit(1)).as("nn"))
     def bin(x: Column, mn: Column, mx: Column): Column =
-      least(floor(((x - mn) / (mx - mn)) * lit(16.0)), lit(15L))
+      // explicit NULL bin for a NULL feature: least() SKIPS nulls in
+      // BOTH engines, which would silently bin missing values at 15
+      when(x.isNotNull,
+        least(floor(((x - mn) / (mx - mn)) * lit(16.0)), lit(15L)))
     // margin frame (y, f, b1, b2), re-checkpointed per round
     var cur = base.crossJoin(broadcast(mm))
       .withColumn("f",
@@ -846,6 +1043,9 @@ object StatsQ {
       val hist = p.select(col("g"), col("h"), inline(array(
           struct(lit("x1").as("feat"), col("b1").as("bin")),
           struct(lit("x2").as("feat"), col("b2").as("bin")))))
+        // NULL bins out of the histogram in both engines — the
+        // tree_stump_train NULLS FIRST/LAST prefix-sum hazard.
+        .filter(col("bin").isNotNull)
         .groupBy(col("feat"), col("bin"))
         .agg(count(lit(1)).as("n"), sum(pin(col("g"))).as("gs"),
           sum(pin(col("h"))).as("hs"))
@@ -989,6 +1189,7 @@ object StatsQ {
          |    CAST(sum(yl) AS BIGINT) AS p
          |  FROM (SELECT node, yl, 'x1' AS feat, b1 AS bin FROM rows$k
          |        UNION ALL SELECT node, yl, 'x2', b2 FROM rows$k)
+         |  WHERE bin IS NOT NULL
          |  GROUP BY 1, 2, 3),
          |c$k AS (SELECT *, nt - nl AS nr, pt - pl AS pr FROM (
          |    SELECT node, feat, bin,
@@ -1017,10 +1218,12 @@ object StatsQ {
        |    min(x2) AS mn2, max(x2) AS mx2 FROM base),
        |rows0 AS MATERIALIZED (
        |  SELECT CAST(0 AS BIGINT) AS node, yl,
-       |    least(CAST(floor(((x1 - mm.mn1) / (mm.mx1 - mm.mn1)) * 16.0)
-       |      AS BIGINT), CAST(15 AS BIGINT)) AS b1,
-       |    least(CAST(floor(((x2 - mm.mn2) / (mm.mx2 - mm.mn2)) * 16.0)
-       |      AS BIGINT), CAST(15 AS BIGINT)) AS b2
+       |    CASE WHEN x1 IS NOT NULL THEN
+       |      least(CAST(floor(((x1 - mm.mn1) / (mm.mx1 - mm.mn1)) * 16.0)
+       |        AS BIGINT), CAST(15 AS BIGINT)) END AS b1,
+       |    CASE WHEN x2 IS NOT NULL THEN
+       |      least(CAST(floor(((x2 - mm.mn2) / (mm.mx2 - mm.mn2)) * 16.0)
+       |        AS BIGINT), CAST(15 AS BIGINT)) END AS b2
        |  FROM base, mm),
        |${level(0)},
        |rows1 AS MATERIALIZED (
@@ -1061,6 +1264,7 @@ object StatsQ {
          |    sum(CAST(p * (1.0 - p) AS DECIMAL(30,14))) AS hs
          |  FROM (SELECT 'x1' AS feat, b1 AS bin, p, y FROM p$r
          |        UNION ALL SELECT 'x2', b2, p, y FROM p$r)
+         |  WHERE bin IS NOT NULL
          |  GROUP BY 1, 2),
          |cand$r AS (SELECT *, nt - nl AS nr,
          |    CAST(gt - gl AS DOUBLE) AS gr, CAST(ht - hl AS DOUBLE) AS hr,
@@ -1118,10 +1322,12 @@ object StatsQ {
        |  FROM (SELECT y,
        |      ln(CAST(npos AS DOUBLE)
        |        / (CAST(nn AS DOUBLE) - CAST(npos AS DOUBLE))) AS f,
-       |      least(CAST(floor(((x1 - mn1) / (mx1 - mn1)) * 16.0)
-       |        AS BIGINT), CAST(15 AS BIGINT)) AS b1,
-       |      least(CAST(floor(((x2 - mn2) / (mx2 - mn2)) * 16.0)
-       |        AS BIGINT), CAST(15 AS BIGINT)) AS b2
+       |      CASE WHEN x1 IS NOT NULL THEN
+       |        least(CAST(floor(((x1 - mn1) / (mx1 - mn1)) * 16.0)
+       |          AS BIGINT), CAST(15 AS BIGINT)) END AS b1,
+       |      CASE WHEN x2 IS NOT NULL THEN
+       |        least(CAST(floor(((x2 - mn2) / (mx2 - mn2)) * 16.0)
+       |          AS BIGINT), CAST(15 AS BIGINT)) END AS b2
        |    FROM base, mm)),
        |${round(1)},
        |${round(2)}
@@ -1145,19 +1351,190 @@ object StatsQ {
        |      + (SELECT b2 FROM beta2) * b.x2))) AS p
        |  FROM base b)""".stripMargin
 
+  /** gbm_tree_round oracle: the depth-2 boosting chain generated per
+    * round (root histogram → argmax → node assignment → node-conditioned
+    * histogram → per-node argmax with Newton fallback → margin update →
+    * losses + held-out midrank AUC), on top of the shared irlsCtes base
+    * (for the event_id split) and scoredCte (for the IRLS baseline AUC
+    * on the same held-out slice). */
+  private def gbmTreeSql: String = {
+    val gainRaw = "(gld * gld / hld + gr * gr / hr - gtd * gtd / htd) * 0.5"
+    def prefixed(src: String, parts: String): String =
+      s"""SELECT *, nt - nl AS nr,
+         |    CAST(gt - gl AS DOUBLE) AS gr, CAST(ht - hl AS DOUBLE) AS hr,
+         |    CAST(gl AS DOUBLE) AS gld, CAST(hl AS DOUBLE) AS hld,
+         |    CAST(gt AS DOUBLE) AS gtd, CAST(ht AS DOUBLE) AS htd
+         |  FROM (
+         |    SELECT *,
+         |      CAST(coalesce(sum(n) OVER wb, 0) AS BIGINT) AS nl,
+         |      coalesce(sum(gs) OVER wb, CAST(0 AS DECIMAL(30,14))) AS gl,
+         |      coalesce(sum(hs) OVER wb, CAST(0 AS DECIMAL(30,14))) AS hl,
+         |      CAST(sum(n) OVER wa AS BIGINT) AS nt,
+         |      sum(gs) OVER wa AS gt, sum(hs) OVER wa AS ht
+         |    FROM $src
+         |    WINDOW wb AS (PARTITION BY $parts ORDER BY bin
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      wa AS (PARTITION BY $parts))
+         |  WHERE nl > 0""".stripMargin
+    def round(r: Int): String = {
+      val prev = s"tm${r - 1}"
+      s"""tp$r AS MATERIALIZED (
+         |  SELECT ho, y, b1, b2, f, 1.0 / (1.0 + exp(-f)) AS p
+         |  FROM $prev),
+         |th$r AS (SELECT feat, bin, count(*) AS n,
+         |    sum(CAST(p - y AS DECIMAL(30,14))) AS gs,
+         |    sum(CAST(p * (1.0 - p) AS DECIMAL(30,14))) AS hs
+         |  FROM (SELECT 'x1' AS feat, b1 AS bin, p, y FROM tp$r
+         |          WHERE NOT ho
+         |        UNION ALL SELECT 'x2', b2, p, y FROM tp$r WHERE NOT ho)
+         |  WHERE bin IS NOT NULL
+         |  GROUP BY 1, 2),
+         |tc$r AS (${prefixed(s"th$r", "feat")}),
+         |tb$r AS MATERIALIZED (SELECT * FROM (
+         |    SELECT *, row_number() OVER (ORDER BY gain DESC, feat, bin)
+         |      AS rn
+         |    FROM (SELECT *, ${r6Sql(gainRaw)} AS gain FROM tc$r))
+         |  WHERE rn = 1),
+         |ta$r AS MATERIALIZED (
+         |  SELECT q.ho, q.y, q.b1, q.b2, q.f, q.p,
+         |    CASE WHEN (CASE WHEN b.feat = 'x1' THEN q.b1 ELSE q.b2 END)
+         |      < b.bin THEN CAST(1 AS BIGINT) ELSE 2 END AS node
+         |  FROM tp$r q, tb$r b),
+         |nh$r AS (SELECT node, feat, bin, count(*) AS n,
+         |    sum(CAST(p - y AS DECIMAL(30,14))) AS gs,
+         |    sum(CAST(p * (1.0 - p) AS DECIMAL(30,14))) AS hs
+         |  FROM (SELECT node, 'x1' AS feat, b1 AS bin, p, y FROM ta$r
+         |          WHERE NOT ho
+         |        UNION ALL SELECT node, 'x2', b2, p, y FROM ta$r
+         |          WHERE NOT ho)
+         |  WHERE bin IS NOT NULL
+         |  GROUP BY 1, 2, 3),
+         |nc$r AS (${prefixed(s"nh$r", "node, feat")}),
+         |nb$r AS MATERIALIZED (SELECT node, feat AS cf, bin AS cb,
+         |    -0.3 * gld / hld AS wl, -0.3 * gr / hr AS wr FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY node
+         |      ORDER BY gain DESC, feat, bin) AS rn
+         |    FROM (SELECT *, ${r6Sql(gainRaw)} AS gain FROM nc$r))
+         |  WHERE rn = 1),
+         |ns$r AS (SELECT node,
+         |    -0.3 * CAST(sum(CAST(p - y AS DECIMAL(30,14))) AS DOUBLE)
+         |      / CAST(sum(CAST(p * (1.0 - p) AS DECIMAL(30,14)))
+         |          AS DOUBLE) AS wn
+         |  FROM ta$r WHERE NOT ho GROUP BY node),
+         |tm$r AS MATERIALIZED (
+         |  SELECT a.ho, a.y, a.b1, a.b2,
+         |    a.f + CASE WHEN nb.cf IS NULL THEN ns.wn
+         |      WHEN (CASE WHEN nb.cf = 'x1' THEN a.b1 ELSE a.b2 END)
+         |        < nb.cb THEN nb.wl
+         |      ELSE nb.wr END AS f
+         |  FROM ta$r a
+         |  LEFT JOIN nb$r nb ON a.node = nb.node
+         |  JOIN ns$r ns ON a.node = ns.node),
+         |tl$r AS (SELECT
+         |    sum(CAST(-(y * ln(pp) + (1.0 - y) * ln(1.0 - pp))
+         |      AS DECIMAL(30,14))) AS l, count(*) AS cnt
+         |  FROM (SELECT y, 1.0 / (1.0 + exp(-f)) AS pp FROM tm$r
+         |        WHERE NOT ho)),
+         |hl$r AS (SELECT
+         |    sum(CAST(-(y * ln(pp) + (1.0 - y) * ln(1.0 - pp))
+         |      AS DECIMAL(30,14))) AS hlo, count(*) AS hcnt
+         |  FROM (SELECT y, 1.0 / (1.0 + exp(-f)) AS pp FROM tm$r
+         |        WHERE ho)),
+         |po$r AS (SELECT pv, count(*) AS c, CAST(sum(y1) AS BIGINT) AS c1
+         |  FROM (SELECT ${r6Sql("1.0 / (1.0 + exp(-f))")} AS pv,
+         |          CAST(y AS BIGINT) AS y1
+         |        FROM tm$r WHERE ho)
+         |  GROUP BY pv),
+         |rk$r AS (SELECT pv, c, c1,
+         |    2 * coalesce(sum(c) OVER (ORDER BY pv
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      + c + 1 AS rank2
+         |  FROM po$r),
+         |au$r AS (SELECT CAST(sum(c1) AS BIGINT) AS n_pos,
+         |    CAST(sum(c - c1) AS BIGINT) AS n_neg,
+         |    CAST(sum(c1 * rank2) AS BIGINT) AS r1_x2
+         |  FROM rk$r),
+         |ch$r AS (SELECT
+         |    max(CASE WHEN node = 1 THEN cf END) AS feat_l,
+         |    max(CASE WHEN node = 1 THEN cb END) AS bin_l,
+         |    max(CASE WHEN node = 2 THEN cf END) AS feat_r,
+         |    max(CASE WHEN node = 2 THEN cb END) AS bin_r
+         |  FROM nb$r),
+         |row$r AS (SELECT CAST($r AS BIGINT) AS round,
+         |    b.feat AS root_feat, b.bin AS root_bin, b.gain AS root_gain,
+         |    ch.feat_l, ch.bin_l, ch.feat_r, ch.bin_r,
+         |    ${r6Sql("CAST(l AS DOUBLE) / cnt")} AS train_logloss,
+         |    ${r6Sql("CAST(hlo AS DOUBLE) / hcnt")} AS holdout_logloss,
+         |    ${r6Sql("CAST(r1_x2 - n_pos * (n_pos + 1) AS DOUBLE) / " +
+             "(2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))")}
+         |      AS holdout_auc
+         |  FROM tb$r b, ch$r ch, tl$r, hl$r, au$r)""".stripMargin
+    }
+    s"""WITH $irlsCtes,
+       |$scoredCte,
+       |gb AS MATERIALIZED (
+       |  SELECT event_id, y, x1, x2, (event_id % 5 = 0) AS ho FROM base),
+       |gmm AS (SELECT min(x1) AS mn1, max(x1) AS mx1,
+       |    min(x2) AS mn2, max(x2) AS mx2,
+       |    CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS npos,
+       |    count(*) AS nn
+       |  FROM gb WHERE NOT ho),
+       |tm0 AS MATERIALIZED (
+       |  SELECT ho, y, f, b1, b2
+       |  FROM (SELECT ho, y,
+       |      ln(CAST(npos AS DOUBLE)
+       |        / (CAST(nn AS DOUBLE) - CAST(npos AS DOUBLE))) AS f,
+       |      CASE WHEN x1 IS NOT NULL THEN
+       |        least(CAST(floor(((x1 - mn1) / (mx1 - mn1)) * 16.0)
+       |          AS BIGINT), CAST(15 AS BIGINT)) END AS b1,
+       |      CASE WHEN x2 IS NOT NULL THEN
+       |        least(CAST(floor(((x2 - mn2) / (mx2 - mn2)) * 16.0)
+       |          AS BIGINT), CAST(15 AS BIGINT)) END AS b2
+       |    FROM gb, gmm)),
+       |${round(1)},
+       |${round(2)},
+       |ipo AS (SELECT pv, count(*) AS c, CAST(sum(y1) AS BIGINT) AS c1
+       |  FROM (SELECT ${r6Sql("p")} AS pv, CAST(y AS BIGINT) AS y1
+       |        FROM scored WHERE event_id % 5 = 0)
+       |  GROUP BY pv),
+       |irk AS (SELECT pv, c, c1,
+       |    2 * coalesce(sum(c) OVER (ORDER BY pv
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      + c + 1 AS rank2
+       |  FROM ipo),
+       |iau AS (SELECT CAST(sum(c1) AS BIGINT) AS n_pos,
+       |    CAST(sum(c - c1) AS BIGINT) AS n_neg,
+       |    CAST(sum(c1 * rank2) AS BIGINT) AS r1_x2
+       |  FROM irk)
+       |SELECT r.*,
+       |  ${r6Sql("CAST(r1_x2 - n_pos * (n_pos + 1) AS DOUBLE) / " +
+           "(2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))")}
+       |    AS irls_holdout_auc
+       |FROM (SELECT * FROM row1 UNION ALL SELECT * FROM row2) r, iau
+       |ORDER BY round""".stripMargin
+  }
+
   private def calibrationSql: String =
     s"""WITH $irlsCtes,
        |$scoredCte,
-       |dcl AS (
-       |  SELECT y, p, ntile(10) OVER (ORDER BY p, event_id) AS decile
-       |  FROM scored)
-       |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n,
-       |  ${r6Sql("CAST(sum(CAST(p AS DECIMAL(30,14))) AS DOUBLE) / count(*)")}
-       |    AS mean_pred,
-       |  ${r6Sql("sum(y) / count(*)")} AS purchase_rate,
+       |pooled AS (
+       |  SELECT ${r6Sql("p")} AS pv, count(*) AS c,
+       |    sum(y) AS c1, sum(CAST(p AS DECIMAL(30,14))) AS sp
+       |  FROM scored GROUP BY 1),
+       |cum AS (
+       |  SELECT pv, c, c1, sp,
+       |    coalesce(sum(c) OVER (ORDER BY pv
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+       |    sum(c) OVER () AS n_all
+       |  FROM pooled),
+       |dcl AS (SELECT *, (cb * 10) // n_all + 1 AS decile FROM cum)
+       |SELECT CAST(decile AS BIGINT) AS decile,
+       |  CAST(sum(c) AS BIGINT) AS n,
+       |  ${r6Sql("CAST(sum(sp) AS DOUBLE) / sum(c)")} AS mean_pred,
+       |  ${r6Sql("sum(c1) / sum(c)")} AS purchase_rate,
        |  ${r6Sql(
-           "abs(" + r6Sql("CAST(sum(CAST(p AS DECIMAL(30,14))) AS DOUBLE) / count(*)")
-             + " - " + r6Sql("sum(y) / count(*)") + ")")} AS gap
+           "abs(" + r6Sql("CAST(sum(sp) AS DOUBLE) / sum(c)")
+             + " - " + r6Sql("sum(c1) / sum(c)") + ")")} AS gap
        |FROM dcl GROUP BY decile ORDER BY decile""".stripMargin
 
   private def aucSql: String =
@@ -1760,6 +2137,7 @@ object StatsQ {
     "logistic_irls"       -> logisticIrls,
     "tree_stump_train"    -> treeStumpTrain,
     "gbm_round"           -> gbmRound,
+    "gbm_tree_round"      -> gbmTreeRound,
     "model_calibration"   -> modelCalibration,
     "model_auc"           -> modelAuc,
     "corr_matrix"         -> corrMatrix,
@@ -2001,6 +2379,7 @@ object StatsQ {
     "logistic_irls" -> logisticSql,
     "tree_stump_train" -> treeStumpSql,
     "gbm_round" -> gbmRoundSql,
+    "gbm_tree_round" -> gbmTreeSql,
     "model_calibration" -> calibrationSql,
     "model_auc" -> aucSql,
     "mann_whitney_u" ->

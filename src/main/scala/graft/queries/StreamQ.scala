@@ -267,13 +267,11 @@ object StreamQ {
     * 8 partitions ≈ 4× less fixed state overhead per batch; at real
     * scale the same knob goes UP with state size — the point is that
     * it is a per-query decision, which each fresh checkpoint makes
-    * safely. Restored in finally; runs are sequential in Verify/Bench. */
+    * safely. Delegates to core.withShuffleParts — ONE save/set/restore
+    * implementation (r12 advisory: two verbatim copies meant two places
+    * to get the non-reentrancy contract wrong). */
   private def withStreamPartitions[T](s: SparkSession, n: Int = 8)
-      (body: => T): T = {
-    val prior = s.conf.get("spark.sql.shuffle.partitions")
-    try { s.conf.set("spark.sql.shuffle.partitions", n.toString); body }
-    finally s.conf.set("spark.sql.shuffle.partitions", prior)
-  }
+      (body: => T): T = core.withShuffleParts(s, n)(body)
 
   /** Pin the RocksDB state-store provider for one run — the provider
     * transformWithState requires (and the one that holds 100 TB state);
@@ -1434,7 +1432,58 @@ object StreamQ {
       .orderBy(col("bucket_ts"), col("c_mktsegment"))
   }
 
+  /** STREAMING DROP/STATE OBSERVABILITY as a graded artifact (r12) —
+    * every other engine key grades OUTPUT rows; this one grades the
+    * engine's own telemetry, the operational surface a production
+    * stream is monitored by: per micro-batch (input rows, rows dropped
+    * by the watermark, result rows emitted = state rows evicted in
+    * append mode). The query is late_data_exec's exact replay (staged
+    * scrambled 5-batch inbox, 1-hour watermark, hourly tumble, append),
+    * so every count is pinned by the same determinism construction:
+    * batch membership by ntile staging, the watermark in force during
+    * batch k = max event time over batches ≤ k−2 (ms-truncated) − 1 h,
+    * a row drops iff its window closed under that watermark, and a
+    * window (group) is emitted by the first batch whose in-force
+    * watermark passes its end. The AvailableNow closing no-data batch
+    * appears as the final row — input 0, emitting everything the global
+    * watermark releases. Counts come from StreamingQueryProgress
+    * (numInputRows / numRowsDroppedByWatermark / state numRowsRemoved)
+    * — O(#batches) driver data, the monitoring-integration read path.
+    * The oracle replays all three rules relationally. */
+  val streamDropAuditExec: QFn = (s, dir) => {
+    val box = lateInbox(s, dir)
+    val run = "drop_audit/" + java.util.UUID.randomUUID().toString.take(8)
+    val out = new java.io.File(core.scratchRoot, s"$run/out").getAbsolutePath
+    val schema = s.read.parquet(box).schema
+    val prog = withStreamPartitions(s, 4) {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(box)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("bucket_ts"),
+          col("event_type"), col("n"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+          new java.io.File(core.scratchRoot, s"$run/ckpt").getAbsolutePath)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress
+    }
+    import s.implicits._
+    prog.toSeq.zipWithIndex.map { case (p, i) =>
+      val dropped = p.stateOperators.map(_.numRowsDroppedByWatermark).sum
+      val emitted = p.stateOperators.map(_.numRowsRemoved).sum
+      (i + 1L, p.numInputRows, dropped, emitted)
+    }.toDF("batch_seq", "n_input", "n_dropped", "n_emitted")
+      .orderBy(col("batch_seq"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "stream_drop_audit_exec" -> streamDropAuditExec,
     "stream_restart_exec" -> streamRestartExec,
     "stream_topk_exec" -> streamTopkExec,
     "stream_static_join_exec" -> streamStaticJoinExec,
@@ -1998,6 +2047,65 @@ object StreamQ {
     // delay; append mode ultimately emits exactly the windows the FINAL
     // watermark (global max − delay, advanced by AvailableNow's no-data
     // batch) passed.
+    // Relational replay of the engine's per-batch telemetry (all three
+    // rules observed and pinned, the WatermarkTieSpec method):
+    //   - drops use the PRE-batch watermark (max event time over batches
+    //     <= k-2, the late_data_exec convention) and count the MERGED
+    //     final-aggregate rows the state operator actually sees — i.e.
+    //     DISTINCT late (window, type) groups per batch, not raw rows;
+    //   - eviction/emission uses the POST-batch watermark (<= k-1);
+    //   - the AvailableNow closing no-data batch runs iff the final
+    //     batch ADVANCED the watermark (max(b5) > max(b1..4)).
+    "stream_drop_audit_exec" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |    ntile(5) OVER (ORDER BY md5(CAST(event_id AS VARCHAR)),
+        |      event_id) AS b
+        |  FROM events),
+        |bm AS (SELECT b, max(us) AS bmax, count(*) AS n_input
+        |       FROM e GROUP BY b),
+        |spine AS (
+        |  SELECT b FROM (SELECT unnest(range(1, 7)) AS b)
+        |  WHERE b <= 5 OR (SELECT max(bmax) FROM bm WHERE b = 5) >
+        |    (SELECT max(bmax) FROM bm WHERE b <= 4)),
+        |wm AS (
+        |  SELECT s.b AS b,
+        |    (SELECT max(bmax) FROM bm WHERE bm.b <= s.b - 2) AS premax,
+        |    (SELECT max(bmax) FROM bm WHERE bm.b <= s.b - 1) AS postmax
+        |  FROM spine s),
+        |rw AS (
+        |  SELECT b, event_type,
+        |    (us // 3600000000) * 3600000000 AS wsb,
+        |    (us // 3600000000) * 3600000000 + 3600000000 AS we
+        |  FROM e),
+        |drops AS (
+        |  SELECT r.b, count(DISTINCT (r.wsb, r.event_type)) AS n_dropped
+        |  FROM rw r JOIN wm ON wm.b = r.b
+        |  WHERE r.we <= coalesce(wm.premax // 1000 * 1000 - 3600000000,
+        |    CAST(-1 AS BIGINT))
+        |  GROUP BY r.b),
+        |kept AS (
+        |  SELECT DISTINCT r.wsb, r.event_type, r.we
+        |  FROM rw r JOIN wm ON wm.b = r.b
+        |  WHERE r.we > coalesce(wm.premax // 1000 * 1000 - 3600000000,
+        |    CAST(-1 AS BIGINT))),
+        |emit AS (
+        |  SELECT g.wsb, g.event_type,
+        |    (SELECT min(wm.b) FROM wm
+        |     WHERE coalesce(wm.postmax // 1000 * 1000 - 3600000000,
+        |       CAST(-1 AS BIGINT)) >= g.we) AS eb
+        |  FROM kept g),
+        |em AS (SELECT eb AS b, count(*) AS n_emitted FROM emit
+        |       WHERE eb IS NOT NULL GROUP BY eb)
+        |SELECT s.b AS batch_seq,
+        |  CAST(coalesce(bm.n_input, 0) AS BIGINT) AS n_input,
+        |  CAST(coalesce(drops.n_dropped, 0) AS BIGINT) AS n_dropped,
+        |  CAST(coalesce(em.n_emitted, 0) AS BIGINT) AS n_emitted
+        |FROM spine s
+        |LEFT JOIN bm ON bm.b = s.b
+        |LEFT JOIN drops ON drops.b = s.b
+        |LEFT JOIN em ON em.b = s.b
+        |ORDER BY batch_seq""".stripMargin,
     "late_data_exec" ->
       """WITH e AS (
         |  SELECT event_type, value, epoch_us(ts) AS us,

@@ -835,7 +835,7 @@ object TextQ {
     * Heaps' law — corpus-independent at 100 TB; the corpus-sized work is
     * the one word count in training plus the instance joins downstream. */
   private val bpeSegCache =
-    new scala.collection.concurrent.TrieMap[(String, String), DataFrame]
+    graft.Tables.sessionScopedCache[String, DataFrame]()
 
   /** Session-scoped standing artifact: the tokenizer (trained merges +
     * applied segmentation) is built ONCE per (session, fixture dir) and
@@ -1276,6 +1276,157 @@ object TextQ {
       .orderBy(col("source"), col("split"))
   }
 
+  /** The PRETRAINING capstone (r12) — the half of the r10 composition
+    * task that was still split across standalone keys: gates → LM
+    * perplexity gate → exact dedup → mixture cap → split → BPE tokenize
+    * → token-budget pack, as ONE dataflow, the end-to-end a pretraining
+    * data run actually executes. Stage inventory (each stage is an
+    * already-graded device, composed here under one plan):
+    *   1. langid agreement + length/TTR gates (curation_pipeline_e2e),
+    *   2. the CCNet perplexity gate — score > the exact-rank 30th
+    *      percentile threshold from CurationQ.lmGateArtifact (score once
+    *      per session, gate everywhere),
+    *   3. exact dedup: keep-first per md5(norm text),
+    *   4. mixture cap: top half per source by hashed priority,
+    *   5. 80/10/10-ish split on md5(doc_id) prefix,
+    *   6. encode under the session BPE segmentation (bpeApplied) and
+    *      pack 512-token bins per (source, split) shard — the curated
+    *      corpus's natural parallel units — with the one-prefix-sum-
+    *      window-per-shard packing device.
+    * Output: the per-(source, split, bin) manifest (docs, token fill,
+    * doc-id range) — a wrong gate, dropped dup, mis-capped source,
+    * drifted split, mis-applied merge, or shifted bin boundary all
+    * break the hash. Scale shape: gates/dedup/cap are doc- or
+    * source-keyed shuffles; the LM gate and tokenizer ride session
+    * artifacts (vocabulary-domain); packing windows are per-shard,
+    * never global. */
+  val pretrainPipelineE2e: QFn = (s, dir) => {
+    val (lmScored, lmThr) = CurationQ.lmGateArtifact(s, dir)
+    val ws = TextOps.tokens(col("text"))
+    val base = t(s, dir, "documents")
+      .withColumn("lang_pred", TextOps.langId(col("text")))
+      .filter(col("lang_pred") === col("lang"))
+      .withColumn("n_tok", size(ws))
+      .withColumn("ttr",
+        dbl(size(array_distinct(ws))) / nullif(size(ws), lit(0)))
+      .filter(col("n_tok") >= 10 && col("ttr") >= 0.3)
+      .join(lmScored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(lmThr))
+      .filter(col("score").isNotNull && col("score") > col("lm_threshold"))
+      .withColumn("h", md5(TextOps.normText(col("text"))))
+    val dedup = base
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1)
+    val wSrc = Window.partitionBy(col("source"))
+    val capped = dedup
+      .withColumn("pri", md5(col("doc_id").cast("string")))
+      .withColumn("srk", row_number().over(
+        wSrc.orderBy(col("pri"), col("doc_id"))))
+      .withColumn("scnt", count(lit(1)).over(wSrc))
+      .filter(col("srk") <= expr("(scnt + 1) div 2"))
+    val h4 = substring(md5(col("doc_id").cast("string")), 1, 4)
+    val curated = capped
+      .withColumn("split", when(h4 < "cccc", "train")
+        .when(h4 < "e666", "valid").otherwise("test"))
+      .select(col("doc_id"), col("source"), col("split"))
+      .localCheckpoint() // consumed by the token join AND the packing
+    val seg = bpeApplied(s, dir)
+    val dtok = curated.select(col("doc_id"))
+      .join(t(s, dir, "documents").select(col("doc_id"), col("text")),
+        Seq("doc_id"))
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      .join(seg, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(size(col("syms")).cast("long")).as("tok"))
+    val wPack = Window.partitionBy(col("source"), col("split"))
+      .orderBy(col("doc_id"))
+    curated
+      .join(dtok, Seq("doc_id"), "left")
+      .withColumn("tok", coalesce(col("tok"), lit(0L)))
+      .withColumn("cum", sum(col("tok")).over(wPack))
+      .withColumn("bin", expr("(cum - tok) div 512"))
+      .groupBy(col("source"), col("split"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("split"), col("bin"))
+  }
+
+  /** Corpus DATA CARD (r12) — the per-(source, lang) datasheet a
+    * curation run ships with its release (Datasheets for Datasets,
+    * Gebru et al. 2021; what model cards cite): one row per shard
+    * joining the existing audit family — volume (docs, tokens), exact
+    * dup rate (global md5-norm collision), LM quality-gate pass rate
+    * (the CCNet threshold artifact), unigram entropy (nats,
+    * decimal-pinned terms), and the Zipf slope of the shard's top-100
+    * words (the zipf_fit OLS over pinned logs). Cheap composition, high
+    * evidence value: every column is an already-proven convention, and
+    * a drift in ANY feeding audit breaks this one's hash too.
+    * Scale shape: everything is (source, lang)-keyed — one doc-hash
+    * shuffle, one word-count shuffle, vocab-domain entropy/zipf math;
+    * the LM gate rides its session artifact. */
+  val corpusDatacard: QFn = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val key = Seq("source", "lang")
+    val baseCnt = d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val hashes = d.select(col("source"), col("lang"),
+      md5(TextOps.normText(col("text"))).as("h"))
+    val hc = hashes.groupBy(col("h")).agg(count(lit(1)).as("hc"))
+    val dup = hashes.join(hc, "h")
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(when(col("hc") > 1, 1L).otherwise(0L)).as("n_dup"))
+    val (lmScored, lmThr) = CurationQ.lmGateArtifact(s, dir)
+    val kept = d.select(col("doc_id"), col("source"), col("lang"))
+      .join(lmScored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(lmThr))
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(when(col("score").isNotNull &&
+        col("score") > col("lm_threshold"), 1L).otherwise(0L)).as("n_kept"))
+    val wc = d.select(col("source"), col("lang"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // vocab x shards; feeds totals, entropy, zipf
+    val tot = wc.groupBy(col("source"), col("lang"))
+      .agg(sum(col("c")).as("n_tokens"))
+    val p = col("c") / col("n_tokens")
+    val ent = wc.join(tot, key)
+      .select(col("source"), col("lang"),
+        dec(-p * log(p), 14, 10).as("term"))
+      .groupBy(col("source"), col("lang"))
+      .agg(r6(dbl(sum(col("term")))).as("entropy_nats"))
+    val wR = Window.partitionBy(col("source"), col("lang"))
+      .orderBy(col("c").desc, col("w"))
+    val zterms = wc
+      .withColumn("rank", row_number().over(wR).cast("long"))
+      .filter(col("rank") <= 100)
+      .select(col("source"), col("lang"),
+        dec(log(dbl(col("rank"))), 14, 10).as("x"),
+        dec(log(dbl(col("c"))), 14, 10).as("y"))
+    val (zn, sx, sy) = (dbl(col("zn")), dbl(col("sx")), dbl(col("sy")))
+    val (sxy, sxx) = (dbl(col("sxy")), dbl(col("sxx")))
+    val cov = zn * sxy - sx * sy
+    val vx = zn * sxx - sx * sx
+    val zipf = zterms.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("zn"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("lang"),
+        r6(cov / nullif(vx, lit(0.0))).as("zipf_slope"))
+    baseCnt
+      .join(dup, key).join(kept, key)
+      .join(tot, key, "left").join(ent, key, "left")
+      .join(zipf, key, "left")
+      .select(col("source"), col("lang"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        r6(dbl(col("n_dup")) / col("n_docs")).as("dup_rate"),
+        r6(dbl(col("n_kept")) / col("n_docs")).as("lm_kept_rate"),
+        col("entropy_nats"), col("zipf_slope"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** Incremental NEAR-dup detection (r5) — incremental_dedup's exact
     * hash probe extended to near-duplicates: only the NEW batch's LSH
     * band rows probe the standing history band index (equi join on
@@ -1398,6 +1549,8 @@ object TextQ {
     "incremental_neardup" -> incrementalNeardup,
     "langid_confusion"   -> langidConfusion,
     "curation_pipeline_e2e" -> curationPipelineE2e,
+    "pretrain_pipeline_e2e" -> pretrainPipelineE2e,
+    "corpus_datacard" -> corpusDatacard,
     "inverted_postings"  -> invertedPostings,
     "rep_ngram_audit"    -> repNgramAudit,
     "dup_sequences"      -> dupSequences,
@@ -1774,6 +1927,203 @@ object TextQ {
          |  ${r6Sql("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang)")}
          |    AS row_frac
          |FROM g ORDER BY lang, lang_pred""".stripMargin,
+    "corpus_datacard" -> {
+      val (zn, sx, sy) = ("CAST(zn AS DOUBLE)", "CAST(sx AS DOUBLE)",
+        "CAST(sy AS DOUBLE)")
+      val (sxy, sxx) = ("CAST(sxy AS DOUBLE)", "CAST(sxx AS DOUBLE)")
+      val cov = s"($zn * $sxy - $sx * $sy)"
+      val vx = s"($zn * $sxx - $sx * $sx)"
+      s"""WITH $wordsCte,
+         |base AS (
+         |  SELECT source, lang, count(*) AS n_docs
+         |  FROM documents GROUP BY 1, 2),
+         |hh AS (
+         |  SELECT source, lang,
+         |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS h
+         |  FROM documents),
+         |hc AS (SELECT h, count(*) AS hc FROM hh GROUP BY h),
+         |dup AS (
+         |  SELECT source, lang,
+         |    CAST(sum(CASE WHEN hc.hc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dup
+         |  FROM hh JOIN hc USING (h) GROUP BY 1, 2),
+         |bgr AS (
+         |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+         |  FROM words,
+         |    (SELECT unnest(range(1, (SELECT max(len(ws)) FROM words) + 1))
+         |      AS i)
+         |  WHERE i + 1 <= len(ws)),
+         |uni AS (
+         |  SELECT w, count(*) AS c1 FROM (
+         |    SELECT unnest(ws) AS w FROM words WHERE doc_id % 17 <> 0)
+         |  GROUP BY w),
+         |vv AS (SELECT count(*) AS v FROM uni),
+         |c2g AS (SELECT w1, w2, count(*) AS c2 FROM bgr
+         |       WHERE doc_id % 17 <> 0 GROUP BY w1, w2),
+         |lmterms AS (
+         |  SELECT bgr.doc_id, CAST(ln(
+         |      CAST(coalesce(c2g.c2, 0) + 1 AS DOUBLE) /
+         |      CAST(coalesce(uni.c1, 0) + vv.v AS DOUBLE))
+         |    AS DECIMAL(14,10)) AS term
+         |  FROM bgr
+         |  LEFT JOIN c2g ON bgr.w1 = c2g.w1 AND bgr.w2 = c2g.w2
+         |  LEFT JOIN uni ON bgr.w1 = uni.w
+         |  CROSS JOIN vv),
+         |lmscored AS (
+         |  SELECT doc_id,
+         |    ${r6Sql("CAST(sum(term) AS DOUBLE) / count(*)")} AS score
+         |  FROM lmterms GROUP BY doc_id),
+         |lmranked AS (
+         |  SELECT score, row_number() OVER (ORDER BY score) AS rn,
+         |    count(*) OVER () AS n
+         |  FROM lmscored),
+         |lmthr AS (
+         |  SELECT max(CASE WHEN rn = (3 * n + 9) // 10 THEN score END)
+         |    AS lm_threshold FROM lmranked),
+         |kept AS (
+         |  SELECT d.source, d.lang,
+         |    CAST(sum(CASE WHEN s.score IS NOT NULL
+         |      AND s.score > t.lm_threshold THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_kept
+         |  FROM documents d LEFT JOIN lmscored s USING (doc_id)
+         |  CROSS JOIN lmthr t GROUP BY 1, 2),
+         |wcd AS (
+         |  SELECT d.source, d.lang, x.w, count(*) AS c
+         |  FROM documents d, (SELECT doc_id, unnest(ws) AS w FROM words) x
+         |  WHERE d.doc_id = x.doc_id GROUP BY 1, 2, 3),
+         |tot AS (
+         |  SELECT source, lang, CAST(sum(c) AS BIGINT) AS n_tokens
+         |  FROM wcd GROUP BY 1, 2),
+         |ent AS (
+         |  SELECT source, lang,
+         |    ${r6Sql("CAST(sum(term) AS DOUBLE)")} AS entropy_nats
+         |  FROM (
+         |    SELECT wcd.source, wcd.lang,
+         |      CAST(-(wcd.c / t.n_tokens) * ln(wcd.c / t.n_tokens)
+         |        AS DECIMAL(14,10)) AS term
+         |    FROM wcd JOIN tot t USING (source, lang))
+         |  GROUP BY 1, 2),
+         |zr AS (
+         |  SELECT source, lang, c, row_number() OVER (
+         |    PARTITION BY source, lang ORDER BY c DESC, w) AS rank
+         |  FROM wcd),
+         |zt AS (
+         |  SELECT source, lang,
+         |    CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(14,10)) AS x,
+         |    CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(14,10)) AS y
+         |  FROM zr WHERE rank <= 100),
+         |zm AS (
+         |  SELECT source, lang, count(*) AS zn,
+         |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         |    sum(x * x) AS sxx
+         |  FROM zt GROUP BY 1, 2),
+         |zipf AS (
+         |  SELECT source, lang,
+         |    ${r6Sql(s"$cov / nullif($vx, 0.0)")} AS zipf_slope
+         |  FROM zm)
+         |SELECT b.source, b.lang, b.n_docs,
+         |  coalesce(t.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+         |  ${r6Sql("CAST(dup.n_dup AS DOUBLE) / b.n_docs")} AS dup_rate,
+         |  ${r6Sql("CAST(k.n_kept AS DOUBLE) / b.n_docs")} AS lm_kept_rate,
+         |  e.entropy_nats, z.zipf_slope
+         |FROM base b
+         |JOIN dup USING (source, lang)
+         |JOIN kept k USING (source, lang)
+         |LEFT JOIN tot t USING (source, lang)
+         |LEFT JOIN ent e USING (source, lang)
+         |LEFT JOIN zipf z USING (source, lang)
+         |ORDER BY source, lang""".stripMargin
+    },
+    // Capstone oracle: the full curate→tokenize→pack chain replayed
+    // relationally — BPE training CTEs (vocab6 = the segmentation),
+    // the add-one bigram LM + exact-rank threshold, the gate chain,
+    // and the per-(source, split) prefix-sum packing.
+    "pretrain_pipeline_e2e" ->
+      s"""WITH $bpeVocabCtes,
+         |bgr AS (
+         |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+         |  FROM words,
+         |    (SELECT unnest(range(1, (SELECT max(len(ws)) FROM words) + 1))
+         |      AS i)
+         |  WHERE i + 1 <= len(ws)),
+         |uni AS (
+         |  SELECT w, count(*) AS c1 FROM (
+         |    SELECT unnest(ws) AS w FROM words WHERE doc_id % 17 <> 0)
+         |  GROUP BY w),
+         |vv AS (SELECT count(*) AS v FROM uni),
+         |c2g AS (SELECT w1, w2, count(*) AS c2 FROM bgr
+         |       WHERE doc_id % 17 <> 0 GROUP BY w1, w2),
+         |lmterms AS (
+         |  SELECT bgr.doc_id, CAST(ln(
+         |      CAST(coalesce(c2g.c2, 0) + 1 AS DOUBLE) /
+         |      CAST(coalesce(uni.c1, 0) + vv.v AS DOUBLE))
+         |    AS DECIMAL(14,10)) AS term
+         |  FROM bgr
+         |  LEFT JOIN c2g ON bgr.w1 = c2g.w1 AND bgr.w2 = c2g.w2
+         |  LEFT JOIN uni ON bgr.w1 = uni.w
+         |  CROSS JOIN vv),
+         |lmscored AS (
+         |  SELECT doc_id,
+         |    ${r6Sql("CAST(sum(term) AS DOUBLE) / count(*)")} AS score
+         |  FROM lmterms GROUP BY doc_id),
+         |lmranked AS (
+         |  SELECT score, row_number() OVER (ORDER BY score) AS rn,
+         |    count(*) OVER () AS n
+         |  FROM lmscored),
+         |lmthr AS (
+         |  SELECT max(CASE WHEN rn = (3 * n + 9) // 10 THEN score END)
+         |    AS lm_threshold FROM lmranked),
+         |dw AS (
+         |  SELECT d.doc_id, d.source, d.n_chars, d.lang, d.text, words.ws
+         |  FROM documents d JOIN words USING (doc_id)),
+         |f1 AS (
+         |  SELECT * FROM dw WHERE ($langPredSql) = lang),
+         |f2 AS (
+         |  SELECT * FROM f1
+         |  WHERE len(ws) >= 10
+         |    AND len(list_distinct(ws)) / nullif(len(ws), 0) >= 0.3),
+         |fq AS (
+         |  SELECT f2.* FROM f2
+         |  JOIN lmscored s USING (doc_id) CROSS JOIN lmthr t
+         |  WHERE s.score > t.lm_threshold),
+         |dd AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+         |    ORDER BY doc_id) AS rk
+         |  FROM fq),
+         |f3 AS (SELECT * FROM dd WHERE rk = 1),
+         |cc AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS srk,
+         |    count(*) OVER (PARTITION BY source) AS scnt
+         |  FROM f3),
+         |f4 AS (SELECT * FROM cc WHERE srk <= (scnt + 1) // 2),
+         |sp AS (
+         |  SELECT *, CASE
+         |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+         |      THEN 'train'
+         |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+         |      THEN 'valid'
+         |    ELSE 'test' END AS split
+         |  FROM f4),
+         |dtok AS (
+         |  SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS tok
+         |  FROM (SELECT doc_id, unnest(ws) AS word FROM sp)
+         |  JOIN vocab6 USING (word) GROUP BY doc_id),
+         |alltok AS (
+         |  SELECT sp.doc_id, sp.source, sp.split,
+         |    coalesce(t.tok, CAST(0 AS BIGINT)) AS tok
+         |  FROM sp LEFT JOIN dtok t USING (doc_id)),
+         |binned AS (
+         |  SELECT source, split, doc_id, tok,
+         |    CAST((sum(tok) OVER (PARTITION BY source, split
+         |      ORDER BY doc_id) - tok) // 512 AS BIGINT) AS bin
+         |  FROM alltok)
+         |SELECT source, split, bin, count(*) AS n_docs,
+         |  CAST(sum(tok) AS BIGINT) AS sum_tok,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM binned GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "curation_pipeline_e2e" ->
       s"""WITH w AS (
          |  SELECT doc_id, source, n_chars, lang, text,

@@ -290,9 +290,8 @@ object VectorQ {
     * broadcast centroid set, `crn` ranking cells by distance per vector.
     * Consumed by ann_ivf_knn (probe + exact cosine) and ann_ivfpq_knn
     * (probe + PQ-residual ADC + rerank). */
-  private val ivfCoarseCache =
-    new scala.collection.concurrent.TrieMap[(String, String),
-      org.apache.spark.sql.DataFrame]
+  private val ivfCoarseCache = graft.Tables
+    .sessionScopedCache[String, org.apache.spark.sql.DataFrame]()
 
   /** Session-scoped coarse-quantizer artifact (r11): the assignment is a
     * trained INDEX — ann_ivf_knn, ann_ivfpq_knn, and the recall report
@@ -359,7 +358,7 @@ object VectorQ {
   private def annIndexDir(s: SparkSession, dir: String): String =
     synchronized {
       val root = new java.io.File(core.scratchRoot,
-        "ann_index_" + Integer.toHexString(dir.hashCode))
+        "ann_index_" + core.dirKey(dir))
       val done = new java.io.File(root, "_built")
       if (!done.exists()) {
         root.mkdirs()
@@ -522,6 +521,7 @@ object VectorQ {
       ("ann_ivfpq_knn", annIvfPqKnn, 5),
       ("ann_lsh_knn", annLshKnn, 3),
       ("ann_multiprobe_knn", annMultiprobeKnn, 3),
+      ("ann_opq_knn", annOpqKnn, 5),
       ("ann_pq_knn", annPqKnn, 5),
       ("ann_randproj_knn", annRandProjKnn, 5),
       ("ann_sq_knn", annSqKnn, 5))
@@ -801,8 +801,19 @@ object VectorQ {
     * one broadcast-join pass over the corpus; the ADC scan is the
     * bounded 50-query side against reconstructed vectors — the same
     * justified-bounded crossJoin as the SQ8 tier. */
-  val annPqKnn: QFn = (s, dir) => {
-    val e = unitBase(s, dir).select(col("vec_id"), col("v"), col("nrm"))
+  val annPqKnn: QFn = (s, dir) =>
+    pqKnnOver(unitBase(s, dir)
+      .select(col("vec_id"), col("v"), col("nrm"), col("v").as("pv")))
+
+  /** The PQ encode/train/scan/rerank pipeline over an arbitrary ENCODE
+    * space: input carries (vec_id, v, nrm, pv) where `pv` is the 64-d
+    * vector PQ codes are trained and scanned in (pv = v for plain PQ;
+    * pv = R·v for the OPQ rotation tier) and (v, nrm) stay the
+    * full-precision rerank space. Extracted r12 so ann_pq_knn and
+    * ann_opq_knn share every stage byte for byte except the encode
+    * space itself. */
+  private def pqKnnOver(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val dist = r6(gdot(col("sv"), col("sv")) -
       lit(2) * gdot(col("sv"), col("cvec")) + gdot(col("cvec"), col("cvec")))
     def assign(sub: org.apache.spark.sql.DataFrame,
@@ -815,7 +826,7 @@ object VectorQ {
     // per-subspace codebook + final winning-centroid per vector
     def reconPart(m: Int): org.apache.spark.sql.DataFrame = {
       val sub = e.select(col("vec_id"),
-        slice(col("v"), m * PqSub + 1, PqSub).as("sv"))
+        slice(col("pv"), m * PqSub + 1, PqSub).as("sv"))
       var cents = sub.filter(col("vec_id") < PqK)
         .select(col("vec_id").as("cl"), col("sv").as("cvec"))
       for (_ <- 1 to 2) {
@@ -842,7 +853,7 @@ object VectorQ {
         sort_array(collect_list(struct(col("m"), col("cvec")))),
         x => x.getField("cvec"))).as("vhat"))
     val q = e.filter(col("vec_id") < 50)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("pv").as("qv"))
     val w1 = Window.partitionBy(col("qid"))
       .orderBy(col("approx").desc, col("vec_id"))
     val w2 = Window.partitionBy(col("qid"))
@@ -863,6 +874,40 @@ object VectorQ {
       .filter(col("rn") <= 5)
       .select(col("qid"), col("vec_id"), col("cos_sim"), col("rn"))
       .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Orthogonal rotation for the OPQ tier — the non-parametric OPQ
+    * baseline (Ge et al. CVPR'13 §4 / Jégou's structured rotation):
+    * R = P·H·D / 8 with H the 64-Sylvester-Hadamard matrix, D a fixed
+    * ±1 diagonal, P a fixed row permutation — exactly orthogonal
+    * (R·Rᵀ = P·H·D·D·Hᵀ·Pᵀ/64 = I), and every entry is ±0.125, exactly
+    * representable in binary, so the rotated coordinates are plain
+    * IEEE sums of exact products — bit-identical in both engines from
+    * identical plan-time literals (the rpSign device). Rotation
+    * decorrelates and balances per-subspace variance, which is what
+    * plain PQ's fixed coordinate split leaves on the table. */
+  private[graft] def opqRot(j: Int, d: Int): Double = {
+    val pj = (17 * j + 5) % 64
+    val had = if (java.lang.Integer.bitCount(pj & d) % 2 == 0) 1.0 else -1.0
+    val ds = if (((d * 2654435761L) % 97) % 2 == 0) 1.0 else -1.0
+    had * ds * 0.125
+  }
+
+  /** OPQ kNN (r12) — the PQ tier with a learned-rotation-family
+    * refinement: encode space = R·v under the fixed orthogonal rotation
+    * above, codebooks/ADC/candidates in rotated space, exact cosine
+    * rerank in the ORIGINAL space (cosine is rotation-invariant, so the
+    * rerank contract is unchanged; the rotation only improves what the
+    * codes preserve). Every stage below the encode map is pqKnnOver —
+    * shared byte for byte with ann_pq_knn. */
+  val annOpqKnn: QFn = (s, dir) => {
+    val rot = array((0 until 64).map { j =>
+      gdot(col("v"), array((0 until 64).map(d => lit(opqRot(j, d))): _*))
+    }: _*)
+    pqKnnOver(unitBase(s, dir)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .withColumn("pv", rot)
+      .localCheckpoint()) // rotation computed once, reused by all stages
   }
 
   /** IVF-PQ kNN (r10) — the COMPOSED production index (Jégou et al.,
@@ -1154,6 +1199,7 @@ object VectorQ {
 
   val queries: Map[String, QFn] = Map(
     "mmr_select"         -> mmrSelect,
+    "ann_opq_knn"        -> annOpqKnn,
     "ann_pq_knn"         -> annPqKnn,
     "ann_ivfpq_knn"      -> annIvfPqKnn,
     "ann_randproj_knn"   -> annRandProjKnn,
@@ -1314,7 +1360,26 @@ object VectorQ {
     * kmeans conventions (2 DECIMAL-exact re-estimations), winning-
     * centroid reconstruction, ADC scan (dot against the reconstruction),
     * exact rerank — the mirror of annPqKnn stage for stage. */
-  private def pqSql: String = {
+  private def pqSql: String = pqSqlCore(
+    "ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v\n" +
+      "            FROM embeddings)", "ex")
+
+  /** OPQ oracle: the identical PQ CTE chain over the rotated encode
+    * space (the R = P·H·D/8 literals, mirrored from opqRot), with the
+    * rerank cosine taken in the ORIGINAL space. */
+  private def opqSql: String = {
+    val rows = (0 until 64).map { j =>
+      "list_dot_product(v, [" +
+        (0 until 64).map(d => opqRot(j, d).toString).mkString(", ") + "])"
+    }.mkString(",\n      ")
+    pqSqlCore(
+      s"""ex0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |            FROM embeddings),
+         |ex AS (SELECT vec_id, [
+         |      $rows] AS v FROM ex0)""".stripMargin, "ex0")
+  }
+
+  private def pqSqlCore(prelude: String, rerankSrc: String): String = {
     def distSql(cv: String) = r6Sql(
       s"list_dot_product(e.sv, e.sv) - 2 * list_dot_product(e.sv, $cv) " +
         s"+ list_dot_product($cv, $cv)")
@@ -1353,8 +1418,7 @@ object VectorQ {
          |${meanCte(s"as${m}_2", s"mm${m}_2", s"cb${m}_2")},
          |${finalCte(s"fin$m", s"sub$m", s"cb${m}_2")}""".stripMargin
     }.mkString(",\n")
-    s"""WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-       |            FROM embeddings),
+    s"""WITH $prelude,
        |$per,
        |recon AS (
        |  SELECT f0.vec_id,
@@ -1362,7 +1426,7 @@ object VectorQ {
        |  FROM fin0 f0 JOIN fin1 f1 USING (vec_id)
        |    JOIN fin2 f2 USING (vec_id) JOIN fin3 f3 USING (vec_id)),
        |n2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
-       |       FROM ex),
+       |       FROM $rerankSrc),
        |cand AS (
        |  SELECT q.vec_id AS qid, b.vec_id AS vec_id,
        |    ${r6Sql("list_dot_product(q.v, b.vhat)")} AS approx
@@ -1495,7 +1559,8 @@ object VectorQ {
     * drift in a tier's oracle changes this one identically. */
   private def annRecallSql(base: Map[String, String]): String = {
     val tiers = Seq("ann_ivf_knn" -> 3, "ann_ivfpq_knn" -> 5,
-      "ann_lsh_knn" -> 3, "ann_multiprobe_knn" -> 3, "ann_pq_knn" -> 5,
+      "ann_lsh_knn" -> 3, "ann_multiprobe_knn" -> 3, "ann_opq_knn" -> 5,
+      "ann_pq_knn" -> 5,
       "ann_randproj_knn" -> 5, "ann_sq_knn" -> 5)
     val tierCtes = (("brute", base("qknn_cosine_top5")) +:
       tiers.map { case (n, _) => (n, base(n)) })
@@ -1524,6 +1589,7 @@ object VectorQ {
 
   private val oracleBase: Map[String, String] = Map(
     "mmr_select" -> mmrSql,
+    "ann_opq_knn" -> opqSql,
     "ann_pq_knn" -> pqSql,
     "ann_ivfpq_knn" -> ivfpqSql,
     "rrf_fusion" -> {

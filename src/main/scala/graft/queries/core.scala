@@ -25,10 +25,21 @@ object core {
     "graft_scratch_" + java.util.UUID.randomUUID().toString.take(8))
     .getAbsolutePath
 
+  /** Collision-resistant key for a fixture dir (r12 advisory fix):
+    * String.hashCode has 32 bits and well-known collisions, and a
+    * colliding pair of fixture dirs in one JVM would silently SHARE a
+    * persisted artifact (the annIndexDir `_built` marker would serve one
+    * dir's geometry to the other). MD5 of the path — not security, just
+    * a 128-bit injective-in-practice name. */
+  def dirKey(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(16)
+
   /** Scratch path unique to (this JVM, fixture dir, tag). */
   def scratch(dir: String, tag: String): String =
     new java.io.File(scratchRoot,
-      s"${tag}_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      s"${tag}_" + dirKey(dir)).getAbsolutePath
 
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables(s, dir, name)
@@ -39,11 +50,28 @@ object core {
     * corpus-scan setting; sizing partitions to the state is the same
     * per-stage decision StreamQ makes for state stores. Restored in
     * finally; safe for any key that is partition-count-deterministic
-    * (all graft keys are — DeterminismSpec perturbs this very knob). */
+    * (all graft keys are — DeterminismSpec perturbs this very knob).
+    *
+    * NOT re-entrant and NOT thread-safe on one session: concurrent or
+    * nested use races the restore and can leave the session at the
+    * reduced count. Verify/Bench run keys sequentially on one thread
+    * (the contract every caller relies on); enforced cheaply with a
+    * per-session in-flight guard that fails loudly instead of silently
+    * clobbering the restore value. */
+  private val shufflePartsInFlight =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
   def withShuffleParts[T](s: SparkSession, n: Int)(body: => T): T = {
+    require(shufflePartsInFlight.put(s, java.lang.Boolean.TRUE) == null,
+      "withShuffleParts nested or raced on one session — the restore " +
+        "of spark.sql.shuffle.partitions would be clobbered; run keys " +
+        "sequentially per session")
     val prior = s.conf.get("spark.sql.shuffle.partitions")
     try { s.conf.set("spark.sql.shuffle.partitions", n.toString); body }
-    finally s.conf.set("spark.sql.shuffle.partitions", prior)
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prior)
+      shufflePartsInFlight.remove(s)
+    }
   }
 
   /** Cast to an exact decimal before aggregating (both engines). */

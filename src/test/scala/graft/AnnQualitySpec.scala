@@ -247,6 +247,19 @@ class AnnQualitySpec extends SparkSpec {
         s"sizes max=${sizes.max}) — k is not scaling with the corpus")
   }
 
+  test("OPQ rotation: recall@5 meets or beats plain PQ on the same " +
+    "codebook budget (the rotation's variance balancing must not lose)") {
+    val exactTop5 = knnPairs("qknn_cosine_top5", 5)
+    val pq = knnPairs("ann_pq_knn", 5)
+    val opq = knnPairs("ann_opq_knn", 5)
+    val rPq = (pq intersect exactTop5).size.toDouble / exactTop5.size
+    val rOpq = (opq intersect exactTop5).size.toDouble / exactTop5.size
+    assert(rOpq >= rPq,
+      f"OPQ recall@5 $rOpq%.3f fell below plain PQ $rPq%.3f — " +
+        "the rotation is hurting the codes")
+    assert(rOpq > 0.1, f"OPQ recall@5 $rOpq%.3f vacuously low")
+  }
+
   test("count_min_sketch aggregate estimates within epsilon of exact") {
     val ev = Tables(spark, sf, "events")
     val sketchBytes = ev.agg(

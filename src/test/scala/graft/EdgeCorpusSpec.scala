@@ -285,9 +285,27 @@ class EdgeCorpusSpec extends SparkSpec {
 
   test("r11 tree/ann keys survive degenerate inputs (NULL feature values, " +
     "a zero query vector) without throwing") {
-    // edge events carry a NULL value → a NULL feature bin; the histogram
-    // and boundary windows must pass through, not abort
-    SparkEntry.queries("tree_stump_train")(spark, edgeEventsDir).collect()
+    // edge events carry a NULL value → a NULL feature bin. The pinned
+    // semantics (r12, the NULLS FIRST/LAST advisory): NULL-bin rows are
+    // EXCLUDED from the histogram in both engines, so a split on x1 sees
+    // 7 rows (8 minus the NULL value) and a split on x2 sees all 8 —
+    // an unfiltered Spark window would have folded the NULL row into
+    // every x1 prefix and reported 8.
+    val stump = SparkEntry.queries("tree_stump_train")(spark, edgeEventsDir)
+      .collect()
+    val root = stump.find(_.getAs[Long]("node") == 0L).get
+    val rootTotal =
+      root.getAs[Long]("n_left") + root.getAs[Long]("n_right")
+    assert(rootTotal == (if (root.getAs[String]("feat") == "x1") 7L else 8L),
+      s"NULL-bin row leaked into the ${root.getAs[String]("feat")} " +
+        s"histogram: root saw $rootTotal rows")
+    val gbm = SparkEntry.queries("gbm_round")(spark, edgeEventsDir).collect()
+    for (r <- gbm) {
+      val tot = r.getAs[Long]("n_left") + r.getAs[Long]("n_right")
+      assert(tot == (if (r.getAs[String]("feat") == "x1") 7L else 8L),
+        s"gbm round ${r.getAs[Long]("round")}: NULL-bin row leaked " +
+          s"(${r.getAs[String]("feat")} histogram saw $tot rows)")
+    }
     // 3 vectors: history {1,2}, batch {0} = the all-zero vector (0-norm
     // cosine → null via the nullif guard; no division abort)
     SparkEntry.queries("incremental_ann")(spark, edgeVecDir).collect()

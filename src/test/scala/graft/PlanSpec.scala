@@ -307,4 +307,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       "the aggregate formulation must not fall back to a window")
   }
+
+  test("pretrain_pipeline_e2e: shuffle budget pinned — the post-artifact " +
+    "dataflow plans a bounded Exchange count and no global window") {
+    // The capstone's session artifacts (LM scores, BPE segmentation) are
+    // checkpointed, so the returned plan is the curate→tokenize→pack
+    // composition itself. Pin its shuffle budget: gates are narrow, so
+    // the Exchanges are dedup-hash, source-cap, split-pack windows, the
+    // token join + doc rollup, and the final group — a fixed set. A
+    // regression that re-shuffles the corpus per stage (or re-plans a
+    // stage as a global window) fails here before it reaches a bench.
+    withConfs("spark.sql.adaptive.enabled" -> "false") {
+      val plan = SparkEntry.queries("pretrain_pipeline_e2e")(spark, sf)
+        .queryExecution.executedPlan
+      val exchanges = plan.toString.split("\n")
+        .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
+      assert(exchanges <= 12, s"capstone plans $exchanges exchanges (>12)")
+      val globalWin = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWin.isEmpty, "capstone plans a single-partition window")
+    }
+  }
 }

@@ -100,10 +100,10 @@ class PlanSweepSpec extends SparkSpec {
     // logistic_irls broadcasts the 1-row beta into each Newton step, but
     // both step frames are checkpointed (shared with the model_* keys),
     // so its returned plan shows no join shape — no entry, like semdedup.
-    "quantile_normalize" ->
-      "1-row pooled-count aggregate broadcast into the rank mapping",
-    "model_calibration" ->
-      "1-row fitted-beta broadcast into the scoring pass",
+    "quantile_normalize" -> ("1-row pooled-count + #sources-row " +
+      "aggregates crossed onto the bounded distinct-value histogram"),
+    "model_calibration" -> ("1-row fitted-beta broadcast into the " +
+      "scoring pass + 1-row total crossed onto the distinct-score table"),
     "model_auc" ->
       "1-row fitted-beta broadcast into the scoring pass",
     // ---- r11 additions ----
@@ -130,7 +130,26 @@ class PlanSweepSpec extends SparkSpec {
       "update, and the 1-row loss aggregate crossed into the report"),
     "community_louvain2" -> ("1-row 2m broadcast into the weighted " +
       "coarse-graph gain + the 1-row phase-1/phase-2 modularity " +
-      "summaries crossed onto the top-20 rows"))
+      "summaries crossed onto the top-20 rows"),
+    // ---- r12 additions ----
+    "scc_components" -> ("1-row (n_sccs, n_verts) summary crossed onto " +
+      "the top-20 SCC rows — the community_modularity report shape"),
+    "quality_lm_gate" -> ("1-row broadcasts throughout: vocabulary size " +
+      "into the add-one smoothing term, scored-count into the rank " +
+      "formula, and the selected threshold back over the manifest"),
+    // pretrain_pipeline_e2e crosses the 1-row LM-gate threshold onto
+    // the gated corpus, but the curated frame is localCheckpointed so
+    // the returned plan shows only the pack stage — no entry needed
+    // (or permitted: the rot-check would fire), like semdedup/bpe.
+    "gbm_tree_round" -> ("1-row broadcasts throughout: bin geometry + " +
+      "base score into the binning pass, root/child splits and Newton " +
+      "leaves into the routing update, and the loss/AUC aggregates " +
+      "crossed into each round's report row"),
+    "ann_opq_knn" -> ("the PQ tier's own bounded shapes over the " +
+      "rotated encode space: 16-centroid codebooks broadcast for " +
+      "train/encode, 50-query bounded side x reconstruction"),
+    "corpus_datacard" -> ("the 1-row LM-gate threshold artifact crossed " +
+      "onto the per-shard gate-rate rollup"))
 
   test("no unlisted query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -152,6 +171,75 @@ class PlanSweepSpec extends SparkSpec {
       assert(plan.contains("CartesianProduct") ||
         plan.contains("BroadcastNestedLoopJoin"),
         s"$name no longer plans a cartesian/NLJ — drop it from the allowlist ($why)")
+    }
+  }
+
+  // ---- single-partition window sweep (r12) ----------------------------
+  // The r11 verdict's weak set was three corpus-sized unpartitioned
+  // windows (model_calibration's global ntile, quantile_normalize's
+  // pooled row_number, funnel_time_conv's global rank). This sweep pins
+  // the fix class: a WindowExec with an EMPTY partitionSpec moves its
+  // whole input to one task, so it is only ever acceptable over a
+  // BOUNDED-domain table (digit sets, calendar days, distinct r6 scores,
+  // vocabulary slices) — never over corpus-growing row counts. Each
+  // allowlisted key records WHAT bounds the window's input.
+  private val globalWindowAllowed: Map[String, String] = Map(
+    "benford_audit" ->
+      "share window over the 9-row leading-digit aggregate",
+    "dq_k_anonymity" ->
+      "record-share window over the bounded size-band aggregate",
+    "funnel_time_conv" -> ("prefix-sum over the conversion-delay MINUTE " +
+      "histogram — bounded by the log's time span, not the user count"),
+    "mix_temperature" ->
+      "remainder-rank windows over the #sources-row mixture table",
+    "model_auc" -> ("midrank prefix-sum over the distinct r6-rounded " +
+      "score table — <= 10^6+1 rows by rounding"),
+    "model_calibration" -> ("decile prefix-sum over the distinct " +
+      "r6-rounded score table — <= 10^6+1 rows by rounding"),
+    "quantile_normalize" -> ("pooled prefix-sum over the distinct " +
+      "n_chars histogram — bounded by the doc-size domain"),
+    "survival_km" -> ("at-risk/cumulative-hazard windows over the " +
+      "per-DAY duration aggregate — bounded by the study's day span"),
+    "win_moving_avg" -> ("7-day trailing frame over the per-DAY " +
+      "aggregate — bounded by the calendar span"),
+    // quality_lm_gate's threshold prefix-sum runs inside the
+    // checkpointed lmGateArtifact — invisible to the sweep, no entry
+    // (or permitted: the rot-check would fire).
+    "gbm_tree_round" -> ("root argmax over the <=32-row candidate " +
+      "table + held-out AUC midrank prefix over the distinct r6-score " +
+      "table — both bounded domains"))
+
+  /** Every physical window node with no PARTITION BY in `plan`,
+    * AQE-stripped (the sweep runs with AQE off so the tree is plain). */
+  private def globalWindows(
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+    plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w.nodeName
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          if w.partitionSpec.isEmpty => w.nodeName
+    }
+
+  test("no unlisted query plans a single-partition (global) window") {
+    withConfs("spark.sql.adaptive.enabled" -> "false") {
+      val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+        val hit = globalWindows(SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan).nonEmpty
+        if (hit && !globalWindowAllowed.contains(name)) Some(name) else None
+      }
+      assert(offenders.isEmpty,
+        s"unjustified global window in: ${offenders.mkString(", ")}")
+    }
+  }
+
+  test("every global-window allowlist entry still plans one") {
+    withConfs("spark.sql.adaptive.enabled" -> "false") {
+      for ((name, why) <- globalWindowAllowed) {
+        val hit = globalWindows(SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan).nonEmpty
+        assert(hit, s"$name no longer plans a global window — drop it " +
+          s"from the allowlist ($why)")
+      }
     }
   }
 }

@@ -468,7 +468,7 @@ class ScalingSpec extends SparkSpec {
     // Force a cold build regardless of suite order: drop this JVM's
     // standing index for the tier, then measure build+probe vs probe-only.
     val root = new java.io.File(graft.queries.core.scratchRoot,
-      "ann_index_" + Integer.toHexString(dir.hashCode))
+      "ann_index_" + graft.queries.core.dirKey(dir))
     def rmrf(f: java.io.File): Unit = {
       val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete()
     }
