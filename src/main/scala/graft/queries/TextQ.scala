@@ -1352,6 +1352,148 @@ object TextQ {
       .orderBy(col("source"), col("split"), col("bin"))
   }
 
+  /** UNIGRAM-LM tokenizer training (r12) — the OTHER production
+    * tokenizer next to BPE (Kudo 2018, the SentencePiece unigram model;
+    * public algorithm), exercising a genuinely different relational
+    * shape: per-word VITERBI dynamic programming instead of greedy
+    * merges. Two hard-EM rounds on the word-count domain:
+    *
+    *   - SEED: every substring of length ≤ 4 of every corpus word, with
+    *     occurrence-weighted frequency; logp₀ = ln(freq/total), pinned
+    *     DECIMAL(14,10).
+    *   - E-STEP: per word, the max-likelihood segmentation by an
+    *     UNROLLED 8-position DP (the corpus word-length bound): dp[i] =
+    *     max over j ∈ [i−4, i−1] of dp[j] + logp(word[j+1..i]) — all
+    *     arithmetic in exact DECIMAL so scores are order-free and
+    *     bit-identical cross-engine; ties break (score DESC, j ASC) =
+    *     prefer the LONGEST piece ending at i. Backtrack (≤ 8 steps)
+    *     recovers the path with multiplicity.
+    *   - M-STEP: piece count = Σ word-cnt over path steps; pieces with
+    *     zero path count are PRUNED except single chars, which are kept
+    *     floored at count 1 (the coverage guarantee); logp re-estimated.
+    *
+    * Output: per-round (n_pieces, corpus NLL, avg pieces/word, top
+    * multi-char piece) — a wrong DP cell, tie-break, backtrack, prune,
+    * or re-estimate shifts the trajectory and breaks the hash.
+    * Scale shape: EVERYTHING rides the Heaps-saturating (word, cnt)
+    * domain — the one corpus-sized job is the word count; DP rounds are
+    * vocabulary-keyed joins against the ≤ |substrings| piece table. */
+  val unigramLmTrain: QFn = (s, dir) => {
+    val MaxLen = 8
+    val MaxPiece = 4
+    val wc = t(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    // seed pieces: all substrings of length 1..4, occurrence-weighted
+    val sub = wc
+      .select(col("word"), col("cnt"),
+        explode(sequence(lit(1), length(col("word")))).as("st"))
+      .select(col("word"), col("cnt"), col("st"),
+        explode(sequence(lit(1),
+          least(lit(MaxPiece), length(col("word")) - col("st") + 1)))
+          .as("ln"))
+      .select(col("word").substr(col("st"), col("ln")).as("piece"),
+        col("cnt"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("freq"))
+    val tot0 = sub.agg(sum(col("freq")).as("tot"))
+    var pieces = sub.crossJoin(broadcast(tot0))
+      .select(col("piece"),
+        dec(log(dbl(col("freq")) / dbl(col("tot"))), 14, 10).as("logp"))
+      .localCheckpoint()
+    val chars = wc
+      .select(col("word"),
+        explode(sequence(lit(1), length(col("word")))).as("st"))
+      .select(col("word").substr(col("st"), lit(1)).as("piece"))
+      .distinct()
+      .localCheckpoint()
+    var trail: org.apache.spark.sql.DataFrame = null
+    for (round <- 1 to 2) {
+      // ---- E: unrolled Viterbi. dpAll rows: (word, i, score, bp)
+      var dpAll = wc.select(col("word"), lit(0).as("i"),
+        lit(0).cast("decimal(22,10)").as("score"),
+        lit(-1).as("bp"))
+      for (i <- 1 to MaxLen) {
+        val cand = dpAll
+          .filter(col("i").between(i - MaxPiece, i - 1) &&
+            length(col("word")) >= i)
+          .withColumn("piece",
+            col("word").substr(col("i") + 1, lit(i) - col("i")))
+          .join(pieces, "piece")
+          .select(col("word"), col("i").as("j"),
+            // fixed-width score so every dp round unions identically
+            (col("score") + col("logp")).cast("decimal(22,10)").as("sc"))
+        val win = cand
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("word"))
+              .orderBy(col("sc").desc, col("j"))))
+          .filter(col("rn") === 1)
+          .select(col("word"), lit(i).as("i"), col("sc").as("score"),
+            col("j").as("bp"))
+        dpAll = dpAll.unionByName(win)
+      }
+      dpAll = dpAll.localCheckpoint()
+      // ---- backtrack (≤ 8 steps), emitting path pieces w/ multiplicity
+      var frontier = wc.select(col("word"),
+        length(col("word")).as("pos"))
+      var path = wc.limit(0)
+        .select(col("word"), lit("").as("piece"))
+      for (_ <- 1 to MaxLen) {
+        val step = frontier.filter(col("pos") > 0)
+          .join(dpAll.select(col("word"), col("i").as("pos"),
+            col("bp")), Seq("word", "pos"))
+        path = path.unionByName(step
+          .select(col("word"),
+            col("word").substr(col("bp") + 1,
+              col("pos") - col("bp")).as("piece")))
+        frontier = step.select(col("word"), col("bp").as("pos"))
+      }
+      val pathC = path.localCheckpoint()
+      // ---- M: path counts, char floor, re-estimated logp
+      val cnts = pathC.join(wc, "word")
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+      val kept = chars.join(cnts, Seq("piece"), "left")
+        .select(col("piece"),
+          greatest(coalesce(col("c"), lit(0L)), lit(1L)).as("c"))
+        .unionByName(cnts.join(chars, Seq("piece"), "left_anti")
+          .filter(col("c") > 0))
+      val totR = kept.agg(sum(col("c")).as("tot"))
+      pieces = kept.crossJoin(broadcast(totR))
+        .select(col("piece"),
+          dec(log(dbl(col("c")) / dbl(col("tot"))), 14, 10).as("logp"))
+        .localCheckpoint()
+      // ---- round report
+      val nll = dpAll
+        .join(wc.select(col("word"), length(col("word")).as("wl"),
+          col("cnt")), "word")
+        .filter(col("i") === col("wl"))
+        // cnt pinned DECIMAL(15,0): score(22,10) x LONG would type to
+        // (43,10) > 38 and Spark silently ROUNDS the product to scale 6
+        // (allowPrecisionLoss) — (22,10)x(15,0) = (38,10) stays exact
+        .agg(r6(-dbl(sum(col("score") * dec(col("cnt"), 15, 0))))
+          .as("corpus_nll"))
+      val stats = pathC.join(wc, "word")
+        .agg(sum(col("cnt")).as("steps"))
+        .crossJoin(broadcast(wc.agg(sum(col("cnt")).as("words"))))
+        .select(r6(dbl(col("steps")) / dbl(col("words")))
+          .as("avg_pieces_per_word"))
+      val topP = pieces.filter(length(col("piece")) >= 2)
+        .join(cnts, "piece")
+        .orderBy(col("c").desc, col("piece")).limit(1)
+        .agg(max(struct(col("c"), col("piece"))).as("m"))
+        .select(coalesce(col("m.piece"), lit("")).as("top_piece"),
+          coalesce(col("m.c"), lit(0L)).as("top_piece_cnt"))
+      val nPieces = pieces.agg(count(lit(1)).as("n_pieces"))
+      val row = nPieces.crossJoin(broadcast(nll))
+        .crossJoin(broadcast(stats)).crossJoin(broadcast(topP))
+        .select(lit(round.toLong).as("round"), col("n_pieces"),
+          col("corpus_nll"), col("avg_pieces_per_word"),
+          col("top_piece"), col("top_piece_cnt"))
+      trail = if (trail == null) row else trail.unionByName(row)
+    }
+    trail.orderBy(col("round"))
+  }
+
   /** Corpus DATA CARD (r12) — the per-(source, lang) datasheet a
     * curation run ships with its release (Datasheets for Datasets,
     * Gebru et al. 2021; what model cards cite): one row per shard
@@ -1551,6 +1693,7 @@ object TextQ {
     "curation_pipeline_e2e" -> curationPipelineE2e,
     "pretrain_pipeline_e2e" -> pretrainPipelineE2e,
     "corpus_datacard" -> corpusDatacard,
+    "unigram_lm_train" -> unigramLmTrain,
     "inverted_postings"  -> invertedPostings,
     "rep_ngram_audit"    -> repNgramAudit,
     "dup_sequences"      -> dupSequences,
@@ -1741,6 +1884,119 @@ object TextQ {
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM binned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Unigram-LM oracle: the identical seed → (unrolled 8-position
+    * Viterbi DP in DECIMAL(22,10) → ≤8-step backtrack → prune/floor →
+    * re-estimate) chain, generated per EM round. */
+  private def unigramLmSql: String = {
+    val MaxLen = 8
+    val MaxPiece = 4
+    def round(r: Int, piecesCte: String): String = {
+      def dpUnion(i: Int): String =
+        (math.max(0, i - MaxPiece) until i)
+          .map(j => s"SELECT * FROM u${r}dp$j").mkString(" UNION ALL ")
+      val dps = (1 to MaxLen).map { i =>
+        s"""u${r}c$i AS (
+           |  SELECT d.word, d.i AS j,
+           |    CAST(d.score + p.logp AS DECIMAL(22,10)) AS sc
+           |  FROM (${dpUnion(i)}) d
+           |  JOIN $piecesCte p
+           |    ON p.piece = substring(d.word, d.i + 1, $i - d.i)
+           |  WHERE len(d.word) >= $i),
+           |u${r}dp$i AS MATERIALIZED (
+           |  SELECT word, $i AS i, sc AS score, j AS bp FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY word
+           |      ORDER BY sc DESC, j) AS rn FROM u${r}c$i)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val bts = (1 to MaxLen).map { k =>
+        s"""u${r}bt$k AS (
+           |  SELECT b.word, d.bp AS pos,
+           |    substring(b.word, d.bp + 1, b.pos - d.bp) AS piece
+           |  FROM u${r}bt${k - 1} b
+           |  JOIN u${r}dpall d ON d.word = b.word AND d.i = b.pos
+           |  WHERE b.pos > 0)""".stripMargin
+      }.mkString(",\n")
+      s"""u${r}dp0 AS MATERIALIZED (SELECT word, 0 AS i,
+         |    CAST(0 AS DECIMAL(22,10)) AS score, -1 AS bp FROM uwc),
+         |$dps,
+         |u${r}dpall AS MATERIALIZED (${(0 to MaxLen)
+             .map(i => s"SELECT * FROM u${r}dp$i").mkString(" UNION ALL ")}),
+         |u${r}bt0 AS (SELECT word, len(word) AS pos FROM uwc),
+         |$bts,
+         |u${r}path AS MATERIALIZED (${(1 to MaxLen)
+             .map(k => s"SELECT word, piece FROM u${r}bt$k")
+             .mkString(" UNION ALL ")}),
+         |u${r}cnts AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM u${r}path JOIN uwc USING (word) GROUP BY piece),
+         |u${r}kept AS (
+         |  SELECT ch.piece,
+         |    greatest(coalesce(c.c, 0), 1) AS c
+         |  FROM uchars ch LEFT JOIN u${r}cnts c USING (piece)
+         |  UNION ALL
+         |  SELECT c.piece, c.c FROM u${r}cnts c
+         |  LEFT JOIN uchars ch USING (piece)
+         |  WHERE ch.piece IS NULL AND c.c > 0),
+         |u${r}tot AS (SELECT sum(c) AS tot FROM u${r}kept),
+         |u${r}pieces AS MATERIALIZED (
+         |  SELECT piece, CAST(ln(CAST(c AS DOUBLE)
+         |    / CAST(tot AS DOUBLE)) AS DECIMAL(14,10)) AS logp
+         |  FROM u${r}kept, u${r}tot),
+         |u${r}nll AS (
+         |  SELECT ${r6Sql("-(CAST(sum(score * cnt) AS DOUBLE))")}
+         |    AS corpus_nll
+         |  FROM u${r}dpall JOIN uwc USING (word)
+         |  WHERE i = len(word)),
+         |u${r}stats AS (
+         |  SELECT ${r6Sql("CAST(steps AS DOUBLE) / CAST(words AS DOUBLE)")}
+         |    AS avg_pieces_per_word
+         |  FROM (SELECT sum(cnt) AS steps
+         |        FROM u${r}path JOIN uwc USING (word)),
+         |    (SELECT sum(cnt) AS words FROM uwc)),
+         |u${r}top AS (
+         |  SELECT coalesce(max(piece), '') AS top_piece,
+         |    CAST(coalesce(max(c), 0) AS BIGINT) AS top_piece_cnt
+         |  FROM (SELECT p.piece, c.c
+         |        FROM u${r}pieces p JOIN u${r}cnts c USING (piece)
+         |        WHERE len(p.piece) >= 2
+         |        ORDER BY c.c DESC, p.piece LIMIT 1)),
+         |u${r}np AS (SELECT count(*) AS n_pieces FROM u${r}pieces),
+         |u${r}row AS (
+         |  SELECT CAST($r AS BIGINT) AS round,
+         |    CAST(n_pieces AS BIGINT) AS n_pieces, corpus_nll,
+         |    avg_pieces_per_word, top_piece, top_piece_cnt
+         |  FROM u${r}np, u${r}nll, u${r}stats, u${r}top)""".stripMargin
+    }
+    s"""WITH $wordsCte,
+       |uwc AS MATERIALIZED (SELECT word, count(*) AS cnt
+       |  FROM (SELECT unnest(ws) AS word FROM words) GROUP BY word),
+       |usub AS (
+       |  SELECT substring(word, st, ln) AS piece, cnt
+       |  FROM uwc,
+       |    (SELECT unnest(range(1,
+       |      (SELECT max(len(word)) FROM uwc) + 1)) AS st),
+       |    (SELECT unnest(range(1, ${MaxPiece + 1})) AS ln)
+       |  WHERE st <= len(word) AND st + ln - 1 <= len(word)),
+       |ufreq AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq
+       |  FROM usub GROUP BY piece),
+       |utot AS (SELECT sum(freq) AS tot FROM ufreq),
+       |u0pieces AS MATERIALIZED (
+       |  SELECT piece, CAST(ln(CAST(freq AS DOUBLE)
+       |    / CAST(tot AS DOUBLE)) AS DECIMAL(14,10)) AS logp
+       |  FROM ufreq, utot),
+       |uchars AS MATERIALIZED (
+       |  SELECT DISTINCT substring(word, st, 1) AS piece
+       |  FROM uwc,
+       |    (SELECT unnest(range(1,
+       |      (SELECT max(len(word)) FROM uwc) + 1)) AS st)
+       |  WHERE st <= len(word)),
+       |${round(1, "u0pieces")},
+       |${round(2, "u1pieces")}
+       |SELECT * FROM (
+       |  SELECT * FROM u1row UNION ALL SELECT * FROM u2row)
+       |ORDER BY round""".stripMargin
+  }
+
   /** Shared oracle CTEs for tokenized / shingled docs. */
   private val wordsCte =
     """words AS (
@@ -1927,6 +2183,7 @@ object TextQ {
          |  ${r6Sql("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang)")}
          |    AS row_frac
          |FROM g ORDER BY lang, lang_pred""".stripMargin,
+    "unigram_lm_train" -> unigramLmSql,
     "corpus_datacard" -> {
       val (zn, sx, sy) = ("CAST(zn AS DOUBLE)", "CAST(sx AS DOUBLE)",
         "CAST(sy AS DOUBLE)")

@@ -847,6 +847,24 @@ class OperatorSpec extends SparkSpec {
     assert(irls > 0.0 && irls < 1.0)
   }
 
+  test("unigram_lm_train: EM strictly improves corpus NLL, segmentation " +
+    "compresses (avg pieces/word < chars/word), and a multi-char piece " +
+    "wins the vocabulary") {
+    val rows = SparkEntry.queries("unigram_lm_train")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("round"))
+    assert(rows.length == 2)
+    val nll = rows.map(_.getAs[Double]("corpus_nll"))
+    assert(nll(1) < nll(0), s"EM did not improve NLL: ${nll.toSeq}")
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_pieces") > 0)
+      val avg = r.getAs[Double]("avg_pieces_per_word")
+      assert(avg >= 1.0 && avg < 8.0, s"degenerate avg pieces $avg")
+      assert(r.getAs[String]("top_piece").length >= 2,
+        "no multi-char piece survived training")
+      assert(r.getAs[Long]("top_piece_cnt") > 0)
+    }
+  }
+
   test("quality_lm_gate: kept <= scored <= docs, one global threshold, " +
     "and the strict gate keeps at most the top 70% of scored docs") {
     val rows = SparkEntry.queries("quality_lm_gate")(spark, sf).collect()

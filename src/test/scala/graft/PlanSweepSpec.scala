@@ -149,7 +149,11 @@ class PlanSweepSpec extends SparkSpec {
       "rotated encode space: 16-centroid codebooks broadcast for " +
       "train/encode, 50-query bounded side x reconstruction"),
     "corpus_datacard" -> ("the 1-row LM-gate threshold artifact crossed " +
-      "onto the per-shard gate-rate rollup"))
+      "onto the per-shard gate-rate rollup"),
+    "unigram_lm_train" -> ("1-row piece-mass totals crossed into the " +
+      "log-probability normalizer + the per-round 1-row report " +
+      "aggregates crossed into the trajectory row — all on the " +
+      "Heaps-saturating word domain"))
 
   test("no unlisted query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>

@@ -490,6 +490,56 @@ class ScalingSpec extends SparkSpec {
         "re-deriving index state instead of reading it")
   }
 
+  /** r12 keys measured on the FIXTURE tiers (the synth tier's ~1/4-word
+    * hash-rewrite deliberately INFLATES the vocabulary, which is exactly
+    * the domain these keys' loop state lives on — the saturation claim
+    * is a property of real Heaps-law text, gated here on the fixture
+    * decades where the vocabulary is constant). Artifact-backed keys
+    * are measured WARM (second invocation): the capstone's LM/BPE
+    * artifacts build once per session by design, and the steady-state
+    * shuffle is the scaling claim (the incremental_ann convention). */
+  private case class R12Tier(dir: String, docs: Long, toks: Long,
+      sccShuf: Long, uniShuf: Long, capShuf: Long)
+
+  private lazy val r12m: Seq[R12Tier] =
+    tiers.filter(_.startsWith("/root/testdata")).map { dir =>
+      val docs = Tables(spark, dir, "documents").count()
+      val toks = Tables(spark, dir, "documents")
+        .select(explode(graft.operators.TextOps.tokens(col("text"))))
+        .count()
+      SparkEntry.queries("pretrain_pipeline_e2e")(spark, dir).count() // warm
+      val t = R12Tier(dir, docs, toks,
+        shufOfKey(dir, "scc_components"),
+        shufOfKey(dir, "unigram_lm_train"),
+        shufOfKey(dir, "pretrain_pipeline_e2e"))
+      println(s"[scaling] $t")
+      t
+    }
+
+  test("scc_components: shuffle grows ~linearly in tokens — the FW-BW " +
+    "coloring loops ride the saturating vocabulary, only edgesOf scans " +
+    "the corpus") {
+    val e = exponent(r12m.map(t => (t.toks, t.sccShuf)))
+    info(f"scc shuffle exponent vs tokens: $e%.3f")
+    assert(e <= 1.2, f"scc_components shuffle grew as tokens^$e%.2f " +
+      "— a loop stage left the vocabulary domain")
+  }
+
+  test("unigram_lm_train: shuffle grows ~linearly in tokens — the " +
+    "Viterbi/EM rounds ride the saturating word domain") {
+    val e = exponent(r12m.map(t => (t.toks, t.uniShuf)))
+    info(f"unigram shuffle exponent vs tokens: $e%.3f")
+    assert(e <= 1.15, f"unigram_lm_train shuffle grew as tokens^$e%.2f " +
+      "— a DP/backtrack stage left the word domain")
+  }
+
+  test("pretrain_pipeline_e2e: steady-state shuffle grows ~linearly in " +
+    "docs — every stage is doc-/source-keyed, artifacts amortized") {
+    val e = exponent(r12m.map(t => (t.docs, t.capShuf)))
+    info(f"capstone shuffle exponent vs docs: $e%.3f")
+    assert(e <= 1.3, f"pretrain_pipeline_e2e shuffle grew as docs^$e%.2f")
+  }
+
   test("no candidate job shuffles all-pairs-scale row volume") {
     meas.foreach { t =>
       val docPairs = allPairs(t.docs)
