@@ -974,13 +974,15 @@ object StatsQ {
               < col("cb"), col("wl")).otherwise(col("wr"))))
         .select(col("ho"), col("y"), col("f"), col("b1"), col("b2"))
         .localCheckpoint()
-      val trLoss = cur.filter(!col("ho"))
+      // both slices' losses in ONE conditional aggregate (one scan)
+      val losses = cur
         .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("f"))))
-        .agg(sum(lossTerm(col("p"))).as("l"), count(lit(1)).as("cnt"))
+        .agg(sum(when(!col("ho"), lossTerm(col("p")))).as("l"),
+          count(when(!col("ho"), lit(1))).as("cnt"),
+          sum(when(col("ho"), lossTerm(col("p")))).as("hlo"),
+          count(when(col("ho"), lit(1))).as("hcnt"))
       val hoScored = cur.filter(col("ho"))
         .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("f"))))
-      val hoLoss = hoScored
-        .agg(sum(lossTerm(col("p"))).as("hlo"), count(lit(1)).as("hcnt"))
       val hoAuc = aucOf(hoScored
         .select(r6(col("p")).as("pv"), col("y").cast("long").as("y1")))
       val children = best1.agg(
@@ -992,7 +994,7 @@ object StatsQ {
           col("feat").as("root_feat"), col("bin").as("root_bin"),
           col("gain").as("root_gain"))
         .crossJoin(broadcast(children))
-        .crossJoin(broadcast(trLoss)).crossJoin(broadcast(hoLoss))
+        .crossJoin(broadcast(losses))
         .crossJoin(broadcast(hoAuc))
         .select(col("round"), col("root_feat"), col("root_bin"),
           col("root_gain"), col("feat_l"), col("bin_l"),

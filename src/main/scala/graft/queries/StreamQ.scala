@@ -1437,7 +1437,8 @@ object StreamQ {
     * engine's own telemetry, the operational surface a production
     * stream is monitored by: per micro-batch (input rows, rows dropped
     * by the watermark, result rows emitted = state rows evicted in
-    * append mode). The query is late_data_exec's exact replay (staged
+    * append mode, state rows HELD after the batch — the memory-planning
+    * number). The query is late_data_exec's exact replay (staged
     * scrambled 5-batch inbox, 1-hour watermark, hourly tumble, append),
     * so every count is pinned by the same determinism construction:
     * batch membership by ntile staging, the watermark in force during
@@ -1477,8 +1478,9 @@ object StreamQ {
     prog.toSeq.zipWithIndex.map { case (p, i) =>
       val dropped = p.stateOperators.map(_.numRowsDroppedByWatermark).sum
       val emitted = p.stateOperators.map(_.numRowsRemoved).sum
-      (i + 1L, p.numInputRows, dropped, emitted)
-    }.toDF("batch_seq", "n_input", "n_dropped", "n_emitted")
+      val held = p.stateOperators.map(_.numRowsTotal).sum
+      (i + 1L, p.numInputRows, dropped, emitted, held)
+    }.toDF("batch_seq", "n_input", "n_dropped", "n_emitted", "n_state")
       .orderBy(col("batch_seq"))
   }
 
@@ -2085,26 +2087,36 @@ object StreamQ {
         |    CAST(-1 AS BIGINT))
         |  GROUP BY r.b),
         |kept AS (
-        |  SELECT DISTINCT r.wsb, r.event_type, r.we
+        |  SELECT r.wsb, r.event_type, r.we, min(r.b) AS fb
         |  FROM rw r JOIN wm ON wm.b = r.b
         |  WHERE r.we > coalesce(wm.premax // 1000 * 1000 - 3600000000,
-        |    CAST(-1 AS BIGINT))),
+        |    CAST(-1 AS BIGINT))
+        |  GROUP BY r.wsb, r.event_type, r.we),
         |emit AS (
-        |  SELECT g.wsb, g.event_type,
+        |  SELECT g.wsb, g.event_type, g.fb,
         |    (SELECT min(wm.b) FROM wm
         |     WHERE coalesce(wm.postmax // 1000 * 1000 - 3600000000,
         |       CAST(-1 AS BIGINT)) >= g.we) AS eb
         |  FROM kept g),
         |em AS (SELECT eb AS b, count(*) AS n_emitted FROM emit
-        |       WHERE eb IS NOT NULL GROUP BY eb)
+        |       WHERE eb IS NOT NULL GROUP BY eb),
+        |-- state occupancy at the end of batch k: groups whose first
+        |-- kept arrival is <= k and whose eviction batch is later
+        |st AS (
+        |  SELECT s.b, count(*) AS n_state
+        |  FROM spine s JOIN emit e
+        |    ON e.fb <= s.b AND (e.eb IS NULL OR e.eb > s.b)
+        |  GROUP BY s.b)
         |SELECT s.b AS batch_seq,
         |  CAST(coalesce(bm.n_input, 0) AS BIGINT) AS n_input,
         |  CAST(coalesce(drops.n_dropped, 0) AS BIGINT) AS n_dropped,
-        |  CAST(coalesce(em.n_emitted, 0) AS BIGINT) AS n_emitted
+        |  CAST(coalesce(em.n_emitted, 0) AS BIGINT) AS n_emitted,
+        |  CAST(coalesce(st.n_state, 0) AS BIGINT) AS n_state
         |FROM spine s
         |LEFT JOIN bm ON bm.b = s.b
         |LEFT JOIN drops ON drops.b = s.b
         |LEFT JOIN em ON em.b = s.b
+        |LEFT JOIN st ON st.b = s.b
         |ORDER BY batch_seq""".stripMargin,
     "late_data_exec" ->
       """WITH e AS (

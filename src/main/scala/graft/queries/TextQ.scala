@@ -1378,7 +1378,7 @@ object TextQ {
     * Scale shape: EVERYTHING rides the Heaps-saturating (word, cnt)
     * domain — the one corpus-sized job is the word count; DP rounds are
     * vocabulary-keyed joins against the ≤ |substrings| piece table. */
-  val unigramLmTrain: QFn = (s, dir) => {
+  val unigramLmTrain: QFn = (s, dir) => core.withShuffleParts(s, 8) {
     val MaxLen = 8
     val MaxPiece = 4
     val wc = t(s, dir, "documents")
@@ -1419,18 +1419,24 @@ object TextQ {
             length(col("word")) >= i)
           .withColumn("piece",
             col("word").substr(col("i") + 1, lit(i) - col("i")))
-          .join(pieces, "piece")
+          .join(broadcast(pieces), "piece")
           .select(col("word"), col("i").as("j"),
             // fixed-width score so every dp round unions identically
             (col("score") + col("logp")).cast("decimal(22,10)").as("sc"))
+        // argmax as ONE hash aggregate, not a sort window: max struct
+        // orders (sc, -j) = the (score DESC, j ASC) tie rule exactly
         val win = cand
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("word"))
-              .orderBy(col("sc").desc, col("j"))))
-          .filter(col("rn") === 1)
-          .select(col("word"), lit(i).as("i"), col("sc").as("score"),
-            col("j").as("bp"))
-        dpAll = dpAll.unionByName(win)
+          .groupBy(col("word"))
+          .agg(max(struct(col("sc"), (-col("j")).as("nj"))).as("m"))
+          .select(col("word"), lit(i).as("i"), col("m.sc").as("score"),
+            (-col("m.nj")).as("bp"))
+        // checkpoint EVERY level: dp_i's lazy plan embeds dp_{i-1}'s
+        // (which embeds dp_{i-2}'s, ...) — ~2^i plan nodes by level 8,
+        // measured as 21 s of Catalyst time + 4 MiB task binaries at
+        // sf0.1 unchecked, and a 2-level cadence already re-inflates to
+        // 10 s — the per-level word-domain checkpoint is the cheapest
+        // point on the curve (~7 s steady state).
+        dpAll = dpAll.unionByName(win.localCheckpoint())
       }
       dpAll = dpAll.localCheckpoint()
       // ---- backtrack (≤ 8 steps), emitting path pieces w/ multiplicity
@@ -1440,8 +1446,8 @@ object TextQ {
         .select(col("word"), lit("").as("piece"))
       for (_ <- 1 to MaxLen) {
         val step = frontier.filter(col("pos") > 0)
-          .join(dpAll.select(col("word"), col("i").as("pos"),
-            col("bp")), Seq("word", "pos"))
+          .join(broadcast(dpAll.select(col("word"), col("i").as("pos"),
+            col("bp"))), Seq("word", "pos"))
         path = path.unionByName(step
           .select(col("word"),
             col("word").substr(col("bp") + 1,

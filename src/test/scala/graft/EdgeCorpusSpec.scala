@@ -248,6 +248,33 @@ class EdgeCorpusSpec extends SparkSpec {
     assert(kept.map(_.getAs[String]("source")).toSet == Set("src0", "src1"))
   }
 
+  test("r12 doc keys survive the edge corpus (token-less docs, a " +
+    "2-word digraph, a vocabulary that prunes to almost nothing)") {
+    // scc: the 4-doc corpus yields a tiny digraph ("a b c d e" chains);
+    // singleton trim + coloring must settle every vertex exactly once
+    val scc = SparkEntry.queries("scc_components")(spark, edgeDir)
+      .collect()
+    if (scc.nonEmpty) {
+      val nv = scc.head.getAs[Long]("n_verts")
+      assert(scc.map(_.getAs[Long]("n_words")).sum <= nv)
+    }
+    // unigram: 6-word vocab, all sub-4-char pieces; EM must converge
+    // without a multi-char piece necessarily surviving
+    val uni = SparkEntry.queries("unigram_lm_train")(spark, edgeDir)
+      .collect()
+    assert(uni.length == 2)
+    assert(uni.forall(_.getAs[Long]("n_pieces") > 0))
+    // the capstone gates drop EVERYTHING here (no doc passes n_tok>=10
+    // except doc 3 with 5 tokens — also dropped): empty manifest is the
+    // correct answer, not a crash
+    SparkEntry.queries("pretrain_pipeline_e2e")(spark, edgeDir).collect()
+    // datacard: token-less docs yield null entropy/zipf, never a crash
+    val dc = SparkEntry.queries("corpus_datacard")(spark, edgeDir)
+      .collect()
+    assert(dc.map(_.getAs[Long]("n_docs")).sum == 4)
+    SparkEntry.queries("quality_lm_gate")(spark, edgeDir).collect()
+  }
+
   test("round-5 doc keys survive the edge corpus") {
     // token-less docs, <n-gram-length docs, 2-doc sources: the guards in
     // every index-explode and rank window get exercised; no-throw IS the
