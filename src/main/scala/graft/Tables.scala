@@ -107,25 +107,41 @@ object Tables {
     * instead of pinning the session live. */
   private val sessionIds = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, String])
-  private[graft] def sessionKey(spark: SparkSession): String =
+  private[graft] def sessionKey(spark: SparkSession): String = {
+    sweepStoppedSessions()
     sessionIds.synchronized {
       var id = sessionIds.get(spark)
       if (id == null) {
         id = java.util.UUID.randomUUID().toString
         sessionIds.put(spark, id)
-        // Value-side leak defense (r12 advisory): the WeakHashMap frees
-        // the KEY of a collected session, but every session-scoped
-        // artifact cache (Tables.registry, the Louvain/BPE/IVF module
-        // caches) holds strong references to that session's DataFrames —
-        // and through them the session and its localCheckpoint blocks —
-        // for the JVM lifetime. Register a Cleaner action per session:
-        // when the session becomes phantom-reachable, evict its id from
-        // every registered cache. The action captures only the id string,
-        // never the session, so it cannot keep the session alive itself.
+        // Value-side leak defense (r12, re-done r13): every
+        // session-scoped artifact cache (Tables.registry, the
+        // Louvain/BPE/IVF module caches) holds strong references to the
+        // session's DataFrames — and a Dataset strongly references its
+        // SparkSession via QueryExecution, so the r12 Cleaner (fire on
+        // phantom reachability) could never fire for exactly the
+        // sessions that had entries. Evict on the OBSERVABLE signal
+        // instead: a stopped SparkContext. Each new session registers
+        // its context; every sessionKey call (the gateway in front of
+        // every cache access) sweeps stopped sessions' entries out of
+        // all registered caches. The Cleaner stays as belt-and-braces
+        // for sessions that somehow become unreachable without entries.
         val sid = id
+        stoppable.put(sid, spark.sparkContext)
         cleaner.register(spark, () => evictSession(sid))
       }
       id
+    }
+  }
+
+  /** sid → its SparkContext, for stop-detection. Holding a (stopped)
+    * context strongly is O(1) compared to the DataFrames it unblocks;
+    * the entry is removed at eviction time. */
+  private val stoppable = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.SparkContext]()
+  private def sweepStoppedSessions(): Unit =
+    stoppable.forEach { (sid, sc) =>
+      if (sc.isStopped) { stoppable.remove(sid); evictSession(sid) }
     }
 
   private val cleaner = java.lang.ref.Cleaner.create()
@@ -192,6 +208,50 @@ object Tables {
               .filter(s => s.nonEmpty && s != "parquet").mkString(","))
           spark.conf.set(aggKey, "true")
           spark.read.parquet(s"$sfDir/$name.parquet").count()
+        } finally {
+          priorV1 match {
+            case Some(v) => spark.conf.set(v1Key, v)
+            case None => spark.conf.unset(v1Key)
+          }
+          priorAgg match {
+            case Some(v) => spark.conf.set(aggKey, v)
+            case None => spark.conf.unset(aggKey)
+          }
+        }
+      })
+  }
+
+  /** Cached per (session, dir, table, column) like the row counts. */
+  private val colMaxes =
+    new scala.collection.concurrent.TrieMap[(String, String, String, String), Long]
+  sessionEvictors.add(sid =>
+    colMaxes.keys.filter(_._1 == sid).foreach(colMaxes.remove))
+
+  /** Column MAX from parquet FOOTER statistics — the other catalog
+    * statistic next to [[statsRowCount]]: the unfiltered max(col) runs
+    * through the V2 parquet source with aggregate pushdown, answered from
+    * row-group min/max stats without decoding pages. Used to derive
+    * order-preserving bucket widths for the two-phase prefix-sum device
+    * (core.bucketedPrefixSum): the bucket count must stay bounded as the
+    * corpus grows, so the width must track the key domain — an O(metadata)
+    * lookup, never a data scan. */
+  def statsMaxLong(spark: SparkSession, sfDir: String,
+      name: String, column: String): Long = {
+    prepareSession(spark)
+    colMaxes.getOrElseUpdate(
+      (sessionKey(spark), sfDir, name, column), {
+        val v1Key = "spark.sql.sources.useV1SourceList"
+        val aggKey = "spark.sql.parquet.aggregatePushdown"
+        val priorV1 = spark.conf.getOption(v1Key)
+        val priorAgg = spark.conf.getOption(aggKey)
+        try {
+          spark.conf.set(v1Key,
+            priorV1.getOrElse("").split(",").map(_.trim)
+              .filter(s => s.nonEmpty && s != "parquet").mkString(","))
+          spark.conf.set(aggKey, "true")
+          spark.read.parquet(s"$sfDir/$name.parquet")
+            .agg(max(col(column)))
+            .first().getAs[Number](0).longValue()
         } finally {
           priorV1 match {
             case Some(v) => spark.conf.set(v1Key, v)

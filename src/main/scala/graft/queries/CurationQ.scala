@@ -180,18 +180,23 @@ object CurationQ {
         .groupBy(col("doc_id"))
         .agg(r6(dbl(sum(col("term"))) / count(lit(1))).as("score"))
         .localCheckpoint()
-      val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("c"))
-      val wS = Window.orderBy(col("score"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val cum = hist
-        .withColumn("cb", coalesce(sum(col("c")).over(wS), lit(0L)))
-        .withColumn("ce", col("cb") + col("c"))
-      val tot = scored.agg(count(lit(1)).as("n"))
-      val thr = cum.crossJoin(broadcast(tot)).agg(
-        max(when(col("cb") < expr("(3 * n + 9) div 10") &&
-          expr("(3 * n + 9) div 10") <= col("ce"), col("score")))
-          .as("lm_threshold"))
-        .localCheckpoint()
+      // threshold rides the persisted registry (r13): derived once per
+      // (JVM, dir) from the bounded distinct-score histogram, re-read by
+      // any later session — a restart re-loads the gate instead of
+      // re-deriving it
+      val thr = core.persistedArtifact(s, dir, "lm_threshold") {
+        val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("c"))
+        val wS = Window.orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cum = hist
+          .withColumn("cb", coalesce(sum(col("c")).over(wS), lit(0L)))
+          .withColumn("ce", col("cb") + col("c"))
+        val tot = scored.agg(count(lit(1)).as("n"))
+        cum.crossJoin(broadcast(tot)).agg(
+          max(when(col("cb") < expr("(3 * n + 9) div 10") &&
+            expr("(3 * n + 9) div 10") <= col("ce"), col("score")))
+            .as("lm_threshold"))
+      }.localCheckpoint()
       (scored, thr)
     })
 
@@ -216,6 +221,265 @@ object CurationQ {
           nullif(dbl(col("n_kept")), lit(0.0))).as("mean_kept_score"),
         col("lm_threshold"))
       .orderBy(col("lang"), col("source"))
+  }
+
+  /** Model-based quality-classifier gate (r13) — the fasttext-style
+    * companion to the CCNet perplexity gate (the pairing production
+    * pipelines run: Wenzek et al. 2020 perplexity + a trained classifier,
+    * e.g. the GPT-3/LLaMA quality filters): a LOGISTIC model over hashed
+    * text features, trained ON THE ENGINE with the logistic_irls
+    * machinery, scores every document; the kept set is everything above
+    * the exact-rank 30th-percentile score.
+    *
+    * Labels: lang-agreement (langId prediction == label) — the cheap
+    * supervision a real pipeline bootstraps from. Features per doc:
+    *   x1 = mean hashed-unigram class log-ratio — 256 md5-prefix buckets
+    *        (the feature_hash_audit device), per-bucket add-one
+    *        log-odds ln((cp+1)(tn+256)/((cn+1)(tp+256))) pinned
+    *        DECIMAL(14,10) (the dsir_weight formulation — the "model"
+    *        is a CONSTANT 256-row broadcast at any corpus size),
+    *   x2 = type-token ratio (one exact int division).
+    * Fit: 2 IRLS Newton steps from β = 0 — per-row σ/weights as doubles
+    * (identical cross-engine, the logistic_irls precedent), XᵀWX/grad
+    * moments as DECIMAL(30,14)-pinned sums, explicit 3×3 adjugate solve
+    * on the 1-row moment frame. Scores are r6-ROUNDED per doc so the
+    * threshold selection pools on a bounded distinct-score histogram
+    * (the quality_lm_gate move). Output: the per-(lang, source)
+    * kept/dropped manifest, same shape as quality_lm_gate.
+    * Scale shape: two token-keyed shuffles (bucket counts, per-doc
+    * feature sums) + 2× one-pass moment aggregates + bounded-histogram
+    * threshold — nothing corpus-sized single-partitions. */
+  private val clfGateCache =
+    graft.Tables.sessionScopedCache[String, (DataFrame, DataFrame)]()
+  private[queries] def clfGateArtifact(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    clfGateCache.getOrElseUpdate((graft.Tables.sessionKey(s), dir), {
+      val ws = TextOps.tokens(col("text"))
+      val base0 = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(TextOps.langId(col("text")) === col("lang"), lit(1.0))
+            .otherwise(lit(0.0)).as("y"),
+          ws.as("ws"))
+        .withColumn("ntok", size(col("ws")))
+        .filter(col("ntok") >= 1)
+      val tok = base0
+        .select(col("doc_id"), col("y"), explode(col("ws")).as("tkn"))
+        .select(col("doc_id"), col("y"),
+          substring(md5(col("tkn")), 1, 2).as("bucket"))
+      val model = tok.groupBy(col("bucket"))
+        .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("cp"),
+          sum(when(col("y") === 0.0, 1L).otherwise(0L)).as("cn"))
+      val tots = model.agg(sum(col("cp")).as("tp"), sum(col("cn")).as("tn"))
+      val rates = model.crossJoin(broadcast(tots))
+        .select(col("bucket"),
+          dec(log(dbl((col("cp") + 1) * (col("tn") + 256)) /
+            dbl((col("cn") + 1) * (col("tp") + 256))), 14, 10).as("term"))
+      val db = tok.groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("k"))
+      val x1 = db.join(broadcast(rates), Seq("bucket"))
+        .groupBy(col("doc_id"))
+        .agg((dbl(sum(dec(col("k"), 10, 0) * col("term"))) / sum(col("k")))
+          .as("x1"))
+      val feat = base0
+        .select(col("doc_id"), col("y"),
+          (dbl(size(array_distinct(col("ws")))) / col("ntok")).as("x2"))
+        .join(x1, Seq("doc_id"))
+        .select(col("doc_id"), col("y"), col("x1"), col("x2"))
+        .localCheckpoint()
+      // ---- 2 IRLS Newton steps (the logistic_irls layout on doc features)
+      def pin(c: org.apache.spark.sql.Column) = dec(c, 30, 14)
+      def step(beta: DataFrame): DataFrame = {
+        val z = col("b0") + col("b1") * col("x1") + col("b2") * col("x2")
+        val rows = feat.crossJoin(broadcast(beta))
+          .withColumn("p", lit(1.0) / (lit(1.0) + exp(-z)))
+          .withColumn("w", col("p") * (lit(1.0) - col("p")))
+        val m = rows.agg(
+          sum(pin(col("w"))).as("a00"),
+          sum(pin(col("w") * col("x1"))).as("a01"),
+          sum(pin(col("w") * col("x2"))).as("a02"),
+          sum(pin(col("w") * col("x1") * col("x1"))).as("a11"),
+          sum(pin(col("w") * col("x1") * col("x2"))).as("a12"),
+          sum(pin(col("w") * col("x2") * col("x2"))).as("a22"),
+          sum(pin(col("y") - col("p"))).as("g0"),
+          sum(pin((col("y") - col("p")) * col("x1"))).as("g1"),
+          sum(pin((col("y") - col("p")) * col("x2"))).as("g2"))
+        val (a00, a01, a02) =
+          (dbl(col("a00")), dbl(col("a01")), dbl(col("a02")))
+        val (a11, a12, a22) =
+          (dbl(col("a11")), dbl(col("a12")), dbl(col("a22")))
+        // nullif: a degenerate corpus (constant features / one label
+        // class — EdgeCorpusSpec) makes the normal matrix singular; the
+        // Newton delta must become NULL (→ NULL scores → empty gate),
+        // not an ANSI divide-by-zero crash. DuckDB's x/0 is NULL-valued
+        // already; the oracle mirrors with an explicit nullif anyway.
+        val det = nullif(a00 * (a11 * a22 - a12 * a12) -
+          a01 * (a01 * a22 - a12 * a02) + a02 * (a01 * a12 - a11 * a02),
+          lit(0.0))
+        val (g0, g1, g2) = (dbl(col("g0")), dbl(col("g1")), dbl(col("g2")))
+        m.crossJoin(broadcast(beta))
+          .select(
+            (col("b0") + ((a11 * a22 - a12 * a12) / det) * g0
+              + ((a02 * a12 - a01 * a22) / det) * g1
+              + ((a01 * a12 - a02 * a11) / det) * g2).as("b0"),
+            (col("b1") + ((a02 * a12 - a01 * a22) / det) * g0
+              + ((a00 * a22 - a02 * a02) / det) * g1
+              + ((a02 * a01 - a00 * a12) / det) * g2).as("b1"),
+            (col("b2") + ((a01 * a12 - a02 * a11) / det) * g0
+              + ((a02 * a01 - a00 * a12) / det) * g1
+              + ((a00 * a11 - a01 * a01) / det) * g2).as("b2"))
+      }
+      val beta0 = s.range(1).select(lit(0.0).as("b0"), lit(0.0).as("b1"),
+        lit(0.0).as("b2"))
+      val beta = step(step(beta0).localCheckpoint()).localCheckpoint()
+      val scored = feat.crossJoin(broadcast(beta))
+        .select(col("doc_id"), r6(lit(1.0) / (lit(1.0) + exp(-(col("b0")
+          + col("b1") * col("x1") + col("b2") * col("x2"))))).as("score"))
+        .localCheckpoint()
+      // ---- exact-rank 30th-percentile threshold on the r6-score histogram
+      val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("c"))
+      val wS = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = hist
+        .withColumn("cb", coalesce(sum(col("c")).over(wS), lit(0L)))
+        .withColumn("ce", col("cb") + col("c"))
+      val tot = scored.agg(count(lit(1)).as("n"))
+      val thr = cum.crossJoin(broadcast(tot)).agg(
+        max(when(col("cb") < expr("(3 * n + 9) div 10") &&
+          expr("(3 * n + 9) div 10") <= col("ce"), col("score")))
+          .as("clf_threshold"))
+        .localCheckpoint()
+      (scored, thr)
+    })
+
+  val qualityClfGate: QFn = (s, dir) => {
+    val (scored, thr) = clfGateArtifact(s, dir)
+    t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source"))
+      .join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(thr))
+      .withColumn("kept",
+        col("score").isNotNull && col("score") > col("clf_threshold"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), dec(col("score"), 14, 8))).as("kept_sum"),
+        max(col("clf_threshold")).as("clf_threshold"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_scored"),
+        col("n_kept"),
+        r6(dbl(col("n_kept")) /
+          nullif(dbl(col("n_scored")), lit(0.0))).as("kept_rate"),
+        r6(dbl(col("kept_sum")) /
+          nullif(dbl(col("n_kept")), lit(0.0))).as("mean_kept_score"),
+        col("clf_threshold"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Shared oracle CTE chain for the classifier gate — mirrors
+    * clfGateArtifact stage for stage and ends in `clfscored(doc_id,
+    * score)` + `clfthr(clf_threshold)`. Used by the quality_clf_gate
+    * oracle and by TextQ's pretrain capstone oracle (the second gate).
+    * All CTE names are q-prefixed so the chain composes into the
+    * capstone's WITH block without collisions. */
+  private[queries] def clfGateCtes: String = {
+    def pinSql(e: String) = s"CAST($e AS DECIMAL(30,14))"
+    def step(k: Int): String = {
+      val b = s"qbeta${k - 1}"
+      def bref(c: String) = s"(SELECT $c FROM $b)"
+      s"""qr$k AS MATERIALIZED (
+         |  SELECT y, x1, x2,
+         |    ${bref("b0")} + ${bref("b1")} * x1 + ${bref("b2")} * x2 AS z
+         |  FROM qfeat),
+         |qp$k AS MATERIALIZED (
+         |  SELECT y, x1, x2, p, p * (1.0 - p) AS w
+         |  FROM (SELECT *, 1.0 / (1.0 + exp(-z)) AS p FROM qr$k)),
+         |qm$k AS MATERIALIZED (
+         |  SELECT
+         |    sum(${pinSql("w")}) AS a00,
+         |    sum(${pinSql("w * x1")}) AS a01,
+         |    sum(${pinSql("w * x2")}) AS a02,
+         |    sum(${pinSql("w * x1 * x1")}) AS a11,
+         |    sum(${pinSql("w * x1 * x2")}) AS a12,
+         |    sum(${pinSql("w * x2 * x2")}) AS a22,
+         |    sum(${pinSql("y - p")}) AS g0,
+         |    sum(${pinSql("(y - p) * x1")}) AS g1,
+         |    sum(${pinSql("(y - p) * x2")}) AS g2
+         |  FROM qp$k),
+         |qi$k AS MATERIALIZED (
+         |  SELECT *,
+         |    nullif(a00d * (a11d * a22d - a12d * a12d)
+         |      - a01d * (a01d * a22d - a12d * a02d)
+         |      + a02d * (a01d * a12d - a11d * a02d), 0.0) AS det
+         |  FROM (SELECT CAST(a00 AS DOUBLE) AS a00d,
+         |      CAST(a01 AS DOUBLE) AS a01d, CAST(a02 AS DOUBLE) AS a02d,
+         |      CAST(a11 AS DOUBLE) AS a11d, CAST(a12 AS DOUBLE) AS a12d,
+         |      CAST(a22 AS DOUBLE) AS a22d, CAST(g0 AS DOUBLE) AS g0d,
+         |      CAST(g1 AS DOUBLE) AS g1d, CAST(g2 AS DOUBLE) AS g2d
+         |    FROM qm$k)),
+         |qbeta$k AS MATERIALIZED (
+         |  SELECT
+         |    ${bref("b0")}
+         |      + ((a11d * a22d - a12d * a12d) / det) * g0d
+         |      + ((a02d * a12d - a01d * a22d) / det) * g1d
+         |      + ((a01d * a12d - a02d * a11d) / det) * g2d AS b0,
+         |    ${bref("b1")}
+         |      + ((a02d * a12d - a01d * a22d) / det) * g0d
+         |      + ((a00d * a22d - a02d * a02d) / det) * g1d
+         |      + ((a02d * a01d - a00d * a12d) / det) * g2d AS b1,
+         |    ${bref("b2")}
+         |      + ((a01d * a12d - a02d * a11d) / det) * g0d
+         |      + ((a02d * a01d - a00d * a12d) / det) * g1d
+         |      + ((a00d * a11d - a01d * a01d) / det) * g2d AS b2
+         |  FROM qi$k)""".stripMargin
+    }
+    def b2ref(c: String) = s"(SELECT $c FROM qbeta2)"
+    s"""qbase AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN (${TextQ.langPredSql}) = lang
+       |      THEN 1.0 ELSE 0.0 END AS y,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |      x -> x <> '') AS ws
+       |  FROM documents),
+       |qb2 AS MATERIALIZED (
+       |  SELECT doc_id, y, len(ws) AS ntok, ws FROM qbase
+       |  WHERE len(ws) >= 1),
+       |qtok AS MATERIALIZED (
+       |  SELECT doc_id, y, substring(md5(t), 1, 2) AS bucket
+       |  FROM (SELECT doc_id, y, unnest(ws) AS t FROM qb2)),
+       |qmodel AS (SELECT bucket,
+       |    CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+       |    CAST(sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS cn
+       |  FROM qtok GROUP BY bucket),
+       |qtots AS (SELECT CAST(sum(cp) AS BIGINT) AS tp,
+       |    CAST(sum(cn) AS BIGINT) AS tn FROM qmodel),
+       |qrates AS (SELECT bucket,
+       |    CAST(ln(CAST((cp + 1) * (tn + 256) AS DOUBLE)
+       |      / CAST((cn + 1) * (tp + 256) AS DOUBLE)) AS DECIMAL(14,10))
+       |      AS term
+       |  FROM qmodel, qtots),
+       |qdb AS (SELECT doc_id, bucket, count(*) AS k
+       |  FROM qtok GROUP BY 1, 2),
+       |qx1 AS (SELECT doc_id,
+       |    CAST(sum(CAST(k AS DECIMAL(10,0)) * term) AS DOUBLE)
+       |      / CAST(sum(k) AS DOUBLE) AS x1
+       |  FROM qdb JOIN qrates USING (bucket) GROUP BY doc_id),
+       |qfeat AS MATERIALIZED (
+       |  SELECT b.doc_id, b.y, qx1.x1,
+       |    CAST(len(list_distinct(b.ws)) AS DOUBLE) / b.ntok AS x2
+       |  FROM qb2 b JOIN qx1 USING (doc_id)),
+       |qbeta0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+       |${step(1)},
+       |${step(2)},
+       |clfscored AS MATERIALIZED (
+       |  SELECT doc_id, ${r6Sql(s"1.0 / (1.0 + exp(-(${b2ref("b0")}" +
+           s" + ${b2ref("b1")} * x1 + ${b2ref("b2")} * x2)))")} AS score
+       |  FROM qfeat),
+       |clfranked AS (
+       |  SELECT score, row_number() OVER (ORDER BY score) AS rn,
+       |    count(*) OVER () AS n
+       |  FROM clfscored),
+       |clfthr AS (
+       |  SELECT max(CASE WHEN rn = (3 * n + 9) // 10 THEN score END)
+       |    AS clf_threshold FROM clfranked)""".stripMargin
   }
 
   val quantizeEmbed: QFn = (s, dir) => {
@@ -297,18 +561,20 @@ object CurationQ {
     * pseudo-random priority both engines compute identically, so the
     * sample is reproducible run to run and machine to machine (the
     * property that matters when the mixture is re-materialized at
-    * 100 TB). One window over source (rank + per-source count share the
-    * partition — one shuffle); no driver-side quota loop. */
+    * 100 TB). Ranks ride the two-phase prefix-sum device (r13): the
+    * md5-prefix bucket bounds every sort task at ~n_src/256 rows and the
+    * per-source totals come off the bounded bucket aggregate — the r12
+    * bounded-key window (one task per source over the whole corpus) is
+    * gone; rank values are identical by bucket monotonicity. */
   val domainMixSample: QFn = (s, dir) => {
-    val w = Window.partitionBy(col("source"))
-    val d = t(s, dir, "documents")
+    val base = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         (regexp_extract(col("source"), "(\\d+)$", 1).cast("int") % 4 + 1)
-          .as("w"))
-      .withColumn("rk", row_number().over(
-        w.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
-      .withColumn("n_src", count(lit(1)).over(w))
-    d.filter(col("rk") <= ceil(col("w") * col("n_src") / lit(4)))
+          .as("w"),
+        md5(col("doc_id").cast("string")).as("pri"))
+    bucketedRowNumber(base, Seq("source"), md5Bucket(col("pri")),
+      Seq(col("pri"), col("doc_id")), "rk", Some("n_src"))
+      .filter(col("rk") <= ceil(col("w") * col("n_src") / lit(4)))
       .select(col("source"), col("doc_id"), col("rk"))
       .orderBy(col("source"), col("rk"))
   }
@@ -352,18 +618,22 @@ object CurationQ {
     * training: documents concatenate in doc_id order into fixed
     * token-budget bins (512 tokens); a doc starting at running offset o
     * lands in bin o div 512 (contiguous packing — long docs span bins,
-    * the standard treatment). The running offset is ONE prefix-sum
-    * window per lang shard, so packing parallelizes across shards and
-    * never serializes through the driver; at 100 TB the shard key is a
-    * hash bucket and the shape is identical. Output is the per-bin
-    * manifest (doc span, doc count, token count). */
+    * the standard treatment). The running offset is the two-phase
+    * prefix-sum device (r13): doc_id range buckets (width from the
+    * parquet-footer max — O(metadata)) bound every sort task at
+    * ~n_lang/256 rows; bucket offsets ride the bounded bucket aggregate,
+    * so no task ever sorts a whole lang shard — bin assignment is
+    * bit-identical to the one-window-per-shard plan by bucket
+    * monotonicity. Output is the per-bin manifest (doc span, doc count,
+    * token count). */
   val packSequences: QFn = (s, dir) => {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-    t(s, dir, "documents")
+    val maxId = graft.Tables.statsMaxLong(s, dir, "documents", "doc_id")
+    val base = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         size(TextOps.tokens(col("text"))).cast("long").as("tok"))
-      .withColumn("bin", floor((sum(col("tok")).over(w) - col("tok"))
-        / lit(512L)))
+    bucketedPrefixSum(base, Seq("lang"), idBucket(col("doc_id"), maxId),
+      Seq(col("doc_id")), col("tok"), "cum")
+      .withColumn("bin", floor((col("cum") - col("tok")) / lit(512L)))
       .groupBy(col("lang"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
@@ -639,6 +909,7 @@ object CurationQ {
     "contamination_overlap" -> contaminationOverlap,
     "lm_bigram_score"       -> lmBigramScore,
     "quality_lm_gate"       -> qualityLmGate,
+    "quality_clf_gate"      -> qualityClfGate,
     "quantize_embed"        -> quantizeEmbed,
     "dedup_pipeline_e2e"    -> dedupPipeline,
     "union_by_name_evolve"  -> unionByNameEvolve,
@@ -883,6 +1154,26 @@ object CurationQ {
          |SELECT doc_id, count(*) AS n_bigrams,
          |  ${r6Sql("CAST(sum(term) AS DOUBLE) / count(*)")} AS avg_ll
          |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "quality_clf_gate" ->
+      s"""WITH $clfGateCtes,
+         |gated AS (
+         |  SELECT d.lang, d.source, s.score, t.clf_threshold,
+         |    (s.score IS NOT NULL AND s.score > t.clf_threshold) AS kept
+         |  FROM documents d LEFT JOIN clfscored s ON d.doc_id = s.doc_id
+         |  CROSS JOIN clfthr t)
+         |SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN score IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_scored,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  ${r6Sql("CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)" +
+             " / nullif(CAST(sum(CASE WHEN score IS NOT NULL THEN 1 ELSE 0" +
+             " END) AS DOUBLE), 0.0)")} AS kept_rate,
+         |  ${r6Sql("CAST(sum(CASE WHEN kept THEN" +
+             " CAST(score AS DECIMAL(14,8)) END) AS DOUBLE)" +
+             " / nullif(CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END)" +
+             " AS DOUBLE), 0.0)")} AS mean_kept_score,
+         |  max(clf_threshold) AS clf_threshold
+         |FROM gated GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "quality_lm_gate" ->
       s"""WITH $bigramCte,
          |uni AS (

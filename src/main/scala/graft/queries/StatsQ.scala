@@ -278,28 +278,56 @@ object StatsQ {
     * single literal 4.4478 on BOTH engines so the threshold double is
     * bit-identical).
     *
-    * Scale shape: both medians ride whole-partition window aggregates
-    * over the SAME source partitioning, and the final groupBy(source)
-    * reuses it — ONE shuffle total for a two-pass dependent statistic
-    * (pass 2's input, |x − med|, needs pass 1's median). n_chars values
-    * are small ints and med/mad land on exact halves, so every double
-    * here is exact in both engines — no rounding ambiguity can flip an
-    * outlier across the threshold. At 100 TB the exact median would
-    * yield to the approx_percentile sketch; the window shape is
-    * unchanged. */
+    * Scale shape (r13): both medians ride the bounded VALUE-HISTOGRAM —
+    * the quantile_normalize device. Pass 1 aggregates (source, n_chars)
+    * counts (map-side combinable; cardinality = doc-size domain, not doc
+    * count) and selects the exact median by dual-rank prefix counts
+    * ((n+1) div 2 and (n+2) div 2 — their mean IS percentile-0.5
+    * interpolation, exact on integer-valued doubles); pass 2 builds the
+    * |x − med| histogram FROM pass 1's histogram (never rescanning the
+    * corpus) and selects MAD the same way; the outlier count is one
+    * weighted aggregate over the absdev histogram. The r12 per-source
+    * whole-partition median window (one task per source over all docs)
+    * is gone; every window here runs on the bounded histogram. Outputs
+    * are bit-identical: med/mad land on exact halves, so the dual-rank
+    * mean equals median() exactly. */
   val outlierMad: QFn = (s, dir) => {
-    val w = Window.partitionBy(col("source"))
-    t(s, dir, "documents")
+    // (source, v-histogram) -> per-source (n, med) by dual-rank selection
+    def medOf(hist: org.apache.spark.sql.DataFrame,
+        vcol: String): org.apache.spark.sql.DataFrame = {
+      val wV = Window.partitionBy(col("source")).orderBy(col(vcol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wS = Window.partitionBy(col("source"))
+      hist
+        .withColumn("cb", coalesce(sum(col("c")).over(wV), lit(0L)))
+        .withColumn("ce", col("cb") + col("c"))
+        .withColumn("n", sum(col("c")).over(wS))
+        .withColumn("r1", expr("(n + 1) div 2"))
+        .withColumn("r2", expr("(n + 2) div 2"))
+        .groupBy(col("source"))
+        .agg(max(col("n")).as("n"),
+          ((max(when(col("cb") < col("r1") && col("r1") <= col("ce"),
+            col(vcol))) +
+            max(when(col("cb") < col("r2") && col("r2") <= col("ce"),
+              col(vcol)))) / 2).as("med"))
+    }
+    val h1 = t(s, dir, "documents")
       .select(col("source"), dbl(col("n_chars")).as("x"))
-      .withColumn("med", median(col("x")).over(w))
-      .withColumn("absdev", abs(col("x") - col("med")))
-      .withColumn("mad", median(col("absdev")).over(w))
+      .groupBy(col("source"), col("x")).agg(count(lit(1)).as("c"))
+    val m1 = medOf(h1, "x")
+    val h2 = h1.join(broadcast(m1.select(col("source"), col("med"))), "source")
+      .select(col("source"), abs(col("x") - col("med")).as("adv"), col("c"))
+      .groupBy(col("source"), col("adv")).agg(sum(col("c")).as("c"))
+    val m2 = medOf(h2, "adv").select(col("source"), col("med").as("mad"))
+    h2.join(broadcast(m2), "source")
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("absdev") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
-          .as("n_outliers"),
-        r6(max(col("med"))).as("med"),
-        r6(max(col("mad"))).as("mad"))
+      .agg(sum(when(col("adv") > lit(4.4478) * col("mad"), col("c"))
+        .otherwise(0L)).as("n_outliers"),
+        max(col("mad")).as("madv"))
+      .join(m1.select(col("source"), col("n").as("n_docs"), col("med")),
+        "source")
+      .select(col("source"), col("n_docs"), col("n_outliers"),
+        r6(col("med")).as("med"), r6(col("madv")).as("mad"))
       .orderBy(col("source"))
   }
 
@@ -469,20 +497,31 @@ object StatsQ {
   /** Gini concentration index per source (r5) — the corpus-balance audit:
     * how unequally is char volume distributed across a source's docs?
     * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending-sorted sizes —
-    * the sort-based estimator. Value-ties make rank assignment among
-    * equal x irrelevant (Σ i·xᵢ is tie-invariant), so row_number
-    * needs no tiebreaker for determinism; all sums are exact ints, the
-    * final expression is a fixed handful of double ops mirrored
-    * verbatim. One source-partitioned window sort — the same per-key
-    * sorted-scan shape at any scale. */
+    * the sort-based estimator. Σ i·xᵢ is tie-invariant (rank assignment
+    * among equal x is irrelevant), so it TELESCOPES over the distinct
+    * n_chars histogram exactly (r13): a value occupying ranks
+    * (cb, ce] contributes v·Σᵢ = v·(ce+cb+1)·c/2, with the rank products
+    * in exact DECIMAL (they overflow BIGINT past ~4·10⁹ docs). The r12
+    * per-source corpus-sorting row_number window is gone; the one window
+    * left is the prefix-count over the bounded (source, n_chars)
+    * histogram. n/Σx/Σi·xᵢ are identical integers, so the double
+    * formula and the hash are unchanged. */
   val giniConcentration: QFn = (s, dir) => {
-    val wOrd = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+    val wV = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     t(s, dir, "documents")
       .select(col("source"), col("n_chars"))
-      .withColumn("i", row_number().over(wOrd))
+      .groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("c"))
+      .withColumn("cb", coalesce(sum(col("c")).over(wV), lit(0L)))
+      .withColumn("ce", col("cb") + col("c"))
+      // Σ_{i=cb+1}^{ce} i = (ce+cb+1)·c/2 — one of the factors is even,
+      // so the decimal division is exact (integer-valued at scale 6)
+      .withColumn("ranksum",
+        dec(col("ce") + col("cb") + lit(1L), 38, 0) * col("c") / lit(2))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
-        sum(col("i") * col("n_chars")).as("iwx"))
+      .agg(sum(col("c")).as("n_docs"),
+        sum(col("n_chars") * col("c")).as("total_chars"),
+        sum(dec(col("n_chars"), 10, 0) * col("ranksum")).as("iwx"))
       .select(col("source"), col("n_docs"), col("total_chars"),
         // nullif: a source of only empty docs has total_chars 0 — NULL
         // gini, not an ANSI divide-by-zero
@@ -500,29 +539,42 @@ object StatsQ {
     * int selection, no interpolation, so both engines agree by
     * construction; ties in the sort can't matter because equal values
     * at the boundary rank clamp identically. Means are exact int sums
-    * with ONE final division each. One lang window sort; the rollup
-    * reuses the lang partitioning. */
+    * with ONE final division each.
+    * Scale shape (r13): everything runs on the bounded (lang, n_chars)
+    * VALUE HISTOGRAM (the funnel_time_conv exact-rank move) — boundary
+    * values selected by prefix counts (rank r lands at the histogram row
+    * with cb < r ≤ ce), clip counts and both means as weighted sums over
+    * the histogram. The r12 per-lang corpus-sorting window (one task per
+    * lang over all docs) is gone; outputs are integer-identical, hash
+    * unchanged. */
   val winsorizeStats: QFn = (s, dir) => {
+    val wV = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val wLang = Window.partitionBy(col("lang"))
-    val wOrd = wLang.orderBy(col("n_chars"))
     t(s, dir, "documents")
       .select(col("lang"), col("n_chars"))
-      .withColumn("i", row_number().over(wOrd))
-      .withColumn("n", count(lit(1)).over(wLang))
-      .withColumn("lo", max(when(col("i") === ceil(col("n") * 0.05),
-        col("n_chars"))).over(wLang))
-      .withColumn("hi", max(when(col("i") === ceil(col("n") * 0.95),
-        col("n_chars"))).over(wLang))
+      .groupBy(col("lang"), col("n_chars")).agg(count(lit(1)).as("c"))
+      .withColumn("cb", coalesce(sum(col("c")).over(wV), lit(0L)))
+      .withColumn("ce", col("cb") + col("c"))
+      .withColumn("n", sum(col("c")).over(wLang))
+      .withColumn("rlo", ceil(col("n") * 0.05))
+      .withColumn("rhi", ceil(col("n") * 0.95))
+      .withColumn("lo", max(when(col("cb") < col("rlo")
+        && col("rlo") <= col("ce"), col("n_chars"))).over(wLang))
+      .withColumn("hi", max(when(col("cb") < col("rhi")
+        && col("rhi") <= col("ce"), col("n_chars"))).over(wLang))
       .withColumn("wz", least(greatest(col("n_chars"), col("lo")), col("hi")))
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("n_chars") < col("lo"), 1L).otherwise(0L))
+      .agg(sum(col("c")).as("n_docs"),
+        sum(when(col("n_chars") < col("lo"), col("c")).otherwise(0L))
           .as("n_clip_lo"),
-        sum(when(col("n_chars") > col("hi"), 1L).otherwise(0L))
+        sum(when(col("n_chars") > col("hi"), col("c")).otherwise(0L))
           .as("n_clip_hi"),
         max(col("lo")).as("p05"), max(col("hi")).as("p95"),
-        r6(dbl(sum(col("n_chars"))) / count(lit(1))).as("mean_raw"),
-        r6(dbl(sum(col("wz"))) / count(lit(1))).as("mean_winsor"))
+        r6(dbl(sum(col("n_chars") * col("c"))) / sum(col("c")))
+          .as("mean_raw"),
+        r6(dbl(sum(col("wz") * col("c"))) / sum(col("c")))
+          .as("mean_winsor"))
       .orderBy(col("lang"))
   }
 
@@ -664,11 +716,17 @@ object StatsQ {
     * p̂ with the empirical purchase rate per decile. A well-calibrated
     * fit tracks the diagonal; the gap column quantifies miscalibration.
     *
-    * Decile semantics (r12): rows are pooled by their r6-ROUNDED score
-    * (the model_auc move — tie groups engine-identical by construction)
-    * and a score group at exclusive prefix count cb lands in decile
-    * ⌊cb·10/n⌋+1 — the ntile boundary of the group's FIRST row, so a
-    * tie group never splits across deciles. That replaces r10's global
+    * Decile semantics (r12; doc corrected r13): rows are pooled by their
+    * r6-ROUNDED score (the model_auc move — tie groups engine-identical
+    * by construction) and a score group at exclusive prefix count cb
+    * lands in decile ⌊cb·10/n⌋+1 — EVEN-SPREAD bucket boundaries
+    * (every bucket spans n/10 prefix mass; when n % 10 ≠ 0 the remainder
+    * spreads across buckets, unlike ntile, which front-loads it — so
+    * per-decile sizes can differ from an ntile(10) assignment and a
+    * decile can even be skipped when a large tie group jumps the
+    * boundary). A tie group never splits across deciles. Both engines
+    * compute the same formula, so the contract is this even-spread rule,
+    * not ntile. That replaces r10's global
     * ntile(10) over every scored row (the r11 weak flag: a corpus-sized
     * single-partition sort) with ONE prefix-sum window over the
     * distinct-score table, ≤ 10⁶+1 rows by r6 rounding — the bounded

@@ -757,7 +757,14 @@ object TextQ {
     * MERGE TABLE trajectory (round, left, right, merged, weight) — a
     * wrong tie-break, overlap rule, or weight model cannot reproduce it.
     * All counts exact BIGINTs; no floats anywhere. */
+  /** Training-entry counters (spec hooks): RegistrySpec pins that a
+    * SECOND session re-LOADS the persisted registry artifacts without
+    * re-entering either trainer. */
+  private[graft] val bpeTrainRuns = new java.util.concurrent.atomic.AtomicInteger
+  private[graft] val unigramTrainRuns = new java.util.concurrent.atomic.AtomicInteger
+
   val bpeTrainMerges: QFn = (s, dir) => {
+    bpeTrainRuns.incrementAndGet()
     val chars = transform(sequence(lit(1), length(col("word"))),
       i => col("word").substr(i, lit(1)))
     var vocab = t(s, dir, "documents")
@@ -847,8 +854,21 @@ object TextQ {
     bpeSegCache.getOrElseUpdate((graft.Tables.sessionKey(s), dir),
       bpeAppliedBuild(s, dir))
 
+  /** Registry-backed BPE merge table (r13): trained once per (JVM, dir),
+    * persisted to parquet, re-read by every later session — a pipeline
+    * restart re-LOADS the tokenizer instead of retraining it. */
+  private[graft] def registryBpeMerges(s: SparkSession, dir: String)
+      : DataFrame =
+    core.persistedArtifact(s, dir, "bpe_merges")(bpeTrainMerges(s, dir))
+
+  /** Registry-backed unigram pieces (the FINAL round-2 re-estimate). */
+  private[graft] def registryUnigramPieces(s: SparkSession, dir: String)
+      : DataFrame =
+    core.persistedArtifact(s, dir, "unigram_pieces")(
+      unigramArtifact(s, dir)._2)
+
   private def bpeAppliedBuild(s: SparkSession, dir: String): DataFrame = {
-    val merges = bpeTrainMerges(s, dir)
+    val merges = registryBpeMerges(s, dir)
       .select(col("round"), col("left_sym"), col("right_sym"))
       .collect()
       .sortBy(_.getLong(0))
@@ -957,11 +977,13 @@ object TextQ {
       .join(seg, "word")
       .groupBy(col("doc_id"))
       .agg(sum(size(col("syms")).cast("long")).as("tok"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-    t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val maxId = graft.Tables.statsMaxLong(s, dir, "documents", "doc_id")
+    val base = t(s, dir, "documents").select(col("doc_id"), col("lang"))
       .join(dtok, Seq("doc_id"), "left")
       .withColumn("tok", coalesce(col("tok"), lit(0L)))
-      .withColumn("cum", sum(col("tok")).over(w))
+    core.bucketedPrefixSum(base, Seq("lang"),
+      core.idBucket(col("doc_id"), maxId), Seq(col("doc_id")),
+      col("tok"), "cum")
       .withColumn("bin", expr("(cum - tok) div 512"))
       .groupBy(col("lang"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
@@ -1192,6 +1214,80 @@ object TextQ {
       .limit(20)
   }
 
+  /** Span-dedup SINK (r13) — the Lee et al. ACL'22 substring-dedup
+    * CONSUMER maximal_repeat_spans lacked: the span-deduplicated corpus
+    * MATERIALIZED. Every maximal repeated span (≥ 10 tokens, the
+    * diagonal-islands construction shared with maximal_repeat_spans —
+    * ALL islands, not the audit's top-20) keeps its FIRST occurrence
+    * (the lower doc_id) and is CUT from the later document: the covered
+    * token positions (islands unioned per doc — overlaps dedup via
+    * DISTINCT) are dropped, the remaining tokens rebuild in order, and
+    * the cleaned corpus writes to parquet and is RE-READ (the sink
+    * roundtrip is part of the graded path). Manifest per source: doc
+    * counts, docs that lost spans, token volume before/after, and
+    * order-sensitive md5 fingerprints of the cleaned text — a wrong
+    * island, off-by-one cut, or lossy roundtrip cannot match.
+    * Scale shape: the seed join is dup_sequences' shuffle (xxhash64
+    * keys at 100 TB); the position explode is bounded by MATCH volume
+    * (sparse on near-dup corpora, ScalingSpec-style); the rebuild is
+    * one doc-keyed anti-join + rollup. */
+  val dedupSpansSink: QFn = (s, dir) => {
+    val wsC = col("ws")
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text"))
+        .as("ws"))
+      .localCheckpoint() // reused: seeds, token explode, final manifest
+    val seeds = words
+      .select(col("doc_id"), wsC,
+        explode(when(size(wsC) >= 10, sequence(lit(0), size(wsC) - 10))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"), col("i"), concat_ws(" ",
+        (0 until 10).map(k => element_at(wsC, col("i") + 1 + k)): _*)
+        .as("seq"))
+    val m = seeds.select(col("doc_id").as("a_id"), col("i").as("pa"),
+        col("seq"))
+      .join(seeds.select(col("doc_id").as("b_id"), col("i").as("pb"),
+        col("seq")), "seq")
+      .filter(col("a_id") < col("b_id"))
+    val wIsl = Window.partitionBy(col("a_id"), col("b_id"), col("diag"))
+      .orderBy(col("pa"))
+    val islands = m.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(wIsl))
+      .groupBy(col("a_id"), col("b_id"), col("diag"), col("grp"))
+      .agg(min(col("pa") - col("diag")).as("start_b"),
+        (count(lit(1)) + 9).as("len"))
+    val cut = islands
+      .select(col("b_id").as("doc_id"),
+        explode(sequence(col("start_b"),
+          col("start_b") + col("len") - 1)).as("pos"))
+      .distinct()
+    val rebuilt = words
+      .select(col("doc_id"), posexplode(wsC).as(Seq("pos", "wtok")))
+      .join(cut, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"),
+        col("wtok")))), x => x.getField("wtok")).as("kept"))
+    val out = scratch(dir, "span_dedup_corpus")
+    words.select(col("doc_id"), col("source"),
+        size(wsC).cast("long").as("tok_before"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .withColumn("kept",
+        coalesce(col("kept"), array().cast("array<string>")))
+      .select(col("doc_id"), col("source"), col("tok_before"),
+        size(col("kept")).cast("long").as("tok_after"),
+        md5(concat_ws(" ", col("kept"))).as("fp"))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("tok_after") < col("tok_before"), 1L).otherwise(0L))
+          .as("n_docs_cut"),
+        sum(col("tok_before")).as("tok_before"),
+        sum(col("tok_after")).as("tok_after"),
+        min(col("fp")).as("fp_min"), max(col("fp")).as("fp_max"))
+      .orderBy(col("source"))
+  }
+
   /** Inverted-index build (r5) — the IR/search indexing step: per term,
     * document frequency and the sorted posting list, for the 20
     * highest-df terms. Postings materialize as a comma-joined sorted
@@ -1260,12 +1356,13 @@ object TextQ {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("h")).orderBy(col("doc_id"))))
       .filter(col("rk") === 1)
-    val wSrc = Window.partitionBy(col("source"))
-    val capped = dedup
-      .withColumn("pri", md5(col("doc_id").cast("string")))
-      .withColumn("srk", row_number().over(
-        wSrc.orderBy(col("pri"), col("doc_id"))))
-      .withColumn("scnt", count(lit(1)).over(wSrc))
+    // mixture cap via the two-phase prefix-sum device (r13): md5-prefix
+    // buckets bound every sort task; per-source totals ride the bounded
+    // bucket aggregate — no task ever sorts a whole source shard.
+    val capped = bucketedRowNumber(
+      dedup.withColumn("pri", md5(col("doc_id").cast("string"))),
+      Seq("source"), md5Bucket(col("pri")),
+      Seq(col("pri"), col("doc_id")), "srk", Some("scnt"))
       .filter(col("srk") <= expr("(scnt + 1) div 2"))
     val h4 = substring(md5(col("doc_id").cast("string")), 1, 4)
     capped
@@ -1302,6 +1399,9 @@ object TextQ {
     * never global. */
   val pretrainPipelineE2e: QFn = (s, dir) => {
     val (lmScored, lmThr) = CurationQ.lmGateArtifact(s, dir)
+    // second quality gate (r13): the trained classifier — both session
+    // artifacts, so the capstone pays two doc-keyed joins, never a refit
+    val (clfScored, clfThr) = CurationQ.clfGateArtifact(s, dir)
     val ws = TextOps.tokens(col("text"))
     val base = t(s, dir, "documents")
       .withColumn("lang_pred", TextOps.langId(col("text")))
@@ -1313,17 +1413,22 @@ object TextQ {
       .join(lmScored, Seq("doc_id"), "left")
       .crossJoin(broadcast(lmThr))
       .filter(col("score").isNotNull && col("score") > col("lm_threshold"))
+      .join(clfScored.withColumnRenamed("score", "clf_score"),
+        Seq("doc_id"), "left")
+      .crossJoin(broadcast(clfThr))
+      .filter(col("clf_score").isNotNull &&
+        col("clf_score") > col("clf_threshold"))
       .withColumn("h", md5(TextOps.normText(col("text"))))
     val dedup = base
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("h")).orderBy(col("doc_id"))))
       .filter(col("rk") === 1)
-    val wSrc = Window.partitionBy(col("source"))
-    val capped = dedup
-      .withColumn("pri", md5(col("doc_id").cast("string")))
-      .withColumn("srk", row_number().over(
-        wSrc.orderBy(col("pri"), col("doc_id"))))
-      .withColumn("scnt", count(lit(1)).over(wSrc))
+    // mixture cap on the two-phase device — same re-plan as the
+    // curation capstone (r13); rank values identical by construction.
+    val capped = bucketedRowNumber(
+      dedup.withColumn("pri", md5(col("doc_id").cast("string"))),
+      Seq("source"), md5Bucket(col("pri")),
+      Seq(col("pri"), col("doc_id")), "srk", Some("scnt"))
       .filter(col("srk") <= expr("(scnt + 1) div 2"))
     val h4 = substring(md5(col("doc_id").cast("string")), 1, 4)
     val curated = capped
@@ -1339,12 +1444,15 @@ object TextQ {
       .join(seg, "word")
       .groupBy(col("doc_id"))
       .agg(sum(size(col("syms")).cast("long")).as("tok"))
-    val wPack = Window.partitionBy(col("source"), col("split"))
-      .orderBy(col("doc_id"))
-    curated
+    // packing prefix-sum on the two-phase device, doc_id range buckets
+    // (footer-stats width) — no task sorts a whole (source, split) shard
+    val maxId = graft.Tables.statsMaxLong(s, dir, "documents", "doc_id")
+    val packIn = curated
       .join(dtok, Seq("doc_id"), "left")
       .withColumn("tok", coalesce(col("tok"), lit(0L)))
-      .withColumn("cum", sum(col("tok")).over(wPack))
+    bucketedPrefixSum(packIn, Seq("source", "split"),
+      idBucket(col("doc_id"), maxId), Seq(col("doc_id")),
+      col("tok"), "cum")
       .withColumn("bin", expr("(cum - tok) div 512"))
       .groupBy(col("source"), col("split"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
@@ -1378,20 +1486,109 @@ object TextQ {
     * Scale shape: EVERYTHING rides the Heaps-saturating (word, cnt)
     * domain — the one corpus-sized job is the word count; DP rounds are
     * vocabulary-keyed joins against the ≤ |substrings| piece table. */
-  val unigramLmTrain: QFn = (s, dir) => core.withShuffleParts(s, 8) {
-    val MaxLen = 8
-    val MaxPiece = 4
-    val wc = t(s, dir, "documents")
+  val unigramLmTrain: QFn = (s, dir) => unigramArtifact(s, dir)._1
+
+  private val unigramCache = graft.Tables
+    .sessionScopedCache[String, (DataFrame, DataFrame, DataFrame)]()
+
+  /** Session-scoped unigram artifact: (training trajectory, FINAL pieces
+    * — the round-2 re-estimate, word counts). Trained once per (session,
+    * fixture dir) like the BPE segmentation: the train key grades the
+    * trajectory; token_unigram_apply / tokenizer_parity_report encode
+    * under the final pieces without retraining. */
+  private[graft] def unigramArtifact(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    unigramCache.getOrElseUpdate((graft.Tables.sessionKey(s), dir),
+      unigramBuild(s, dir))
+
+  private val UniMaxPiece = 4
+
+  /** DP unroll depth = the OBSERVED max word length (r13 advisory fix:
+    * a hardcoded bound would silently drop longer words from the NLL,
+    * backtrack, and M-step — hashes stay green while semantics rot).
+    * One O(1) aggregate over the checkpointed word domain. */
+  private def uniMaxLen(wc: DataFrame): Int = {
+    val r = wc.agg(max(length(col("word")))).first()
+    (if (r.isNullAt(0)) 1 else r.getInt(0)) max 1
+  }
+
+  /** One Viterbi E-step under `pieces`: the unrolled max-likelihood DP
+    * (dp[i] = max over j ∈ [i−4, i−1] of dp[j] + logp(word[j+1..i]),
+    * exact DECIMAL, ties (score DESC, j ASC) = longest piece) plus the
+    * ≤ maxLen-step relational backtrack. Returns (dpAll, path), both
+    * checkpointed, both on the word domain. Shared by training rounds
+    * and by apply-time encoding (token_unigram_apply). */
+  private def unigramViterbi(wc: DataFrame, pieces: DataFrame,
+      maxLen: Int): (DataFrame, DataFrame) = {
+    // ---- E: unrolled Viterbi. dpAll rows: (word, i, score, bp)
+    var dpAll = wc.select(col("word"), lit(0).as("i"),
+      lit(0).cast("decimal(22,10)").as("score"),
+      lit(-1).as("bp"))
+    for (i <- 1 to maxLen) {
+      val cand = dpAll
+        .filter(col("i").between(i - UniMaxPiece, i - 1) &&
+          length(col("word")) >= i)
+        .withColumn("piece",
+          col("word").substr(col("i") + 1, lit(i) - col("i")))
+        .join(broadcast(pieces), "piece")
+        .select(col("word"), col("i").as("j"),
+          // fixed-width score so every dp round unions identically
+          (col("score") + col("logp")).cast("decimal(22,10)").as("sc"))
+      // argmax as ONE hash aggregate, not a sort window: max struct
+      // orders (sc, -j) = the (score DESC, j ASC) tie rule exactly
+      val win = cand
+        .groupBy(col("word"))
+        .agg(max(struct(col("sc"), (-col("j")).as("nj"))).as("m"))
+        .select(col("word"), lit(i).as("i"), col("m.sc").as("score"),
+          (-col("m.nj")).as("bp"))
+      // checkpoint EVERY level: dp_i's lazy plan embeds dp_{i-1}'s
+      // (which embeds dp_{i-2}'s, ...) — ~2^i plan nodes by level 8,
+      // measured as 21 s of Catalyst time + 4 MiB task binaries at
+      // sf0.1 unchecked, and a 2-level cadence already re-inflates to
+      // 10 s — the per-level word-domain checkpoint is the cheapest
+      // point on the curve (~7 s steady state).
+      dpAll = dpAll.unionByName(win.localCheckpoint())
+    }
+    dpAll = dpAll.localCheckpoint()
+    // ---- backtrack (≤ maxLen steps), emitting path pieces w/ multiplicity
+    var frontier = wc.select(col("word"),
+      length(col("word")).as("pos"))
+    var path = wc.limit(0)
+      .select(col("word"), lit("").as("piece"))
+    for (_ <- 1 to maxLen) {
+      // shuffle join on (word, pos) — dpAll is ~(maxLen+1)×|V| rows,
+      // the largest table in the loop; broadcasting it (the r12 plan)
+      // exceeds any broadcast budget at web-corpus vocabulary sizes
+      val step = frontier.filter(col("pos") > 0)
+        .join(dpAll.select(col("word"), col("i").as("pos"),
+          col("bp")), Seq("word", "pos"))
+      path = path.unionByName(step
+        .select(col("word"),
+          col("word").substr(col("bp") + 1,
+            col("pos") - col("bp")).as("piece")))
+      frontier = step.select(col("word"), col("bp").as("pos"))
+    }
+    (dpAll, path.localCheckpoint())
+  }
+
+  private def uniWordCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
       .select(explode(TextOps.tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
+
+  private def unigramBuild(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = core.withShuffleParts(s, 8) {
+    unigramTrainRuns.incrementAndGet()
+    val wc = uniWordCounts(s, dir)
+    val MaxLen = uniMaxLen(wc)
     // seed pieces: all substrings of length 1..4, occurrence-weighted
     val sub = wc
       .select(col("word"), col("cnt"),
         explode(sequence(lit(1), length(col("word")))).as("st"))
       .select(col("word"), col("cnt"), col("st"),
         explode(sequence(lit(1),
-          least(lit(MaxPiece), length(col("word")) - col("st") + 1)))
+          least(lit(UniMaxPiece), length(col("word")) - col("st") + 1)))
           .as("ln"))
       .select(col("word").substr(col("st"), col("ln")).as("piece"),
         col("cnt"))
@@ -1409,52 +1606,7 @@ object TextQ {
       .localCheckpoint()
     var trail: org.apache.spark.sql.DataFrame = null
     for (round <- 1 to 2) {
-      // ---- E: unrolled Viterbi. dpAll rows: (word, i, score, bp)
-      var dpAll = wc.select(col("word"), lit(0).as("i"),
-        lit(0).cast("decimal(22,10)").as("score"),
-        lit(-1).as("bp"))
-      for (i <- 1 to MaxLen) {
-        val cand = dpAll
-          .filter(col("i").between(i - MaxPiece, i - 1) &&
-            length(col("word")) >= i)
-          .withColumn("piece",
-            col("word").substr(col("i") + 1, lit(i) - col("i")))
-          .join(broadcast(pieces), "piece")
-          .select(col("word"), col("i").as("j"),
-            // fixed-width score so every dp round unions identically
-            (col("score") + col("logp")).cast("decimal(22,10)").as("sc"))
-        // argmax as ONE hash aggregate, not a sort window: max struct
-        // orders (sc, -j) = the (score DESC, j ASC) tie rule exactly
-        val win = cand
-          .groupBy(col("word"))
-          .agg(max(struct(col("sc"), (-col("j")).as("nj"))).as("m"))
-          .select(col("word"), lit(i).as("i"), col("m.sc").as("score"),
-            (-col("m.nj")).as("bp"))
-        // checkpoint EVERY level: dp_i's lazy plan embeds dp_{i-1}'s
-        // (which embeds dp_{i-2}'s, ...) — ~2^i plan nodes by level 8,
-        // measured as 21 s of Catalyst time + 4 MiB task binaries at
-        // sf0.1 unchecked, and a 2-level cadence already re-inflates to
-        // 10 s — the per-level word-domain checkpoint is the cheapest
-        // point on the curve (~7 s steady state).
-        dpAll = dpAll.unionByName(win.localCheckpoint())
-      }
-      dpAll = dpAll.localCheckpoint()
-      // ---- backtrack (≤ 8 steps), emitting path pieces w/ multiplicity
-      var frontier = wc.select(col("word"),
-        length(col("word")).as("pos"))
-      var path = wc.limit(0)
-        .select(col("word"), lit("").as("piece"))
-      for (_ <- 1 to MaxLen) {
-        val step = frontier.filter(col("pos") > 0)
-          .join(broadcast(dpAll.select(col("word"), col("i").as("pos"),
-            col("bp"))), Seq("word", "pos"))
-        path = path.unionByName(step
-          .select(col("word"),
-            col("word").substr(col("bp") + 1,
-              col("pos") - col("bp")).as("piece")))
-        frontier = step.select(col("word"), col("bp").as("pos"))
-      }
-      val pathC = path.localCheckpoint()
+      val (dpAll, pathC) = unigramViterbi(wc, pieces, MaxLen)
       // ---- M: path counts, char floor, re-estimated logp
       val cnts = pathC.join(wc, "word")
         .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
@@ -1497,7 +1649,151 @@ object TextQ {
           col("top_piece"), col("top_piece_cnt"))
       trail = if (trail == null) row else trail.unionByName(row)
     }
-    trail.orderBy(col("round"))
+    (trail.orderBy(col("round")).localCheckpoint(), pieces, wc)
+  }
+
+  private val unigramApplyCache = graft.Tables
+    .sessionScopedCache[String, DataFrame]()
+
+  /** Session-scoped APPLY segmentation: every corpus word encoded under
+    * the FINAL trained pieces (one more Viterbi E-step — the exact
+    * apply-time algorithm of the SentencePiece unigram model). Rows:
+    * (word, piece) with path multiplicity, word-domain, checkpointed. */
+  private[graft] def unigramApplied(s: SparkSession, dir: String): DataFrame =
+    unigramApplyCache.getOrElseUpdate((graft.Tables.sessionKey(s), dir), {
+      // pieces come from the persisted REGISTRY (building it trains at
+      // most once per JVM); the word counts reuse the training
+      // session's checkpoint when present, else one wordcount — a
+      // session restart pays wordcount + one E-step, never a retrain
+      val pieces = registryUnigramPieces(s, dir)
+      val wc = unigramCache.get((graft.Tables.sessionKey(s), dir))
+        .map(_._3).getOrElse(uniWordCounts(s, dir))
+      core.withShuffleParts(s, 8) {
+        unigramViterbi(wc, pieces, uniMaxLen(wc))._2
+      }
+    })
+
+  /** Unigram-LM tokenization of the corpus under the trained pieces
+    * (r13) — the APPLY/consumer parity the BPE family already has
+    * (token_bpe_apply): per-language encode manifest with word/piece
+    * volumes, the single-char fallback count (the coverage-floor pieces
+    * actually used), and the top multi-char piece (count DESC, piece ASC).
+    * Apply-equals-train is graded the same way: the oracle re-runs the
+    * full two-round EM chain plus ONE more Viterbi E-step under the
+    * final pieces — a drifted DP cell, tie-break, or prune anywhere in
+    * training shifts the apply segmentation and breaks the hash.
+    * Scale shape: the encode is vocabulary-domain (the session apply
+    * artifact); corpus-sized work is one (lang, word) instance count —
+    * wordcount-shaped, one shuffle, exactly token_bpe_apply's plan. */
+  val tokenUnigramApply: QFn = (s, dir) => {
+    val seg = unigramApplied(s, dir)
+    val per = seg.groupBy(col("word"))
+      .agg(count(lit(1)).as("np"),
+        sum(when(length(col("piece")) === 1, 1L).otherwise(0L)).as("n1"))
+    val wcl = t(s, dir, "documents")
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("wn"))
+      .localCheckpoint() // reused by the totals and the top-piece branch
+    val stats = wcl.join(per, "word")
+      .groupBy(col("lang"))
+      .agg(sum(col("wn")).as("n_words"),
+        sum(col("wn") * col("np")).as("n_pieces"),
+        sum(col("wn") * col("n1")).as("n_single"))
+    val wTop = Window.partitionBy(col("lang"))
+      .orderBy(col("tn").desc, col("piece"))
+    val top = wcl.join(seg, "word")
+      .filter(length(col("piece")) >= 2)
+      .groupBy(col("lang"), col("piece")).agg(sum(col("wn")).as("tn"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("piece"), col("tn"))
+    t(s, dir, "documents").groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .join(stats, Seq("lang"), "left")
+      .join(top, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("n_single"), lit(0L)).as("n_single"),
+        coalesce(col("piece"), lit("")).as("top_piece"),
+        coalesce(col("tn"), lit(0L)).as("top_piece_n"))
+      .orderBy(col("lang"))
+  }
+
+  /** Tokenizer BAKE-OFF (r13) — the decision artifact a real tokenizer
+    * selection ships: BPE vs unigram compared on the held-out EVAL split
+    * (the md5-prefix valid+test strata — never the data either trainer
+    * saw as its objective). One row per tokenizer: exact piece/word/char
+    * volumes plus the three standard selection metrics — fertility
+    * (pieces per word), pieces per char (compression), and the
+    * single-char fallback rate (coverage quality). Both segmentations
+    * ride their session artifacts; the corpus-sized work is ONE eval
+    * word count — the comparison itself is two vocabulary-domain joins.
+    */
+  val tokenizerParityReport: QFn = (s, dir) => {
+    val bper = bpeApplied(s, dir)
+      .select(col("word"), size(col("syms")).cast("long").as("np"),
+        size(filter(col("syms"), y => length(y) === 1)).cast("long")
+          .as("n1"))
+    val useg = unigramApplied(s, dir)
+    val uper = useg.groupBy(col("word"))
+      .agg(count(lit(1)).as("np"),
+        sum(when(length(col("piece")) === 1, 1L).otherwise(0L)).as("n1"))
+    val h4 = substring(md5(col("doc_id").cast("string")), 1, 4)
+    val ewc = t(s, dir, "documents")
+      .filter(h4 >= "cccc")
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wn"))
+      .localCheckpoint() // probed once per tokenizer
+    def report(name: String, per: DataFrame): DataFrame =
+      ewc.join(per, "word")
+        .agg(sum(col("wn")).as("n_words"),
+          sum(col("wn") * length(col("word"))).as("n_chars"),
+          sum(col("wn") * col("np")).as("n_pieces"),
+          sum(col("wn") * col("n1")).as("n_single"))
+        .select(lit(name).as("tokenizer"),
+          col("n_words"), col("n_chars"), col("n_pieces"), col("n_single"),
+          r6(dbl(col("n_pieces")) / dbl(col("n_words"))).as("fertility"),
+          r6(dbl(col("n_pieces")) / dbl(col("n_chars")))
+            .as("pieces_per_char"),
+          r6(dbl(col("n_single")) / dbl(col("n_pieces"))).as("single_rate"))
+    report("bpe", bper).unionByName(report("unigram", uper))
+      .orderBy(col("tokenizer"))
+  }
+
+  /** Tokenizer/LM artifact REGISTRY roundtrip (r13) — the persistence
+    * story the session-scoped artifacts lacked: BPE merges, unigram
+    * pieces, and the LM-gate threshold are written once per (JVM,
+    * fixture dir) to parquet under `_built` markers
+    * (core.persistedArtifact — the annIndexDir pattern) and RE-READ by
+    * every consumer, so a pipeline restart re-loads its tokenizers
+    * instead of retraining them (bpeApplied, unigramApplied, and the
+    * LM gate all go through the registry now; RegistrySpec pins the
+    * no-retrain path on a second session). This key grades the
+    * write→reload path itself: per artifact, the persisted row count,
+    * an order-insensitive key fingerprint (md5 of the sorted key list),
+    * and a value metric (merge-weight mass / piece log-prob mass / the
+    * threshold) — a lossy or stale roundtrip cannot match the oracle's
+    * from-scratch recomputation. */
+  val tokenizerRegistry: QFn = (s, dir) => {
+    val merges = registryBpeMerges(s, dir)
+    val pieces = registryUnigramPieces(s, dir)
+    val thr = CurationQ.lmGateArtifact(s, dir)._2
+    val mrow = merges.agg(count(lit(1)).as("n_rows"),
+      md5(concat_ws("|", sort_array(collect_list(concat_ws(":",
+        col("round"), col("left_sym"), col("right_sym")))))).as("key_fp"),
+      r6(dbl(sum(col("weight")))).as("metric"))
+      .select(lit("bpe_merges").as("artifact"), col("n_rows"),
+        col("key_fp"), col("metric"))
+    val prow = pieces.agg(count(lit(1)).as("n_rows"),
+      md5(concat_ws("|", sort_array(collect_list(col("piece")))))
+        .as("key_fp"),
+      r6(dbl(sum(col("logp")))).as("metric"))
+      .select(lit("unigram_pieces").as("artifact"), col("n_rows"),
+        col("key_fp"), col("metric"))
+    val trow = thr.select(lit("lm_threshold").as("artifact"),
+      lit(1L).as("n_rows"), md5(lit("lm_threshold")).as("key_fp"),
+      col("lm_threshold").as("metric"))
+    mrow.unionByName(prow).unionByName(trow).orderBy(col("artifact"))
   }
 
   /** Corpus DATA CARD (r12) — the per-(source, lang) datasheet a
@@ -1700,10 +1996,14 @@ object TextQ {
     "pretrain_pipeline_e2e" -> pretrainPipelineE2e,
     "corpus_datacard" -> corpusDatacard,
     "unigram_lm_train" -> unigramLmTrain,
+    "token_unigram_apply" -> tokenUnigramApply,
+    "tokenizer_parity_report" -> tokenizerParityReport,
+    "tokenizer_registry" -> tokenizerRegistry,
     "inverted_postings"  -> invertedPostings,
     "rep_ngram_audit"    -> repNgramAudit,
     "dup_sequences"      -> dupSequences,
     "maximal_repeat_spans" -> maximalRepeatSpans,
+    "dedup_spans_sink"   -> dedupSpansSink,
     "jw_linkage"         -> jwLinkage,
     "bpe_train_merges"   -> bpeTrainMerges,
     "token_bpe_apply"    -> tokenBpeApply,
@@ -1893,95 +2193,109 @@ object TextQ {
   /** Unigram-LM oracle: the identical seed → (unrolled 8-position
     * Viterbi DP in DECIMAL(22,10) → ≤8-step backtrack → prune/floor →
     * re-estimate) chain, generated per EM round. */
-  private def unigramLmSql: String = {
-    val MaxLen = 8
-    val MaxPiece = 4
-    def round(r: Int, piecesCte: String): String = {
-      def dpUnion(i: Int): String =
-        (math.max(0, i - MaxPiece) until i)
-          .map(j => s"SELECT * FROM u${r}dp$j").mkString(" UNION ALL ")
-      val dps = (1 to MaxLen).map { i =>
-        s"""u${r}c$i AS (
-           |  SELECT d.word, d.i AS j,
-           |    CAST(d.score + p.logp AS DECIMAL(22,10)) AS sc
-           |  FROM (${dpUnion(i)}) d
-           |  JOIN $piecesCte p
-           |    ON p.piece = substring(d.word, d.i + 1, $i - d.i)
-           |  WHERE len(d.word) >= $i),
-           |u${r}dp$i AS MATERIALIZED (
-           |  SELECT word, $i AS i, sc AS score, j AS bp FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY word
-           |      ORDER BY sc DESC, j) AS rn FROM u${r}c$i)
-           |  WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      val bts = (1 to MaxLen).map { k =>
-        s"""u${r}bt$k AS (
-           |  SELECT b.word, d.bp AS pos,
-           |    substring(b.word, d.bp + 1, b.pos - d.bp) AS piece
-           |  FROM u${r}bt${k - 1} b
-           |  JOIN u${r}dpall d ON d.word = b.word AND d.i = b.pos
-           |  WHERE b.pos > 0)""".stripMargin
-      }.mkString(",\n")
-      s"""u${r}dp0 AS MATERIALIZED (SELECT word, 0 AS i,
-         |    CAST(0 AS DECIMAL(22,10)) AS score, -1 AS bp FROM uwc),
-         |$dps,
-         |u${r}dpall AS MATERIALIZED (${(0 to MaxLen)
-             .map(i => s"SELECT * FROM u${r}dp$i").mkString(" UNION ALL ")}),
-         |u${r}bt0 AS (SELECT word, len(word) AS pos FROM uwc),
-         |$bts,
-         |u${r}path AS MATERIALIZED (${(1 to MaxLen)
-             .map(k => s"SELECT word, piece FROM u${r}bt$k")
-             .mkString(" UNION ALL ")}),
-         |u${r}cnts AS MATERIALIZED (
-         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
-         |  FROM u${r}path JOIN uwc USING (word) GROUP BY piece),
-         |u${r}kept AS (
-         |  SELECT ch.piece,
-         |    greatest(coalesce(c.c, 0), 1) AS c
-         |  FROM uchars ch LEFT JOIN u${r}cnts c USING (piece)
-         |  UNION ALL
-         |  SELECT c.piece, c.c FROM u${r}cnts c
-         |  LEFT JOIN uchars ch USING (piece)
-         |  WHERE ch.piece IS NULL AND c.c > 0),
-         |u${r}tot AS (SELECT sum(c) AS tot FROM u${r}kept),
-         |u${r}pieces AS MATERIALIZED (
-         |  SELECT piece, CAST(ln(CAST(c AS DOUBLE)
-         |    / CAST(tot AS DOUBLE)) AS DECIMAL(14,10)) AS logp
-         |  FROM u${r}kept, u${r}tot),
-         |u${r}nll AS (
-         |  SELECT ${r6Sql("-(CAST(sum(score * cnt) AS DOUBLE))")}
-         |    AS corpus_nll
-         |  FROM u${r}dpall JOIN uwc USING (word)
-         |  WHERE i = len(word)),
-         |u${r}stats AS (
-         |  SELECT ${r6Sql("CAST(steps AS DOUBLE) / CAST(words AS DOUBLE)")}
-         |    AS avg_pieces_per_word
-         |  FROM (SELECT sum(cnt) AS steps
-         |        FROM u${r}path JOIN uwc USING (word)),
-         |    (SELECT sum(cnt) AS words FROM uwc)),
-         |u${r}top AS (
-         |  SELECT coalesce(max(piece), '') AS top_piece,
-         |    CAST(coalesce(max(c), 0) AS BIGINT) AS top_piece_cnt
-         |  FROM (SELECT p.piece, c.c
-         |        FROM u${r}pieces p JOIN u${r}cnts c USING (piece)
-         |        WHERE len(p.piece) >= 2
-         |        ORDER BY c.c DESC, p.piece LIMIT 1)),
-         |u${r}np AS (SELECT count(*) AS n_pieces FROM u${r}pieces),
-         |u${r}row AS (
-         |  SELECT CAST($r AS BIGINT) AS round,
-         |    CAST(n_pieces AS BIGINT) AS n_pieces, corpus_nll,
-         |    avg_pieces_per_word, top_piece, top_piece_cnt
-         |  FROM u${r}np, u${r}nll, u${r}stats, u${r}top)""".stripMargin
-    }
-    s"""WITH $wordsCte,
-       |uwc AS MATERIALIZED (SELECT word, count(*) AS cnt
+  private val UniSqlMaxLen = 8
+  private val UniSqlMaxPiece = 4
+
+  /** Unigram E-step CTEs for round r (DP + backtrack + path), reading
+    * `uwc` and the given pieces CTE — shared by the train, apply, and
+    * parity oracles (the train oracle runs two of these with M-steps
+    * between; the apply oracles run ONE more under the final pieces). */
+  private def uniEstepCtes(r: Int, piecesCte: String): String = {
+    def dpUnion(i: Int): String =
+      (math.max(0, i - UniSqlMaxPiece) until i)
+        .map(j => s"SELECT * FROM u${r}dp$j").mkString(" UNION ALL ")
+    val dps = (1 to UniSqlMaxLen).map { i =>
+      s"""u${r}c$i AS (
+         |  SELECT d.word, d.i AS j,
+         |    CAST(d.score + p.logp AS DECIMAL(22,10)) AS sc
+         |  FROM (${dpUnion(i)}) d
+         |  JOIN $piecesCte p
+         |    ON p.piece = substring(d.word, d.i + 1, $i - d.i)
+         |  WHERE len(d.word) >= $i),
+         |u${r}dp$i AS MATERIALIZED (
+         |  SELECT word, $i AS i, sc AS score, j AS bp FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY word
+         |      ORDER BY sc DESC, j) AS rn FROM u${r}c$i)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val bts = (1 to UniSqlMaxLen).map { k =>
+      s"""u${r}bt$k AS (
+         |  SELECT b.word, d.bp AS pos,
+         |    substring(b.word, d.bp + 1, b.pos - d.bp) AS piece
+         |  FROM u${r}bt${k - 1} b
+         |  JOIN u${r}dpall d ON d.word = b.word AND d.i = b.pos
+         |  WHERE b.pos > 0)""".stripMargin
+    }.mkString(",\n")
+    s"""u${r}dp0 AS MATERIALIZED (SELECT word, 0 AS i,
+       |    CAST(0 AS DECIMAL(22,10)) AS score, -1 AS bp FROM uwc),
+       |$dps,
+       |u${r}dpall AS MATERIALIZED (${(0 to UniSqlMaxLen)
+           .map(i => s"SELECT * FROM u${r}dp$i").mkString(" UNION ALL ")}),
+       |u${r}bt0 AS (SELECT word, len(word) AS pos FROM uwc),
+       |$bts,
+       |u${r}path AS MATERIALIZED (${(1 to UniSqlMaxLen)
+           .map(k => s"SELECT word, piece FROM u${r}bt$k")
+           .mkString(" UNION ALL ")})""".stripMargin
+  }
+
+  /** Unigram M-step CTEs for round r: path counts, char floor,
+    * re-estimated logp → u{r}pieces. */
+  private def uniMstepCtes(r: Int): String =
+    s"""u${r}cnts AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
+       |  FROM u${r}path JOIN uwc USING (word) GROUP BY piece),
+       |u${r}kept AS (
+       |  SELECT ch.piece,
+       |    greatest(coalesce(c.c, 0), 1) AS c
+       |  FROM uchars ch LEFT JOIN u${r}cnts c USING (piece)
+       |  UNION ALL
+       |  SELECT c.piece, c.c FROM u${r}cnts c
+       |  LEFT JOIN uchars ch USING (piece)
+       |  WHERE ch.piece IS NULL AND c.c > 0),
+       |u${r}tot AS (SELECT sum(c) AS tot FROM u${r}kept),
+       |u${r}pieces AS MATERIALIZED (
+       |  SELECT piece, CAST(ln(CAST(c AS DOUBLE)
+       |    / CAST(tot AS DOUBLE)) AS DECIMAL(14,10)) AS logp
+       |  FROM u${r}kept, u${r}tot)""".stripMargin
+
+  /** Unigram per-round report CTEs → u{r}row. */
+  private def uniReportCtes(r: Int): String =
+    s"""u${r}nll AS (
+       |  SELECT ${r6Sql("-(CAST(sum(score * cnt) AS DOUBLE))")}
+       |    AS corpus_nll
+       |  FROM u${r}dpall JOIN uwc USING (word)
+       |  WHERE i = len(word)),
+       |u${r}stats AS (
+       |  SELECT ${r6Sql("CAST(steps AS DOUBLE) / CAST(words AS DOUBLE)")}
+       |    AS avg_pieces_per_word
+       |  FROM (SELECT sum(cnt) AS steps
+       |        FROM u${r}path JOIN uwc USING (word)),
+       |    (SELECT sum(cnt) AS words FROM uwc)),
+       |u${r}top AS (
+       |  SELECT coalesce(max(piece), '') AS top_piece,
+       |    CAST(coalesce(max(c), 0) AS BIGINT) AS top_piece_cnt
+       |  FROM (SELECT p.piece, c.c
+       |        FROM u${r}pieces p JOIN u${r}cnts c USING (piece)
+       |        WHERE len(p.piece) >= 2
+       |        ORDER BY c.c DESC, p.piece LIMIT 1)),
+       |u${r}np AS (SELECT count(*) AS n_pieces FROM u${r}pieces),
+       |u${r}row AS (
+       |  SELECT CAST($r AS BIGINT) AS round,
+       |    CAST(n_pieces AS BIGINT) AS n_pieces, corpus_nll,
+       |    avg_pieces_per_word, top_piece, top_piece_cnt
+       |  FROM u${r}np, u${r}nll, u${r}stats, u${r}top)""".stripMargin
+
+  /** Unigram base CTEs (word counts, substring seed, char floor set) —
+    * reads `words`; the caller supplies the words CTE. */
+  private def uniBaseCtes: String =
+    s"""uwc AS MATERIALIZED (SELECT word, count(*) AS cnt
        |  FROM (SELECT unnest(ws) AS word FROM words) GROUP BY word),
        |usub AS (
        |  SELECT substring(word, st, ln) AS piece, cnt
        |  FROM uwc,
        |    (SELECT unnest(range(1,
        |      (SELECT max(len(word)) FROM uwc) + 1)) AS st),
-       |    (SELECT unnest(range(1, ${MaxPiece + 1})) AS ln)
+       |    (SELECT unnest(range(1, ${UniSqlMaxPiece + 1})) AS ln)
        |  WHERE st <= len(word) AND st + ln - 1 <= len(word)),
        |ufreq AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq
        |  FROM usub GROUP BY piece),
@@ -1995,13 +2309,169 @@ object TextQ {
        |  FROM uwc,
        |    (SELECT unnest(range(1,
        |      (SELECT max(len(word)) FROM uwc) + 1)) AS st)
-       |  WHERE st <= len(word)),
-       |${round(1, "u0pieces")},
-       |${round(2, "u1pieces")}
+       |  WHERE st <= len(word))""".stripMargin
+
+  /** The full two-round EM chain (e1 m1 e2 m2) — shared prefix of the
+    * train, apply, and parity oracles. */
+  private def uniTrainChainCtes: String =
+    s"""$uniBaseCtes,
+       |${uniEstepCtes(1, "u0pieces")},
+       |${uniMstepCtes(1)},
+       |${uniEstepCtes(2, "u1pieces")},
+       |${uniMstepCtes(2)}""".stripMargin
+
+  private def unigramLmSql: String =
+    s"""WITH $wordsCte,
+       |$uniTrainChainCtes,
+       |${uniReportCtes(1)},
+       |${uniReportCtes(2)}
        |SELECT * FROM (
        |  SELECT * FROM u1row UNION ALL SELECT * FROM u2row)
        |ORDER BY round""".stripMargin
+
+  /** Apply oracle (r13): the train chain + ONE more Viterbi E-step under
+    * the final (round-2) pieces — u3path IS the apply segmentation —
+    * joined to per-(lang, word) instance counts. */
+  private def unigramApplySql: String =
+    s"""WITH $wordsCte,
+       |$uniTrainChainCtes,
+       |${uniEstepCtes(3, "u2pieces")},
+       |luwc AS MATERIALIZED (
+       |  SELECT d.lang, w2.word, count(*) AS wn
+       |  FROM (SELECT doc_id, unnest(ws) AS word FROM words) w2
+       |  JOIN documents d USING (doc_id) GROUP BY 1, 2),
+       |uper AS (SELECT word, CAST(count(*) AS BIGINT) AS np,
+       |    CAST(sum(CASE WHEN len(piece) = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n1
+       |  FROM u3path GROUP BY word),
+       |ust AS (SELECT lang, CAST(sum(wn) AS BIGINT) AS n_words,
+       |    CAST(sum(wn * np) AS BIGINT) AS n_pieces,
+       |    CAST(sum(wn * n1) AS BIGINT) AS n_single
+       |  FROM luwc JOIN uper USING (word) GROUP BY 1),
+       |utc AS (SELECT lang, piece, CAST(sum(wn) AS BIGINT) AS tn
+       |  FROM luwc JOIN u3path USING (word)
+       |  WHERE len(piece) >= 2 GROUP BY 1, 2),
+       |utopp AS (SELECT lang, piece, tn FROM (
+       |    SELECT lang, piece, tn, row_number() OVER (PARTITION BY lang
+       |      ORDER BY tn DESC, piece) AS rn FROM utc) WHERE rn = 1),
+       |und AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1)
+       |SELECT und.lang, und.n_docs,
+       |  coalesce(ust.n_words, CAST(0 AS BIGINT)) AS n_words,
+       |  coalesce(ust.n_pieces, CAST(0 AS BIGINT)) AS n_pieces,
+       |  coalesce(ust.n_single, CAST(0 AS BIGINT)) AS n_single,
+       |  coalesce(utopp.piece, '') AS top_piece,
+       |  coalesce(utopp.tn, CAST(0 AS BIGINT)) AS top_piece_n
+       |FROM und LEFT JOIN ust USING (lang) LEFT JOIN utopp USING (lang)
+       |ORDER BY lang""".stripMargin
+
+  /** Parity oracle (r13): both tokenizer chains (BPE vocab6 + unigram
+    * u3path) against the eval-split word counts. */
+  private def tokenizerParitySql: String = {
+    def rep(name: String, perCte: String): String =
+      s"""SELECT '$name' AS tokenizer,
+         |  CAST(sum(wn) AS BIGINT) AS n_words,
+         |  CAST(sum(wn * len(word)) AS BIGINT) AS n_chars,
+         |  CAST(sum(wn * np) AS BIGINT) AS n_pieces,
+         |  CAST(sum(wn * n1) AS BIGINT) AS n_single,
+         |  ${r6Sql("CAST(sum(wn * np) AS DOUBLE)" +
+             " / CAST(sum(wn) AS DOUBLE)")} AS fertility,
+         |  ${r6Sql("CAST(sum(wn * np) AS DOUBLE)" +
+             " / CAST(sum(wn * len(word)) AS DOUBLE)")} AS pieces_per_char,
+         |  ${r6Sql("CAST(sum(wn * n1) AS DOUBLE)" +
+             " / CAST(sum(wn * np) AS DOUBLE)")} AS single_rate
+         |FROM ewc JOIN $perCte USING (word)""".stripMargin
+    s"""WITH $bpeVocabCtes,
+       |$uniTrainChainCtes,
+       |${uniEstepCtes(3, "u2pieces")},
+       |ewc AS MATERIALIZED (
+       |  SELECT word, count(*) AS wn FROM (
+       |    SELECT unnest(ws) AS word FROM words
+       |    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= 'cccc')
+       |  GROUP BY word),
+       |bper AS (SELECT word, CAST(len(syms) AS BIGINT) AS np,
+       |    CAST(len(list_filter(syms, y -> len(y) = 1)) AS BIGINT) AS n1
+       |  FROM vocab6),
+       |uper AS (SELECT word, CAST(count(*) AS BIGINT) AS np,
+       |    CAST(sum(CASE WHEN len(piece) = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n1
+       |  FROM u3path GROUP BY word)
+       |SELECT * FROM (
+       |  ${rep("bpe", "bper")}
+       |  UNION ALL
+       |  ${rep("unigram", "uper")})
+       |ORDER BY tokenizer""".stripMargin
   }
+
+  /** Shared LM-gate oracle CTEs (reads `words`; ends in
+    * `lmscored(doc_id, score)` + `lmthr(lm_threshold)`) — used by the
+    * pretrain capstone and tokenizer_registry oracles; mirrors
+    * CurationQ.lmGateArtifact. */
+  private def lmGateSqlCtes: String =
+    s"""bgr AS (
+       |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+       |  FROM words,
+       |    (SELECT unnest(range(1, (SELECT max(len(ws)) FROM words) + 1))
+       |      AS i)
+       |  WHERE i + 1 <= len(ws)),
+       |uni AS (
+       |  SELECT w, count(*) AS c1 FROM (
+       |    SELECT unnest(ws) AS w FROM words WHERE doc_id % 17 <> 0)
+       |  GROUP BY w),
+       |vv AS (SELECT count(*) AS v FROM uni),
+       |c2g AS (SELECT w1, w2, count(*) AS c2 FROM bgr
+       |       WHERE doc_id % 17 <> 0 GROUP BY w1, w2),
+       |lmterms AS (
+       |  SELECT bgr.doc_id, CAST(ln(
+       |      CAST(coalesce(c2g.c2, 0) + 1 AS DOUBLE) /
+       |      CAST(coalesce(uni.c1, 0) + vv.v AS DOUBLE))
+       |    AS DECIMAL(14,10)) AS term
+       |  FROM bgr
+       |  LEFT JOIN c2g ON bgr.w1 = c2g.w1 AND bgr.w2 = c2g.w2
+       |  LEFT JOIN uni ON bgr.w1 = uni.w
+       |  CROSS JOIN vv),
+       |lmscored AS (
+       |  SELECT doc_id,
+       |    ${r6Sql("CAST(sum(term) AS DOUBLE) / count(*)")} AS score
+       |  FROM lmterms GROUP BY doc_id),
+       |lmranked AS (
+       |  SELECT score, row_number() OVER (ORDER BY score) AS rn,
+       |    count(*) OVER () AS n
+       |  FROM lmscored),
+       |lmthr AS (
+       |  SELECT max(CASE WHEN rn = (3 * n + 9) // 10 THEN score END)
+       |    AS lm_threshold FROM lmranked)""".stripMargin
+
+  /** Registry oracle (r13): every artifact recomputed from scratch —
+    * merges from the BPE chain, pieces from the unigram EM chain,
+    * threshold from the LM chain — so a stale or lossy persisted copy
+    * cannot match. */
+  private def tokenizerRegistrySql: String =
+    s"""WITH $bpeVocabCtes,
+       |$uniTrainChainCtes,
+       |$lmGateSqlCtes,
+       |mgall AS (${(1 to 6).map(k => s"SELECT * FROM mg$k")
+           .mkString(" UNION ALL ")}),
+       |mkeys AS (SELECT CAST(round AS VARCHAR) || ':' || left_sym
+       |    || ':' || right_sym AS k, weight FROM mgall),
+       |mrow AS (SELECT 'bpe_merges' AS artifact,
+       |    CAST(count(*) AS BIGINT) AS n_rows,
+       |    md5(string_agg(k, '|' ORDER BY k)) AS key_fp,
+       |    ${r6Sql("CAST(sum(weight) AS DOUBLE)")} AS metric
+       |  FROM mkeys),
+       |prow AS (SELECT 'unigram_pieces' AS artifact,
+       |    CAST(count(*) AS BIGINT) AS n_rows,
+       |    md5(string_agg(piece, '|' ORDER BY piece)) AS key_fp,
+       |    ${r6Sql("CAST(sum(logp) AS DOUBLE)")} AS metric
+       |  FROM u2pieces),
+       |trow AS (SELECT 'lm_threshold' AS artifact,
+       |    CAST(1 AS BIGINT) AS n_rows,
+       |    md5('lm_threshold') AS key_fp,
+       |    lm_threshold AS metric
+       |  FROM lmthr)
+       |SELECT * FROM (
+       |  SELECT * FROM mrow UNION ALL SELECT * FROM prow
+       |  UNION ALL SELECT * FROM trow)
+       |ORDER BY artifact""".stripMargin
 
   /** Shared oracle CTEs for tokenized / shingled docs. */
   private val wordsCte =
@@ -2081,7 +2551,7 @@ object TextQ {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
-  private val langPredSql =
+  private[queries] val langPredSql =
     """CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
       |     WHEN regexp_matches(text, '[äöüß]') THEN 'de'
       |     WHEN regexp_matches(text, '[áéíóúñ]') THEN 'es'
@@ -2190,6 +2660,9 @@ object TextQ {
          |    AS row_frac
          |FROM g ORDER BY lang, lang_pred""".stripMargin,
     "unigram_lm_train" -> unigramLmSql,
+    "token_unigram_apply" -> unigramApplySql,
+    "tokenizer_parity_report" -> tokenizerParitySql,
+    "tokenizer_registry" -> tokenizerRegistrySql,
     "corpus_datacard" -> {
       val (zn, sx, sy) = ("CAST(zn AS DOUBLE)", "CAST(sx AS DOUBLE)",
         "CAST(sy AS DOUBLE)")
@@ -2299,43 +2772,13 @@ object TextQ {
     },
     // Capstone oracle: the full curate→tokenize→pack chain replayed
     // relationally — BPE training CTEs (vocab6 = the segmentation),
-    // the add-one bigram LM + exact-rank threshold, the gate chain,
-    // and the per-(source, split) prefix-sum packing.
+    // the add-one bigram LM + exact-rank threshold, the trained
+    // classifier gate chain (r13, CurationQ.clfGateCtes), the gate
+    // chain, and the per-(source, split) prefix-sum packing.
     "pretrain_pipeline_e2e" ->
       s"""WITH $bpeVocabCtes,
-         |bgr AS (
-         |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
-         |  FROM words,
-         |    (SELECT unnest(range(1, (SELECT max(len(ws)) FROM words) + 1))
-         |      AS i)
-         |  WHERE i + 1 <= len(ws)),
-         |uni AS (
-         |  SELECT w, count(*) AS c1 FROM (
-         |    SELECT unnest(ws) AS w FROM words WHERE doc_id % 17 <> 0)
-         |  GROUP BY w),
-         |vv AS (SELECT count(*) AS v FROM uni),
-         |c2g AS (SELECT w1, w2, count(*) AS c2 FROM bgr
-         |       WHERE doc_id % 17 <> 0 GROUP BY w1, w2),
-         |lmterms AS (
-         |  SELECT bgr.doc_id, CAST(ln(
-         |      CAST(coalesce(c2g.c2, 0) + 1 AS DOUBLE) /
-         |      CAST(coalesce(uni.c1, 0) + vv.v AS DOUBLE))
-         |    AS DECIMAL(14,10)) AS term
-         |  FROM bgr
-         |  LEFT JOIN c2g ON bgr.w1 = c2g.w1 AND bgr.w2 = c2g.w2
-         |  LEFT JOIN uni ON bgr.w1 = uni.w
-         |  CROSS JOIN vv),
-         |lmscored AS (
-         |  SELECT doc_id,
-         |    ${r6Sql("CAST(sum(term) AS DOUBLE) / count(*)")} AS score
-         |  FROM lmterms GROUP BY doc_id),
-         |lmranked AS (
-         |  SELECT score, row_number() OVER (ORDER BY score) AS rn,
-         |    count(*) OVER () AS n
-         |  FROM lmscored),
-         |lmthr AS (
-         |  SELECT max(CASE WHEN rn = (3 * n + 9) // 10 THEN score END)
-         |    AS lm_threshold FROM lmranked),
+         |${CurationQ.clfGateCtes},
+         |$lmGateSqlCtes,
          |dw AS (
          |  SELECT d.doc_id, d.source, d.n_chars, d.lang, d.text, words.ws
          |  FROM documents d JOIN words USING (doc_id)),
@@ -2349,11 +2792,15 @@ object TextQ {
          |  SELECT f2.* FROM f2
          |  JOIN lmscored s USING (doc_id) CROSS JOIN lmthr t
          |  WHERE s.score > t.lm_threshold),
+         |fc AS (
+         |  SELECT fq.* FROM fq
+         |  JOIN clfscored cs USING (doc_id) CROSS JOIN clfthr ct
+         |  WHERE cs.score > ct.clf_threshold),
          |dd AS (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
          |    ORDER BY doc_id) AS rk
-         |  FROM fq),
+         |  FROM fc),
          |f3 AS (SELECT * FROM dd WHERE rk = 1),
          |cc AS (
          |  SELECT *,
@@ -2559,6 +3006,64 @@ object TextQ {
          |FROM best b JOIN words w ON w.doc_id = b.a_id
          |WHERE b.rn = 1
          |ORDER BY len_tokens DESC, a_id, b_id LIMIT 20""".stripMargin,
+    "dedup_spans_sink" ->
+      s"""WITH $wordsCte,
+         |seeds AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    ws[i]   || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+         |    ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+         |    ws[i+6] || ' ' || ws[i+7] || ' ' || ws[i+8] || ' ' || ws[i+9]
+         |      AS seq
+         |  FROM words, (SELECT unnest(range(1,
+         |      (SELECT max(len(ws)) FROM words) + 1)) AS i)
+         |  WHERE i + 9 <= len(ws)),
+         |m AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS pa,
+         |    b.pos AS pb
+         |  FROM seeds a JOIN seeds b
+         |    ON a.seq = b.seq AND a.doc_id < b.doc_id),
+         |isl0 AS (
+         |  SELECT a_id, b_id, pa - pb AS diag, pa,
+         |    pa - row_number() OVER (PARTITION BY a_id, b_id, pa - pb
+         |      ORDER BY pa) AS grp
+         |  FROM m),
+         |isl AS (
+         |  SELECT a_id, b_id, diag, grp,
+         |    min(pa - diag) AS start_b, count(*) + 9 AS len
+         |  FROM isl0 GROUP BY a_id, b_id, diag, grp),
+         |cut AS (
+         |  SELECT DISTINCT b_id AS doc_id, start_b + u AS pos
+         |  FROM isl, (SELECT unnest(range(0,
+         |      (SELECT max(len) FROM isl) + 1)) AS u)
+         |  WHERE u < len),
+         |wtok AS (
+         |  SELECT doc_id, i - 1 AS pos, ws[i] AS tok
+         |  FROM words, (SELECT unnest(range(1,
+         |      (SELECT max(len(ws)) FROM words) + 1)) AS i)
+         |  WHERE i <= len(ws)),
+         |kepttok AS (
+         |  SELECT wt.doc_id, wt.pos, wt.tok
+         |  FROM wtok wt LEFT JOIN cut c
+         |    ON c.doc_id = wt.doc_id AND c.pos = wt.pos
+         |  WHERE c.doc_id IS NULL),
+         |docs2 AS (
+         |  SELECT doc_id, list(tok ORDER BY pos) AS kept
+         |  FROM kepttok GROUP BY doc_id),
+         |full2 AS (
+         |  SELECT d.doc_id, d.source,
+         |    CAST(len(w.ws) AS BIGINT) AS tok_before,
+         |    CAST(coalesce(len(k.kept), 0) AS BIGINT) AS tok_after,
+         |    md5(array_to_string(coalesce(k.kept, CAST([] AS VARCHAR[])),
+         |      ' ')) AS fp
+         |  FROM documents d JOIN words w USING (doc_id)
+         |  LEFT JOIN docs2 k USING (doc_id))
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN tok_after < tok_before THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_docs_cut,
+         |  CAST(sum(tok_before) AS BIGINT) AS tok_before,
+         |  CAST(sum(tok_after) AS BIGINT) AS tok_after,
+         |  min(fp) AS fp_min, max(fp) AS fp_max
+         |FROM full2 GROUP BY source ORDER BY source""".stripMargin,
     "skipgram_pairs" ->
       s"""WITH $wordsCte,
          |idx AS (

@@ -345,6 +345,66 @@ object VectorQ {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Metadata-filtered ANN (r13) — the production "top-5 among vectors
+    * WHERE lang = 'en'" shape: the predicate (metadata joined from
+    * `documents` on vec_id = doc_id) is applied to the CANDIDATE rows
+    * INSIDE the cell probe, BEFORE any distance math or rerank — never
+    * post-filtering a top-k (which under-fills results when matches are
+    * scarce). Geometry is the shared session IVF coarse artifact;
+    * queries stay unfiltered (a query vector is arbitrary; the
+    * predicate constrains the corpus side). Graded against the same
+    * chain replayed relationally; AnnQualitySpec gates recall vs the
+    * brute FILTERED baseline and pins predicate purity; the filtered
+    * row rides ann_recall_report. Scale shape: the metadata join is a
+    * vec_id equi-join and the filter prunes candidate volume before the
+    * probe join — strictly cheaper than unfiltered IVF. */
+  val annFilteredKnn: QFn = (s, dir) => {
+    val asg = ivfCoarse(s, dir)
+    val meta = t(s, dir, "documents")
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val cells = asg.filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("clabel").as("cell"))
+      .join(meta, Seq("vec_id"))
+      .filter(col("lang") === "en")
+    val probes = asg.filter(col("crn") <= 2 && col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("clabel").as("cell"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    probes.join(cells, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim",
+        r6(gdot(col("qv"), col("v")) / (col("qn") * col("nrm"))))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"), col("cos_sim"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Brute-force cosine top-5 over the lang='en'-filtered candidate set —
+    * the ground-truth baseline for the filtered tier (recall report +
+    * AnnQualitySpec). */
+  private[graft] def bruteFilteredTop5(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val e = unitBase(s, dir)
+    val meta = t(s, dir, "documents")
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val base = e.join(meta, Seq("vec_id")).filter(col("lang") === "en")
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    q.crossJoin(base)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim",
+        r6(gdot(col("qv"), col("v")) / (col("qn") * col("nrm"))))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"), col("rn"))
+  }
+
   /** Build the STANDING IVF index once per (JVM, fixture dir) — the
     * operational shape of a real vector store: centroids and cell
     * assignments for the HISTORY corpus (vec_id % 4 ≠ 0, the
@@ -525,19 +585,26 @@ object VectorQ {
       ("ann_pq_knn", annPqKnn, 5),
       ("ann_randproj_knn", annRandProjKnn, 5),
       ("ann_sq_knn", annSqKnn, 5))
-    tiers.map { case (name, fn, k) =>
+    def row(name: String, fn: QFn, k: Int,
+        baseline: org.apache.spark.sql.DataFrame) = {
       val hits = fn(s, dir).select(col("qid"), col("vec_id"))
-        .join(brute.filter(col("rn") <= k), Seq("qid", "vec_id"),
+        .join(baseline.filter(col("rn") <= k), Seq("qid", "vec_id"),
           "left_semi")
         .agg(count(lit(1)).as("n_hits"))
-      brute.filter(col("rn") <= k)
+      baseline.filter(col("rn") <= k)
         .agg(countDistinct(col("qid")).as("n_queries"),
           count(lit(1)).as("n_brute"))
         .crossJoin(hits)
         .select(lit(name).as("tier"), lit(k.toLong).as("k"),
           col("n_queries"), col("n_brute"), col("n_hits"),
           r6(dbl(col("n_hits")) / dbl(col("n_brute"))).as("recall"))
-    }.reduce(_ unionByName _).orderBy(col("tier"))
+    }
+    // the filtered tier grades against its OWN ground truth — brute
+    // top-5 over the same lang='en' candidate set (r13)
+    val bruteF = bruteFilteredTop5(s, dir).localCheckpoint()
+    (tiers.map { case (name, fn, k) => row(name, fn, k, brute) } :+
+      row("ann_filtered_knn", annFilteredKnn, 5, bruteF))
+      .reduce(_ unionByName _).orderBy(col("tier"))
   }
 
   /** Near-dup cluster assignment: min-label propagation iterated **to
@@ -1218,7 +1285,8 @@ object VectorQ {
     "incremental_ann"    -> incrementalAnn,
     "ann_index_compact"  -> annIndexCompact,
     "ann_recall_report"  -> annRecallReport,
-    "ann_ivf_knn"        -> annIvfKnn)
+    "ann_ivf_knn"        -> annIvfKnn,
+    "ann_filtered_knn"   -> annFilteredKnn)
 
   /** The identical 8 greedy MMR steps unrolled as CTEs: same r6-rounded
     * cosines, same λ=0.7 score, same (score DESC, vec_id) argmax. */
@@ -1557,21 +1625,47 @@ object VectorQ {
     * a CTE (a CTE body is a full SELECT, so the tiers' inner WITH chains
     * scope privately), joined per tier against the brute top-k — any
     * drift in a tier's oracle changes this one identically. */
+  /** Brute filtered-baseline oracle: cosine top-5 over the lang='en'
+    * candidate subset (queries unfiltered) — ground truth for the
+    * filtered tier. */
+  private def bruteFilteredSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |            FROM embeddings),
+       |n2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+       |       FROM e),
+       |bfb AS (SELECT n2.* FROM n2
+       |        JOIN documents d ON d.doc_id = n2.vec_id
+       |        WHERE d.lang = 'en'),
+       |s AS (
+       |  SELECT q.vec_id AS qid, b.vec_id,
+       |    ${r6Sql("list_dot_product(q.v, b.v) / (q.nrm * b.nrm)")}
+       |      AS cos_sim
+       |  FROM n2 q JOIN bfb b ON b.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 50),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |        ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+       |SELECT qid, vec_id, cos_sim, rn FROM r
+       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
   private def annRecallSql(base: Map[String, String]): String = {
-    val tiers = Seq("ann_ivf_knn" -> 3, "ann_ivfpq_knn" -> 5,
-      "ann_lsh_knn" -> 3, "ann_multiprobe_knn" -> 3, "ann_opq_knn" -> 5,
-      "ann_pq_knn" -> 5,
-      "ann_randproj_knn" -> 5, "ann_sq_knn" -> 5)
-    val tierCtes = (("brute", base("qknn_cosine_top5")) +:
-      tiers.map { case (n, _) => (n, base(n)) })
+    // (tier, k, baseline CTE) — the filtered tier grades against the
+    // brute FILTERED baseline, every other tier against plain brute
+    val tiers = Seq(("ann_filtered_knn", 5, "brute_f"),
+      ("ann_ivf_knn", 3, "brute"), ("ann_ivfpq_knn", 5, "brute"),
+      ("ann_lsh_knn", 3, "brute"), ("ann_multiprobe_knn", 3, "brute"),
+      ("ann_opq_knn", 5, "brute"), ("ann_pq_knn", 5, "brute"),
+      ("ann_randproj_knn", 5, "brute"), ("ann_sq_knn", 5, "brute"))
+    val tierCtes = (Seq(("brute", base("qknn_cosine_top5")),
+      ("brute_f", bruteFilteredSql)) ++
+      tiers.map { case (n, _, _) => (n, base(n)) })
       .map { case (n, sql) => s"$n AS MATERIALIZED (\n$sql)" }
       .mkString(",\n")
-    val rows = tiers.map { case (n, k) =>
+    val rows = tiers.map { case (n, k, bl) =>
       s"""SELECT '$n' AS tier, CAST($k AS BIGINT) AS k,
-         |  (SELECT count(DISTINCT qid) FROM brute WHERE rn <= $k)
+         |  (SELECT count(DISTINCT qid) FROM $bl WHERE rn <= $k)
          |    AS n_queries,
-         |  (SELECT count(*) FROM brute WHERE rn <= $k) AS n_brute,
-         |  (SELECT count(*) FROM $n t JOIN brute b
+         |  (SELECT count(*) FROM $bl WHERE rn <= $k) AS n_brute,
+         |  (SELECT count(*) FROM $n t JOIN $bl b
          |     ON t.qid = b.qid AND t.vec_id = b.vec_id AND b.rn <= $k)
          |    AS n_hits""".stripMargin
     }.mkString("\nUNION ALL\n")
@@ -1837,6 +1931,48 @@ object VectorQ {
         |     WHERE crn = 1 AND vec_id % 4 = 0) AS n_upserted)
         |SELECT qid, vec_id, cos_sim, rn, n_index_base, n_upserted
         |FROM r, summ WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    "ann_filtered_knn" ->
+      """WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |            FROM embeddings),
+        |comp AS (
+        |  SELECT label, pos,
+        |    floor((CAST(sum(CAST(CAST(ev AS DOUBLE) AS DECIMAL(12,9)))
+        |      AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS c
+        |  FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |          unnest(embedding) AS ev FROM embeddings)
+        |  GROUP BY label, pos),
+        |cent AS (SELECT label, list(c ORDER BY pos) AS cvec FROM comp
+        |         GROUP BY label),
+        |asg AS (
+        |  SELECT vec_id, label AS cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY fdist, label)
+        |      AS crn
+        |  FROM (SELECT e.vec_id, c.label,
+        |          floor((list_dot_product(e.v, e.v)
+        |            - 2 * list_dot_product(e.v, c.cvec)
+        |            + list_dot_product(c.cvec, c.cvec)) * 1000000 + 0.5)
+        |            / 1000000 AS fdist
+        |        FROM ex e CROSS JOIN cent c)),
+        |nr AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS n FROM ex),
+        |cells AS (SELECT a2.vec_id, a2.cell FROM asg a2
+        |          JOIN documents d ON d.doc_id = a2.vec_id
+        |          WHERE a2.crn = 1 AND d.lang = 'en'),
+        |probes AS (SELECT vec_id AS qid, cell FROM asg
+        |           WHERE crn <= 2 AND vec_id < 50),
+        |sc AS (
+        |  SELECT p.qid, c.vec_id,
+        |    floor((list_dot_product(a.v, b.v) / (na.n * nb.n)) * 1000000
+        |      + 0.5) / 1000000 AS cos_sim
+        |  FROM probes p JOIN cells c USING (cell)
+        |    JOIN ex a ON a.vec_id = p.qid
+        |    JOIN ex b ON b.vec_id = c.vec_id
+        |    JOIN nr na ON na.vec_id = p.qid
+        |    JOIN nr nb ON nb.vec_id = c.vec_id
+        |  WHERE c.vec_id <> p.qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos_sim DESC, vec_id) AS rn FROM sc)
+        |SELECT qid, vec_id, cos_sim, rn FROM r WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin,
     "ann_ivf_knn" ->
       """WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |            FROM embeddings),

@@ -74,6 +74,118 @@ object core {
     }
   }
 
+  // ---- two-phase (bucketed) prefix aggregation -------------------------
+  // The r12 weak class was WindowExec partitioned by a BOUNDED-cardinality
+  // key (source ≈ 6, lang ≈ 5, split = 3) over corpus-growing rows: each
+  // shard is a single-task sort of ~N/|key| rows — the global-window
+  // failure mode divided by a constant, so it still dies at 100×. The
+  // scale-safe equivalent is the classic two-phase prefix sum:
+  //   1. bucket every row by an ORDER-PRESERVING, BOUNDED-cardinality
+  //      prefix of the sort key (md5 hex prefix → ≤256 buckets; key div
+  //      width with width ∝ the key domain → ≤B buckets),
+  //   2. one map-side-combinable groupBy(part, bucket) partial-sum,
+  //   3. the bucket OFFSETS via a window over the bounded (part × bucket)
+  //      aggregate (≤ |part|·B rows — never corpus-sized),
+  //   4. broadcast the offsets back and finish with a window partitioned
+  //      by (part, bucket) — B× the parallelism of the weak plan.
+  // Output is bit-identical to sum(value).over(partitionBy(part)
+  // .orderBy(order)) because the bucket is monotone in the leading order
+  // column, so bucket-major order IS the order; integral sums are exact.
+
+  /** Number of buckets per partition key. 256 spreads a 100 TB shard's
+    * sort across ~256 tasks per key value; the offset table stays ≤
+    * |part|·256 rows — broadcast-sized at any corpus size. */
+  val PrefixBuckets = 256
+
+  /** Order-preserving bounded bucket for an md5-hex sort key: the first
+    * two hex chars — equal-width prefix of a fixed-length lowercase hex
+    * string, so lexicographic order on the full key implies bucket order.
+    */
+  def md5Bucket(pri: Column): Column =
+    org.apache.spark.sql.functions.substring(pri, 1, 2)
+
+  /** Order-preserving bounded bucket for a non-negative integral sort key
+    * with known domain max: key div width, width sized so the bucket
+    * count stays ≤ PrefixBuckets as the domain grows. `domainMax` must be
+    * an O(metadata) statistic (Tables.statsMaxLong — parquet footer
+    * max), never a data scan. */
+  def idBucket(key: Column, domainMax: Long): Column = {
+    val w = org.apache.spark.sql.functions.lit(
+      domainMax / PrefixBuckets + 1L)
+    val k = key.cast("long")
+    // (k - k%w)/w: Spark's `/` on integrals is DOUBLE division; dividing
+    // the exact multiple keeps the integer quotient exact (plain k/w can
+    // round up across a bucket edge when the real quotient sits within
+    // half an ulp below an integer).
+    ((k - k % w) / w).cast("long")
+  }
+
+  /** Inclusive running sum of `value` over rows ordered by `order` within
+    * each `part` group — the two-phase re-plan of
+    * `sum(value).over(Window.partitionBy(part).orderBy(order))` for
+    * bounded `part` over corpus-growing rows. `bucket` MUST be an
+    * order-preserving bounded bucketing of the leading order column (see
+    * md5Bucket / idBucket); `value` must be integral (exact sums).
+    * Optionally also attaches the per-part total as `totalOut` (computed
+    * on the bounded bucket aggregate — replaces count/sum().over(
+    * partitionBy(part)), the other half of the weak shape). */
+  def bucketedPrefixSum(df: DataFrame, part: Seq[String], bucketC: Column,
+      order: Seq[Column], value: Column, out: String,
+      totalOut: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val b = df.withColumn("__g_bkt", bucketC).withColumn("__g_val", value)
+    val wOff = Window.partitionBy(part.map(col): _*).orderBy(col("__g_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bsums = b.groupBy((part :+ "__g_bkt").map(col): _*)
+      .agg(sum(col("__g_val")).cast("long").as("__g_bsum"))
+    val offs0 = bsums
+      .withColumn("__g_off", coalesce(sum(col("__g_bsum")).over(wOff), lit(0L)))
+    val offs = totalOut match {
+      case Some(tot) => offs0.withColumn(tot,
+        sum(col("__g_bsum")).over(Window.partitionBy(part.map(col): _*)))
+      case None => offs0
+    }
+    val wIn = Window.partitionBy((part :+ "__g_bkt").map(col): _*)
+      .orderBy(order: _*)
+    b.join(broadcast(offs.drop("__g_bsum")), part :+ "__g_bkt")
+      .withColumn(out,
+        (col("__g_off") + sum(col("__g_val")).over(wIn)).cast("long"))
+      .drop("__g_bkt", "__g_val", "__g_off")
+  }
+
+  /** row_number() over (partitionBy(part).orderBy(order)), two-phase:
+    * bucketedPrefixSum of 1 — BIGINT ranks, same values. */
+  def bucketedRowNumber(df: DataFrame, part: Seq[String], bucket: Column,
+      order: Seq[Column], out: String,
+      totalOut: Option[String] = None): DataFrame =
+    bucketedPrefixSum(df, part, bucket, order,
+      org.apache.spark.sql.functions.lit(1L), out, totalOut)
+
+  /** Persist-once artifact store (r13) — the annIndexDir `_built`-marker
+    * pattern generalized: build the DataFrame ONCE per (JVM, fixture
+    * dir, name), write it to scratch parquet, and serve every later
+    * call — including from a DIFFERENT SparkSession (a pipeline
+    * restart) — from the persisted copy instead of recomputing. The
+    * tokenizer/LM registry (BPE merges, unigram pieces, LM-gate
+    * threshold) rides this; `build` is by-name so the ensured path
+    * never re-plans it. */
+  def persistedArtifact(s: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame = {
+    val path = this.synchronized {
+      val root = new java.io.File(scratchRoot, "registry_" + dirKey(dir))
+      root.mkdirs()
+      val marker = new java.io.File(root, s"_built_$name")
+      val p = new java.io.File(root, name).getAbsolutePath
+      if (!marker.exists()) {
+        build.coalesce(1).write.mode("overwrite").parquet(p)
+        marker.createNewFile()
+      }
+      p
+    }
+    s.read.parquet(path)
+  }
+
   /** Cast to an exact decimal before aggregating (both engines). */
   def dec(c: Column, p: Int, s: Int): Column = c.cast(s"decimal($p,$s)")
 

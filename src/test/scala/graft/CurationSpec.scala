@@ -129,8 +129,8 @@ class CurationSpec extends SparkSpec {
       val w = src.replaceAll("\\D+", "").toInt % 4 + 1
       val quota = math.ceil(w * nBySrc(src) / 4.0).toLong
       assert(rows.length == quota, s"$src kept ${rows.length} != $quota")
-      assert(rows.map(_.getAs[Int]("rk")).sorted.toSeq ==
-        (1 to rows.length).toSeq, s"$src ranks not dense")
+      assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq ==
+        (1L to rows.length).toSeq, s"$src ranks not dense")
     }
   }
 }

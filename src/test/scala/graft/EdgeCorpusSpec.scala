@@ -275,6 +275,27 @@ class EdgeCorpusSpec extends SparkSpec {
     SparkEntry.queries("quality_lm_gate")(spark, edgeDir).collect()
   }
 
+  test("r13 doc keys survive the edge corpus (degenerate classifier fit, " +
+    "empty eval split, no repeatable spans)") {
+    // clf gate: 4 near-empty docs give a singular normal matrix — the
+    // Newton delta must go NULL (empty kept set), never divide-by-zero
+    val clf = SparkEntry.queries("quality_clf_gate")(spark, edgeDir)
+      .collect()
+    assert(clf.map(_.getAs[Long]("n_docs")).sum == 4)
+    // unigram apply + parity: tiny vocab, possibly empty eval slice —
+    // NULL ratios are the correct degenerate answer, not a crash
+    SparkEntry.queries("token_unigram_apply")(spark, edgeDir).collect()
+    assert(SparkEntry.queries("tokenizer_parity_report")(spark, edgeDir)
+      .collect().length == 2)
+    // span dedup: no doc reaches 10 tokens — nothing cut, volume intact
+    val sp = SparkEntry.queries("dedup_spans_sink")(spark, edgeDir)
+      .collect()
+    assert(sp.map(_.getAs[Long]("n_docs_cut")).sum == 0)
+    assert(sp.map(_.getAs[Long]("tok_before")).sum ==
+      sp.map(_.getAs[Long]("tok_after")).sum)
+    SparkEntry.queries("tokenizer_registry")(spark, edgeDir).collect()
+  }
+
   test("round-5 doc keys survive the edge corpus") {
     // token-less docs, <n-gram-length docs, 2-doc sources: the guards in
     // every index-explode and rank window get exercised; no-throw IS the

@@ -91,32 +91,39 @@ class PlanSpec extends SparkSpec {
         p.take(2500))
   }
 
-  test("curation_pipeline_e2e: three shuffles end to end; rank filters " +
+  test("curation_pipeline_e2e: 7-shuffle budget end to end; rank filters " +
     "push down as group-limits") {
     val p = planOf("curation_pipeline_e2e")
-    // content-hash dedup + shared source window (the (source, split)
-    // rollup reuses hashpartitioning(source) — ClusteredDistribution on
-    // a grouping-key superset) + the final presentation sort. A 4th
+    // content-hash dedup + the two-phase mixture cap (r13: bucket
+    // partial-agg shuffle, the bounded offset window's source shuffle,
+    // and the (source, bucket) in-bucket rank window — 256× the
+    // parallelism of the r12 one-task-per-source window) + the
+    // (source, split) rollup + the final presentation sort. An 8th
     // exchange means a stage stopped reusing its upstream partitioning.
-    assert("""\([0-9]+\) Exchange""".r.findAllIn(p).size == 3,
-      "whole-pipeline shuffle budget is 3:\n" + p.take(2500))
+    assert("""\([0-9]+\) Exchange""".r.findAllIn(p).size == 7,
+      "whole-pipeline shuffle budget is 7:\n" + p.take(2500))
     // row_number = 1 / <= k filters must plan as WindowGroupLimit so
     // per-group state is bounded before the full window runs
     assert(p.contains("WindowGroupLimit"), p.take(2500))
   }
 
-  test("pack_tokens_bpe: tokenize → pack consumer stage holds a 4-shuffle " +
+  test("pack_tokens_bpe: tokenize → pack consumer stage holds an 8-shuffle " +
     "budget with the trained segmentation BROADCAST") {
     // downstream of the checkpointed tokenizer artifact the full
     // text→training-batches path is: word-instance join (vocabulary side
-    // broadcast), per-doc token rollup, per-lang packing window, and the
-    // presentation sort — 4 exchanges. A 5th means the packing stage
-    // stopped reusing its upstream partitioning; a shuffled (non-
-    // broadcast) segmentation join would shuffle the corpus instances
-    // against a vocabulary-sized table.
+    // broadcast), per-doc token rollup, the left join back to the doc
+    // spine, the two-phase packing prefix-sum (r13: bucket partial-agg
+    // shuffle, bounded offset-window shuffle, (lang, bucket) in-bucket
+    // window — no task sorts a whole lang shard any more), and the
+    // presentation sort — 9 exchanges in the AQE-initial plan this spec
+    // reads (AQE's runtime re-plan elects the spine join broadcast,
+    // dropping it to 8 — the Dev-measured AQE-off count). A 10th means
+    // a stage stopped reusing its upstream partitioning; a shuffled
+    // (non-broadcast) segmentation join would shuffle the corpus
+    // instances against a vocabulary-sized table.
     val p = planOf("pack_tokens_bpe")
-    assert("""\([0-9]+\) Exchange""".r.findAllIn(p).size == 4,
-      "tokenize→pack consumer shuffle budget is 4:\n" + p.take(2500))
+    assert("""\([0-9]+\) Exchange""".r.findAllIn(p).size == 9,
+      "tokenize→pack consumer shuffle budget is 9:\n" + p.take(2500))
     assert(p.contains("BroadcastExchange"),
       "the vocabulary segmentation must broadcast, not shuffle:\n" +
         p.take(2000))
@@ -310,19 +317,22 @@ class PlanSpec extends SparkSpec {
 
   test("pretrain_pipeline_e2e: shuffle budget pinned — the post-artifact " +
     "dataflow plans a bounded Exchange count and no global window") {
-    // The capstone's session artifacts (LM scores, BPE segmentation) are
-    // checkpointed, so the returned plan is the curate→tokenize→pack
-    // composition itself. Pin its shuffle budget: gates are narrow, so
-    // the Exchanges are dedup-hash, source-cap, split-pack windows, the
-    // token join + doc rollup, and the final group — a fixed set. A
-    // regression that re-shuffles the corpus per stage (or re-plans a
-    // stage as a global window) fails here before it reaches a bench.
+    // The capstone's session artifacts (LM scores, classifier scores,
+    // BPE segmentation) are checkpointed, so the returned plan is the
+    // curate→tokenize→pack composition itself. Pin its shuffle budget:
+    // gates are narrow, so the Exchanges are the two gate-score joins,
+    // dedup-hash, the two-phase cap and pack devices (bucket partial
+    // aggs + bounded offset windows + in-bucket windows — r13), the
+    // token join + doc rollup, and the final group — a fixed set (12
+    // shuffles + 2 threshold broadcasts). A regression that re-shuffles
+    // the corpus per stage (or re-plans a stage as a global window)
+    // fails here before it reaches a bench.
     withConfs("spark.sql.adaptive.enabled" -> "false") {
       val plan = SparkEntry.queries("pretrain_pipeline_e2e")(spark, sf)
         .queryExecution.executedPlan
       val exchanges = plan.toString.split("\n")
         .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
-      assert(exchanges <= 12, s"capstone plans $exchanges exchanges (>12)")
+      assert(exchanges <= 14, s"capstone plans $exchanges exchanges (>14)")
       val globalWin = plan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec
             if w.partitionSpec.isEmpty => w

@@ -150,10 +150,14 @@ class PlanSweepSpec extends SparkSpec {
       "train/encode, 50-query bounded side x reconstruction"),
     "corpus_datacard" -> ("the 1-row LM-gate threshold artifact crossed " +
       "onto the per-shard gate-rate rollup"),
-    "unigram_lm_train" -> ("1-row piece-mass totals crossed into the " +
-      "log-probability normalizer + the per-round 1-row report " +
-      "aggregates crossed into the trajectory row — all on the " +
-      "Heaps-saturating word domain"))
+    // unigram_lm_train crosses 1-row piece-mass totals and report
+    // aggregates inside the (r13) checkpointed training artifact — the
+    // returned trajectory plan is truncated, so no entry (or permitted:
+    // the rot-check would fire), like semdedup/bpe.
+    // ---- r13 additions ----
+    "quality_clf_gate" -> ("the 1-row classifier-threshold artifact " +
+      "crossed back over the per-(lang, source) manifest — the " +
+      "quality_lm_gate shape"))
 
   test("no unlisted query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -233,6 +237,95 @@ class PlanSweepSpec extends SparkSpec {
       }
       assert(offenders.isEmpty,
         s"unjustified global window in: ${offenders.mkString(", ")}")
+    }
+  }
+
+  // ---- bounded-key window sweep (r13) ----------------------------------
+  // The r12 weak set was the SAME failure mode one notch up: WindowExec
+  // partitioned by a bounded-cardinality fixture dimension (source ≈ 6,
+  // lang ≈ 5, split = 3) whose shards each hold a corpus-growing row
+  // count — at 100× every shard is a single-task sort of ~N/18 rows.
+  // This sweep flags every window whose partitionSpec references ONLY
+  // the bounded documents-table dimensions; each allowlisted key records
+  // what bounds the window's INPUT (a value histogram, a ≤|dims|×256
+  // bucket aggregate, a per-(dim,dim) rollup) — never corpus rows.
+  private val boundedDims = Set("source", "lang", "split", "lang_pred")
+  private val boundedKeyWindowAllowed: Map[String, String] = Map(
+    // ---- two-phase prefix-sum device: the offset/total window runs on
+    // the ≤ |part|·256-row BUCKET AGGREGATE, never corpus rows; the
+    // corpus-sized window partitions by (part, __g_bkt) — not flagged.
+    "domain_mix_sample" ->
+      "offset/total window over the ≤ sources·256-row bucket aggregate",
+    "pack_sequences" ->
+      "offset window over the ≤ langs·256-row bucket aggregate",
+    "pack_tokens_bpe" ->
+      "offset window over the ≤ langs·256-row bucket aggregate",
+    "curation_pipeline_e2e" ->
+      "cap offset/total window over the ≤ sources·256-row bucket aggregate",
+    "pretrain_pipeline_e2e" -> ("cap + pack offset windows over the " +
+      "≤ sources·256-row and ≤ sources·splits·256-row bucket aggregates"),
+    // ---- value-histogram selection: windows run on the bounded
+    // (dim, value) histogram — cardinality = the value DOMAIN (doc
+    // sizes), not the doc count.
+    "gini_concentration" ->
+      "rank-telescope prefix over the per-source n_chars histogram",
+    "outlier_mad" ->
+      "dual-rank median selection over the per-source value histograms",
+    "winsorize_stats" ->
+      "p05/p95 exact-rank selection over the per-lang n_chars histogram",
+    // ---- bounded-aggregate shares / top-k over saturating domains
+    "langid_confusion" ->
+      "row-fraction window over the ≤ langs² (label, pred) aggregate",
+    "ngram_profile" ->
+      "top-5 rank over the ≤ langs·26² char-bigram aggregate",
+    "zipf_fit" -> ("top-100 rank over the per-lang word aggregate — " +
+      "row_number ≤ k plans a WindowGroupLimit map-side prune to " +
+      "k rows/group/partition before any sort; vocab saturates (Heaps)"),
+    "corpus_datacard" -> ("top-100 Zipf rank over the per-(source, lang) " +
+      "word aggregate — WindowGroupLimit-pruned, Heaps-saturating domain"),
+    "token_bpe_apply" -> ("top-token argmax (row_number = 1) over the " +
+      "per-lang token aggregate — WindowGroupLimit-pruned, " +
+      "Heaps-saturating vocabulary domain"),
+    "token_unigram_apply" -> ("top-piece argmax (row_number = 1) over " +
+      "the per-lang piece aggregate — WindowGroupLimit-pruned, " +
+      "Heaps-saturating vocabulary domain (the token_bpe_apply shape)"))
+
+  /** Window nodes in `plan` whose partitionSpec is nonempty and draws
+    * only from the bounded fixture dimensions. */
+  private def boundedKeyWindows(
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+    plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.flatMap(_.references.toSeq.map(_.name))
+              .forall(boundedDims) => w.nodeName
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.flatMap(_.references.toSeq.map(_.name))
+              .forall(boundedDims) => w.nodeName
+    }
+
+  test("no unlisted query plans a bounded-key window") {
+    withConfs("spark.sql.adaptive.enabled" -> "false") {
+      val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+        val hit = boundedKeyWindows(SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan).nonEmpty
+        if (hit && !boundedKeyWindowAllowed.contains(name)) Some(name)
+        else None
+      }
+      assert(offenders.isEmpty,
+        s"unjustified bounded-key window in: ${offenders.mkString(", ")}")
+    }
+  }
+
+  test("every bounded-key-window allowlist entry still plans one") {
+    withConfs("spark.sql.adaptive.enabled" -> "false") {
+      for ((name, why) <- boundedKeyWindowAllowed) {
+        val hit = boundedKeyWindows(SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan).nonEmpty
+        assert(hit, s"$name no longer plans a bounded-key window — drop " +
+          s"it from the allowlist ($why)")
+      }
     }
   }
 
