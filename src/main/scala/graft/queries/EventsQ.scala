@@ -835,16 +835,33 @@ object EventsQ {
     * that type (last event carries no duration). Every product is exact
     * (DECIMAL(14,4) value × integer-µs duration), the sums are exact
     * decimals, and the single float op is the final division — the
-    * step-function integral, computed relationally. One event_type
-    * window (lead) + one groupBy on the same key — the partitioning is
-    * reused, so TWA costs one shuffle at any corpus size. */
+    * step-function integral, computed relationally.
+    * Scale shape (r13): the lead rides DAY-bucketed windows (the
+    * calendar bucket is order-preserving on ts_us and bounded by the
+    * observation span — the per-day-aggregate convention): within each
+    * (type, day) the in-bucket lead; across buckets the boundary stitch
+    * joins each bucket's LAST row to the next non-empty bucket's FIRST
+    * timestamp via a lead over the bounded (type, day) first-row
+    * aggregate. dt values are identical to the r12 single-window-per-
+    * type plan (equal timestamps never straddle a day), which sorted
+    * every event of a type in one task — the bounded-key weak class. */
   val timeWeightedAvg: QFn = (s, dir) => {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts_us"), col("event_id"))
-    t(s, dir, "events")
+    val base = t(s, dir, "events")
       .select(col("event_type"), col("ts_us"), col("event_id"),
-        dec(col("value"), 14, 4).as("v"))
-      .withColumn("dt", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        dec(col("value"), 14, 4).as("v"),
+        expr("ts_us div 86400000000").as("bkt"))
+    val wIn = Window.partitionBy(col("event_type"), col("bkt"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val wB = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+    val nxt = base.groupBy(col("event_type"), col("bkt"))
+      .agg(min(col("ts_us")).as("first_ts"))
+      .withColumn("nxt_ts", lead(col("first_ts"), 1).over(wB))
+      .select(col("event_type"), col("bkt"), col("nxt_ts"))
+    base
+      .withColumn("lead_in", lead(col("ts_us"), 1).over(wIn))
+      .join(broadcast(nxt), Seq("event_type", "bkt"))
+      .withColumn("dt",
+        coalesce(col("lead_in"), col("nxt_ts")) - col("ts_us"))
       .filter(col("dt").isNotNull)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_intervals"),

@@ -22,15 +22,30 @@ object WindowsQ {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
-  /** rank / dense_rank / ntile within p_type by price (unique tiebreaker). */
+  /** rank / dense_rank / ntile within p_type by price (unique tiebreaker).
+    * Scale shape (r13): the ORDER BY is unique, so rank = dense_rank =
+    * row_number, and ntile(4) is a pure function of (rank, n) — the
+    * TRUE ntile remainder rule (first n mod 4 buckets get the extra
+    * row), never evaluated on a zero divisor (the q = 0 branch is
+    * short-circuited by the CASE). Ranks ride the two-phase device
+    * (negated floor(price) buckets preserve the DESC order), so no task
+    * sorts a whole p_type shard — the bounded-key weak class on the
+    * part axis, eliminated. */
   val rankDense: QFn = (s, dir) => {
-    val w = Window.partitionBy(col("p_type"))
-      .orderBy(col("p_retailprice").desc, col("p_partkey"))
-    t(s, dir, "part")
+    val base = t(s, dir, "part")
+      .select(col("p_partkey"), col("p_type"), col("p_retailprice"))
+    val ranked = graft.queries.core.bucketedRowNumber(base, Seq("p_type"),
+      (-floor(col("p_retailprice"))).cast("long"),
+      Seq(col("p_retailprice").desc, col("p_partkey")), "rk", Some("n"))
+    val q = expr("n div 4")
+    val r = expr("n % 4")
+    val tile = when(col("rk") <= (q + lit(1L)) * r,
+      expr("(rk - 1) div (n div 4 + 1)") + lit(1L))
+      .otherwise(r + expr("(rk - 1 - (n div 4 + 1) * (n % 4)) div (n div 4)")
+        + lit(1L))
+    ranked
       .select(col("p_partkey"), col("p_type"),
-        rank().over(w).cast("long").as("rnk"),
-        dense_rank().over(w).cast("long").as("drnk"),
-        ntile(4).over(w).cast("long").as("tile"))
+        col("rk").as("rnk"), col("rk").as("drnk"), tile.as("tile"))
       .orderBy(col("p_partkey"))
   }
 
@@ -103,21 +118,39 @@ object WindowsQ {
     * so timestamp TIES are all peers of one frame on both engines —
     * deterministic with no tiebreaker needed (the reason this key can
     * ship a per-event output at all); count is exact and the sum rides
-    * the DECIMAL pin. Scale shape: one shuffle on event_type, per-
-    * partition sort on ts — at 100 TB the partition key widens to
-    * (type, day-bucket) and frames never cross buckets more than 1 h. */
-  val winRangeInterval: QFn = (s, dir) =>
-    t(s, dir, "events")
-      .select(col("event_id"), col("event_type"), col("ts"),
+    * the DECIMAL pin.
+    * Scale shape (r13): the partition key IS (type, day-bucket) now —
+    * the r12 docstring's promised fix, implemented with the standard
+    * GHOST-OVERLAP device: a trailing 1 h frame can only reach back
+    * across one midnight, so every event in a day's LAST hour is
+    * duplicated into the NEXT day's partition as a frame-feeding ghost
+    * (counted by frames, emits no output row). Per-task input is one
+    * (type, day) shard + ≤1 h of ghosts at any corpus size; outputs are
+    * bit-identical to the one-window-per-type plan. */
+  val winRangeInterval: QFn = (s, dir) => {
+    val base = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("ts"), col("ts_us"),
         dec(col("value"), 14, 4).as("v"))
-      .selectExpr("event_id", "event_type",
-        """count(*) OVER (PARTITION BY event_type ORDER BY ts
+    val real = base
+      .withColumn("bkt", expr("ts_us div 86400000000"))
+      .withColumn("ghost", lit(false))
+    val ghosts = base
+      .filter(expr("ts_us % 86400000000 >= 86400000000 - 3600000000"))
+      .withColumn("bkt", expr("ts_us div 86400000000 + 1"))
+      .withColumn("ghost", lit(true))
+    real.unionByName(ghosts)
+      .selectExpr("event_id", "event_type", "ghost",
+        """count(*) OVER (PARTITION BY event_type, bkt ORDER BY ts
            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
            AS n_1h""",
-        """CAST(sum(v) OVER (PARTITION BY event_type ORDER BY ts
+        """CAST(sum(v) OVER (PARTITION BY event_type, bkt ORDER BY ts
            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
            AS DOUBLE) AS sum_1h""")
+      .filter(!col("ghost"))
+      .select(col("event_id"), col("event_type"), col("n_1h"),
+        col("sum_1h"))
       .orderBy(col("event_id"))
+  }
 
   val queries: Map[String, QFn] = Map(
     "win_range_interval" -> winRangeInterval,

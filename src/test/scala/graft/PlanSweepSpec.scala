@@ -249,7 +249,20 @@ class PlanSweepSpec extends SparkSpec {
   // the bounded documents-table dimensions; each allowlisted key records
   // what bounds the window's INPUT (a value histogram, a ≤|dims|×256
   // bucket aggregate, a per-(dim,dim) rollup) — never corpus rows.
-  private val boundedDims = Set("source", "lang", "split", "lang_pred")
+  // r13 second pass: the events fixture's bounded dimension joins the
+  // set — drift_ks / time_weighted_avg carried the same weak shape one
+  // table over (per-type windows whose shards hold corpus-growing event
+  // rows) and are re-planned; everything else allowlisted below runs on
+  // per-day / per-value / per-bin aggregates.
+  // r13 third pass: the TPC-H bounded dimensions join too — the same
+  // weak shape lived on the part/lineitem axes (win_percent_cume,
+  // win_rank_dense, weighted_median — all re-planned this round onto
+  // the two-phase device / value histograms).
+  private val boundedDims =
+    Set("source", "lang", "split", "lang_pred", "event_type",
+      "p_type", "p_brand", "p_container", "l_returnflag", "l_linestatus",
+      "l_shipmode", "o_orderpriority", "o_orderstatus", "c_mktsegment",
+      "n_name", "r_name")
   private val boundedKeyWindowAllowed: Map[String, String] = Map(
     // ---- two-phase prefix-sum device: the offset/total window runs on
     // the ≤ |part|·256-row BUCKET AGGREGATE, never corpus rows; the
@@ -288,7 +301,53 @@ class PlanSweepSpec extends SparkSpec {
       "Heaps-saturating vocabulary domain"),
     "token_unigram_apply" -> ("top-piece argmax (row_number = 1) over " +
       "the per-lang piece aggregate — WindowGroupLimit-pruned, " +
-      "Heaps-saturating vocabulary domain (the token_bpe_apply shape)"))
+      "Heaps-saturating vocabulary domain (the token_bpe_apply shape)"),
+    // ---- events-table dimension (r13 second pass): per-DAY aggregates
+    // (calendar-bounded), per-VALUE histograms (cent-grain domain —
+    // measured 6.6k -> 17.8k distinct on a 10x row step), per-BIN
+    // sketches. The two corpus-sized offenders (drift_ks raw-row CDF,
+    // time_weighted_avg whole-type lead) were re-planned this round;
+    // win_range_interval moved to (type, day)-bucketed ghost-overlap
+    // partitions and no longer matches the detector at all.
+    "acf_lag" -> "lag windows over the per-(type, day) aggregate",
+    "pacf_lag" -> "lag/regression windows over the per-(type, day) aggregate",
+    "cusum_changepoint" ->
+      "cumulative/peak windows over the per-(type, day) aggregate",
+    "ewma_trailing" -> "trailing frame over the per-(type, day) aggregate",
+    "seasonal_decompose" ->
+      "trend/seasonal windows over the per-(type, day) aggregate",
+    "seasonal_dow" -> "share windows over the per-(type, day) aggregate",
+    "theil_sen" -> ("median-rank windows over the C(days,2) pairwise-" +
+      "slope table — calendar-bounded"),
+    "win_rolling_median" ->
+      "7-day frame over the per-(type, day) aggregate",
+    "gap_fill_ffill" ->
+      "fill windows over the (type, day)-spine — calendar-bounded",
+    "gap_fill_interp" ->
+      "interpolation windows over the (type, day)-spine — calendar-bounded",
+    "time_weighted_avg" -> ("boundary-stitch lead over the bounded " +
+      "(type, day) first-row aggregate — the corpus-sized lead rides " +
+      "(type, day)-bucketed windows (r13 re-plan)"),
+    "drift_ks" -> ("CDF prefix windows over the (type, value) histogram " +
+      "— cent-grain value domain, saturating (r13 re-plan)"),
+    "mann_whitney_u" ->
+      "midrank prefix window over the (type, value) histogram",
+    "tdigest_quantile" -> ("clustering/selection windows over the " +
+      "(type, value) histogram and the ≤ δ-row centroid table"),
+    "hdr_quantile_sketch" ->
+      "rank-selection windows over the ≤ 512-bin HDR bucket aggregate",
+    "drift_psi" ->
+      "share windows over the 10-bucket PSI aggregate",
+    // ---- TPC-H dimensions (r13 third pass)
+    "agg_mode_median" -> ("mode argmax (row_number = 1) over the " +
+      "(flag, quantity) count aggregate — ~50-value quantity domain"),
+    "weighted_median" -> ("prefix-mass selection windows over the " +
+      "(flag, extendedprice) histogram — price-domain-bounded " +
+      "(r13 re-plan)"),
+    "win_percent_cume" -> ("offset/total window over the ≤ types·256-row " +
+      "bucket aggregate (two-phase rank device, r13 re-plan)"),
+    "win_rank_dense" -> ("offset/total window over the ≤ types·256-row " +
+      "bucket aggregate (two-phase rank device, r13 re-plan)"))
 
   /** Window nodes in `plan` whose partitionSpec is nonempty and draws
     * only from the bounded fixture dimensions. */
