@@ -540,6 +540,59 @@ class ScalingSpec extends SparkSpec {
     assert(e <= 1.3, f"pretrain_pipeline_e2e shuffle grew as docs^$e%.2f")
   }
 
+  /** r13 keys on the fixture tiers (r12m conventions: artifact-backed
+    * keys measured WARM — the steady-state shuffle is the claim). */
+  private case class R13Tier(dir: String, docs: Long, toks: Long,
+      spansShuf: Long, clfShuf: Long, uniApplyShuf: Long, packShuf: Long)
+
+  private lazy val r13m: Seq[R13Tier] =
+    tiers.filter(_.startsWith("/root/testdata")).map { dir =>
+      val docs = Tables(spark, dir, "documents").count()
+      val toks = Tables(spark, dir, "documents")
+        .select(explode(graft.operators.TextOps.tokens(col("text"))))
+        .count()
+      // warm every session artifact the measured keys consume
+      SparkEntry.queries("quality_clf_gate")(spark, dir).count()
+      SparkEntry.queries("token_unigram_apply")(spark, dir).count()
+      SparkEntry.queries("pack_tokens_bpe")(spark, dir).count()
+      val t = R13Tier(dir, docs, toks,
+        shufOfKey(dir, "dedup_spans_sink"),
+        shufOfKey(dir, "quality_clf_gate"),
+        shufOfKey(dir, "token_unigram_apply"),
+        shufOfKey(dir, "pack_tokens_bpe"))
+      println(s"[scaling] $t")
+      t
+    }
+
+  test("dedup_spans_sink: shuffle grows ~linearly in tokens — seeds are " +
+    "corpus-linear and the repeat-match volume stays sparse") {
+    val e = exponent(r13m.map(t => (t.toks, t.spansShuf)))
+    info(f"span-dedup shuffle exponent vs tokens: $e%.3f")
+    assert(e <= 1.3, f"dedup_spans_sink shuffle grew as tokens^$e%.2f " +
+      "— the seed join or position explode left the sparse-match regime")
+  }
+
+  test("quality_clf_gate: steady-state shuffle grows ~linearly in docs — " +
+    "scores/threshold ride the session artifact") {
+    val e = exponent(r13m.map(t => (t.docs, t.clfShuf)))
+    info(f"clf-gate shuffle exponent vs docs: $e%.3f")
+    assert(e <= 1.25, f"quality_clf_gate shuffle grew as docs^$e%.2f")
+  }
+
+  test("token_unigram_apply: steady-state shuffle grows ~linearly in " +
+    "tokens — the encode rides the registry pieces on the word domain") {
+    val e = exponent(r13m.map(t => (t.toks, t.uniApplyShuf)))
+    info(f"unigram-apply shuffle exponent vs tokens: $e%.3f")
+    assert(e <= 1.2, f"token_unigram_apply shuffle grew as tokens^$e%.2f")
+  }
+
+  test("pack_tokens_bpe: steady-state shuffle grows ~linearly in tokens " +
+    "— the two-phase packing adds only bounded bucket aggregates") {
+    val e = exponent(r13m.map(t => (t.toks, t.packShuf)))
+    info(f"pack_tokens_bpe shuffle exponent vs tokens: $e%.3f")
+    assert(e <= 1.25, f"pack_tokens_bpe shuffle grew as tokens^$e%.2f")
+  }
+
   test("no candidate job shuffles all-pairs-scale row volume") {
     meas.foreach { t =>
       val docPairs = allPairs(t.docs)
