@@ -147,8 +147,14 @@ object Tables {
   private val cleaner = java.lang.ref.Cleaner.create()
   private val sessionEvictors =
     new java.util.concurrent.ConcurrentLinkedQueue[String => Unit]()
-  private def evictSession(sid: String): Unit =
+  private def evictSession(sid: String): Unit = {
+    // Both eviction paths clean the stop-detection entry (r13 advisory):
+    // a session GC'd while its context keeps running would otherwise pin
+    // the context reference and be re-polled forever. Idempotent with the
+    // sweep path's own remove.
+    stoppable.remove(sid)
     sessionEvictors.forEach(f => f(sid))
+  }
 
   /** A TrieMap whose keys lead with [[sessionKey]], wired into the
     * session-collection Cleaner above: entries for a GC'd session are
@@ -249,9 +255,12 @@ object Tables {
             priorV1.getOrElse("").split(",").map(_.trim)
               .filter(s => s.nonEmpty && s != "parquet").mkString(","))
           spark.conf.set(aggKey, "true")
-          spark.read.parquet(s"$sfDir/$name.parquet")
+          // NULL aggregate (empty table / all-NULL column) → 0, not NPE
+          // (r13 advisory): degenerate corpora yield NULL results, never
+          // crashes; idBucket with domainMax 0 gives width 1, safe.
+          Option(spark.read.parquet(s"$sfDir/$name.parquet")
             .agg(max(col(column)))
-            .first().getAs[Number](0).longValue()
+            .first().getAs[Number](0)).map(_.longValue()).getOrElse(0L)
         } finally {
           priorV1 match {
             case Some(v) => spark.conf.set(v1Key, v)

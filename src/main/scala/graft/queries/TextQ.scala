@@ -1503,13 +1503,33 @@ object TextQ {
 
   private val UniMaxPiece = 4
 
+  /** The ONE word-length bound both sides of the unigram contract share
+    * (r13 advisory, round 14): the DuckDB oracle is generated statically
+    * (no fixture access), so its DP/backtrack unroll is structural — it
+    * unrolls to THIS bound, and every level beyond the corpus's true max
+    * word length is provably empty (`len(word) >= i` filters), so the
+    * replay is exact for ANY corpus whose words fit the bound. The
+    * engine keeps deriving its depth from the observed max (never pays
+    * empty DP rounds) and FAILS LOUDLY in [[uniMaxLen]] when a word
+    * exceeds the bound — the r12 failure mode (silent word-dropping on
+    * one side only) is structurally impossible in either direction. */
+  private[queries] val UniWordLenBound = 20
+
   /** DP unroll depth = the OBSERVED max word length (r13 advisory fix:
     * a hardcoded bound would silently drop longer words from the NLL,
     * backtrack, and M-step — hashes stay green while semantics rot).
-    * One O(1) aggregate over the checkpointed word domain. */
+    * One O(1) aggregate over the checkpointed word domain. Asserts the
+    * shared oracle bound [[UniWordLenBound]] loudly (r13 advisory,
+    * second half): past it the static oracle CTEs would drop the word
+    * while the engine keeps it — fail here, never diverge silently. */
   private def uniMaxLen(wc: DataFrame): Int = {
     val r = wc.agg(max(length(col("word")))).first()
-    (if (r.isNullAt(0)) 1 else r.getInt(0)) max 1
+    val m = (if (r.isNullAt(0)) 1 else r.getInt(0)) max 1
+    require(m <= UniWordLenBound,
+      s"unigram corpus has a $m-char word, past the shared oracle " +
+        s"unroll bound UniWordLenBound=$UniWordLenBound — raise the " +
+        "bound (both sides regenerate from it) before training")
+    m
   }
 
   /** One Viterbi E-step under `pieces`: the unrolled max-likelihood DP
@@ -2190,10 +2210,15 @@ object TextQ {
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM binned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  /** Unigram-LM oracle: the identical seed → (unrolled 8-position
-    * Viterbi DP in DECIMAL(22,10) → ≤8-step backtrack → prune/floor →
-    * re-estimate) chain, generated per EM round. */
-  private val UniSqlMaxLen = 8
+  /** Unigram-LM oracle: the identical seed → (unrolled Viterbi DP in
+    * DECIMAL(22,10) → bounded-step backtrack → prune/floor →
+    * re-estimate) chain, generated per EM round. The unroll depth is the
+    * SHARED structural bound [[UniWordLenBound]] (r13 advisory fix):
+    * levels past the corpus's true max word length are empty
+    * (`len(word) >= i`), so the oracle replays the engine's derived-depth
+    * DP exactly for any corpus the engine accepts — the engine asserts
+    * the same bound in uniMaxLen. */
+  private val UniSqlMaxLen = UniWordLenBound
   private val UniSqlMaxPiece = 4
 
   /** Unigram E-step CTEs for round r (DP + backtrack + path), reading

@@ -128,7 +128,19 @@ object core {
     * md5Bucket / idBucket); `value` must be integral (exact sums).
     * Optionally also attaches the per-part total as `totalOut` (computed
     * on the bounded bucket aggregate — replaces count/sum().over(
-    * partitionBy(part)), the other half of the weak shape). */
+    * partitionBy(part)), the other half of the weak shape).
+    *
+    * PRECONDITIONS (r13 advisory — violations are silent, not errors):
+    *   - `part` and the bucket column must be NON-NULL: the offset join
+    *     is plain equality, so a NULL partition or bucket key DROPS the
+    *     row, where the window it replaces would keep NULL as an
+    *     ordinary partition value. Coalesce nullable keys first.
+    *   - `order` must be UNIQUE within (part, bucket): the inner window
+    *     uses the default RANGE frame, so tied order values all receive
+    *     the tie group's maximum running sum (rank semantics), not
+    *     distinct row positions. Every call site carries a unique
+    *     tiebreaker (TwoPhaseSpec pins the equivalence under that
+    *     contract). */
   def bucketedPrefixSum(df: DataFrame, part: Seq[String], bucketC: Column,
       order: Seq[Column], value: Column, out: String,
       totalOut: Option[String] = None): DataFrame = {
@@ -155,7 +167,11 @@ object core {
   }
 
   /** row_number() over (partitionBy(part).orderBy(order)), two-phase:
-    * bucketedPrefixSum of 1 — BIGINT ranks, same values. */
+    * bucketedPrefixSum of 1 — BIGINT ranks, same values. Inherits
+    * bucketedPrefixSum's preconditions: non-null part/bucket keys and a
+    * UNIQUE `order` within (part, bucket) — with ties the RANGE-framed
+    * inner sum hands every tied row the tie group's max rank, not
+    * distinct row_number values. */
   def bucketedRowNumber(df: DataFrame, part: Seq[String], bucket: Column,
       order: Seq[Column], out: String,
       totalOut: Option[String] = None): DataFrame =
