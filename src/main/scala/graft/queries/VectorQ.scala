@@ -417,11 +417,16 @@ object VectorQ {
     * lateInbox staging pattern). */
   private def annIndexDir(s: SparkSession, dir: String): String =
     synchronized {
-      val root = new java.io.File(core.scratchRoot,
+      // All paths through the Hadoop FileSystem of the registry root's
+      // scheme (r14, the persistedArtifact pattern): a deployment points
+      // -Dgraft.registry.root at hdfs:/object storage and the standing
+      // index becomes durable shared state; file: is the local default.
+      val root = new org.apache.hadoop.fs.Path(core.registryRoot,
         "ann_index_" + core.dirKey(dir))
-      val done = new java.io.File(root, "_built")
-      if (!done.exists()) {
-        root.mkdirs()
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val done = new org.apache.hadoop.fs.Path(root, "_built")
+      if (!fs.exists(done)) {
+        fs.mkdirs(root)
         val centroids = t(s, dir, "embeddings")
           .filter(col("vec_id") % 4 =!= 0)
           .select(col("label"),
@@ -452,9 +457,9 @@ object VectorQ {
           .select(col("vec_id"), col("clabel").as("cell"), col("v"),
             col("nrm"))
           .write.mode("overwrite").parquet(s"$root/base")
-        done.createNewFile()
+        fs.createNewFile(done)
       }
-      root.getAbsolutePath
+      root.toString
     }
 
   /** Standing-index ANN maintenance (r11) — probe + upsert a NEW batch

@@ -178,26 +178,43 @@ object core {
     bucketedPrefixSum(df, part, bucket, order,
       org.apache.spark.sql.functions.lit(1L), out, totalOut)
 
+  /** Artifact-registry root (r14, verdict #6): every persisted-artifact
+    * marker/write/read path resolves through the Hadoop `FileSystem` API
+    * of THIS root's scheme (the AuditSink pattern), so the registry works
+    * unchanged on `file:` (the local default), `hdfs:`, or an
+    * object-store scheme — at cluster scale a deployment points
+    * `-Dgraft.registry.root=hdfs://…/graft_registry` at durable shared
+    * storage and every executor-restart / pipeline-restart re-LOADS
+    * instead of retraining. Default = the per-JVM scratch root (local
+    * runs stay co-tenant-safe: two JVMs benching the same fixture never
+    * share a half-written artifact). */
+  def registryRoot: String =
+    sys.props.getOrElse("graft.registry.root", scratchRoot)
+
   /** Persist-once artifact store (r13) — the annIndexDir `_built`-marker
     * pattern generalized: build the DataFrame ONCE per (JVM, fixture
-    * dir, name), write it to scratch parquet, and serve every later
+    * dir, name), write it to registry parquet, and serve every later
     * call — including from a DIFFERENT SparkSession (a pipeline
     * restart) — from the persisted copy instead of recomputing. The
     * tokenizer/LM registry (BPE merges, unigram pieces, LM-gate
     * threshold) rides this; `build` is by-name so the ensured path
-    * never re-plans it. */
+    * never re-plans it. All filesystem ops go through the Hadoop
+    * `FileSystem` of [[registryRoot]]'s scheme (r14) — `file:` and
+    * `hdfs:`/object-store roots take the identical code path. */
   def persistedArtifact(s: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame = {
     val path = this.synchronized {
-      val root = new java.io.File(scratchRoot, "registry_" + dirKey(dir))
-      root.mkdirs()
-      val marker = new java.io.File(root, s"_built_$name")
-      val p = new java.io.File(root, name).getAbsolutePath
-      if (!marker.exists()) {
-        build.coalesce(1).write.mode("overwrite").parquet(p)
-        marker.createNewFile()
+      val root = new org.apache.hadoop.fs.Path(
+        registryRoot, "registry_" + dirKey(dir))
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(root)
+      val marker = new org.apache.hadoop.fs.Path(root, s"_built_$name")
+      val p = new org.apache.hadoop.fs.Path(root, name)
+      if (!fs.exists(marker)) {
+        build.coalesce(1).write.mode("overwrite").parquet(p.toString)
+        fs.createNewFile(marker)
       }
-      p
+      p.toString
     }
     s.read.parquet(path)
   }
