@@ -808,7 +808,10 @@ object CurationQ {
     * "n-gram model" is constant-size no matter the corpus, the property
     * that makes DSIR run at 100 TB — broadcast back against (b) per-doc
     * bucket counts; cost is two shuffles on (doc_id, bucket). */
-  val dsirWeight: QFn = (s, dir) => {
+  /** The shared per-doc DSIR scored frame (doc_id, n_toks, w: exact
+    * DECIMAL sum) — consumed by dsir_weight (the report) and
+    * dsir_sample (the resampler the weights exist for). */
+  private def dsirDocWeights(s: SparkSession, dir: String): DataFrame = {
     val tok = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         explode(split(lower(col("text")), "\\s+")).as("tok"))
@@ -831,10 +834,60 @@ object CurationQ {
       .groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n_toks"),
         sum(dec(col("k"), 10, 0) * col("term")).as("w"))
+  }
+
+  val dsirWeight: QFn = (s, dir) =>
+    dsirDocWeights(s, dir)
       .select(col("doc_id"), col("n_toks"),
         r6(dbl(col("w"))).as("dsir_sum"),
         r6(dbl(col("w")) / col("n_toks")).as("dsir_avg"))
       .orderBy(col("doc_id"))
+
+  /** Sample size per source for dsir_sample. */
+  val DsirSampleK = 20
+  /** Importance weights are clipped to exp(±8) before sampling — the
+    * standard DSIR/importance-sampling variance control (Xie et al.
+    * 2023 clip their log-ratios too), and what keeps the exp() term
+    * inside DECIMAL(14,10) at any corpus size. */
+  val DsirClip = 8.0
+
+  /** DSIR weighted sampling WITHOUT replacement (r14, verdict #3) — the
+    * resampling step the importance weights exist for, derandomized:
+    * Efraimidis–Spirakis (IPL 2006) assigns each doc the key u^(1/w)
+    * and the sample is the top-k keys; equivalently rank by
+    * ln(u)/w = ln(u)·exp(−avg) DESC. u comes from the doc-id hash
+    * (48-bit md5 prefix → (h+0.5)/2^48 ∈ (0,1)), so both engines hold
+    * the identical "randomness"; w = exp(clipped dsir_avg), so
+    * target-like docs sample with proportionally higher probability.
+    * Both libm terms (ln u, exp −avg) are pinned DECIMAL(14,10) and the
+    * ranking key is their EXACT decimal product — engine-identical
+    * order by construction. Top-20 per source (without replacement by
+    * construction — each doc has one key).
+    *
+    * Scale shape: the scored frame is dsir_weight's own two shuffles;
+    * the sampler adds one doc_id equi-join for the source column and a
+    * per-source top-k window that plans a WindowGroupLimit — map-side
+    * pruned to k rows/group/partition before any sort, so the
+    * bounded-key window never sorts corpus rows. */
+  val dsirSample: QFn = (s, dir) => {
+    val scored = dsirDocWeights(s, dir)
+      .withColumn("dsir_avg", r6(dbl(col("w")) / col("n_toks")))
+    val av = greatest(least(col("dsir_avg"), lit(DsirClip)),
+      lit(-DsirClip))
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 12),
+      16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(281474976710656.0) // 2^48
+    val wTop = Window.partitionBy(col("source"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+    scored
+      .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .withColumn("es_key", dec(log(u), 14, 10) * dec(exp(-av), 14, 10))
+      .withColumn("smp_rank", row_number().over(wTop).cast("long"))
+      .filter(col("smp_rank") <= DsirSampleK)
+      .select(col("source"), col("smp_rank"), col("doc_id"),
+        col("n_toks"), col("dsir_avg"))
+      .orderBy(col("source"), col("smp_rank"))
   }
 
   /** Quantile normalization (r10) — the cross-source BATCH-EFFECT
@@ -901,6 +954,7 @@ object CurationQ {
   val queries: Map[String, QFn] = Map(
     "quantile_normalize" -> quantileNormalize,
     "mix_temperature"       -> mixTemperature,
+    "dsir_sample"           -> dsirSample,
     "dsir_weight"           -> dsirWeight,
     "feature_hash_audit"    -> featureHashAudit,
     "url_canonical_dedup"   -> urlCanonicalDedup,
@@ -943,6 +997,38 @@ object CurationQ {
 
   private val quantSq =
     "(e - CAST(floor(e * 127.0 / sc + 0.5) AS BIGINT) * sc / 127.0)"
+
+  /** The DSIR scoring chain (tokens → 256-bucket log-ratios → per-doc
+    * exact-decimal sums), ending in `w(doc_id, n_toks, w)` — shared by
+    * the dsir_weight report and the dsir_sample resampler oracles. */
+  private val dsirChainCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, lang, substr(md5(t), 1, 2) AS bucket
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(string_split_regex(lower(text), '\\s+')) AS t
+       |        FROM documents)
+       |  WHERE t <> ''),
+       |b AS (
+       |  SELECT bucket, count(*) AS c_r,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS c_t
+       |  FROM tok GROUP BY bucket),
+       |tot AS (
+       |  SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+       |    CAST(sum(c_t) AS BIGINT) AS n_t FROM b),
+       |rates AS (
+       |  SELECT bucket, CAST(ln(
+       |    CAST(c_t + 1 AS DOUBLE) * CAST(n_r + 256 AS DOUBLE) /
+       |    (CAST(c_r + 1 AS DOUBLE) * CAST(n_t + 256 AS DOUBLE)))
+       |    AS DECIMAL(14,10)) AS term
+       |  FROM b, tot),
+       |dk AS (
+       |  SELECT doc_id, bucket, count(*) AS k
+       |  FROM tok GROUP BY doc_id, bucket),
+       |w AS (
+       |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_toks,
+       |    sum(CAST(k AS DECIMAL(10,0)) * term) AS w
+       |  FROM dk JOIN rates USING (bucket) GROUP BY doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "quantile_normalize" ->
@@ -990,37 +1076,41 @@ object CurationQ {
         |  base + CASE WHEN rn <= deficit THEN 1 ELSE 0 END AS target_n
         |FROM k ORDER BY source""".stripMargin,
     "dsir_weight" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, lang, substr(md5(t), 1, 2) AS bucket
-         |  FROM (SELECT doc_id, lang,
-         |          unnest(string_split_regex(lower(text), '\\s+')) AS t
-         |        FROM documents)
-         |  WHERE t <> ''),
-         |b AS (
-         |  SELECT bucket, count(*) AS c_r,
-         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS c_t
-         |  FROM tok GROUP BY bucket),
-         |tot AS (
-         |  SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
-         |    CAST(sum(c_t) AS BIGINT) AS n_t FROM b),
-         |rates AS (
-         |  SELECT bucket, CAST(ln(
-         |    CAST(c_t + 1 AS DOUBLE) * CAST(n_r + 256 AS DOUBLE) /
-         |    (CAST(c_r + 1 AS DOUBLE) * CAST(n_t + 256 AS DOUBLE)))
-         |    AS DECIMAL(14,10)) AS term
-         |  FROM b, tot),
-         |dk AS (
-         |  SELECT doc_id, bucket, count(*) AS k
-         |  FROM tok GROUP BY doc_id, bucket),
-         |w AS (
-         |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_toks,
-         |    sum(CAST(k AS DECIMAL(10,0)) * term) AS w
-         |  FROM dk JOIN rates USING (bucket) GROUP BY doc_id)
+      s"""WITH $dsirChainCtes
          |SELECT doc_id, n_toks,
          |  ${r6Sql("CAST(w AS DOUBLE)")} AS dsir_sum,
          |  ${r6Sql("CAST(w AS DOUBLE) / n_toks")} AS dsir_avg
          |FROM w ORDER BY doc_id""".stripMargin,
+    // Same chain → r6 dsir_avg → the exact-decimal ES key
+    // (ln(u)·exp(−clipped avg), both terms pinned DECIMAL(14,10), u from
+    // the 48-bit md5 prefix of the doc id) → per-source top-20.
+    "dsir_sample" -> {
+      // 48-bit hash from 12 md5 hex nibbles, as one BIGINT expression
+      // (DuckDB has no hex→int conv; nibble positions mirror Spark's
+      // conv(substring(md5, 1, 12), 16, 10) exactly).
+      val hExpr = (1 to 12).map { i =>
+        val w = 1L << (4 * (12 - i))
+        s"(strpos('0123456789abcdef', substring(" +
+          s"md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * CAST($w AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH $dsirChainCtes,
+         |wavg AS (
+         |  SELECT doc_id, n_toks,
+         |    ${r6Sql("CAST(w AS DOUBLE) / n_toks")} AS dsir_avg
+         |  FROM w),
+         |keyed AS (
+         |  SELECT d.source, a.doc_id, a.n_toks, a.dsir_avg,
+         |    CAST(ln((($hExpr) + 0.5) / 281474976710656.0)
+         |        AS DECIMAL(14,10)) *
+         |      CAST(exp(-greatest(least(a.dsir_avg, 8.0), -8.0))
+         |        AS DECIMAL(14,10)) AS es_key
+         |  FROM wavg a JOIN documents d USING (doc_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |        ORDER BY es_key DESC, doc_id) AS smp_rank FROM keyed)
+         |SELECT source, CAST(smp_rank AS BIGINT) AS smp_rank, doc_id,
+         |  n_toks, dsir_avg
+         |FROM r WHERE smp_rank <= 20 ORDER BY source, smp_rank""".stripMargin
+    },
     // Identical tokenization (the qtext_wordcount contract) and the
     // identical md5-prefix bucket mapping.
     "feature_hash_audit" ->

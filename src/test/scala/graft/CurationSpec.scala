@@ -133,4 +133,46 @@ class CurationSpec extends SparkSpec {
         (1L to rows.length).toSeq, s"$src ranks not dense")
     }
   }
+
+  test("dsir_sample: dense per-source ranks, no replacement, and the " +
+    "Efraimidis-Spirakis optimality property against a local key mirror") {
+    val smp = SparkEntry.queries("dsir_sample")(spark, sf).collect()
+    assert(smp.nonEmpty)
+    val bySrc = smp.groupBy(_.getAs[String]("source"))
+    for ((src, rows) <- bySrc) {
+      val ranks = rows.map(_.getAs[Long]("smp_rank")).sorted.toSeq
+      assert(ranks == (1L to ranks.length).toSeq, s"$src ranks not dense")
+      assert(ranks.length <= graft.queries.CurationQ.DsirSampleK)
+    }
+    // without replacement: one key per doc, a doc appears at most once
+    assert(smp.map(_.getAs[Long]("doc_id")).distinct.length == smp.length)
+    // ES mirror: recompute every scored doc's key locally (double math —
+    // the engine pins to DECIMAL(14,10), agreeing to ~1e-10); per source,
+    // every SAMPLED key must dominate every unsampled key.
+    val avg = SparkEntry.queries("dsir_weight")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_avg")).toMap
+    val srcOf = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def esKey(id: Long): Double = {
+      val h = java.lang.Long.parseLong(md5hex(id.toString).take(12), 16)
+      val u = (h + 0.5) / 281474976710656.0
+      val av = math.max(-graft.queries.CurationQ.DsirClip,
+        math.min(graft.queries.CurationQ.DsirClip, avg(id)))
+      math.log(u) * math.exp(-av)
+    }
+    val sampled = smp.map(_.getAs[Long]("doc_id")).toSet
+    for ((src, rows) <- bySrc) {
+      val inKeys = rows.map(r => esKey(r.getAs[Long]("doc_id")))
+      val outKeys = avg.keys
+        .filter(id => srcOf(id) == src && !sampled.contains(id))
+        .map(esKey)
+      if (outKeys.nonEmpty)
+        assert(inKeys.min >= outKeys.max - 1e-9,
+          s"$src sampled a dominated key: min(in)=${inKeys.min} " +
+            s"< max(out)=${outKeys.max}")
+    }
+  }
 }

@@ -55,6 +55,8 @@ class PlanSweepSpec extends SparkSpec {
       "1-row quartile-thresholds aggregate broadcast against per-user rollup",
     "dsir_weight" ->
       "1-row corpus-totals aggregate crossed into the 256-bucket rate table",
+    "dsir_sample" -> ("the dsir_weight chain's 1-row corpus-totals cross " +
+      "into the 256-bucket rate table, inherited by the sampler"),
     "bm25_topk" ->
       "1-row (N, total-tokens) aggregate crossed into the BM25 formula",
     "q11_part_value_conc" ->
@@ -294,6 +296,9 @@ class PlanSweepSpec extends SparkSpec {
     "zipf_fit" -> ("top-100 rank over the per-lang word aggregate — " +
       "row_number ≤ k plans a WindowGroupLimit map-side prune to " +
       "k rows/group/partition before any sort; vocab saturates (Heaps)"),
+    "dsir_sample" -> ("per-source top-20 ES-key rank — row_number ≤ k " +
+      "plans a WindowGroupLimit map-side prune to k rows/group/partition " +
+      "before any sort (the zipf_fit device); never sorts corpus rows"),
     "corpus_datacard" -> ("top-100 Zipf rank over the per-(source, lang) " +
       "word aggregate — WindowGroupLimit-pruned, Heaps-saturating domain"),
     "token_bpe_apply" -> ("top-token argmax (row_number = 1) over the " +
