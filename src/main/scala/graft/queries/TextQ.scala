@@ -1982,7 +1982,11 @@ object TextQ {
     * are 1-row/3-row broadcasts; the tf table is filtered to query terms
     * BEFORE its groupBy, so per-query cost tracks posting-list size (the
     * inverted-index access pattern), not corpus size. */
-  val bm25TopK: QFn = (s, dir) => {
+  /** The shared BM25 scored frame (doc_id, n_terms, sc: exact DECIMAL
+    * sum of pinned per-term scores) for the fixed query
+    * {spark, join, data} — consumed by bm25_topk (global top-20) and
+    * retrieval_ndcg (the per-lang ranking-quality report). */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     val qterms = Seq("spark", "join", "data")
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
@@ -2002,13 +2006,73 @@ object TextQ {
         dec(idf * (dbl(col("tf")) * lit(2.2)) / denom, 14, 10).as("term"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("term")).as("sc"))
+  }
+
+  val bm25TopK: QFn = (s, dir) =>
+    bm25Scored(s, dir)
       .orderBy(col("sc").desc, col("doc_id"))
       .limit(20)
       .select(col("doc_id"), col("n_terms"), r6(dbl(col("sc"))).as("bm25"))
+
+  /** Retrieval-quality report: nDCG@10 + MRR@10 of the BM25 ranking per
+    * language (r14, verdict #2) — the ann_recall_report shape for the
+    * lexical retrieval stack. Graded relevance is DETERMINISTIC and
+    * exactly lexical: grade g = how many of the 3 fixed query terms the
+    * doc contains (1..3 over the scored pool) — so the IDEAL ranking
+    * (grades descending) IS the exact lexical baseline, and nDCG
+    * measures how much BM25's idf/length weighting agrees with raw term
+    * coverage. Gains (2^g − 1) ∈ {1, 3, 7} are exact ints; every DCG
+    * term is pinned DECIMAL(14,10) over the shared log2 discount
+    * (the zipf_fit pinned-log device) and summed exactly. IDCG needs no
+    * second corpus ranking: it comes from the per-lang grade COUNTS
+    * spread over a 10-rank spine (rank i takes grade 3 while i ≤ n3,
+    * then 2, then 1). MRR@10 = 1/rank of the first grade ≥ 2 doc in the
+    * BM25 top-10, 0 when none.
+    *
+    * Scale shape: scoring is bm25Scored's posting-list-sized chain; the
+    * per-lang top-10 plans a WindowGroupLimit (map-side pruned to 10
+    * rows/group/partition — never a corpus sort); IDCG runs on the
+    * ≤ langs-row count aggregate × a 10-row spine. */
+  val retrievalNdcg: QFn = (s, dir) => {
+    val scored = bm25Scored(s, dir)
+      .join(t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+    val wL = Window.partitionBy(col("lang"))
+      .orderBy(col("sc").desc, col("doc_id"))
+    val gain = when(col("n_terms") === 3, 7.0)
+      .when(col("n_terms") === 2, 3.0).otherwise(1.0)
+    val dcgAgg = scored
+      .withColumn("rnk", row_number().over(wL))
+      .filter(col("rnk") <= 10)
+      .select(col("lang"), col("rnk"), col("n_terms"),
+        dec(gain / log2(col("rnk") + 1), 14, 10).as("dterm"))
+      .groupBy(col("lang"))
+      .agg(sum(col("dterm")).as("dcg"),
+        min(when(col("n_terms") >= 2, col("rnk"))).as("first_rel"))
+    val ideal = scored.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_ranked"),
+        sum(when(col("n_terms") === 3, 1L).otherwise(0L)).as("n3"),
+        sum(when(col("n_terms") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("lang"), col("n_ranked"), col("n3"), col("n2"),
+        explode(sequence(lit(1), lit(10))).as("i"))
+      .filter(col("i") <= col("n_ranked"))
+      .withColumn("ig", when(col("i") <= col("n3"), 7.0)
+        .when(col("i") <= col("n3") + col("n2"), 3.0).otherwise(1.0))
+      .groupBy(col("lang"))
+      .agg(max(col("n_ranked")).as("n_ranked"),
+        sum(dec(col("ig") / log2(col("i") + 1), 14, 10)).as("idcg"))
+    ideal.join(dcgAgg, Seq("lang"))
+      .select(col("lang"), col("n_ranked"),
+        r6(dbl(col("dcg"))).as("dcg10"),
+        r6(dbl(col("idcg"))).as("idcg10"),
+        r6(dbl(col("dcg")) / dbl(col("idcg"))).as("ndcg10"),
+        r6(coalesce(lit(1.0) / col("first_rel"), lit(0.0))).as("mrr10"))
+      .orderBy(col("lang"))
   }
 
   val queries: Map[String, QFn] = Map(
     "bm25_topk"           -> bm25TopK,
+    "retrieval_ndcg"      -> retrievalNdcg,
     "zipf_fit"            -> zipfFit,
     "incremental_neardup" -> incrementalNeardup,
     "langid_confusion"   -> langidConfusion,
@@ -2498,6 +2562,35 @@ object TextQ {
        |  UNION ALL SELECT * FROM trow)
        |ORDER BY artifact""".stripMargin
 
+  /** The BM25 scoring chain for the fixed query {spark, join, data},
+    * ending in `g(doc_id, n_terms, sc)` — shared by the bm25_topk and
+    * retrieval_ndcg oracles (mirrors [[bm25Scored]]). */
+  private val bm25ChainCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE w <> ''),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |stats AS (
+       |  SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+       |tf AS (
+       |  SELECT doc_id, w, count(*) AS tf FROM tok
+       |  WHERE w IN ('spark', 'join', 'data') GROUP BY doc_id, w),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+       |terms AS (
+       |  SELECT doc_id, CAST(
+       |    ln((CAST(nd - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |    * (CAST(tf AS DOUBLE) * 2.2)
+       |    / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+       |        (CAST(dl * nd AS DOUBLE) / CAST(tt AS DOUBLE))))
+       |    AS DECIMAL(14,10)) AS term
+       |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id), stats),
+       |g AS (
+       |  SELECT doc_id, count(*) AS n_terms, sum(term) AS sc
+       |  FROM terms GROUP BY doc_id)""".stripMargin
+
   /** Shared oracle CTEs for tokenized / shingled docs. */
   private val wordsCte =
     """words AS (
@@ -2585,33 +2678,53 @@ object TextQ {
 
   val oracle: Map[String, String] = Map(
     "bm25_topk" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, w FROM (
-         |    SELECT doc_id,
-         |      unnest(string_split_regex(lower(text), '\\s+')) AS w
-         |    FROM documents)
-         |  WHERE w <> ''),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-         |stats AS (
-         |  SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tt FROM dl),
-         |tf AS (
-         |  SELECT doc_id, w, count(*) AS tf FROM tok
-         |  WHERE w IN ('spark', 'join', 'data') GROUP BY doc_id, w),
-         |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
-         |terms AS (
-         |  SELECT doc_id, CAST(
-         |    ln((CAST(nd - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
-         |    * (CAST(tf AS DOUBLE) * 2.2)
-         |    / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-         |        (CAST(dl * nd AS DOUBLE) / CAST(tt AS DOUBLE))))
-         |    AS DECIMAL(14,10)) AS term
-         |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id), stats),
-         |g AS (
-         |  SELECT doc_id, count(*) AS n_terms, sum(term) AS sc
-         |  FROM terms GROUP BY doc_id)
+      s"""WITH $bm25ChainCtes
          |SELECT doc_id, n_terms,
          |  ${r6Sql("CAST(sc AS DOUBLE)")} AS bm25
          |FROM g ORDER BY sc DESC, doc_id LIMIT 20""".stripMargin,
+    // Same scoring chain → per-lang BM25 rank → pinned-log2 DCG terms;
+    // IDCG from the per-lang grade counts over the 10-rank spine.
+    "retrieval_ndcg" ->
+      s"""WITH $bm25ChainCtes,
+         |sl AS (
+         |  SELECT g.doc_id, g.n_terms, g.sc, d.lang
+         |  FROM g JOIN documents d USING (doc_id)),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lang
+         |      ORDER BY sc DESC, doc_id) AS rnk FROM sl),
+         |dterm AS (
+         |  SELECT lang, rnk, n_terms,
+         |    CAST((CASE WHEN n_terms = 3 THEN 7.0 WHEN n_terms = 2
+         |          THEN 3.0 ELSE 1.0 END) / log2(rnk + 1)
+         |      AS DECIMAL(14,10)) AS dterm
+         |  FROM ranked WHERE rnk <= 10),
+         |dagg AS (
+         |  SELECT lang, sum(dterm) AS dcg,
+         |    min(CASE WHEN n_terms >= 2 THEN rnk END) AS first_rel
+         |  FROM dterm GROUP BY lang),
+         |cnts AS (
+         |  SELECT lang, count(*) AS n_ranked,
+         |    CAST(sum(CASE WHEN n_terms = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n3,
+         |    CAST(sum(CASE WHEN n_terms = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n2
+         |  FROM sl GROUP BY lang),
+         |ideal AS (
+         |  SELECT lang, max(n_ranked) AS n_ranked,
+         |    sum(CAST((CASE WHEN i <= n3 THEN 7.0
+         |          WHEN i <= n3 + n2 THEN 3.0 ELSE 1.0 END) / log2(i + 1)
+         |        AS DECIMAL(14,10))) AS idcg
+         |  FROM (SELECT c.*, s.i
+         |        FROM cnts c, (SELECT unnest(range(1, 11)) AS i) s
+         |        WHERE s.i <= c.n_ranked)
+         |  GROUP BY lang)
+         |SELECT l.lang, l.n_ranked,
+         |  ${r6Sql("CAST(dcg AS DOUBLE)")} AS dcg10,
+         |  ${r6Sql("CAST(idcg AS DOUBLE)")} AS idcg10,
+         |  ${r6Sql("CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)")} AS ndcg10,
+         |  ${r6Sql("coalesce(CAST(1 AS DOUBLE) / first_rel, 0.0)")} AS mrr10
+         |FROM ideal l JOIN dagg USING (lang)
+         |ORDER BY lang""".stripMargin,
     "zipf_fit" -> {
       val (n, sx, sy) = ("CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)",
         "CAST(sy AS DOUBLE)")

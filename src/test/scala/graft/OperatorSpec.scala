@@ -923,4 +923,24 @@ class OperatorSpec extends SparkSpec {
       else assert(r.getLong(3) > 0L)
     }
   }
+
+  test("retrieval_ndcg: ndcg in (0,1], dcg <= idcg, mrr@10 in [0,1] and " +
+    "reciprocal-rank-valued, one row per scored lang") {
+    val rows = SparkEntry.queries("retrieval_ndcg")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val validMrr = (1 to 10).map(r => math.floor(1e6 / r + 0.5) / 1e6)
+      .toSet + 0.0
+    for (r <- rows) {
+      val (dcg, idcg) = (r.getAs[Double]("dcg10"), r.getAs[Double]("idcg10"))
+      val ndcg = r.getAs[Double]("ndcg10")
+      val mrr = r.getAs[Double]("mrr10")
+      assert(idcg > 0 && dcg > 0, s"${r.getString(0)}: empty DCG")
+      // the ideal ranking dominates any ranking of the same graded pool
+      assert(dcg <= idcg + 1e-9, s"${r.getString(0)}: dcg $dcg > idcg $idcg")
+      assert(ndcg > 0 && ndcg <= 1.0 + 1e-9)
+      assert(validMrr.contains(mrr),
+        s"${r.getString(0)}: mrr $mrr is not a top-10 reciprocal rank")
+      assert(r.getAs[Long]("n_ranked") >= 1)
+    }
+  }
 }

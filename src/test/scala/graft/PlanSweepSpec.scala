@@ -59,6 +59,8 @@ class PlanSweepSpec extends SparkSpec {
       "into the 256-bucket rate table, inherited by the sampler"),
     "bm25_topk" ->
       "1-row (N, total-tokens) aggregate crossed into the BM25 formula",
+    "retrieval_ndcg" -> ("the BM25 chain's 1-row (N, total-tokens) " +
+      "cross, inherited by the per-lang ranking-quality report"),
     "q11_part_value_conc" ->
       "1-row (total, part-count) aggregate broadcast into the 2x-mean cut",
     "kcore_peel" ->
@@ -299,6 +301,9 @@ class PlanSweepSpec extends SparkSpec {
     "dsir_sample" -> ("per-source top-20 ES-key rank — row_number ≤ k " +
       "plans a WindowGroupLimit map-side prune to k rows/group/partition " +
       "before any sort (the zipf_fit device); never sorts corpus rows"),
+    "retrieval_ndcg" -> ("per-lang top-10 BM25 rank — WindowGroupLimit-" +
+      "pruned to 10 rows/group/partition; input is the posting-list-" +
+      "sized scored pool, never the corpus"),
     "corpus_datacard" -> ("top-100 Zipf rank over the per-(source, lang) " +
       "word aggregate — WindowGroupLimit-pruned, Heaps-saturating domain"),
     "token_bpe_apply" -> ("top-token argmax (row_number = 1) over the " +
