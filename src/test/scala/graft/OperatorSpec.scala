@@ -924,6 +924,39 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("multimodal_neardup: matches a local brute-force mirror of the " +
+    "16-bit aHash — banding is exhaustive for hamming <= 1") {
+    val got = SparkEntry.queries("multimodal_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // local fingerprint: one md5 byte per char, 16 positional slots,
+    // bit = slot mean > doc mean (exact cross-multiply) — the key's recipe
+    def fp(text: String): Int = {
+      val vs = text.toCharArray.map(c =>
+        java.lang.Integer.parseInt(md5hex(c.toString).take(2), 16).toLong)
+      val ssum = new Array[Long](16); val scnt = new Array[Long](16)
+      for (i <- vs.indices) { ssum(i % 16) += vs(i); scnt(i % 16) += 1 }
+      val tot = vs.sum; val n = vs.length.toLong
+      (0 until 16).map(j =>
+        if (scnt(j) > 0 && ssum(j) * n > tot * scnt(j)) 1 << (15 - j)
+        else 0).sum
+    }
+    val sigs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .filter(_.getString(1).nonEmpty)
+      .map(r => r.getLong(0) -> fp(r.getString(1)))
+    val naive = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      h = java.lang.Integer.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if h <= 1
+      (a, b) = if (sigs(i)._1 < sigs(j)._1) (sigs(i)._1, sigs(j)._1)
+               else (sigs(j)._1, sigs(i)._1)
+    } yield (a, b, h.toLong)).toSet
+    assert(got.toSet == naive,
+      s"banded pairs ${got.length} != brute-force ${naive.size}")
+  }
+
   test("retrieval_ndcg: ndcg in (0,1], dcg <= idcg, mrr@10 in [0,1] and " +
     "reciprocal-rank-valued, one row per scored lang") {
     val rows = SparkEntry.queries("retrieval_ndcg")(spark, sf).collect()
