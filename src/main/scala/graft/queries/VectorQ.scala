@@ -582,6 +582,7 @@ object VectorQ {
     val brute = knnTop5(s, dir).select(col("qid"), col("vec_id"), col("rn"))
       .localCheckpoint()
     val tiers: Seq[(String, QFn, Int)] = Seq(
+      ("ann_hnsw_knn", annHnswKnn, 5),
       ("ann_ivf_knn", annIvfKnn, 3),
       ("ann_ivfpq_knn", annIvfPqKnn, 5),
       ("ann_lsh_knn", annLshKnn, 3),
@@ -707,7 +708,27 @@ object VectorQ {
     * O(n²/k) with a frozen k — the round-4 verdict's one scale-killer). */
   val KmeansTarget = 64
 
-  private[graft] def kmeansAssignFinal(s: SparkSession, dir: String) = {
+  private def kmDist = r6(gdot(col("v"), col("v")) -
+    lit(2) * gdot(col("v"), col("cvec")) + gdot(col("cvec"), col("cvec")))
+
+  // argmin via min(struct(dist, cl, v)) — lexicographic struct ordering
+  // = (dist, then cl) with cl unique, identical to a row_number window
+  // but partial+final aggregated: map-side combine ships ONE candidate
+  // per vector per partition instead of window-sorting all k copies.
+  private def kmAssign(e: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame) =
+    e.crossJoin(broadcast(cents))
+      .withColumn("dist", kmDist)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cl"), col("v"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.cl").as("cl"),
+        col("m.dist").as("dist"))
+
+  /** FINAL kmeans centroids (cl, cvec) — the geometry after the 2 Lloyd
+    * re-estimations, shared by kmeansAssignFinal (which runs the 3rd,
+    * final assignment over it) and the ann_hnsw_knn graph build (which
+    * needs crn ≤ 2 cell probes against the same corpus-scaled cells). */
+  private[graft] def kmeansCentsFinal(s: SparkSession, dir: String) = {
     val e = unitBase(s, dir).select(col("vec_id"), col("v"))
     // k = ceil(n / target): n comes from TABLE STATISTICS (parquet footer
     // row counts via aggregate pushdown, cached per session — r9 verdict:
@@ -718,23 +739,10 @@ object VectorQ {
       graft.Tables.statsRowCount(s, dir, "embeddings").toDouble
         / KmeansTarget)
       .toLong
-    val dist = r6(gdot(col("v"), col("v")) - lit(2) * gdot(col("v"), col("cvec")) +
-      gdot(col("cvec"), col("cvec")))
-    // argmin via min(struct(dist, cl, v)) — lexicographic struct ordering
-    // = (dist, then cl) with cl unique, identical to a row_number window
-    // but partial+final aggregated: map-side combine ships ONE candidate
-    // per vector per partition instead of window-sorting all k copies.
-    def assign(cents: org.apache.spark.sql.DataFrame) =
-      e.crossJoin(broadcast(cents))
-        .withColumn("dist", dist)
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("cl"), col("v"))).as("m"))
-        .select(col("vec_id"), col("m.v").as("v"), col("m.cl").as("cl"),
-          col("m.dist").as("dist"))
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cl"), col("v").as("cvec"))
     for (_ <- 1 to 2) { // 2 re-estimations; the 3rd assignment is final
-      cents = assign(cents)
+      cents = kmAssign(e, cents)
         .select(col("cl"), posexplode(col("v")).as(Seq("pos", "ev")))
         .groupBy(col("cl"), col("pos"))
         .agg(sum(dec(col("ev"), 12, 9)).as("sv"), count(lit(1)).as("n"))
@@ -743,7 +751,143 @@ object VectorQ {
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
           x => x.getField("c")).as("cvec"))
     }
-    assign(cents)
+    cents
+  }
+
+  private[graft] def kmeansAssignFinal(s: SparkSession, dir: String) =
+    kmAssign(unitBase(s, dir).select(col("vec_id"), col("v")),
+      kmeansCentsFinal(s, dir))
+
+  /** ann_hnsw_knn geometry: out-degree M of the neighbor graph, beam
+    * width, and fixed search rounds — shared with the oracle generator
+    * so both sides replay the identical bounded search. */
+  val HnswM = 8
+  val HnswBeam = 12
+  val HnswRounds = 4
+
+  private val hnswGraphCache = graft.Tables.sessionScopedCache[String,
+    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+
+  /** The bounded-degree neighbor graph for ann_hnsw_knn, built once per
+    * (session, dir) and checkpointed (the ivfCoarse amortization — the
+    * recall report re-invokes the tier): every vector's candidates are
+    * the members of its 2 nearest CORPUS-SCALED kmeans cells (the
+    * SemDeDup geometry — k = ceil(n/64) tracks the corpus, so cell mass
+    * stays ~64 and graph build is O(n · 128) pair work at ANY corpus
+    * size, never the label-cell n²/|labels|); edges = top-M by rounded
+    * cosine (ties to the lower vec_id). The NSW construction heuristic
+    * — link to nearest neighbors found through a coarse router — from
+    * public HNSW/NSW practice (Malkov & Yashunin), derandomized. */
+  private[graft] def hnswGraph(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    hnswGraphCache.getOrElseUpdate((graft.Tables.sessionKey(s), dir), {
+      val cents = kmeansCentsFinal(s, dir)
+        .select(col("cl").as("hcl"), col("cvec"))
+      val e = unitBase(s, dir)
+      val dist = r6(gdot(col("v"), col("v")) -
+        lit(2) * gdot(col("v"), col("cvec")) +
+        gdot(col("cvec"), col("cvec")))
+      val wCell = Window.partitionBy(col("vec_id"))
+        .orderBy(col("fdist"), col("hcl"))
+      val asg = e.select(col("vec_id"), col("v"), col("nrm"))
+        .crossJoin(broadcast(cents))
+        .withColumn("fdist", dist)
+        .withColumn("crn", row_number().over(wCell))
+        .filter(col("crn") <= 2)
+        .select(col("vec_id"), col("v"), col("nrm"), col("hcl"), col("crn"))
+        .localCheckpoint() // consumed by members, probes, AND entries
+      val members = asg.filter(col("crn") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("hcl"))
+      val probes = asg
+        .select(col("vec_id").as("src"), col("v").as("sv"),
+          col("nrm").as("sn"), col("hcl"))
+      val wM = Window.partitionBy(col("src"))
+        .orderBy(col("cos_sim").desc, col("dst"))
+      val graph = probes.join(members, "hcl")
+        .filter(col("vec_id") =!= col("src"))
+        .select(col("src"), col("vec_id").as("dst"),
+          r6(gdot(col("sv"), col("v")) / (col("sn") * col("nrm")))
+            .as("cos_sim"))
+        .withColumn("rk", row_number().over(wM))
+        .filter(col("rk") <= HnswM)
+        .select(col("src"), col("dst"))
+      // entry table rides the same artifact so consumers never recompute
+      // the assignment: per query (vec_id < 50), the lowest-id member of
+      // its own cell — the deterministic entry vertex.
+      val entries = asg.filter(col("crn") === 1 && col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("hcl"))
+        .join(members.groupBy(col("hcl")).agg(min(col("vec_id")).as("vid")),
+          "hcl")
+        .select(col("qid"), col("vid"))
+      (graph.localCheckpoint(), entries.localCheckpoint())
+    })
+
+  /** Graph-based ANN (r14, verdict #1) — the NSW/HNSW-style tier the
+    * ladder lacked: greedy BEAM SEARCH over the bounded-degree neighbor
+    * graph (hnswGraph: top-M = 8 cosine edges per vector through the
+    * corpus-scaled kmeans cell router), FIXED rounds so the whole search
+    * is relationally expressible and the oracle replays the identical
+    * bounded rounds as generated CTEs (the scc_components/BFS
+    * precedent). Per query: start at the deterministic entry vertex
+    * (lowest-id member of the query's own cell), then 4 rounds of
+    * {expand the beam's out-edges, union into the visited set, keep the
+    * beam = top-12 visited by rounded cosine (vec_id ties)}; the final
+    * top-5 ranks the WHOLE visited set (standard HNSW emits from
+    * visited, not the last beam), self excluded.
+    *
+    * Scale shape: the graph is n·M edges built from ~64-row cells
+    * (O(n·128) pair work — k tracks the corpus, the SemDeDup guarantee);
+    * the search touches ≤ |Q|·beam·M·rounds edge rows per query batch —
+    * independent of n — and every step is a broadcast-sized equi-join.
+    * Candidates examined ≤ 4·12·8 ≈ 384/query, an n-INDEPENDENT budget
+    * (the IVF tier's probe mass is 2·n/|cells|); recall@5 is gated ≥
+    * the IVF tier in AnnQualitySpec and graded in ann_recall_report. */
+  val annHnswKnn: QFn = (s, dir) => {
+    val (graph, entries) = hnswGraph(s, dir)
+    val e = unitBase(s, dir)
+    val base = e.select(col("vec_id").as("vid"), col("v"), col("nrm"))
+    val qs = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    def score(cand: org.apache.spark.sql.DataFrame) =
+      cand.join(base, "vid").join(qs, "qid")
+        .select(col("qid"), col("vid"),
+          r6(gdot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+            .as("cos_sim"))
+    val wBeam = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vid"))
+    def topBeam(scored: org.apache.spark.sql.DataFrame) =
+      scored.withColumn("rb", row_number().over(wBeam))
+        .filter(col("rb") <= HnswBeam)
+        .select(col("qid"), col("vid"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vid"))
+    // The whole search moves ≤ |Q|·beam·M·rounds rows — size the loop's
+    // ~14 micro-shuffles to the beam domain, not the corpus scan setting
+    // (the unigram/BPE per-stage decision); eager-checkpoint the result
+    // inside so the reduced setting actually applies at execution.
+    val res = core.withShuffleParts(s, 8) {
+      var visited = entries // (qid, vid)
+      var beam = topBeam(score(visited))
+      for (r <- 1 to HnswRounds) {
+        val expand = beam.join(graph, beam("vid") === graph("src"))
+          .select(col("qid"), col("dst").as("vid"))
+        // checkpoint per round: each round's plan embeds the previous
+        // round's twice (visited + beam) — ~2^r plan nodes by round 4,
+        // paid in Catalyst time (the unigram DP lesson); the frames are
+        // ≤ |Q|·beam·M rows, so the cut is effectively free
+        visited = visited.unionByName(expand).distinct().localCheckpoint()
+        if (r < HnswRounds) beam = topBeam(score(visited))
+      }
+      score(visited)
+        .filter(col("vid") =!= col("qid"))
+        .withColumn("rn", row_number().over(wTop).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vid").as("vec_id"), col("cos_sim"),
+          col("rn"))
+        .localCheckpoint()
+    }
+    res.orderBy(col("qid"), col("rn"))
   }
 
   val kmeansEmbed: QFn = (s, dir) =>
@@ -1291,6 +1435,7 @@ object VectorQ {
     "ann_index_compact"  -> annIndexCompact,
     "ann_recall_report"  -> annRecallReport,
     "ann_ivf_knn"        -> annIvfKnn,
+    "ann_hnsw_knn"       -> annHnswKnn,
     "ann_filtered_knn"   -> annFilteredKnn)
 
   /** The identical 8 greedy MMR steps unrolled as CTEs: same r6-rounded
@@ -1411,6 +1556,83 @@ object VectorQ {
   private def kmeansSql: String =
     s"""WITH $kmeansCtes
        |SELECT vec_id, cl AS cluster, dist FROM a3 ORDER BY vec_id""".stripMargin
+
+  /** ann_hnsw_knn oracle: the kmeans-centroid chain (c2 = the final
+    * cells), crn ≤ 2 probe assignment, top-M edges, then the fixed
+    * beam-search rounds unrolled from the same HnswM/HnswBeam/HnswRounds
+    * constants the Spark side runs. */
+  private def hnswSql: String = {
+    val distSql = r6Sql(
+      "list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cvec) " +
+        "+ list_dot_product(c.cvec, c.cvec)")
+    def scoreCte(name: String, src: String) =
+      s"""$name AS (
+         |  SELECT t.qid, t.vid,
+         |    ${r6Sql("list_dot_product(a.v, b.v) / (na.n * nb.n)")}
+         |      AS cos_sim
+         |  FROM $src t
+         |  JOIN ex a ON a.vec_id = t.qid
+         |  JOIN ex b ON b.vec_id = t.vid
+         |  JOIN hnr na ON na.vec_id = t.qid
+         |  JOIN hnr nb ON nb.vec_id = t.vid)""".stripMargin
+    def beamCte(name: String, scored: String) =
+      s"""$name AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos_sim DESC, vid) AS rb FROM $scored)
+         |  WHERE rb <= $HnswBeam)""".stripMargin
+    val rounds = (1 to HnswRounds).map { r =>
+      val step =
+        s"""hx$r AS (
+           |  SELECT b.qid, g.dst AS vid
+           |  FROM hb${r - 1} b JOIN hedge g ON g.src = b.vid),
+           |hv$r AS (
+           |  SELECT DISTINCT qid, vid FROM (
+           |    SELECT * FROM hv${r - 1} UNION ALL SELECT * FROM hx$r))"""
+          .stripMargin
+      if (r < HnswRounds)
+        step + ",\n" + scoreCte(s"hs$r", s"hv$r") + ",\n" +
+          beamCte(s"hb$r", s"hs$r")
+      else step + ",\n" + scoreCte(s"hs$r", s"hv$r")
+    }.mkString(",\n")
+    s"""WITH $kmeansCtes,
+       |hnr AS MATERIALIZED (
+       |  SELECT vec_id, sqrt(list_dot_product(v, v)) AS n FROM ex),
+       |hasg AS MATERIALIZED (
+       |  SELECT vec_id, cl, crn FROM (
+       |    SELECT e.vec_id, c.cl,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $distSql, c.cl) AS crn
+       |    FROM ex e CROSS JOIN c2 c)
+       |  WHERE crn <= 2),
+       |hmem AS MATERIALIZED (
+       |  SELECT vec_id, cl FROM hasg WHERE crn = 1),
+       |hedge AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT p.vec_id AS src, m.vec_id AS dst,
+       |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |        ${r6Sql("list_dot_product(ep.v, em.v) / (np.n * nm.n)")}
+       |          DESC, m.vec_id) AS rk
+       |    FROM hasg p JOIN hmem m ON m.cl = p.cl AND m.vec_id <> p.vec_id
+       |      JOIN ex ep ON ep.vec_id = p.vec_id
+       |      JOIN ex em ON em.vec_id = m.vec_id
+       |      JOIN hnr np ON np.vec_id = p.vec_id
+       |      JOIN hnr nm ON nm.vec_id = m.vec_id)
+       |  WHERE rk <= $HnswM),
+       |hv0 AS (
+       |  SELECT q.vec_id AS qid, cm.vid
+       |  FROM hasg q JOIN (SELECT cl, min(vec_id) AS vid FROM hmem
+       |                    GROUP BY cl) cm ON cm.cl = q.cl
+       |  WHERE q.crn = 1 AND q.vec_id < 50),
+       |${scoreCte("hs0", "hv0")},
+       |${beamCte("hb0", "hs0")},
+       |$rounds
+       |SELECT qid, vid AS vec_id, cos_sim, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos_sim DESC, vid) AS rn
+       |  FROM hs$HnswRounds WHERE vid <> qid)
+       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
 
   private def semdedupSql: String =
     s"""WITH $kmeansCtes,
@@ -1656,6 +1878,7 @@ object VectorQ {
     // (tier, k, baseline CTE) — the filtered tier grades against the
     // brute FILTERED baseline, every other tier against plain brute
     val tiers = Seq(("ann_filtered_knn", 5, "brute_f"),
+      ("ann_hnsw_knn", 5, "brute"),
       ("ann_ivf_knn", 3, "brute"), ("ann_ivfpq_knn", 5, "brute"),
       ("ann_lsh_knn", 3, "brute"), ("ann_multiprobe_knn", 3, "brute"),
       ("ann_opq_knn", 5, "brute"), ("ann_pq_knn", 5, "brute"),
@@ -1688,6 +1911,7 @@ object VectorQ {
 
   private val oracleBase: Map[String, String] = Map(
     "mmr_select" -> mmrSql,
+    "ann_hnsw_knn" -> hnswSql,
     "ann_opq_knn" -> opqSql,
     "ann_pq_knn" -> pqSql,
     "ann_ivfpq_knn" -> ivfpqSql,

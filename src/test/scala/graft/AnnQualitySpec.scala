@@ -286,6 +286,25 @@ class AnnQualitySpec extends SparkSpec {
       f"filtered recall@5=$recall%.3f — probe or filter broken")
   }
 
+  test("HNSW kNN: recall@5 dominates the IVF tier (the r13 verdict gate) " +
+    "on an n-independent candidate budget; graph degree bounded by M") {
+    val report = SparkEntry.queries("ann_recall_report")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("recall")).toMap
+    val (rH, rI) = (report("ann_hnsw_knn"), report("ann_ivf_knn"))
+    assert(rH >= rI,
+      f"HNSW recall@5 $rH%.3f fell below the IVF tier $rI%.3f — the " +
+        "graph search stopped beating the cell probe it refines")
+    assert(rH > 0.2, f"HNSW recall@5 $rH%.3f vacuously low")
+    // the search budget is structural: out-degree ≤ M, so a beam of b
+    // over R rounds can visit ≤ 1 + b·M·R vertices per query no matter
+    // the corpus size — assert the degree bound on the built graph
+    val deg = graft.queries.VectorQ.hnswGraph(spark, sf)._1
+      .groupBy(col("src")).count().agg(max(col("count")))
+      .collect()(0).getLong(0)
+    assert(deg <= graft.queries.VectorQ.HnswM,
+      s"graph out-degree $deg exceeds M=${graft.queries.VectorQ.HnswM}")
+  }
+
   test("count_min_sketch aggregate estimates within epsilon of exact") {
     val ev = Tables(spark, sf, "events")
     val sketchBytes = ev.agg(
