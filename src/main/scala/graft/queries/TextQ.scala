@@ -1086,6 +1086,129 @@ object TextQ {
       .limit(20)
   }
 
+  /** sgns_step geometry, shared with the oracle generator: embedding
+    * dimension and the gradient-descent step on the MEAN loss (mean, not
+    * sum, so the step stays corpus-size-invariant — the full-batch
+    * normalization that keeps one η valid at every sf). */
+  val SgnsDim = 4
+  val SgnsEta = 0.5
+
+  /** One deterministic FULL-BATCH SGNS gradient step (r14, verdict #5) —
+    * skip-gram with negative sampling (Mikolov et al. 2013),
+    * derandomized end to end so the whole train step carries a DuckDB
+    * oracle (the logistic_irls / unigram_lm_train precedent for graded
+    * training trajectories):
+    *   - pairs: the skipgram_pairs extraction (forward window 2), kept
+    *     as (w, c, cnt) pair TYPES — the full-batch view;
+    *   - init: u⁰_w[j], v⁰_c[j] from a 16-bit md5 hash of (tag, j, word)
+    *     mapped into (−0.1, 0.1) — both engines hold identical weights;
+    *   - negatives: ONE shared negative context per pair — the corpus's
+    *     heaviest context (2nd-heaviest when c IS the heaviest), a
+    *     derandomized stand-in for frequency-proportional sampling
+    *     (the argmax of the unigram^1 noise distribution);
+    *   - forward: x = u·v as a FIXED-ORDER 4-term sum (bit-identical
+    *     IEEE both engines); σ via one exp each, pinned DECIMAL(14,10)
+    *     per loss/gradient term, exact sums;
+    *   - step: θ¹ = r6(θ⁰ − η·∇mean-loss) — r6 so both engines hold
+    *     identical post-step weights, then the loss is RE-EVALUATED
+    *     under θ¹. Output = the 2-row trajectory (round 0/1 mean loss),
+    *     loss strictly improving (gated in OperatorSpec, like the
+    *     unigram NLL gate).
+    * Scale shape: one corpus-scan pair extraction shuffle; everything
+    * after runs on the (w, c) pair-type domain (vocabulary-bounded,
+    * Heaps-saturating): two keyed gradient aggregates, vocab-domain
+    * update joins, one re-scoring pass. The 1-row loss/stat aggregates
+    * cross into the 2 trajectory rows (the gbm_round report shape). */
+  val sgnsStep: QFn = (s, dir) => {
+    val ws = col("ws")
+    val pc = t(s, dir, "documents")
+      .select(TextOps.tokens(col("text")).as("ws"))
+      .select(ws, explode(when(size(ws) >= 2, sequence(lit(0), size(ws) - 2))
+        .otherwise(array().cast("array<int>"))).as("i"))
+      .select(ws, col("i"),
+        explode(sequence(lit(1), least(lit(2), size(ws) - 1 - col("i"))))
+          .as("d"))
+      .select(element_at(ws, col("i") + 1).as("w"),
+        element_at(ws, col("i") + 1 + col("d")).as("c"))
+      .groupBy(col("w"), col("c")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val negRow = pc.groupBy(col("c")).agg(sum(col("cnt")).as("ccnt"))
+      .orderBy(col("ccnt").desc, col("c")).limit(2)
+      .agg(sort_array(collect_list(struct((-col("ccnt")).as("k"),
+        col("c").as("cc")))).as("l"))
+      .select(element_at(col("l"), 1).getField("cc").as("n1"),
+        coalesce(element_at(col("l"), 2).getField("cc"),
+          element_at(col("l"), 1).getField("cc")).as("n2"))
+    def init(tag: String, j: Int, word: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column =
+      (conv(substring(md5(concat(lit(s"$tag|$j|"), word)), 1, 4), 16, 10)
+        .cast("long").cast("double") - lit(32768.0)) / lit(327680.0)
+    val dims = 1 to SgnsDim
+    val u0 = pc.select(col("w")).distinct()
+      .select(col("w") +: dims.map(j => init("u", j, col("w")).as(s"u$j")): _*)
+    val v0 = pc.select(col("c")).distinct()
+      .select(col("c") +: dims.map(j => init("v", j, col("c")).as(s"v$j")): _*)
+    def nvOf(v: org.apache.spark.sql.DataFrame) =
+      v.select(col("c").as("nc") +: dims.map(j =>
+        col(s"v$j").as(s"nv$j")): _*)
+    // scored pair frame: both forward passes + sigmoids, checkpointed —
+    // feeds the loss aggregate AND both gradient aggregates
+    def scoreOver(u: org.apache.spark.sql.DataFrame,
+        v: org.apache.spark.sql.DataFrame) =
+      pc.crossJoin(broadcast(negRow))
+        .withColumn("nc",
+          when(col("c") === col("n1"), col("n2")).otherwise(col("n1")))
+        .join(u, "w").join(v, "c").join(nvOf(v), "nc")
+        .withColumn("xp",
+          dims.map(j => col(s"u$j") * col(s"v$j")).reduce(_ + _))
+        .withColumn("xn",
+          dims.map(j => col(s"u$j") * col(s"nv$j")).reduce(_ + _))
+        .withColumn("sp", lit(1.0) / (lit(1.0) + exp(-col("xp"))))
+        .withColumn("sn", lit(1.0) / (lit(1.0) + exp(-col("xn"))))
+        .withColumn("snm", lit(1.0) / (lit(1.0) + exp(col("xn"))))
+    val cntD = dec(col("cnt"), 10, 0)
+    // sums are exact decimals; rounded to the output grain (6) BEFORE the
+    // double cast so the decimal→double conversion stays inside 2^53
+    // units at bench scale (the moneySum round-then-cast device)
+    def lossSum(scored: org.apache.spark.sql.DataFrame) =
+      scored.agg(round(sum(dec(-log(col("sp")), 14, 10) * cntD +
+        dec(-log(col("snm")), 14, 10) * cntD), 6).as("ls"))
+    val sc0 = scoreOver(u0, v0).localCheckpoint()
+    val nRow = pc.agg((sum(col("cnt")) * 2).cast("long").as("nn"))
+    val guAggs = dims.map(j => sum(
+      dec((col("sp") - 1) * col(s"v$j"), 14, 10) * cntD +
+        dec(col("sn") * col(s"nv$j"), 14, 10) * cntD).as(s"g$j"))
+    val gu = sc0.groupBy(col("w")).agg(guAggs.head, guAggs.tail: _*)
+    val gvTerms = sc0.select(col("c").as("key") +: Seq(cntD.as("cd")) ++:
+        dims.map(j => dec((col("sp") - 1) * col(s"u$j"), 14, 10).as(s"t$j")): _*)
+      .unionByName(sc0.select(col("nc").as("key") +: Seq(cntD.as("cd")) ++:
+        dims.map(j => dec(col("sn") * col(s"u$j"), 14, 10).as(s"t$j")): _*))
+    val gvAggs = dims.map(j => sum(col(s"t$j") * col("cd")).as(s"g$j"))
+    val gv = gvTerms.groupBy(col("key")).agg(gvAggs.head, gvAggs.tail: _*)
+    def stepTab(tab: org.apache.spark.sql.DataFrame, key: String,
+        pref: String, grads: org.apache.spark.sql.DataFrame,
+        gkey: String) =
+      tab.join(grads.withColumnRenamed(gkey, key), Seq(key), "left")
+        .crossJoin(broadcast(nRow))
+        .select(col(key) +: dims.map(j =>
+          r6(col(s"$pref$j") - lit(SgnsEta) *
+            coalesce(dbl(round(col(s"g$j"), 6)), lit(0.0)) / dbl(col("nn")))
+            .as(s"$pref$j")): _*)
+        .localCheckpoint()
+    val u1 = stepTab(u0, "w", "u", gu, "w")
+    val v1 = stepTab(v0, "c", "v", gv, "key")
+    val stats = pc.agg(sum(col("cnt")).cast("long").as("n_pairs"),
+      countDistinct(col("w")).as("n_words"),
+      countDistinct(col("c")).as("n_ctx"))
+    def row(r: Int, ls: org.apache.spark.sql.DataFrame) =
+      ls.crossJoin(broadcast(stats)).crossJoin(broadcast(nRow))
+        .select(lit(r.toLong).as("round"), col("n_pairs"), col("n_words"),
+          col("n_ctx"), r6(dbl(col("ls")) / col("nn")).as("loss"))
+    row(0, lossSum(sc0))
+      .unionByName(row(1, lossSum(scoreOver(u1, v1))))
+      .orderBy(col("round"))
+  }
+
   /** Within-doc repetition audit (r5) — the Gopher/MassiveText repetition
     * filter family (Rae et al. 2021 §A.1.1): a doc whose word 3-grams
     * repeat internally is boilerplate/spam-shaped, and the statistic is
@@ -2095,6 +2218,7 @@ object TextQ {
     "tokenize_corpus_sink" -> tokenizeCorpusSink,
     "entity_dedup_e2e"   -> entityDedupE2e,
     "skipgram_pairs"     -> skipgramPairs,
+    "sgns_step"          -> sgnsStep,
     "token_entropy"      -> tokenEntropy,
     "typo_neardup_words" -> typoNeardupWords,
     "doc_chunks"        -> docChunks,
@@ -2590,6 +2714,125 @@ object TextQ {
        |g AS (
        |  SELECT doc_id, count(*) AS n_terms, sum(term) AS sc
        |  FROM terms GROUP BY doc_id)""".stripMargin
+
+  /** sgns_step oracle — the full train step replayed relationally,
+    * generated from the same SgnsDim/SgnsEta constants the engine runs:
+    * pair extraction → md5-derived init → forward/sigmoid (pinned
+    * DECIMAL terms) → mean-loss + keyed gradient aggregates → r6'd
+    * parameter step → re-evaluated loss. */
+  private def sgnsSql: String = {
+    val dims = 1 to SgnsDim
+    val hex = "0123456789abcdef"
+    def h16(tag: String, j: Int, wordExpr: String): String =
+      (1 to 4).map { i =>
+        val w = 1L << (4 * (4 - i))
+        s"(strpos('$hex', substring(md5('$tag|$j|' || $wordExpr), $i, 1))" +
+          s" - 1) * $w"
+      }.mkString(" + ")
+    def init(tag: String, j: Int, wordExpr: String): String =
+      s"(CAST(${h16(tag, j, wordExpr)} AS DOUBLE) - 32768.0) / 327680.0"
+    def initTab(name: String, tag: String, key: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT $key, ${dims.map(j =>
+               s"${init(tag, j, key)} AS ${tag}$j").mkString(",\n    ")}
+         |  FROM (SELECT DISTINCT $key FROM pc))""".stripMargin
+    def scored(name: String, u: String, v: String): String = {
+      val xp = dims.map(j => s"a.u$j * b.v$j").mkString(" + ")
+      val xn = dims.map(j => s"a.u$j * e.v$j").mkString(" + ")
+      s"""$name AS MATERIALIZED (
+         |  SELECT *, 1.0 / (1.0 + exp(-xp)) AS sp,
+         |    1.0 / (1.0 + exp(-xn)) AS sn,
+         |    1.0 / (1.0 + exp(xn)) AS snm
+         |  FROM (
+         |    SELECT t.w, t.c, t.cnt, t.nc,
+         |      ${dims.map(j => s"a.u$j").mkString(", ")},
+         |      ${dims.map(j => s"b.v$j").mkString(", ")},
+         |      ${dims.map(j => s"e.v$j AS nv$j").mkString(", ")},
+         |      $xp AS xp, $xn AS xn
+         |    FROM (SELECT pc.w, pc.c, pc.cnt,
+         |            CASE WHEN pc.c = n.n1 THEN n.n2 ELSE n.n1 END AS nc
+         |          FROM pc, negrow n) t
+         |    JOIN $u a ON a.w = t.w
+         |    JOIN $v b ON b.c = t.c
+         |    JOIN $v e ON e.c = t.nc))""".stripMargin
+    }
+    val cd = "CAST(cnt AS DECIMAL(10,0))"
+    def lossCte(name: String, src: String): String =
+      s"""$name AS (
+         |  SELECT round(sum(CAST(-ln(sp) AS DECIMAL(14,10)) * $cd
+         |    + CAST(-ln(snm) AS DECIMAL(14,10)) * $cd), 6) AS ls
+         |  FROM $src)""".stripMargin
+    def stepTab(name: String, base: String, pref: String, grads: String,
+        key: String, gkey: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT $base.$key, ${dims.map(j => r6Sql(
+               s"$base.$pref$j - $SgnsEta * " +
+                 s"coalesce(CAST(round(g.g$j, 6) AS DOUBLE), 0.0) / nn") +
+               s" AS $pref$j").mkString(",\n    ")}
+         |  FROM $base LEFT JOIN $grads g ON g.$gkey = $base.$key,
+         |    nrow)""".stripMargin
+    def outRow(r: Int, l: String): String =
+      s"""SELECT CAST($r AS BIGINT) AS round, n_pairs, n_words, n_ctx,
+         |  ${r6Sql("CAST(ls AS DOUBLE) / nn")} AS loss
+         |FROM $l, stats, nrow""".stripMargin
+    s"""WITH $wordsCte,
+       |sgidx AS (
+       |  SELECT ws, unnest(range(0, len(ws) - 1)) AS i
+       |  FROM words WHERE len(ws) >= 2),
+       |sgpr AS (
+       |  SELECT ws[i + 1] AS w, ws[i + 1 + d] AS c
+       |  FROM (SELECT ws, i,
+       |          unnest(range(1, least(2, len(ws) - 1 - i) + 1)) AS d
+       |        FROM sgidx)),
+       |pc AS MATERIALIZED (
+       |  SELECT w, c, count(*) AS cnt FROM sgpr GROUP BY w, c),
+       |ctot AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS ccnt FROM pc
+       |         GROUP BY c),
+       |negtop AS (
+       |  SELECT c, row_number() OVER (ORDER BY ccnt DESC, c) AS rk
+       |  FROM (SELECT * FROM ctot ORDER BY ccnt DESC, c LIMIT 2)),
+       |negrow AS (
+       |  SELECT max(CASE WHEN rk = 1 THEN c END) AS n1,
+       |    coalesce(max(CASE WHEN rk = 2 THEN c END),
+       |      max(CASE WHEN rk = 1 THEN c END)) AS n2
+       |  FROM negtop),
+       |${initTab("u0", "u", "w")},
+       |${initTab("v0", "v", "c")},
+       |${scored("sc0", "u0", "v0")},
+       |nrow AS (SELECT CAST(2 * sum(cnt) AS BIGINT) AS nn FROM pc),
+       |stats AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS n_pairs,
+       |    count(DISTINCT w) AS n_words, count(DISTINCT c) AS n_ctx
+       |  FROM pc),
+       |${lossCte("l0", "sc0")},
+       |gu AS MATERIALIZED (
+       |  SELECT w, ${dims.map(j =>
+           s"sum(CAST((sp - 1) * v$j AS DECIMAL(14,10)) * $cd\n" +
+             s"    + CAST(sn * nv$j AS DECIMAL(14,10)) * $cd) AS g$j")
+           .mkString(",\n  ")}
+       |  FROM sc0 GROUP BY w),
+       |gvt AS (
+       |  SELECT c AS key, $cd AS cdv, ${dims.map(j =>
+           s"CAST((sp - 1) * u$j AS DECIMAL(14,10)) AS t$j")
+           .mkString(", ")}
+       |  FROM sc0
+       |  UNION ALL
+       |  SELECT nc, $cd, ${dims.map(j =>
+           s"CAST(sn * u$j AS DECIMAL(14,10))").mkString(", ")}
+       |  FROM sc0),
+       |gv AS MATERIALIZED (
+       |  SELECT key, ${dims.map(j => s"sum(t$j * cdv) AS g$j")
+           .mkString(", ")}
+       |  FROM gvt GROUP BY key),
+       |${stepTab("u1", "u0", "u", "gu", "w", "w")},
+       |${stepTab("v1", "v0", "v", "gv", "c", "key")},
+       |${scored("sc1", "u1", "v1")},
+       |${lossCte("l1", "sc1")}
+       |${outRow(0, "l0")}
+       |UNION ALL
+       |${outRow(1, "l1")}
+       |ORDER BY round""".stripMargin
+  }
 
   /** Shared oracle CTEs for tokenized / shingled docs. */
   private val wordsCte =
@@ -3202,6 +3445,7 @@ object TextQ {
          |  CAST(sum(tok_after) AS BIGINT) AS tok_after,
          |  min(fp) AS fp_min, max(fp) AS fp_max
          |FROM full2 GROUP BY source ORDER BY source""".stripMargin,
+    "sgns_step" -> sgnsSql,
     "skipgram_pairs" ->
       s"""WITH $wordsCte,
          |idx AS (

@@ -924,6 +924,22 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("sgns_step: one full-batch gradient step strictly improves the " +
+    "mean loss from the ~ln(2) near-zero-init starting point") {
+    val rows = SparkEntry.queries("sgns_step")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("round"))
+    assert(rows.length == 2)
+    val (l0, l1) = (rows(0).getAs[Double]("loss"),
+      rows(1).getAs[Double]("loss"))
+    // init weights are in (-0.1, 0.1) so x ≈ 0 and the mean loss starts
+    // near ln 2 ≈ 0.6931 — a window check catches a broken forward pass
+    assert(l0 > 0.6 && l0 < 0.8, s"round-0 loss $l0 outside the ln2 regime")
+    assert(l1 < l0, s"SGNS step did not improve the loss: $l0 -> $l1")
+    assert(rows(0).getAs[Long]("n_pairs") == rows(1).getAs[Long]("n_pairs"))
+    assert(rows(0).getAs[Long]("n_words") >= 1 &&
+      rows(0).getAs[Long]("n_ctx") >= 1)
+  }
+
   test("multimodal_neardup: matches a local brute-force mirror of the " +
     "16-bit aHash — banding is exhaustive for hamming <= 1") {
     val got = SparkEntry.queries("multimodal_neardup")(spark, sf).collect()

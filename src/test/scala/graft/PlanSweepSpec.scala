@@ -161,7 +161,11 @@ class PlanSweepSpec extends SparkSpec {
     // ---- r13 additions ----
     "quality_clf_gate" -> ("the 1-row classifier-threshold artifact " +
       "crossed back over the per-(lang, source) manifest — the " +
-      "quality_lm_gate shape"))
+      "quality_lm_gate shape"),
+    // ---- r14 additions ----
+    "sgns_step" -> ("1-row loss/stat/normalizer aggregates crossed into " +
+      "the 2-row trajectory report + the 2-row negative-context table " +
+      "crossed over pair types — the gbm_round report shape"))
 
   test("no unlisted query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
