@@ -158,7 +158,7 @@ object CurationQ {
     * standing-index caches follow). */
   private val lmGateCache =
     graft.Tables.sessionScopedCache[String, (DataFrame, DataFrame)]()
-  private[queries] def lmGateArtifact(s: SparkSession, dir: String)
+  private[graft] def lmGateArtifact(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) =
     lmGateCache.getOrElseUpdate((graft.Tables.sessionKey(s), dir), {
       val bg = bigramRows(s, dir)
@@ -251,7 +251,7 @@ object CurationQ {
     * threshold — nothing corpus-sized single-partitions. */
   private val clfGateCache =
     graft.Tables.sessionScopedCache[String, (DataFrame, DataFrame)]()
-  private[queries] def clfGateArtifact(s: SparkSession, dir: String)
+  private[graft] def clfGateArtifact(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) =
     clfGateCache.getOrElseUpdate((graft.Tables.sessionKey(s), dir), {
       val ws = TextOps.tokens(col("text"))

@@ -849,8 +849,12 @@ object VectorQ {
     val qs = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qn"))
+    // the candidate set is beam-budget-bounded (≤ |Q|·(1 + b·M·R) ids),
+    // so it BROADCASTS against the vector tables — the corpus side
+    // streams through scan-side hash joins and never shuffles (warm
+    // search shuffle is n-independent, gated in ScalingSpec)
     def score(cand: org.apache.spark.sql.DataFrame) =
-      cand.join(base, "vid").join(qs, "qid")
+      base.join(broadcast(cand), "vid").join(broadcast(qs), "qid")
         .select(col("qid"), col("vid"),
           r6(gdot(col("qv"), col("v")) / (col("qn") * col("nrm")))
             .as("cos_sim"))
@@ -870,7 +874,12 @@ object VectorQ {
       var visited = entries // (qid, vid)
       var beam = topBeam(score(visited))
       for (r <- 1 to HnswRounds) {
-        val expand = beam.join(graph, beam("vid") === graph("src"))
+        // beam (≤ |Q|·b rows) broadcasts; the n·M-row graph STREAMS
+        // through a scan-side hash join and never shuffles — per round
+        // the graph moves zero rows (at cluster scale this is the
+        // "graph stays put, frontier travels" adjacency-join shape)
+        val expand = graph.join(broadcast(beam),
+            beam("vid") === graph("src"))
           .select(col("qid"), col("dst").as("vid"))
         // checkpoint per round: each round's plan embeds the previous
         // round's twice (visited + beam) — ~2^r plan nodes by round 4,

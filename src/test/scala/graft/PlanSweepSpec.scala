@@ -226,15 +226,11 @@ class PlanSweepSpec extends SparkSpec {
       "table — both bounded domains"))
 
   /** Every physical window node with no PARTITION BY in `plan`,
-    * AQE-stripped (the sweep runs with AQE off so the tree is plain). */
+    * AQE-stripped (the sweep runs with AQE off so the tree is plain).
+    * Detector shared with ArtifactPlanSpec (r14) via PlanShapes. */
   private def globalWindows(
       plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
-    plan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec
-          if w.partitionSpec.isEmpty => w.nodeName
-      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
-          if w.partitionSpec.isEmpty => w.nodeName
-    }
+    PlanShapes.globalWindows(plan)
 
   test("no unlisted query plans a single-partition (global) window") {
     withConfs("spark.sql.adaptive.enabled" -> "false") {
@@ -266,11 +262,7 @@ class PlanSweepSpec extends SparkSpec {
   // weak shape lived on the part/lineitem axes (win_percent_cume,
   // win_rank_dense, weighted_median — all re-planned this round onto
   // the two-phase device / value histograms).
-  private val boundedDims =
-    Set("source", "lang", "split", "lang_pred", "event_type",
-      "p_type", "p_brand", "p_container", "l_returnflag", "l_linestatus",
-      "l_shipmode", "o_orderpriority", "o_orderstatus", "c_mktsegment",
-      "n_name", "r_name")
+  private val boundedDims = PlanShapes.boundedDims
   private val boundedKeyWindowAllowed: Map[String, String] = Map(
     // ---- two-phase prefix-sum device: the offset/total window runs on
     // the ≤ |part|·256-row BUCKET AGGREGATE, never corpus rows; the
@@ -364,19 +356,10 @@ class PlanSweepSpec extends SparkSpec {
       "bucket aggregate (two-phase rank device, r13 re-plan)"))
 
   /** Window nodes in `plan` whose partitionSpec is nonempty and draws
-    * only from the bounded fixture dimensions. */
+    * only from the bounded fixture dimensions (shared detector). */
   private def boundedKeyWindows(
       plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
-    plan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec
-          if w.partitionSpec.nonEmpty &&
-            w.partitionSpec.flatMap(_.references.toSeq.map(_.name))
-              .forall(boundedDims) => w.nodeName
-      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
-          if w.partitionSpec.nonEmpty &&
-            w.partitionSpec.flatMap(_.references.toSeq.map(_.name))
-              .forall(boundedDims) => w.nodeName
-    }
+    PlanShapes.boundedKeyWindows(plan)
 
   test("no unlisted query plans a bounded-key window") {
     withConfs("spark.sql.adaptive.enabled" -> "false") {

@@ -593,6 +593,72 @@ class ScalingSpec extends SparkSpec {
     assert(e <= 1.25, f"pack_tokens_bpe shuffle grew as tokens^$e%.2f")
   }
 
+  /** r14 keys on the fixture tiers (warm where artifact-backed). */
+  private case class R14Tier(dir: String, docs: Long, toks: Long,
+      emb: Long, dsirShuf: Long, ndcgShuf: Long, sgnsShuf: Long,
+      mmShuf: Long, hnswShuf: Long)
+
+  private lazy val r14m: Seq[R14Tier] =
+    tiers.filter(_.startsWith("/root/testdata")).map { dir =>
+      val docs = Tables(spark, dir, "documents").count()
+      val toks = Tables(spark, dir, "documents")
+        .select(explode(graft.operators.TextOps.tokens(col("text"))))
+        .count()
+      val emb = Tables(spark, dir, "embeddings").count()
+      // warm the session graph artifact so hnsw measures steady state
+      SparkEntry.queries("ann_hnsw_knn")(spark, dir).count()
+      val t = R14Tier(dir, docs, toks, emb,
+        shufOfKey(dir, "dsir_sample"),
+        shufOfKey(dir, "retrieval_ndcg"),
+        shufOfKey(dir, "sgns_step"),
+        shufOfKey(dir, "multimodal_neardup"),
+        shufOfKey(dir, "ann_hnsw_knn"))
+      println(s"[scaling] $t")
+      t
+    }
+
+  test("dsir_sample: shuffle grows ~linearly in tokens — the sampler " +
+    "adds one doc-keyed join + a WindowGroupLimit-pruned top-k") {
+    val e = exponent(r14m.map(t => (t.toks, t.dsirShuf)))
+    info(f"dsir_sample shuffle exponent vs tokens: $e%.3f")
+    assert(e <= 1.2, f"dsir_sample shuffle grew as tokens^$e%.2f")
+  }
+
+  test("retrieval_ndcg: shuffle grows ~linearly in tokens — scoring is " +
+    "the bm25 posting-list chain, DCG/IDCG run on bounded aggregates") {
+    val e = exponent(r14m.map(t => (t.toks, t.ndcgShuf)))
+    info(f"retrieval_ndcg shuffle exponent vs tokens: $e%.3f")
+    assert(e <= 1.2, f"retrieval_ndcg shuffle grew as tokens^$e%.2f")
+  }
+
+  test("sgns_step: shuffle grows ~linearly in tokens — one pair-" +
+    "extraction shuffle; gradients/updates ride the saturating " +
+    "pair-type domain") {
+    val e = exponent(r14m.map(t => (t.toks, t.sgnsShuf)))
+    info(f"sgns_step shuffle exponent vs tokens: $e%.3f")
+    assert(e <= 1.25, f"sgns_step shuffle grew as tokens^$e%.2f")
+  }
+
+  test("multimodal_neardup: banded candidates stay far below all-pairs " +
+    "volume at every tier") {
+    r14m.foreach { t =>
+      val pairs = allPairs(t.docs)
+      info(f"${t.dir}: ${t.mmShuf} shuffle rows (all-pairs = $pairs%.0f)")
+      assert(t.mmShuf <= pairs / 2 + 200000,
+        s"multimodal_neardup shuffled ${t.mmShuf} rows at ${t.dir} — " +
+          "all-pairs scale (the banding stopped pruning)")
+    }
+  }
+
+  test("ann_hnsw_knn: WARM search shuffle is ~corpus-size-independent — " +
+    "the beam budget, not n, bounds the work") {
+    val e = exponent(r14m.map(t => (t.emb, t.hnswShuf)))
+    info(f"hnsw warm shuffle exponent vs embeddings: $e%.3f")
+    assert(e <= 0.3, f"ann_hnsw_knn warm shuffle grew as emb^$e%.2f — " +
+      "the search left the fixed beam budget (a corpus-sized side " +
+      "started shuffling in the score/expand joins)")
+  }
+
   test("no candidate job shuffles all-pairs-scale row volume") {
     meas.foreach { t =>
       val docPairs = allPairs(t.docs)
