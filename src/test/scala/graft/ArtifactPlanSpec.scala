@@ -25,6 +25,14 @@ class ArtifactPlanSpec extends SparkSpec {
   private def capturePlans(body: SparkSession => Unit): Seq[SparkPlan] = {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
+    // A fresh session forces the SESSION caches to rebuild, but parts of
+    // some builders ride the persist-once REGISTRY (lm_threshold): in a
+    // shared-JVM suite run an earlier suite has already persisted them
+    // and the builder would silently skip its threshold stage — point
+    // the registry at a throwaway root so every stage truly builds.
+    val priorRoot = sys.props.get("graft.registry.root")
+    sys.props("graft.registry.root") = java.nio.file.Files
+      .createTempDirectory("graft_apspec_reg").toString
     val plans = new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]()
     val listener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution,
@@ -35,15 +43,24 @@ class ArtifactPlanSpec extends SparkSpec {
     s2.listenerManager.register(listener)
     try {
       body(s2)
+      // require a full 2 s of no new events before trusting the capture
+      // (a 300 ms window exited early under co-tenant load and read a
+      // PARTIAL plan set — the listener bus trails the actions)
       var last = -1
       var stable = 0
-      val deadline = System.nanoTime() + 15000000000L
-      while (stable < 3 && System.nanoTime() < deadline) {
+      val deadline = System.nanoTime() + 60000000000L
+      while (stable < 20 && System.nanoTime() < deadline) {
         Thread.sleep(100)
         val n = plans.size
         if (n == last) stable += 1 else { stable = 0; last = n }
       }
-    } finally s2.listenerManager.unregister(listener)
+    } finally {
+      s2.listenerManager.unregister(listener)
+      priorRoot match {
+        case Some(v) => sys.props("graft.registry.root") = v
+        case None => sys.props.remove("graft.registry.root")
+      }
+    }
     import scala.jdk.CollectionConverters._
     plans.asScala.toSeq
   }
