@@ -1132,13 +1132,19 @@ object TextQ {
         element_at(ws, col("i") + 1 + col("d")).as("c"))
       .groupBy(col("w"), col("c")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
+    // size() guards: element_at past the end THROWS under ANSI, and a
+    // pair-less degenerate corpus (all docs < 2 tokens) yields an empty
+    // context list — the key must return its NULL-loss trajectory, not
+    // crash (the repo's degenerate-corpus convention; EdgeCorpusSpec)
+    val l = col("l")
     val negRow = pc.groupBy(col("c")).agg(sum(col("cnt")).as("ccnt"))
       .orderBy(col("ccnt").desc, col("c")).limit(2)
       .agg(sort_array(collect_list(struct((-col("ccnt")).as("k"),
         col("c").as("cc")))).as("l"))
-      .select(element_at(col("l"), 1).getField("cc").as("n1"),
-        coalesce(element_at(col("l"), 2).getField("cc"),
-          element_at(col("l"), 1).getField("cc")).as("n2"))
+      .select(
+        when(size(l) >= 1, element_at(l, 1).getField("cc")).as("n1"),
+        coalesce(when(size(l) >= 2, element_at(l, 2).getField("cc")),
+          when(size(l) >= 1, element_at(l, 1).getField("cc"))).as("n2"))
     def init(tag: String, j: Int, word: org.apache.spark.sql.Column)
         : org.apache.spark.sql.Column =
       (conv(substring(md5(concat(lit(s"$tag|$j|"), word)), 1, 4), 16, 10)

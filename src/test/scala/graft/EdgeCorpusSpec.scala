@@ -482,4 +482,45 @@ class EdgeCorpusSpec extends SparkSpec {
     assert(qn.length == 2)
     assert(qn.map(_.getAs[Long]("median_norm")).distinct.length == 1)
   }
+
+  test("r14 doc keys survive the edge corpus (one multi-token doc, " +
+    "empty/whitespace docs, no query-term hits)") {
+    // sgns: pairs exist only in doc 3 — the step must still run and
+    // improve (or at worst hold) the 2-row trajectory
+    val sg = SparkEntry.queries("sgns_step")(spark, edgeDir).collect()
+      .sortBy(_.getAs[Long]("round"))
+    assert(sg.length == 2)
+    assert(sg(1).getAs[Double]("loss") <= sg(0).getAs[Double]("loss"))
+    // dsir_sample: only token-bearing docs are scorable; ranks dense
+    val ds = SparkEntry.queries("dsir_sample")(spark, edgeDir).collect()
+    assert(ds.nonEmpty && ds.length <= 4)
+    // multimodal_neardup: the empty doc is out of fingerprint scope;
+    // whatever pairs emerge are within hamming 1 — execution + bounds
+    // are the assertion
+    SparkEntry.queries("multimodal_neardup")(spark, edgeDir).collect()
+      .foreach(r => assert(r.getAs[Long]("hamming") <= 1))
+    // retrieval_ndcg: no doc contains a query term — the correct
+    // degenerate answer is an EMPTY report, never a crash
+    assert(SparkEntry.queries("retrieval_ndcg")(spark, edgeDir)
+      .collect().isEmpty)
+  }
+
+  test("sgns_step on a pair-less corpus returns the NULL-loss " +
+    "trajectory, never a crash (ANSI element_at guard)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edge_nopair").toString
+    Seq((1L, "solo", "en", "src0", 4L), (2L, "", "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("sgns_step")(spark, dir).collect()
+      .sortBy(_.getAs[Long]("round"))
+    assert(rows.length == 2)
+    // no pairs anywhere: the loss is NULL (nothing to train on) and the
+    // distinct counts are 0 — the degenerate-corpus convention
+    rows.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("loss")))
+      assert(r.getAs[Long]("n_words") == 0L)
+    }
+  }
 }
