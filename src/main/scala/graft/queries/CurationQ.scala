@@ -1102,14 +1102,15 @@ object CurationQ {
          |  SELECT d.source, a.doc_id, a.n_toks, a.dsir_avg,
          |    CAST(ln((($hExpr) + 0.5) / 281474976710656.0)
          |        AS DECIMAL(14,10)) *
-         |      CAST(exp(-greatest(least(a.dsir_avg, 8.0), -8.0))
-         |        AS DECIMAL(14,10)) AS es_key
+         |      CAST(exp(-greatest(least(a.dsir_avg, $DsirClip),
+         |        -$DsirClip)) AS DECIMAL(14,10)) AS es_key
          |  FROM wavg a JOIN documents d USING (doc_id)),
          |r AS (SELECT *, row_number() OVER (PARTITION BY source
          |        ORDER BY es_key DESC, doc_id) AS smp_rank FROM keyed)
          |SELECT source, CAST(smp_rank AS BIGINT) AS smp_rank, doc_id,
          |  n_toks, dsir_avg
-         |FROM r WHERE smp_rank <= 20 ORDER BY source, smp_rank""".stripMargin
+         |FROM r WHERE smp_rank <= $DsirSampleK
+         |ORDER BY source, smp_rank""".stripMargin
     },
     // Identical tokenization (the qtext_wordcount contract) and the
     // identical md5-prefix bucket mapping.

@@ -2162,6 +2162,11 @@ object TextQ {
     * per-lang top-10 plans a WindowGroupLimit (map-side pruned to 10
     * rows/group/partition — never a corpus sort); IDCG runs on the
     * ≤ langs-row count aggregate × a 10-row spine. */
+  /** Depth of the retrieval-quality cut (nDCG@k / MRR@k) — one
+    * constant, interpolated into BOTH the Spark plan and the oracle
+    * SQL (the one-sided-constant drift class the r13 advisory hit). */
+  val RetrievalK = 10
+
   val retrievalNdcg: QFn = (s, dir) => {
     val scored = bm25Scored(s, dir)
       .join(t(s, dir, "documents").select(col("doc_id"), col("lang")),
@@ -2172,7 +2177,7 @@ object TextQ {
       .when(col("n_terms") === 2, 3.0).otherwise(1.0)
     val dcgAgg = scored
       .withColumn("rnk", row_number().over(wL))
-      .filter(col("rnk") <= 10)
+      .filter(col("rnk") <= RetrievalK)
       .select(col("lang"), col("rnk"), col("n_terms"),
         dec(gain / log2(col("rnk") + 1), 14, 10).as("dterm"))
       .groupBy(col("lang"))
@@ -2183,7 +2188,7 @@ object TextQ {
         sum(when(col("n_terms") === 3, 1L).otherwise(0L)).as("n3"),
         sum(when(col("n_terms") === 2, 1L).otherwise(0L)).as("n2"))
       .select(col("lang"), col("n_ranked"), col("n3"), col("n2"),
-        explode(sequence(lit(1), lit(10))).as("i"))
+        explode(sequence(lit(1), lit(RetrievalK))).as("i"))
       .filter(col("i") <= col("n_ranked"))
       .withColumn("ig", when(col("i") <= col("n3"), 7.0)
         .when(col("i") <= col("n3") + col("n2"), 3.0).otherwise(1.0))
@@ -2946,7 +2951,7 @@ object TextQ {
          |    CAST((CASE WHEN n_terms = 3 THEN 7.0 WHEN n_terms = 2
          |          THEN 3.0 ELSE 1.0 END) / log2(rnk + 1)
          |      AS DECIMAL(14,10)) AS dterm
-         |  FROM ranked WHERE rnk <= 10),
+         |  FROM ranked WHERE rnk <= $RetrievalK),
          |dagg AS (
          |  SELECT lang, sum(dterm) AS dcg,
          |    min(CASE WHEN n_terms >= 2 THEN rnk END) AS first_rel
@@ -2964,7 +2969,7 @@ object TextQ {
          |          WHEN i <= n3 + n2 THEN 3.0 ELSE 1.0 END) / log2(i + 1)
          |        AS DECIMAL(14,10))) AS idcg
          |  FROM (SELECT c.*, s.i
-         |        FROM cnts c, (SELECT unnest(range(1, 11)) AS i) s
+         |        FROM cnts c, (SELECT unnest(range(1, ${RetrievalK + 1})) AS i) s
          |        WHERE s.i <= c.n_ranked)
          |  GROUP BY lang)
          |SELECT l.lang, l.n_ranked,
