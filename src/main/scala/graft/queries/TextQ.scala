@@ -1119,7 +1119,21 @@ object TextQ {
     * Heaps-saturating): two keyed gradient aggregates, vocab-domain
     * update joins, one re-scoring pass. The 1-row loss/stat aggregates
     * cross into the 2 trajectory rows (the gbm_round report shape). */
-  val sgnsStep: QFn = (s, dir) => {
+  /** Rounds for the sgns_train trajectory (sgns_step = the same
+    * pipeline at 1 round). */
+  val SgnsTrainRounds = 3
+
+  val sgnsStep: QFn = (s, dir) => sgnsPipeline(s, dir, 1)
+
+  /** Multi-round full-batch SGNS training (r14) — the TRAJECTORY key
+    * over sgns_step's unit operator (the unigram_lm_train/gbm_tree_round
+    * shape: one graded row per round, loss strictly improving): 3
+    * gradient steps, each re-scoring under the previous step's
+    * r6-rounded weights. Same oracle machinery, unrolled per round. */
+  val sgnsTrain: QFn = (s, dir) => sgnsPipeline(s, dir, SgnsTrainRounds)
+
+  private def sgnsPipeline(s: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
     val ws = col("ws")
     val pc = t(s, dir, "documents")
       .select(TextOps.tokens(col("text")).as("ws"))
@@ -1179,18 +1193,21 @@ object TextQ {
     def lossSum(scored: org.apache.spark.sql.DataFrame) =
       scored.agg(round(sum(dec(-log(col("sp")), 14, 10) * cntD +
         dec(-log(col("snm")), 14, 10) * cntD), 6).as("ls"))
-    val sc0 = scoreOver(u0, v0).localCheckpoint()
     val nRow = pc.agg((sum(col("cnt")) * 2).cast("long").as("nn"))
     val guAggs = dims.map(j => sum(
       dec((col("sp") - 1) * col(s"v$j"), 14, 10) * cntD +
         dec(col("sn") * col(s"nv$j"), 14, 10) * cntD).as(s"g$j"))
-    val gu = sc0.groupBy(col("w")).agg(guAggs.head, guAggs.tail: _*)
-    val gvTerms = sc0.select(col("c").as("key") +: Seq(cntD.as("cd")) ++:
-        dims.map(j => dec((col("sp") - 1) * col(s"u$j"), 14, 10).as(s"t$j")): _*)
-      .unionByName(sc0.select(col("nc").as("key") +: Seq(cntD.as("cd")) ++:
-        dims.map(j => dec(col("sn") * col(s"u$j"), 14, 10).as(s"t$j")): _*))
     val gvAggs = dims.map(j => sum(col(s"t$j") * col("cd")).as(s"g$j"))
-    val gv = gvTerms.groupBy(col("key")).agg(gvAggs.head, gvAggs.tail: _*)
+    def gradU(sc: org.apache.spark.sql.DataFrame) =
+      sc.groupBy(col("w")).agg(guAggs.head, guAggs.tail: _*)
+    def gradV(sc: org.apache.spark.sql.DataFrame) =
+      sc.select(col("c").as("key") +: Seq(cntD.as("cd")) ++:
+          dims.map(j => dec((col("sp") - 1) * col(s"u$j"), 14, 10)
+            .as(s"t$j")): _*)
+        .unionByName(sc.select(col("nc").as("key") +: Seq(cntD.as("cd")) ++:
+          dims.map(j => dec(col("sn") * col(s"u$j"), 14, 10)
+            .as(s"t$j")): _*))
+        .groupBy(col("key")).agg(gvAggs.head, gvAggs.tail: _*)
     def stepTab(tab: org.apache.spark.sql.DataFrame, key: String,
         pref: String, grads: org.apache.spark.sql.DataFrame,
         gkey: String) =
@@ -1201,8 +1218,6 @@ object TextQ {
             coalesce(dbl(round(col(s"g$j"), 6)), lit(0.0)) / dbl(col("nn")))
             .as(s"$pref$j")): _*)
         .localCheckpoint()
-    val u1 = stepTab(u0, "w", "u", gu, "w")
-    val v1 = stepTab(v0, "c", "v", gv, "key")
     val stats = pc.agg(sum(col("cnt")).cast("long").as("n_pairs"),
       countDistinct(col("w")).as("n_words"),
       countDistinct(col("c")).as("n_ctx"))
@@ -1210,9 +1225,22 @@ object TextQ {
       ls.crossJoin(broadcast(stats)).crossJoin(broadcast(nRow))
         .select(lit(r.toLong).as("round"), col("n_pairs"), col("n_words"),
           col("n_ctx"), r6(dbl(col("ls")) / col("nn")).as("loss"))
-    row(0, lossSum(sc0))
-      .unionByName(row(1, lossSum(scoreOver(u1, v1))))
-      .orderBy(col("round"))
+    // the train loop: each round re-scores under the previous round's
+    // r6-rounded weights; scored frames checkpoint (they feed both
+    // gradient aggregates and the next round's plan would otherwise
+    // double per round — the hnsw/unigram lesson)
+    var u = u0
+    var v = v0
+    var scored = scoreOver(u, v).localCheckpoint()
+    var out = row(0, lossSum(scored))
+    for (r <- 1 to rounds) {
+      val (guR, gvR) = (gradU(scored), gradV(scored))
+      u = stepTab(u, "w", "u", guR, "w")
+      v = stepTab(v, "c", "v", gvR, "key")
+      scored = scoreOver(u, v).localCheckpoint()
+      out = out.unionByName(row(r, lossSum(scored)))
+    }
+    out.orderBy(col("round"))
   }
 
   /** Within-doc repetition audit (r5) — the Gopher/MassiveText repetition
@@ -2230,6 +2258,7 @@ object TextQ {
     "entity_dedup_e2e"   -> entityDedupE2e,
     "skipgram_pairs"     -> skipgramPairs,
     "sgns_step"          -> sgnsStep,
+    "sgns_train"         -> sgnsTrain,
     "token_entropy"      -> tokenEntropy,
     "typo_neardup_words" -> typoNeardupWords,
     "doc_chunks"        -> docChunks,
@@ -2731,7 +2760,7 @@ object TextQ {
     * pair extraction → md5-derived init → forward/sigmoid (pinned
     * DECIMAL terms) → mean-loss + keyed gradient aggregates → r6'd
     * parameter step → re-evaluated loss. */
-  private def sgnsSql: String = {
+  private def sgnsSql(rounds: Int): String = {
     val dims = 1 to SgnsDim
     val hex = "0123456789abcdef"
     def h16(tag: String, j: Int, wordExpr: String): String =
@@ -2786,6 +2815,32 @@ object TextQ {
       s"""SELECT CAST($r AS BIGINT) AS round, n_pairs, n_words, n_ctx,
          |  ${r6Sql("CAST(ls AS DOUBLE) / nn")} AS loss
          |FROM $l, stats, nrow""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""gu$r AS MATERIALIZED (
+         |  SELECT w, ${dims.map(j =>
+             s"sum(CAST((sp - 1) * v$j AS DECIMAL(14,10)) * $cd\n" +
+               s"    + CAST(sn * nv$j AS DECIMAL(14,10)) * $cd) AS g$j")
+             .mkString(",\n  ")}
+         |  FROM sc$p GROUP BY w),
+         |gvt$r AS (
+         |  SELECT c AS key, $cd AS cdv, ${dims.map(j =>
+             s"CAST((sp - 1) * u$j AS DECIMAL(14,10)) AS t$j")
+             .mkString(", ")}
+         |  FROM sc$p
+         |  UNION ALL
+         |  SELECT nc, $cd, ${dims.map(j =>
+             s"CAST(sn * u$j AS DECIMAL(14,10))").mkString(", ")}
+         |  FROM sc$p),
+         |gv$r AS MATERIALIZED (
+         |  SELECT key, ${dims.map(j => s"sum(t$j * cdv) AS g$j")
+             .mkString(", ")}
+         |  FROM gvt$r GROUP BY key),
+         |${stepTab(s"u$r", s"u$p", "u", s"gu$r", "w", "w")},
+         |${stepTab(s"v$r", s"v$p", "v", s"gv$r", "c", "key")},
+         |${scored(s"sc$r", s"u$r", s"v$r")},
+         |${lossCte(s"l$r", s"sc$r")}""".stripMargin
+    }.mkString(",\n")
     s"""WITH $wordsCte,
        |sgidx AS (
        |  SELECT ws, unnest(range(0, len(ws) - 1)) AS i
@@ -2816,32 +2871,9 @@ object TextQ {
        |    count(DISTINCT w) AS n_words, count(DISTINCT c) AS n_ctx
        |  FROM pc),
        |${lossCte("l0", "sc0")},
-       |gu AS MATERIALIZED (
-       |  SELECT w, ${dims.map(j =>
-           s"sum(CAST((sp - 1) * v$j AS DECIMAL(14,10)) * $cd\n" +
-             s"    + CAST(sn * nv$j AS DECIMAL(14,10)) * $cd) AS g$j")
-           .mkString(",\n  ")}
-       |  FROM sc0 GROUP BY w),
-       |gvt AS (
-       |  SELECT c AS key, $cd AS cdv, ${dims.map(j =>
-           s"CAST((sp - 1) * u$j AS DECIMAL(14,10)) AS t$j")
-           .mkString(", ")}
-       |  FROM sc0
-       |  UNION ALL
-       |  SELECT nc, $cd, ${dims.map(j =>
-           s"CAST(sn * u$j AS DECIMAL(14,10))").mkString(", ")}
-       |  FROM sc0),
-       |gv AS MATERIALIZED (
-       |  SELECT key, ${dims.map(j => s"sum(t$j * cdv) AS g$j")
-           .mkString(", ")}
-       |  FROM gvt GROUP BY key),
-       |${stepTab("u1", "u0", "u", "gu", "w", "w")},
-       |${stepTab("v1", "v0", "v", "gv", "c", "key")},
-       |${scored("sc1", "u1", "v1")},
-       |${lossCte("l1", "sc1")}
-       |${outRow(0, "l0")}
-       |UNION ALL
-       |${outRow(1, "l1")}
+       |$roundCtes
+       |${(0 to rounds).map(r => outRow(r, s"l$r"))
+           .mkString("\nUNION ALL\n")}
        |ORDER BY round""".stripMargin
   }
 
@@ -3456,7 +3488,8 @@ object TextQ {
          |  CAST(sum(tok_after) AS BIGINT) AS tok_after,
          |  min(fp) AS fp_min, max(fp) AS fp_max
          |FROM full2 GROUP BY source ORDER BY source""".stripMargin,
-    "sgns_step" -> sgnsSql,
+    "sgns_step" -> sgnsSql(1),
+    "sgns_train" -> sgnsSql(SgnsTrainRounds),
     "skipgram_pairs" ->
       s"""WITH $wordsCte,
          |idx AS (

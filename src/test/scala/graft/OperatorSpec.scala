@@ -940,6 +940,22 @@ class OperatorSpec extends SparkSpec {
       rows(0).getAs[Long]("n_ctx") >= 1)
   }
 
+  test("sgns_train: the mean loss strictly decreases across all rounds " +
+    "and round 1 matches sgns_step exactly") {
+    val tr = SparkEntry.queries("sgns_train")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("round"))
+    assert(tr.length == graft.queries.TextQ.SgnsTrainRounds + 1)
+    val losses = tr.map(_.getAs[Double]("loss"))
+    losses.sliding(2).foreach { case Array(a, b) =>
+      assert(b < a, s"loss stalled: ${losses.mkString(" -> ")}")
+    }
+    // the trajectory's first step IS the unit operator
+    val st = SparkEntry.queries("sgns_step")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("round")).map(_.getAs[Double]("loss"))
+    assert(losses.take(2).toSeq == st.toSeq,
+      "sgns_train round 0-1 diverged from sgns_step")
+  }
+
   test("multimodal_neardup: matches a local brute-force mirror of the " +
     "16-bit aHash — banding is exhaustive for hamming <= 1") {
     val got = SparkEntry.queries("multimodal_neardup")(spark, sf).collect()

@@ -165,7 +165,9 @@ class PlanSweepSpec extends SparkSpec {
     // ---- r14 additions ----
     "sgns_step" -> ("1-row loss/stat/normalizer aggregates crossed into " +
       "the 2-row trajectory report + the 2-row negative-context table " +
-      "crossed over pair types — the gbm_round report shape"))
+      "crossed over pair types — the gbm_round report shape"),
+    "sgns_train" -> ("the sgns_step shapes per round: 1-row loss/stat/" +
+      "normalizer aggregates crossed into the 4-row trajectory report"))
 
   test("no unlisted query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
