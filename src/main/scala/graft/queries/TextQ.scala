@@ -1228,19 +1228,25 @@ object TextQ {
     // the train loop: each round re-scores under the previous round's
     // r6-rounded weights; scored frames checkpoint (they feed both
     // gradient aggregates and the next round's plan would otherwise
-    // double per round — the hnsw/unigram lesson)
-    var u = u0
-    var v = v0
-    var scored = scoreOver(u, v).localCheckpoint()
-    var out = row(0, lossSum(scored))
-    for (r <- 1 to rounds) {
-      val (guR, gvR) = (gradU(scored), gradV(scored))
-      u = stepTab(u, "w", "u", guR, "w")
-      v = stepTab(v, "c", "v", gvR, "key")
-      scored = scoreOver(u, v).localCheckpoint()
-      out = out.unionByName(row(r, lossSum(scored)))
+    // double per round — the hnsw/unigram lesson). Everything after the
+    // pair extraction lives on the pair-type/vocab domain, so the loop's
+    // ~15 micro-shuffles run at the reduced setting and the trajectory
+    // eager-checkpoints inside (the unigram per-stage decision).
+    val res = core.withShuffleParts(s, 8) {
+      var u = u0
+      var v = v0
+      var scored = scoreOver(u, v).localCheckpoint()
+      var out = row(0, lossSum(scored))
+      for (r <- 1 to rounds) {
+        val (guR, gvR) = (gradU(scored), gradV(scored))
+        u = stepTab(u, "w", "u", guR, "w")
+        v = stepTab(v, "c", "v", gvR, "key")
+        scored = scoreOver(u, v).localCheckpoint()
+        out = out.unionByName(row(r, lossSum(scored)))
+      }
+      out.localCheckpoint()
     }
-    out.orderBy(col("round"))
+    res.orderBy(col("round"))
   }
 
   /** Within-doc repetition audit (r5) — the Gopher/MassiveText repetition
