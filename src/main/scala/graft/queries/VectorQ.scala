@@ -1360,6 +1360,74 @@ object VectorQ {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Hybrid lexical + vector retrieval (r14) — the production
+    * hybrid-search shape the fusion family lacked: each of the 50 query
+    * docs ranks the corpus through TWO modalities — exact embedding
+    * cosine (the dense leg, qknn's shape) and token-SET Jaccard against
+    * the query doc's text (the sparse/lexical leg; doc_id = vec_id is
+    * the fixture's multimodal correspondence) — fused with RRF (k=60,
+    * the rrf_fusion conventions): a doc surfaced by both views outranks
+    * a doc either view loved alone. Top-5 per query with both
+    * provenance ranks (0 = unranked by that view).
+    *
+    * Scale shape: the dense leg is the justified bounded 50-query brute
+    * side (any ANN tier substitutes — same fuse contract); the lexical
+    * leg IS the inverted-index access pattern: query tokens equi-join
+    * corpus postings, shared-token counts aggregate per (query, doc),
+    * and set sizes join back for the exact Jaccard — candidates are
+    * docs with ≥ 1 shared token by construction, never a scan of
+    * non-matching docs; both rank windows are WindowGroupLimit-pruned
+    * top-10. */
+  val hybridRetrieval: QFn = (s, dir) => {
+    val e = unitBase(s, dir)
+    val wV = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val rankV = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"))
+      .crossJoin(e.select(col("vec_id"), col("v"), col("nrm")))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim",
+        r6(gdot(col("qv"), col("v")) / (col("qn") * col("nrm"))))
+      .withColumn("rv", row_number().over(wV))
+      .filter(col("rv") <= 10)
+      .select(col("qid"), col("vec_id"), col("rv"))
+    val toks = t(s, dir, "documents").select(col("doc_id"),
+      array_distinct(graft.operators.TextOps.tokens(col("text"))).as("ts"))
+      .localCheckpoint() // feeds postings (x2) and both size joins
+    val sizes = toks.select(col("doc_id"), size(col("ts")).as("n"))
+    val qt = toks.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("qid"), explode(col("ts")).as("w"))
+    val ct = toks.select(col("doc_id"), explode(col("ts")).as("w"))
+    val wL = Window.partitionBy(col("qid"))
+      .orderBy(col("jac").desc, col("vec_id"))
+    val rankL = qt.join(ct, "w")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("qid"), col("n").as("qn")),
+        Seq("qid"))
+      .join(sizes, Seq("doc_id"))
+      .select(col("qid"), col("doc_id").as("vec_id"),
+        r6(dbl(col("inter")) / (col("qn") + col("n") - col("inter")))
+          .as("jac"))
+      .withColumn("rl", row_number().over(wL))
+      .filter(col("rl") <= 10)
+      .select(col("qid"), col("vec_id"), col("rl"))
+    val wF = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("vec_id"))
+    rankV.join(rankL, Seq("qid", "vec_id"), "full_outer")
+      .select(col("qid"), col("vec_id"),
+        r6(coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0)))
+          .as("rrf"),
+        coalesce(col("rv"), lit(0)).as("rank_vec"),
+        coalesce(col("rl"), lit(0)).as("rank_lex"))
+      .withColumn("rn", row_number().over(wF).cast("long"))
+      .filter(col("rn") <= 5)
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** Maximal Marginal Relevance selection (r9, Carbonell & Goldstein
     * SIGIR'98 — public algorithm) — the DIVERSITY-aware consumer of the
     * similarity stack: where qknn returns the 5 most similar vectors
@@ -1445,6 +1513,7 @@ object VectorQ {
     "ann_recall_report"  -> annRecallReport,
     "ann_ivf_knn"        -> annIvfKnn,
     "ann_hnsw_knn"       -> annHnswKnn,
+    "hybrid_retrieval"   -> hybridRetrieval,
     "ann_filtered_knn"   -> annFilteredKnn)
 
   /** The identical 8 greedy MMR steps unrolled as CTEs: same r6-rounded
@@ -1921,6 +1990,56 @@ object VectorQ {
   private val oracleBase: Map[String, String] = Map(
     "mmr_select" -> mmrSql,
     "ann_hnsw_knn" -> hnswSql,
+    // Dense leg = the rrf ra0 chain at k=10; lexical leg = token-set
+    // Jaccard via list_intersect (the minhash verify device); fuse =
+    // the rrf_fusion full-outer coalesce pattern.
+    "hybrid_retrieval" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |n2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+         |       FROM e),
+         |rv0 AS (
+         |  SELECT q.vec_id AS qid, b.vec_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${r6Sql("list_dot_product(q.v, b.v) / (q.nrm * b.nrm)")}
+         |        DESC, b.vec_id) AS rv
+         |  FROM n2 q JOIN n2 b ON b.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 50),
+         |rv AS (SELECT qid, vec_id, rv FROM rv0 WHERE rv <= 10),
+         |tk AS (SELECT doc_id, list_distinct(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), w -> w <> ''))
+         |    AS ts FROM documents),
+         |qt AS (SELECT doc_id AS qid, unnest(ts) AS w FROM tk
+         |       WHERE doc_id < 50),
+         |ct AS (SELECT doc_id, unnest(ts) AS w FROM tk),
+         |iv AS (
+         |  SELECT qt.qid, ct.doc_id AS vec_id, count(*) AS inter
+         |  FROM qt JOIN ct USING (w)
+         |  WHERE ct.doc_id <> qt.qid
+         |  GROUP BY qt.qid, ct.doc_id),
+         |sz AS (SELECT doc_id, len(ts) AS n FROM tk),
+         |lx0 AS (
+         |  SELECT iv.qid, iv.vec_id,
+         |    ${r6Sql("CAST(inter AS DOUBLE) / (sq.n + sd.n - inter)")}
+         |      AS jac
+         |  FROM iv JOIN sz sq ON sq.doc_id = iv.qid
+         |    JOIN sz sd ON sd.doc_id = iv.vec_id),
+         |lx AS (SELECT qid, vec_id, rl FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY jac DESC, vec_id) AS rl FROM lx0) WHERE rl <= 10),
+         |f AS (
+         |  SELECT coalesce(rv.qid, lx.qid) AS qid,
+         |    coalesce(rv.vec_id, lx.vec_id) AS vec_id,
+         |    ${r6Sql("coalesce(1.0 / (60 + rv.rv), 0.0)" +
+               " + coalesce(1.0 / (60 + lx.rl), 0.0)")} AS rrf,
+         |    coalesce(rv.rv, 0) AS rank_vec,
+         |    coalesce(lx.rl, 0) AS rank_lex
+         |  FROM rv FULL OUTER JOIN lx
+         |    ON rv.qid = lx.qid AND rv.vec_id = lx.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY rrf DESC, vec_id) AS rn FROM f)
+         |SELECT qid, vec_id, rrf, rank_vec, rank_lex, rn FROM r
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
     "ann_opq_knn" -> opqSql,
     "ann_pq_knn" -> pqSql,
     "ann_ivfpq_knn" -> ivfpqSql,

@@ -940,6 +940,22 @@ class OperatorSpec extends SparkSpec {
       rows(0).getAs[Long]("n_ctx") >= 1)
   }
 
+  test("hybrid_retrieval: rrf matches the rank formula, provenance ranks " +
+    "stay in range, and no row is unranked by both views") {
+    val rows = SparkEntry.queries("hybrid_retrieval")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (rv, rl) = (r.getAs[Int]("rank_vec"), r.getAs[Int]("rank_lex"))
+      assert(rv >= 0 && rv <= 10 && rl >= 0 && rl <= 10)
+      assert(rv > 0 || rl > 0, "a fused row must come from some view")
+      val expect = (if (rv > 0) 1.0 / (60 + rv) else 0.0) +
+        (if (rl > 0) 1.0 / (60 + rl) else 0.0)
+      val got = r.getAs[Double]("rrf")
+      assert(math.abs(got - math.floor(expect * 1e6 + 0.5) / 1e6) < 1e-12,
+        s"rrf $got != formula $expect")
+    }
+  }
+
   test("sgns_train: the mean loss strictly decreases across all rounds " +
     "and round 1 matches sgns_step exactly") {
     val tr = SparkEntry.queries("sgns_train")(spark, sf).collect()

@@ -90,6 +90,9 @@ class PlanSweepSpec extends SparkSpec {
       "base — the brute-scan shape in the 32-d projected space"),
     "rrf_fusion" -> ("both rankers are the 50-query bounded side × base " +
       "(exact and JL-projected); the fusion itself is an equi-join"),
+    "hybrid_retrieval" -> ("the dense leg is the 50-query bounded side " +
+      "× base (the qknn brute shape); the lexical leg is a posting " +
+      "equi-join and the fuse is an equi-join — no other cartesian"),
     "itemsets_3" ->
       "1-row order-total aggregate broadcast into the lift formula",
     "ppr_seed" ->
