@@ -90,9 +90,6 @@ class PlanSweepSpec extends SparkSpec {
       "base — the brute-scan shape in the 32-d projected space"),
     "rrf_fusion" -> ("both rankers are the 50-query bounded side × base " +
       "(exact and JL-projected); the fusion itself is an equi-join"),
-    "hybrid_retrieval" -> ("the dense leg is the 50-query bounded side " +
-      "× base (the qknn brute shape); the lexical leg is a posting " +
-      "equi-join and the fuse is an equi-join — no other cartesian"),
     "itemsets_3" ->
       "1-row order-total aggregate broadcast into the lift formula",
     "ppr_seed" ->
@@ -166,11 +163,14 @@ class PlanSweepSpec extends SparkSpec {
       "crossed back over the per-(lang, source) manifest — the " +
       "quality_lm_gate shape"),
     // ---- r14 additions ----
-    "sgns_step" -> ("1-row loss/stat/normalizer aggregates crossed into " +
-      "the 2-row trajectory report + the 2-row negative-context table " +
-      "crossed over pair types — the gbm_round report shape"),
-    "sgns_train" -> ("the sgns_step shapes per round: 1-row loss/stat/" +
-      "normalizer aggregates crossed into the 4-row trajectory report"))
+    // sgns_step / sgns_train cross 1-row loss/stat/normalizer
+    // aggregates and the 2-row negative-context table inside the train
+    // pipeline, but the trajectory eager-checkpoints before returning —
+    // the returned plan shows only the final sort, so no entry needed
+    // (or permitted: the rot-check would fire), like semdedup/bpe.
+    "hybrid_retrieval" -> ("the dense leg is the 50-query bounded side " +
+      "× base (the qknn brute shape); the lexical leg is a posting " +
+      "equi-join and the fuse is an equi-join — no other cartesian"))
 
   test("no unlisted query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
