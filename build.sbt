@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites MUST run sequentially in the forked JVM (the sbt default for
+// forked tests; pinned because ArtifactPlanSpec and the registry specs
+// mutate JVM-global sys.props for the duration of a test).
+Test / testForkedParallel := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CharBigrams, DotProduct, JaroWinkler, TopKDoubles}
+import graft.expressions.{CharBigrams, CodepointSplit, DotProduct, JaroWinkler, TopKDoubles}
 
 /** SparkSessionExtensions entry point: injects the engine's custom
   * expressions at session build, so a user can enable everything with
@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_bigrams"),
       new ExpressionInfo(classOf[CharBigrams].getName, "graft_bigrams"),
       (children: Seq[Expression]) => CharBigrams(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_codepoints"),
+      new ExpressionInfo(classOf[CodepointSplit].getName, "graft_codepoints"),
+      (children: Seq[Expression]) => CodepointSplit(children(0))))
     ext.injectFunction((
       FunctionIdentifier("graft_jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import graft.queries.core.CkptOps
 import org.apache.spark.sql.functions.{coalesce, col, count, least, lit, min, sum}
 
 /** Distributed connected components: min-label propagation accelerated by
@@ -47,7 +48,7 @@ object ConnectedComponents {
     // Init folds the first propagation round in: lbl = min(self, nbrs).
     var labels = adj.groupBy(col("src")).agg(min(col("dst")).as("mn"))
       .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl"))
-      .localCheckpoint()
+      .ckpt()
     var prevSum = -1L
     var curSum = labelSum(labels)
     while (curSum != prevSum) {
@@ -67,7 +68,7 @@ object ConnectedComponents {
           col("lbl").as("jlbl")), Seq("lbl"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .ckpt()
       curSum = labelSum(labels)
     }
     adj.unpersist()

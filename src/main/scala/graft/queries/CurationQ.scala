@@ -179,7 +179,7 @@ object CurationQ {
             .as("term"))
         .groupBy(col("doc_id"))
         .agg(r6(dbl(sum(col("term"))) / count(lit(1))).as("score"))
-        .localCheckpoint()
+        .ckpt()
       // threshold rides the persisted registry (r13): derived once per
       // (JVM, dir) from the bounded distinct-score histogram, re-read by
       // any later session — a restart re-loads the gate instead of
@@ -196,7 +196,7 @@ object CurationQ {
           max(when(col("cb") < expr("(3 * n + 9) div 10") &&
             expr("(3 * n + 9) div 10") <= col("ce"), col("score")))
             .as("lm_threshold"))
-      }.localCheckpoint()
+      }.ckpt()
       (scored, thr)
     })
 
@@ -285,7 +285,7 @@ object CurationQ {
           (dbl(size(array_distinct(col("ws")))) / col("ntok")).as("x2"))
         .join(x1, Seq("doc_id"))
         .select(col("doc_id"), col("y"), col("x1"), col("x2"))
-        .localCheckpoint()
+        .ckpt()
       // ---- 2 IRLS Newton steps (the logistic_irls layout on doc features)
       def pin(c: org.apache.spark.sql.Column) = dec(c, 30, 14)
       def step(beta: DataFrame): DataFrame = {
@@ -330,11 +330,11 @@ object CurationQ {
       }
       val beta0 = s.range(1).select(lit(0.0).as("b0"), lit(0.0).as("b1"),
         lit(0.0).as("b2"))
-      val beta = step(step(beta0).localCheckpoint()).localCheckpoint()
+      val beta = step(step(beta0).ckpt()).ckpt()
       val scored = feat.crossJoin(broadcast(beta))
         .select(col("doc_id"), r6(lit(1.0) / (lit(1.0) + exp(-(col("b0")
           + col("b1") * col("x1") + col("b2") * col("x2"))))).as("score"))
-        .localCheckpoint()
+        .ckpt()
       // ---- exact-rank 30th-percentile threshold on the r6-score histogram
       val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("c"))
       val wS = Window.orderBy(col("score"))
@@ -347,7 +347,7 @@ object CurationQ {
         max(when(col("cb") < expr("(3 * n + 9) div 10") &&
           expr("(3 * n + 9) div 10") <= col("ce"), col("score")))
           .as("clf_threshold"))
-        .localCheckpoint()
+        .ckpt()
       (scored, thr)
     })
 
@@ -508,7 +508,7 @@ object CurationQ {
 
   val dedupPipeline: QFn = (s, dir) => {
     val pairs = TextQ.minhashVerifiedPairs(s, dir) // (a_id, b_id, jac ≥ 0.8)
-    val edges = pairs.select(col("a_id"), col("b_id")).localCheckpoint()
+    val edges = pairs.select(col("a_id"), col("b_id")).ckpt()
     val cc = graft.operators.ConnectedComponents.run(edges)
     val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
     val labeled = docs

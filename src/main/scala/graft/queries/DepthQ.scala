@@ -367,22 +367,22 @@ object DepthQ {
     val nbr = a.join(b, Seq("cx", "cy"))
       .filter(col("uid_a") =!= col("uid_b") && d2 <= 160000L)
       .select(col("uid_a"), col("uid_b"))
-      .localCheckpoint() // read by degree, core-edge, and border passes
+      .ckpt() // read by degree, core-edge, and border passes
     val core = nbr.groupBy(col("uid_a")).agg(count(lit(1)).as("n"))
       .filter(col("n") + 1 >= 4) // neighborhood includes the point
       .select(col("uid_a").as("id"))
-      .localCheckpoint()
+      .ckpt()
     val coreEdges = nbr
       .join(core.select(col("id").as("uid_a")), "uid_a")
       .join(core.select(col("id").as("uid_b")), "uid_b")
       .select(col("uid_a").as("src"), col("uid_b").as("dst"))
-      .localCheckpoint()
+      .ckpt()
     // min-label propagation over core edges; isolated cores self-seed
     def ckSum(df: org.apache.spark.sql.DataFrame, round: Int)
         : (org.apache.spark.sql.DataFrame, Long) = {
       val obs = org.apache.spark.sql.Observation(s"dbscan_lbl_r$round")
       val ck = df.observe(obs, coalesce(sum(col("lbl")), lit(0L)).as("s"))
-        .localCheckpoint()
+        .ckpt()
       (ck, obs.get("s").asInstanceOf[Long])
     }
     var (labels, prevSum) = ckSum(

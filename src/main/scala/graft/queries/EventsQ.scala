@@ -322,7 +322,7 @@ object EventsQ {
       .withColumn("p", dbl(col("c")) /
         sum(col("c")).over(Window.partitionBy(col("src"))))
       .select(col("src"), col("dst"), col("p"))
-      .localCheckpoint()
+      .ckpt()
     val channels = Seq("none", "view", "click", "signup", "error")
     val variants = channels
       .map(v => probs.withColumn("variant", lit(v)))
@@ -354,7 +354,7 @@ object EventsQ {
         .filter(col("variant") === "none" || col("src") =!= col("variant"))
         .unionByName(redirect).unionByName(loops)
         .coalesce(1)
-        .localCheckpoint() // ≤ 5·(49+3) rows
+        .ckpt() // ≤ 5·(49+3) rows
       for (_ <- 1 to 3) {
         val left = m.select(col("variant"), col("src"),
           col("dst").as("mid"), col("p").as("pa"))
@@ -366,14 +366,14 @@ object EventsQ {
       }
       v = m.filter(col("src") === "START")
         .select(col("variant"), col("dst").as("st"), col("p").as("mass"))
-        .localCheckpoint()
+        .ckpt()
     } finally s.conf.set("spark.sql.shuffle.partitions", prior)
     // ≤5 rows, but FOUR downstream consumers (p_full, effects, total,
     // report) would each replay the 8-step × 5-variant join chain —
     // checkpoint once (measured 7.1 s → the chain runs once).
     val conv = v.filter(col("st") === "CONV")
       .select(col("variant"), r6(col("mass")).as("p_conv"))
-      .localCheckpoint()
+      .ckpt()
     val pFull = conv.filter(col("variant") === "none")
       .select(col("p_conv").as("p_full"))
     val re = conv.filter(col("variant") =!= "none")
@@ -382,7 +382,7 @@ object EventsQ {
         col("p_conv").as("p_removed"),
         r6(lit(1.0) - col("p_conv") / nullif(col("p_full"), lit(0.0)))
           .as("removal_effect"))
-      .localCheckpoint() // 4 rows; read by both the total and the report
+      .ckpt() // 4 rows; read by both the total and the report
     // r6-rounded effects are exact DECIMAL(16,6) values — the 4-row sum
     // is order-free on both engines
     val tot = re.agg(dbl(sum(dec(col("removal_effect"), 16, 6)))

@@ -156,7 +156,7 @@ object GraphQ {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     val deg = und.select(col("a").as("v"))
       .unionAll(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -172,7 +172,7 @@ object GraphQ {
           struct(col("b").as("u"), col("a").as("w"), col("da").as("dw")))
         .as("e"))
       .select(col("e.u").as("u"), col("e.w").as("w"), col("e.dw").as("dw"))
-      .localCheckpoint() // reused by both wedge legs + the closure probe
+      .ckpt() // reused by both wedge legs + the closure probe
     val x = e.select(col("u"), col("w").as("v1"), col("dw").as("d1"))
     val y = e.select(col("u"), col("w").as("v2"), col("dw").as("d2"))
     val wedges = x.join(y, Seq("u"))
@@ -216,7 +216,7 @@ object GraphQ {
     // neardup_clusters pattern — materialize iteration state once).
     val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     val seed = und.agg(min(col("src")).as("seedw"))
     var d = und.select(col("src").as("w")).distinct()
       .crossJoin(broadcast(seed))
@@ -314,7 +314,7 @@ object GraphQ {
       .filter(col("l_partkey") < col("p2"))
       .select(col("l_partkey").as("a"), col("p2").as("b"))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     val nbr = und.select(col("a").as("v"), col("b").as("u"))
       .unionAll(und.select(col("b").as("v"), col("a").as("u")))
     var labels = nbr.select(col("v")).distinct()
@@ -334,7 +334,7 @@ object GraphQ {
             .orderBy(col("c").desc, col("label"))))
         .filter(col("rn") === 1)
         .select(col("v"), col("label"))
-        .localCheckpoint()
+        .ckpt()
       trail = trail.unionAll(
         labels.select(lit(r.toLong).as("round"), col("v"), col("label")))
     }
@@ -375,7 +375,7 @@ object GraphQ {
       .filter(col("l_partkey") < col("p2"))
       .select(col("l_partkey").as("a"), col("p2").as("b"))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     def nodesOf(e: org.apache.spark.sql.DataFrame) =
       e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
     // k = floor(2m/n)+1 from the INITIAL graph: exact integer division,
@@ -393,7 +393,7 @@ object GraphQ {
       e = e.join(rm.select(col("v").as("a")), Seq("a"), "left_anti")
         .join(rm.select(col("v").as("b")), Seq("b"), "left_anti")
         .select(col("a"), col("b"))
-        .localCheckpoint()
+        .ckpt()
       val row = rm.agg(count(lit(1)).as("n_removed"))
         .crossJoin(nodesOf(e).agg(countDistinct(col("v")).as("n_nodes")))
         .crossJoin(e.agg(count(lit(1)).as("n_edges")))
@@ -428,7 +428,7 @@ object GraphQ {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     val both = und.select(col("a").as("u"), col("b").as("v"))
       .unionAll(und.select(col("b").as("u"), col("a").as("v")))
     val deg = both.groupBy(col("u")).agg(count(lit(1)).as("d"))
@@ -506,11 +506,11 @@ object GraphQ {
       .filter(col("l_partkey") < col("p2"))
       .select(col("l_partkey").as("a"), col("p2").as("b"))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     val nbr = und.select(col("a").as("v"), col("b").as("u"))
       .unionAll(und.select(col("b").as("v"), col("a").as("u")))
     val deg = nbr.groupBy(col("v")).agg(count(lit(1)).as("kv"))
-      .localCheckpoint() // probed by every round + the final stats
+      .ckpt() // probed by every round + the final stats
     val m2 = und.agg((count(lit(1)) * 2).as("m2"))
     var comm = deg.select(col("v"), col("v").as("c"))
     for (_ <- 1 to 2) {
@@ -537,7 +537,7 @@ object GraphQ {
         .withColumn("rn", row_number().over(wBest))
         .filter(col("rn") === 1)
         .select(col("v"), col("c"))
-        .localCheckpoint()
+        .ckpt()
     }
     (und, deg, m2, comm)
   }
@@ -562,7 +562,7 @@ object GraphQ {
         (lit(2.0) * dbl(col("intra_edges"))) / dbl(col("m2")) -
           (dbl(col("sum_deg")) / dbl(col("m2"))) *
           (dbl(col("sum_deg")) / dbl(col("m2"))), 16, 12))
-      .localCheckpoint()
+      .ckpt()
     val summary = per.agg(count(lit(1)).as("n_comms"),
       r6(dbl(sum(col("qc")))).as("modularity"))
     (per, summary)
@@ -613,7 +613,7 @@ object GraphQ {
     val lab = und
       .join(comm.select(col("v").as("a"), col("c").as("ca")), "a")
       .join(comm.select(col("v").as("b"), col("c").as("cb")), "b")
-      .localCheckpoint() // feeds super-edges AND refined intra counts
+      .ckpt() // feeds super-edges AND refined intra counts
     // coarse weighted adjacency (both directions) — inter-community only
     val snbr = lab.filter(col("ca") =!= col("cb"))
       .select(col("ca").as("u"), col("cb").as("x"))
@@ -625,7 +625,7 @@ object GraphQ {
     val sdeg = comm.join(deg, "v").groupBy(col("c"))
       .agg(sum(col("kv")).as("ku"))
       .select(col("c").as("u"), col("ku"))
-      .localCheckpoint()
+      .ckpt()
     val cand = snbr.unionByName(
       sdeg.select(col("u"), col("u").as("x"), lit(0L).as("w")))
     val wBest = Window.partitionBy(col("u")).orderBy(col("score").desc,
@@ -640,7 +640,7 @@ object GraphQ {
       .withColumn("rn", row_number().over(wBest))
       .filter(col("rn") === 1)
       .select(col("u").as("c"), col("x").as("sc"))
-      .localCheckpoint()
+      .ckpt()
     val refined = comm.join(d1, "c").select(col("v"), col("sc").as("c"))
     val (per2, summary2) = partitionStats(und, deg, m2, refined)
     per2.crossJoin(broadcast(summary2))
@@ -685,9 +685,9 @@ object GraphQ {
     * INDEPENDENT formulation (closure is oracle-tractable on the
     * fixture vocabulary; the coloring loop is the scale path). */
   val sccComponents: QFn = (s, dir) => {
-    val e0 = edgesOf(s, dir).localCheckpoint()
+    val e0 = edgesOf(s, dir).ckpt()
     var verts = e0.select(col("src").as("w"))
-      .union(e0.select(col("dst").as("w"))).distinct().localCheckpoint()
+      .union(e0.select(col("dst").as("w"))).distinct().ckpt()
     var edges = e0
     // seed with an empty (w, scc) frame so a cycle-free corpus still
     // yields the right schema
@@ -700,17 +700,17 @@ object GraphQ {
       while (trimming && remaining > 0) {
         val cyc = edges.select(col("src").as("w")).distinct()
           .intersect(edges.select(col("dst").as("w")).distinct())
-          .localCheckpoint()
+          .ckpt()
         val nCyc = cyc.count()
         if (nCyc == remaining) trimming = false
         else {
           settled ::= verts.join(cyc, Seq("w"), "left_anti")
-            .select(col("w"), col("w").as("scc")).localCheckpoint()
+            .select(col("w"), col("w").as("scc")).ckpt()
           verts = cyc
           edges = edges
             .join(cyc.select(col("w").as("src")), Seq("src"))
             .join(cyc.select(col("w").as("dst")), Seq("dst"))
-            .select(col("src"), col("dst")).localCheckpoint()
+            .select(col("src"), col("dst")).ckpt()
           remaining = nCyc
         }
       }
@@ -719,7 +719,7 @@ object GraphQ {
         // `from` endpoint to the `to` endpoint, to a detected fixpoint
         def minProp(e: DataFrame, from: String, to: String): DataFrame = {
           var lbl = verts.select(col("w"), col("w").as("lbl"))
-            .localCheckpoint()
+            .ckpt()
           var changed = 1L
           while (changed > 0) {
             val inc = e
@@ -731,7 +731,7 @@ object GraphQ {
                 least(col("lbl"), coalesce(col("nl"), col("lbl")))
                   .as("lbl"),
                 (col("nl") < col("lbl")).as("chg"))
-              .localCheckpoint()
+              .ckpt()
             changed = next.filter(col("chg")).count()
             lbl = next.select(col("w"), col("lbl"))
           }
@@ -744,18 +744,18 @@ object GraphQ {
           .join(f.select(col("w").as("src"), col("lbl").as("fs")), "src")
           .join(f.select(col("w").as("dst"), col("lbl").as("fd")), "dst")
           .filter(col("fs") === col("fd"))
-          .select(col("src"), col("dst")).localCheckpoint()
+          .select(col("src"), col("dst")).ckpt()
         val b = minProp(fe, "dst", "src")
         val done = f.join(b.select(col("w"), col("lbl").as("bl")), Seq("w"))
           .filter(col("lbl") === col("bl"))
-          .select(col("w"), col("lbl").as("scc")).localCheckpoint()
+          .select(col("w"), col("lbl").as("scc")).ckpt()
         settled ::= done
         verts = verts.join(done.select(col("w")), Seq("w"), "left_anti")
-          .localCheckpoint()
+          .ckpt()
         edges = edges
           .join(verts.select(col("w").as("src")), Seq("src"))
           .join(verts.select(col("w").as("dst")), Seq("dst"))
-          .select(col("src"), col("dst")).localCheckpoint()
+          .select(col("src"), col("dst")).ckpt()
         remaining = verts.count()
       }
     }

@@ -90,11 +90,17 @@ object MultimodalQ {
     * whole encode → binary → decode roundtrip is lossless, the
     * multimodal_codec_exec grading trick applied to a dedup operator.
     *
-    * Fingerprint = the aHash recipe over 16 positional slots: character
-    * position p lands in slot p mod 16, each char contributes one
-    * engine-agnostic byte of md5(char) (Spark's ascii() truncates
-    * codepoints to the low byte while DuckDB returns the codepoint —
-    * hashing sidesteps charset semantics entirely), and slot bit = 1 iff
+    * Fingerprint = the aHash recipe over 16 positional slots: CODEPOINT
+    * position p lands in slot p mod 16 and contributes one engine-
+    * agnostic byte of md5(codepoint). The split is the native
+    * CodepointSplit expression (r15, r14 advisory), not split(str,"") —
+    * DuckDB's string_split(text,'') walks codepoints, and the UTF-8
+    * byte-boundary walk makes that contract STRUCTURAL on the Spark
+    * side rather than inherited from Java-regex Unicode internals
+    * (Spark 4.1's regex split happens to agree even on astral chars —
+    * pinned in CodepointSplitSpec — but the engine no longer depends on
+    * it). Both sides hash identical UTF-8 slices for ALL well-formed
+    * text including emoji/astral CJK. Slot bit = 1 iff
     * the slot's mean beats the doc mean (exact integer cross-multiply —
     * safe to doc lengths ~3·10⁷ before BIGINT overflow). A real image
     * aHash swaps "char → md5 byte" for "pixel block → luminance"; the
@@ -109,6 +115,7 @@ object MultimodalQ {
     * isotropic corpus — at 100 TB band width grows with log₂(n), the
     * embed_neardup knob). */
   val neardup: QFn = (s, dir) => {
+    graft.expressions.CodepointSplit.register(s)
     val path = scratch(dir, "mm_payloads_nd")
     graft.operators.Multimodal.encodePayloads(
         t(s, dir, "documents").select(col("doc_id"), col("text")))
@@ -118,7 +125,8 @@ object MultimodalQ {
       .filter(length(col("decoded")) >= 1)
     val chars = decoded
       .select(col("doc_id"),
-        posexplode(split(col("decoded"), "")).as(Seq("p", "c")))
+        posexplode(call_function("graft_codepoints", col("decoded")))
+          .as(Seq("p", "c")))
       .select(col("doc_id"), (col("p") % 16).as("slot"),
         conv(substring(md5(col("c")), 1, 2), 16, 10).cast("long").as("v"))
     val sa = chars.groupBy(col("doc_id"), col("slot"))

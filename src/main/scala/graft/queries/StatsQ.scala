@@ -699,9 +699,9 @@ object StatsQ {
     }
     val beta0 = s.range(1).select(lit(0.0).as("b0"), lit(0.0).as("b1"),
       lit(0.0).as("b2"))
-    val it1 = step(beta0, 1).localCheckpoint()
+    val it1 = step(beta0, 1).ckpt()
     val it2 = step(it1.select(col("b0"), col("b1"), col("b2")), 2)
-      .localCheckpoint()
+      .ckpt()
     (it1, it2)
   }
 
@@ -837,7 +837,7 @@ object StatsQ {
       .select(col("yl"),
         bin(col("x1"), col("mn1"), col("mx1")).as("b1"),
         bin(col("x2"), col("mn2"), col("mx2")).as("b2"))
-      .localCheckpoint() // the binned matrix — scanned by both levels
+      .ckpt() // the binned matrix — scanned by both levels
     // One level: histogram → boundary candidates via prefix sums →
     // best split per node under (gain_r6 DESC, feat, bin).
     def level(df: org.apache.spark.sql.DataFrame)
@@ -876,7 +876,7 @@ object StatsQ {
           col("nl"), col("pl"), col("nr"), col("pr"))
     }
     val best0 = level(rows.select(lit(0L).as("node"), col("yl"),
-      col("b1"), col("b2"))).localCheckpoint()
+      col("b1"), col("b2"))).ckpt()
     val assigned = rows.crossJoin(broadcast(
         best0.select(col("feat").as("bf"), col("bin").as("bb"))))
       .select(when(when(col("bf") === "x1", col("b1")).otherwise(col("b2"))
@@ -974,7 +974,7 @@ object StatsQ {
       .select(col("ho"), col("y"), col("f"),
         bin(col("x1"), col("mn1"), col("mx1")).as("b1"),
         bin(col("x2"), col("mn2"), col("mx2")).as("b2"))
-      .localCheckpoint()
+      .ckpt()
     val zero = lit(0).cast("decimal(30,14)")
     // prefix-sum split candidates over a (parts..., feat, bin) histogram
     def cands(hist: org.apache.spark.sql.DataFrame, parts: Seq[String]) = {
@@ -1012,18 +1012,18 @@ object StatsQ {
       val p = cur.withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("f"))))
         .withColumn("g", col("p") - col("y"))
         .withColumn("h", col("p") * (lit(1.0) - col("p")))
-        .localCheckpoint()
+        .ckpt()
       val best0 = cands(histOf(p.filter(!col("ho")), Seq()), Seq())
         .withColumn("rn", row_number().over(
           Window.orderBy(col("gain").desc, col("feat"), col("bin"))))
         .filter(col("rn") === 1)
-        .localCheckpoint() // 1 row
+        .ckpt() // 1 row
       val assigned = p.crossJoin(broadcast(
           best0.select(col("feat").as("rf"), col("bin").as("rb"))))
         .withColumn("node",
           when(when(col("rf") === "x1", col("b1")).otherwise(col("b2"))
             < col("rb"), lit(1L)).otherwise(lit(2L)))
-        .localCheckpoint() // level-1 histogram + routing both scan it
+        .ckpt() // level-1 histogram + routing both scan it
       val best1 = cands(histOf(assigned.filter(!col("ho")), Seq("node")),
           Seq("node"))
         .withColumn("rn", row_number().over(Window.partitionBy(col("node"))
@@ -1032,7 +1032,7 @@ object StatsQ {
         .select(col("node"), col("feat").as("cf"), col("bin").as("cb"),
           (lit(-0.3) * col("gld") / col("hld")).as("wl"),
           (lit(-0.3) * col("gr") / col("hr")).as("wr"))
-        .localCheckpoint() // <= 2 rows
+        .ckpt() // <= 2 rows
       val nodeStats = assigned.filter(!col("ho"))
         .groupBy(col("node"))
         .agg((lit(-0.3) * dbl(sum(pin(col("g")))) /
@@ -1045,7 +1045,7 @@ object StatsQ {
             when(col("cf") === "x1", col("b1")).otherwise(col("b2"))
               < col("cb"), col("wl")).otherwise(col("wr"))))
         .select(col("ho"), col("y"), col("f"), col("b1"), col("b2"))
-        .localCheckpoint()
+        .ckpt()
       // both slices' losses in ONE conditional aggregate (one scan)
       val losses = cur
         .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("f"))))
@@ -1105,13 +1105,13 @@ object StatsQ {
       .select(col("y"), col("f"),
         bin(col("x1"), col("mn1"), col("mx1")).as("b1"),
         bin(col("x2"), col("mn2"), col("mx2")).as("b2"))
-      .localCheckpoint()
+      .ckpt()
     var trail: org.apache.spark.sql.DataFrame = null
     for (round <- 1 to 2) {
       val p = cur.withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("f"))))
         .withColumn("g", col("p") - col("y"))
         .withColumn("h", col("p") * (lit(1.0) - col("p")))
-        .localCheckpoint() // consumed by loss-before, histogram, update
+        .ckpt() // consumed by loss-before, histogram, update
       val lb = p.agg(sum(lossTerm(col("p"))).as("l"),
         count(lit(1)).as("cnt"))
       val hist = p.select(col("g"), col("h"), inline(array(
@@ -1149,7 +1149,7 @@ object StatsQ {
       val best = cand.withColumn("gain", r6(gain))
         .withColumn("rn", row_number().over(wBest))
         .filter(col("rn") === 1)
-        .localCheckpoint() // 1 row; consumed by the update AND the report
+        .ckpt() // 1 row; consumed by the update AND the report
       cur = p.crossJoin(broadcast(
           best.select(col("feat").as("bf"), col("bin").as("bb"),
             (lit(-0.3) * col("gld") / col("hld")).as("wl"),
@@ -1158,7 +1158,7 @@ object StatsQ {
           when(col("bf") === "x1", col("b1")).otherwise(col("b2"))
             < col("bb"), col("wl")).otherwise(col("wr")))
         .select(col("y"), col("f"), col("b1"), col("b2"))
-        .localCheckpoint()
+        .ckpt()
       val la = cur
         .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("f"))))
         .agg(sum(lossTerm(col("p"))).as("l2"))

@@ -790,7 +790,7 @@ object StreamQ {
         .orderBy(md5(col("event_id").cast("string")), col("event_id"))
       // one sort, checkpointed for the 5 filtered writes, released after
       val batched = t(s, dir, "events")
-        .withColumn("b", ntile(5).over(w)).localCheckpoint()
+        .withColumn("b", ntile(5).over(w)).ckpt()
       try {
         for (i <- 1 to 5) {
           val tmp = new java.io.File(box, s"_tmp$i")
@@ -897,7 +897,7 @@ object StreamQ {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(md5(col("event_id").cast("string")), col("event_id"))
     val batched = t(s, dir, "events")
-      .withColumn("b", ntile(2).over(w)).localCheckpoint()
+      .withColumn("b", ntile(2).over(w)).ckpt()
     def stage(i: Int): Unit = {
       val tmp = new java.io.File(box, s"_tmp$i")
       batched.filter(col("b") === i).drop("b")
@@ -1190,7 +1190,7 @@ object StreamQ {
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(md5(col("event_id").cast("string")), col("event_id"))
       val batched = t(s, dir, "events")
-        .withColumn("b", ntile(5).over(w)).localCheckpoint()
+        .withColumn("b", ntile(5).over(w)).ckpt()
       try {
         for (i <- 3 to 5) {
           val tmp = new java.io.File(box, s"_tmp$i")

@@ -679,7 +679,7 @@ object TextQ {
       .groupBy(col("nm")).agg(count(lit(1)).as("cnt"))
       .select(col("nm"), col("cnt"),
         substring(col("nm"), 1, 1).as("blk"), length(col("nm")).as("l"))
-      .localCheckpoint()
+      .ckpt()
     val pairs = names.select(col("nm").as("a"), col("blk"),
         col("l").as("la"))
       .join(names.select(col("nm").as("b"), col("blk"),
@@ -699,7 +699,7 @@ object TextQ {
     var labels = adj.groupBy(col("src")).agg(min(col("dst")).as("mn"))
       .select(col("src").as("id"), least(col("src"), col("mn"))
         .as("lbl"))
-      .localCheckpoint()
+      .ckpt()
     var converged = false
     var round = 1
     while (!converged) {
@@ -715,7 +715,7 @@ object TextQ {
           .otherwise(0L)).as("chg"))
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .ckpt()
       converged = obs.get("chg").asInstanceOf[Long] == 0L
       labels = next
       round += 1
@@ -771,7 +771,7 @@ object TextQ {
       .select(explode(TextOps.tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .select(col("word"), col("cnt"), chars.as("syms"))
-      .localCheckpoint()
+      .ckpt()
     val wPos = Window.partitionBy(col("word")).orderBy(col("pos"))
     var merges: org.apache.spark.sql.DataFrame = null
     for (round <- 1 to 6) {
@@ -799,7 +799,7 @@ object TextQ {
         .withColumn("start", min(col("pos")).over(wRun))
         .filter((col("pos") - col("start")) % 2 === 0)
         .select(col("word").as("kw"), col("pos").as("kpos"))
-        .localCheckpoint()
+        .ckpt()
       vocab = flagged
         .join(kept, col("word") === col("kw")
           && col("pos") === col("kpos"), "left")
@@ -814,7 +814,7 @@ object TextQ {
         .groupBy(col("word"), col("cnt"))
         .agg(transform(sort_array(collect_list(struct(col("pos"),
           col("sym")))), x => x.getField("sym")).as("syms"))
-        .localCheckpoint()
+        .ckpt()
     }
     merges.orderBy(col("round"))
   }
@@ -879,7 +879,7 @@ object TextQ {
       .select(explode(TextOps.tokens(col("text"))).as("word"))
       .distinct()
       .select(col("word"), chars.as("syms"))
-      .localCheckpoint()
+      .ckpt()
     val wPos = Window.partitionBy(col("word")).orderBy(col("pos"))
     withShuffleParts(s, 8) { for ((l, r) <- merges) {
       val touched = vocab.filter(col("word").contains(l + r))
@@ -895,7 +895,7 @@ object TextQ {
         .withColumn("start", min(col("pos")).over(wRun))
         .filter((col("pos") - col("start")) % 2 === 0)
         .select(col("word").as("kw"), col("pos").as("kpos"))
-        .localCheckpoint() // probed twice below (merge site + consumed right)
+        .ckpt() // probed twice below (merge site + consumed right)
       val rebuilt = ex
         .join(kept, col("word") === col("kw")
           && col("pos") === col("kpos"), "left")
@@ -910,7 +910,7 @@ object TextQ {
         .groupBy(col("word"))
         .agg(transform(sort_array(collect_list(struct(col("pos"),
           col("sym")))), x => x.getField("sym")).as("syms"))
-      vocab = rebuilt.unionByName(untouched).localCheckpoint()
+      vocab = rebuilt.unionByName(untouched).ckpt()
     } }
     vocab
   }
@@ -932,7 +932,7 @@ object TextQ {
       .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("wn"))
     // (lang, word-type) × segmentation — reused by the totals and the
     // top-token branch; vocabulary-sized, so pinning it is free.
-    val wv = wc.join(seg, "word").localCheckpoint()
+    val wv = wc.join(seg, "word").ckpt()
     val stats = wv.groupBy(col("lang"))
       .agg(sum(col("wn")).as("n_words"),
         sum(col("wn") * size(col("syms"))).as("n_tokens"),
@@ -1145,7 +1145,7 @@ object TextQ {
       .select(element_at(ws, col("i") + 1).as("w"),
         element_at(ws, col("i") + 1 + col("d")).as("c"))
       .groupBy(col("w"), col("c")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .ckpt()
     // size() guards: element_at past the end THROWS under ANSI, and a
     // pair-less degenerate corpus (all docs < 2 tokens) yields an empty
     // context list — the key must return its NULL-loss trajectory, not
@@ -1217,7 +1217,7 @@ object TextQ {
           r6(col(s"$pref$j") - lit(SgnsEta) *
             coalesce(dbl(round(col(s"g$j"), 6)), lit(0.0)) / dbl(col("nn")))
             .as(s"$pref$j")): _*)
-        .localCheckpoint()
+        .ckpt()
     val stats = pc.agg(sum(col("cnt")).cast("long").as("n_pairs"),
       countDistinct(col("w")).as("n_words"),
       countDistinct(col("c")).as("n_ctx"))
@@ -1235,16 +1235,16 @@ object TextQ {
     val res = core.withShuffleParts(s, 8) {
       var u = u0
       var v = v0
-      var scored = scoreOver(u, v).localCheckpoint()
+      var scored = scoreOver(u, v).ckpt()
       var out = row(0, lossSum(scored))
       for (r <- 1 to rounds) {
         val (guR, gvR) = (gradU(scored), gradV(scored))
         u = stepTab(u, "w", "u", guR, "w")
         v = stepTab(v, "c", "v", gvR, "key")
-        scored = scoreOver(u, v).localCheckpoint()
+        scored = scoreOver(u, v).ckpt()
         out = out.unionByName(row(r, lossSum(scored)))
       }
-      out.localCheckpoint()
+      out.ckpt()
     }
     res.orderBy(col("round"))
   }
@@ -1399,7 +1399,7 @@ object TextQ {
     val words = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), TextOps.tokens(col("text"))
         .as("ws"))
-      .localCheckpoint() // reused: seeds, token explode, final manifest
+      .ckpt() // reused: seeds, token explode, final manifest
     val seeds = words
       .select(col("doc_id"), wsC,
         explode(when(size(wsC) >= 10, sequence(lit(0), size(wsC) - 10))
@@ -1598,7 +1598,7 @@ object TextQ {
       .withColumn("split", when(h4 < "cccc", "train")
         .when(h4 < "e666", "valid").otherwise("test"))
       .select(col("doc_id"), col("source"), col("split"))
-      .localCheckpoint() // consumed by the token join AND the packing
+      .ckpt() // consumed by the token join AND the packing
     val seg = bpeApplied(s, dir)
     val dtok = curated.select(col("doc_id"))
       .join(t(s, dir, "documents").select(col("doc_id"), col("text")),
@@ -1671,27 +1671,34 @@ object TextQ {
     * (no fixture access), so its DP/backtrack unroll is structural — it
     * unrolls to THIS bound, and every level beyond the corpus's true max
     * word length is provably empty (`len(word) >= i` filters), so the
-    * replay is exact for ANY corpus whose words fit the bound. The
-    * engine keeps deriving its depth from the observed max (never pays
-    * empty DP rounds) and FAILS LOUDLY in [[uniMaxLen]] when a word
-    * exceeds the bound — the r12 failure mode (silent word-dropping on
-    * one side only) is structurally impossible in either direction. */
+    * replay is exact for ANY corpus whose words fit the bound. Words
+    * PAST the bound — URLs, German compounds, hex hashes, routine in
+    * real corpora (r14 advisory) — are TRUNCATED to their
+    * UniWordLenBound-codepoint prefix identically on both sides
+    * ([[uniWordCounts]] / the `uwc` oracle CTE), BEFORE counting, so
+    * the contract degrades gracefully instead of aborting the train:
+    * an over-long token contributes its prefix's pieces, and engine ≡
+    * oracle still holds exactly. The engine keeps deriving its DP
+    * depth from the observed (post-truncation) max — never pays empty
+    * rounds — and [[uniMaxLen]]'s invariant check is now structurally
+    * unreachable rather than an input-dependent abort. */
   private[queries] val UniWordLenBound = 20
 
   /** DP unroll depth = the OBSERVED max word length (r13 advisory fix:
     * a hardcoded bound would silently drop longer words from the NLL,
     * backtrack, and M-step — hashes stay green while semantics rot).
-    * One O(1) aggregate over the checkpointed word domain. Asserts the
-    * shared oracle bound [[UniWordLenBound]] loudly (r13 advisory,
-    * second half): past it the static oracle CTEs would drop the word
-    * while the engine keeps it — fail here, never diverge silently. */
+    * One O(1) aggregate over the checkpointed word domain. The
+    * [[UniWordLenBound]] invariant is structurally guaranteed since r15
+    * (uniWordCounts truncates the word domain to the bound on both
+    * sides), so this require is an internal consistency check — a
+    * violation means a word-domain builder bypassed the truncation,
+    * never a merely-unusual corpus. */
   private def uniMaxLen(wc: DataFrame): Int = {
     val r = wc.agg(max(length(col("word")))).first()
     val m = (if (r.isNullAt(0)) 1 else r.getInt(0)) max 1
     require(m <= UniWordLenBound,
-      s"unigram corpus has a $m-char word, past the shared oracle " +
-        s"unroll bound UniWordLenBound=$UniWordLenBound — raise the " +
-        "bound (both sides regenerate from it) before training")
+      s"unigram word domain has a $m-char word past UniWordLenBound=" +
+        s"$UniWordLenBound — a builder bypassed the shared truncation")
     m
   }
 
@@ -1730,9 +1737,9 @@ object TextQ {
       // sf0.1 unchecked, and a 2-level cadence already re-inflates to
       // 10 s — the per-level word-domain checkpoint is the cheapest
       // point on the curve (~7 s steady state).
-      dpAll = dpAll.unionByName(win.localCheckpoint())
+      dpAll = dpAll.unionByName(win.ckpt())
     }
-    dpAll = dpAll.localCheckpoint()
+    dpAll = dpAll.ckpt()
     // ---- backtrack (≤ maxLen steps), emitting path pieces w/ multiplicity
     var frontier = wc.select(col("word"),
       length(col("word")).as("pos"))
@@ -1751,14 +1758,18 @@ object TextQ {
             col("pos") - col("bp")).as("piece")))
       frontier = step.select(col("word"), col("bp").as("pos"))
     }
-    (dpAll, path.localCheckpoint())
+    (dpAll, path.ckpt())
   }
 
   private def uniWordCounts(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .select(explode(TextOps.tokens(col("text"))).as("w0"))
+      // truncate to the shared bound BEFORE counting (r15, r14 advisory):
+      // over-long tokens participate as their prefix on BOTH sides
+      // instead of aborting the train; no-op for any word ≤ the bound
+      .select(substring(col("w0"), 1, UniWordLenBound).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .ckpt()
 
   private def unigramBuild(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = core.withShuffleParts(s, 8) {
@@ -1780,13 +1791,13 @@ object TextQ {
     var pieces = sub.crossJoin(broadcast(tot0))
       .select(col("piece"),
         dec(log(dbl(col("freq")) / dbl(col("tot"))), 14, 10).as("logp"))
-      .localCheckpoint()
+      .ckpt()
     val chars = wc
       .select(col("word"),
         explode(sequence(lit(1), length(col("word")))).as("st"))
       .select(col("word").substr(col("st"), lit(1)).as("piece"))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     var trail: org.apache.spark.sql.DataFrame = null
     for (round <- 1 to 2) {
       val (dpAll, pathC) = unigramViterbi(wc, pieces, MaxLen)
@@ -1802,7 +1813,7 @@ object TextQ {
       pieces = kept.crossJoin(broadcast(totR))
         .select(col("piece"),
           dec(log(dbl(col("c")) / dbl(col("tot"))), 14, 10).as("logp"))
-        .localCheckpoint()
+        .ckpt()
       // ---- round report
       val nll = dpAll
         .join(wc.select(col("word"), length(col("word")).as("wl"),
@@ -1832,7 +1843,7 @@ object TextQ {
           col("top_piece"), col("top_piece_cnt"))
       trail = if (trail == null) row else trail.unionByName(row)
     }
-    (trail.orderBy(col("round")).localCheckpoint(), pieces, wc)
+    (trail.orderBy(col("round")).ckpt(), pieces, wc)
   }
 
   private val unigramApplyCache = graft.Tables
@@ -1876,7 +1887,7 @@ object TextQ {
     val wcl = t(s, dir, "documents")
       .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
       .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("wn"))
-      .localCheckpoint() // reused by the totals and the top-piece branch
+      .ckpt() // reused by the totals and the top-piece branch
     val stats = wcl.join(per, "word")
       .groupBy(col("lang"))
       .agg(sum(col("wn")).as("n_words"),
@@ -1926,7 +1937,7 @@ object TextQ {
       .filter(h4 >= "cccc")
       .select(explode(TextOps.tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wn"))
-      .localCheckpoint() // probed once per tokenizer
+      .ckpt() // probed once per tokenizer
     def report(name: String, per: DataFrame): DataFrame =
       ewc.join(per, "word")
         .agg(sum(col("wn")).as("n_words"),
@@ -2014,7 +2025,7 @@ object TextQ {
         explode(TextOps.tokens(col("text"))).as("w"))
       .groupBy(col("source"), col("lang"), col("w"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint() // vocab x shards; feeds totals, entropy, zipf
+      .ckpt() // vocab x shards; feeds totals, entropy, zipf
     val tot = wc.groupBy(col("source"), col("lang"))
       .agg(sum(col("c")).as("n_tokens"))
     val p = col("c") / col("n_tokens")
@@ -2547,8 +2558,10 @@ object TextQ {
   /** Unigram base CTEs (word counts, substring seed, char floor set) —
     * reads `words`; the caller supplies the words CTE. */
   private def uniBaseCtes: String =
-    s"""uwc AS MATERIALIZED (SELECT word, count(*) AS cnt
-       |  FROM (SELECT unnest(ws) AS word FROM words) GROUP BY word),
+    s"""uwc AS MATERIALIZED (
+       |  SELECT substring(word, 1, $UniWordLenBound) AS word,
+       |    count(*) AS cnt
+       |  FROM (SELECT unnest(ws) AS word FROM words) GROUP BY 1),
        |usub AS (
        |  SELECT substring(word, st, ln) AS piece, cnt
        |  FROM uwc,

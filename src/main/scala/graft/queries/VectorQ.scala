@@ -303,7 +303,7 @@ object VectorQ {
   private[graft] def ivfCoarse(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
     ivfCoarseCache.getOrElseUpdate((graft.Tables.sessionKey(s), dir),
-      ivfCoarseBuild(s, dir).filter(col("crn") <= 2).localCheckpoint())
+      ivfCoarseBuild(s, dir).filter(col("crn") <= 2).ckpt())
 
   private def ivfCoarseBuild(s: SparkSession, dir: String) = {
     val centroids = t(s, dir, "embeddings")
@@ -421,12 +421,12 @@ object VectorQ {
       // scheme (r14, the persistedArtifact pattern): a deployment points
       // -Dgraft.registry.root at hdfs:/object storage and the standing
       // index becomes durable shared state; file: is the local default.
-      val root = new org.apache.hadoop.fs.Path(core.registryRoot,
-        "ann_index_" + core.dirKey(dir))
-      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val done = new org.apache.hadoop.fs.Path(root, "_built")
-      if (!fs.exists(done)) {
-        fs.mkdirs(root)
+      // The publish itself is core.publishOnce (r15): centroids + base
+      // are built into a private generation dir and committed by ONE
+      // atomic rename, so concurrent drivers sharing the root never read
+      // a half-written index and replayed builders elect one winner.
+      core.publishOnce(s, new org.apache.hadoop.fs.Path(core.registryRoot),
+          "ann_index_" + core.dirKey(dir)) { root =>
         val centroids = t(s, dir, "embeddings")
           .filter(col("vec_id") % 4 =!= 0)
           .select(col("label"),
@@ -457,9 +457,7 @@ object VectorQ {
           .select(col("vec_id"), col("clabel").as("cell"), col("v"),
             col("nrm"))
           .write.mode("overwrite").parquet(s"$root/base")
-        fs.createNewFile(done)
-      }
-      root.toString
+      }.toString
     }
 
   /** Standing-index ANN maintenance (r11) — probe + upsert a NEW batch
@@ -495,7 +493,7 @@ object VectorQ {
       .crossJoin(broadcast(cents))
       .withColumn("fdist", dist)
       .withColumn("crn", row_number().over(wCell))
-      .localCheckpoint() // consumed by the upsert write AND the probe
+      .ckpt() // consumed by the upsert write AND the probe
     asg.filter(col("crn") === 1)
       .select(col("vec_id"), col("clabel").as("cell"), col("v"), col("nrm"))
       .write.mode("overwrite").parquet(s"$root/delta")
@@ -580,7 +578,7 @@ object VectorQ {
     * against the tiers it grades. */
   val annRecallReport: QFn = (s, dir) => {
     val brute = knnTop5(s, dir).select(col("qid"), col("vec_id"), col("rn"))
-      .localCheckpoint()
+      .ckpt()
     val tiers: Seq[(String, QFn, Int)] = Seq(
       ("ann_hnsw_knn", annHnswKnn, 5),
       ("ann_ivf_knn", annIvfKnn, 3),
@@ -607,7 +605,7 @@ object VectorQ {
     }
     // the filtered tier grades against its OWN ground truth — brute
     // top-5 over the same lang='en' candidate set (r13)
-    val bruteF = bruteFilteredTop5(s, dir).localCheckpoint()
+    val bruteF = bruteFilteredTop5(s, dir).ckpt()
     (tiers.map { case (name, fn, k) => row(name, fn, k, brute) } :+
       row("ann_filtered_knn", annFilteredKnn, 5, bruteF))
       .reduce(_ unionByName _).orderBy(col("tier"))
@@ -654,7 +652,7 @@ object VectorQ {
         : (org.apache.spark.sql.DataFrame, Long) = {
       val obs = org.apache.spark.sql.Observation(s"cc_lblsum_r$round")
       val ck = df.observe(obs, coalesce(sum(col("lbl")), lit(0L)).as("s"))
-        .localCheckpoint()
+        .ckpt()
       (ck, obs.get("s").asInstanceOf[Long])
     }
     var (labels, prevSum) = checkpointWithSum(
@@ -765,22 +763,31 @@ object VectorQ {
   val HnswBeam = 12
   val HnswRounds = 4
 
-  private val hnswGraphCache = graft.Tables.sessionScopedCache[String,
-    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+  /** Counts graph-build entries for RegistrySpec's no-retrain pin. */
+  private[graft] val hnswBuildRuns =
+    new java.util.concurrent.atomic.AtomicInteger
 
-  /** The bounded-degree neighbor graph for ann_hnsw_knn, built once per
-    * (session, dir) and checkpointed (the ivfCoarse amortization — the
-    * recall report re-invokes the tier): every vector's candidates are
-    * the members of its 2 nearest CORPUS-SCALED kmeans cells (the
-    * SemDeDup geometry — k = ceil(n/64) tracks the corpus, so cell mass
-    * stays ~64 and graph build is O(n · 128) pair work at ANY corpus
-    * size, never the label-cell n²/|labels|); edges = top-M by rounded
-    * cosine (ties to the lower vec_id). The NSW construction heuristic
-    * — link to nearest neighbors found through a coarse router — from
-    * public HNSW/NSW practice (Malkov & Yashunin), derandomized. */
+  /** The bounded-degree neighbor graph for ann_hnsw_knn — a REGISTRY
+    * artifact since r15 (verdict #2, the annIndexDir precedent): graph +
+    * entry tables are built once per (registry root, fixture dir),
+    * committed atomically by core.publishOnce, and every later call —
+    * a recall-report re-invocation, a DIFFERENT SparkSession, a
+    * pipeline restart, or another driver sharing a durable
+    * `-Dgraft.registry.root` — re-LOADS the parquet instead of
+    * re-training. Every vector's candidates are the members of its 2
+    * nearest CORPUS-SCALED kmeans cells (the SemDeDup geometry —
+    * k = ceil(n/64) tracks the corpus, so cell mass stays ~64 and graph
+    * build is O(n · 128) pair work at ANY corpus size, never the
+    * label-cell n²/|labels|); edges = top-M by rounded cosine (ties to
+    * the lower vec_id). The NSW construction heuristic — link to
+    * nearest neighbors found through a coarse router — from public
+    * HNSW/NSW practice (Malkov & Yashunin), derandomized. */
   private[graft] def hnswGraph(s: SparkSession, dir: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
-    hnswGraphCache.getOrElseUpdate((graft.Tables.sessionKey(s), dir), {
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val dest = core.publishOnce(s,
+        new org.apache.hadoop.fs.Path(core.registryRoot),
+        "hnsw_graph_" + core.dirKey(dir)) { tmp =>
+      hnswBuildRuns.incrementAndGet()
       val cents = kmeansCentsFinal(s, dir)
         .select(col("cl").as("hcl"), col("cvec"))
       val e = unitBase(s, dir)
@@ -795,7 +802,7 @@ object VectorQ {
         .withColumn("crn", row_number().over(wCell))
         .filter(col("crn") <= 2)
         .select(col("vec_id"), col("v"), col("nrm"), col("hcl"), col("crn"))
-        .localCheckpoint() // consumed by members, probes, AND entries
+        .ckpt() // consumed by members, probes, AND entries
       val members = asg.filter(col("crn") === 1)
         .select(col("vec_id"), col("v"), col("nrm"), col("hcl"))
       val probes = asg
@@ -819,8 +826,11 @@ object VectorQ {
         .join(members.groupBy(col("hcl")).agg(min(col("vec_id")).as("vid")),
           "hcl")
         .select(col("qid"), col("vid"))
-      (graph.localCheckpoint(), entries.localCheckpoint())
-    })
+      graph.write.mode("overwrite").parquet(s"$tmp/graph")
+      entries.write.mode("overwrite").parquet(s"$tmp/entries")
+    }
+    (s.read.parquet(s"$dest/graph"), s.read.parquet(s"$dest/entries"))
+  }
 
   /** Graph-based ANN (r14, verdict #1) — the NSW/HNSW-style tier the
     * ladder lacked: greedy BEAM SEARCH over the bounded-degree neighbor
@@ -885,7 +895,7 @@ object VectorQ {
         // round's twice (visited + beam) — ~2^r plan nodes by round 4,
         // paid in Catalyst time (the unigram DP lesson); the frames are
         // ≤ |Q|·beam·M rows, so the cut is effectively free
-        visited = visited.unionByName(expand).distinct().localCheckpoint()
+        visited = visited.unionByName(expand).distinct().ckpt()
         if (r < HnswRounds) beam = topBeam(score(visited))
       }
       score(visited)
@@ -894,7 +904,7 @@ object VectorQ {
         .filter(col("rn") <= 5)
         .select(col("qid"), col("vid").as("vec_id"), col("cos_sim"),
           col("rn"))
-        .localCheckpoint()
+        .ckpt()
     }
     res.orderBy(col("qid"), col("rn"))
   }
@@ -915,7 +925,7 @@ object VectorQ {
   val semdedupPrune: QFn = (s, dir) => {
     val asg = kmeansAssignFinal(s, dir)
       .withColumn("nrm", sqrt(gdot(col("v"), col("v"))))
-      .localCheckpoint() // consumed by both pair legs + the per-cluster count
+      .ckpt() // consumed by both pair legs + the per-cluster count
     val a = asg.select(col("cl"), col("vec_id").as("a_id"),
       col("v").as("av"), col("nrm").as("an"))
     val b = asg.select(col("cl"), col("vec_id").as("b_id"),
@@ -1132,7 +1142,7 @@ object VectorQ {
     pqKnnOver(unitBase(s, dir)
       .select(col("vec_id"), col("v"), col("nrm"))
       .withColumn("pv", rot)
-      .localCheckpoint()) // rotation computed once, reused by all stages
+      .ckpt()) // rotation computed once, reused by all stages
   }
 
   /** IVF-PQ kNN (r10) — the COMPOSED production index (Jégou et al.,
@@ -1168,7 +1178,7 @@ object VectorQ {
     val home = asg.filter(col("crn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"),
         col("clabel").as("cell"), col("cvec"))
-      .localCheckpoint()
+      .ckpt()
     val dist = r6(gdot(col("sv"), col("sv")) -
       lit(2) * gdot(col("sv"), col("cvec")) + gdot(col("cvec"), col("cvec")))
     // per-subspace residual codebook + winning residual centroid
@@ -1269,7 +1279,7 @@ object VectorQ {
     val pv = array(signRows.map(sr => gdot(col("v"), sr)): _*)
     val p = e.select(col("vec_id"), col("v"), col("nrm"), pv.as("pv"))
       .withColumn("pnrm", sqrt(gdot(col("pv"), col("pv"))))
-      .localCheckpoint() // projection computed once, reused by q + base
+      .ckpt() // projection computed once, reused by q + base
     val q = p.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("pv").as("qpv"),
         col("pnrm").as("qpn"))
@@ -1333,7 +1343,7 @@ object VectorQ {
     val pv = array(signRows.map(sr => gdot(col("v"), sr)): _*)
     val p = e.select(col("vec_id"), pv.as("pv"))
       .withColumn("pnrm", sqrt(gdot(col("pv"), col("pv"))))
-      .localCheckpoint()
+      .ckpt()
     val wB = Window.partitionBy(col("qid"))
       .orderBy(col("approx").desc, col("vec_id"))
     val rankB = p.filter(col("vec_id") < 50)
@@ -1394,7 +1404,7 @@ object VectorQ {
       .select(col("qid"), col("vec_id"), col("rv"))
     val toks = t(s, dir, "documents").select(col("doc_id"),
       array_distinct(graft.operators.TextOps.tokens(col("text"))).as("ts"))
-      .localCheckpoint() // feeds postings (x2) and both size joins
+      .ckpt() // feeds postings (x2) and both size joins
     val sizes = toks.select(col("doc_id"), size(col("ts")).as("n"))
     val qt = toks.filter(col("doc_id") < 50)
       .select(col("doc_id").as("qid"), explode(col("ts")).as("w"))
@@ -1462,12 +1472,12 @@ object VectorQ {
       .select(col("vec_id"), col("v"), col("nrm"), col("rel"))
       .orderBy(col("rel").desc, col("vec_id"))
       .limit(30)
-      .localCheckpoint()
+      .ckpt()
     val first = cand.orderBy(col("rel").desc, col("vec_id")).limit(1)
       .select(lit(1L).as("step"), col("vec_id"), col("v"), col("nrm"),
         col("rel"), lit(0.0).as("max_sim"),
         (lit(0.7) * col("rel") - lit(0.3) * lit(0.0)).as("score"))
-    var sel = first.localCheckpoint()
+    var sel = first.ckpt()
     for (k <- 2 to 8) {
       val prev = broadcast(sel.select(col("vec_id").as("s_id"),
         col("v").as("sv"), col("nrm").as("snrm")))
@@ -1483,7 +1493,7 @@ object VectorQ {
         .limit(1)
         .select(lit(k.toLong).as("step"), col("vec_id"), col("v"),
           col("nrm"), col("rel"), col("max_sim"), col("score"))
-      sel = sel.unionAll(pick).localCheckpoint()
+      sel = sel.unionAll(pick).ckpt()
     }
     sel.select(col("step"), col("vec_id"), col("rel"),
         r6(col("max_sim")).as("max_sim"), r6(col("score")).as("mmr_score"))

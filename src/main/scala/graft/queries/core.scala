@@ -191,33 +191,147 @@ object core {
   def registryRoot: String =
     sys.props.getOrElse("graft.registry.root", scratchRoot)
 
+  /** How long a registry loser waits for a competing writer's commit
+    * (and after which a writer lock counts as stale and is broken).
+    * Deployments with slow artifact builds raise it; RegistrySpec's
+    * crashed-writer test lowers it. */
+  private def registryLockTimeoutMs: Long =
+    sys.props.getOrElse("graft.registry.lockTimeoutMs", "600000").toLong
+
+  /** Cross-writer ATOMIC publish of an artifact directory (r15, verdict
+    * #1): materialize `parent/name` such that concurrent sessions
+    * sharing one durable registry root (`-Dgraft.registry.root=hdfs://…`)
+    * never observe a partial, mixed, or vanishing artifact. Protocol
+    * (the AuditSink 2PC shape, over any Hadoop `FileSystem`):
+    *
+    *   1. fast path — `name/_built` exists → committed, return;
+    *   2. writer ELECTION — atomic `createNewFile(parent/._lock_name)`;
+    *      exactly one concurrent writer wins (HDFS/object-store create
+    *      is atomic; local FS uses File.createNewFile);
+    *   3. the winner builds into a private `parent/._tmp_name_<uuid>`
+    *      generation dir, stamps `_built` INSIDE it, then commits with
+    *      ONE `fs.rename(tmp, dest)` — artifact and marker appear
+    *      atomically, fully formed (parquet scans ignore `_`/`.`
+    *      prefixed files, the _SUCCESS convention, so the marker rides
+    *      inside the data dir for free);
+    *   4. losers poll for the marker; a lock older than
+    *      `graft.registry.lockTimeoutMs` (writer died mid-build) is
+    *      broken as stale and the election re-runs.
+    *
+    * A crashed pre-commit writer leaves only a dot-prefixed generation
+    * dir readers can never resolve; a crashed post-commit writer leaves
+    * a committed artifact plus an eventually-broken lock. Readers that
+    * saw the marker keep reading `dest` — nothing ever rewrites a
+    * committed artifact in place. */
+  def publishOnce(s: SparkSession, parent: org.apache.hadoop.fs.Path,
+      name: String)(
+      writeTo: org.apache.hadoop.fs.Path => Unit): org.apache.hadoop.fs.Path = {
+    val fs = parent.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dest = new org.apache.hadoop.fs.Path(parent, name)
+    val marker = new org.apache.hadoop.fs.Path(dest, "_built")
+    if (fs.exists(marker)) return dest
+    fs.mkdirs(parent)
+    val lock = new org.apache.hadoop.fs.Path(parent, s"._lock_$name")
+    val deadline = System.currentTimeMillis + 2 * registryLockTimeoutMs
+    while (!fs.exists(marker)) {
+      require(System.currentTimeMillis < deadline,
+        s"artifact $name failed to publish within 2x lock timeout")
+      val won =
+        try fs.createNewFile(lock)
+        catch { case _: java.io.IOException => false }
+      if (won) {
+        try {
+          if (!fs.exists(marker)) {
+            val tmp = new org.apache.hadoop.fs.Path(parent,
+              s"._tmp_${name}_" + java.util.UUID.randomUUID.toString.take(8))
+            writeTo(tmp)
+            fs.createNewFile(new org.apache.hadoop.fs.Path(tmp, "_built"))
+            // dest without an internal marker = pre-protocol garbage
+            if (fs.exists(dest)) fs.delete(dest, true)
+            require(fs.rename(tmp, dest),
+              s"registry commit rename failed: $tmp -> $dest")
+          }
+        } finally fs.delete(lock, false)
+      } else {
+        // another writer holds the lock: wait for its commit, breaking
+        // the lock as stale if the writer died mid-build
+        var waited = 0L
+        while (!fs.exists(marker) && fs.exists(lock) &&
+            waited < registryLockTimeoutMs) {
+          Thread.sleep(100); waited += 100
+        }
+        if (!fs.exists(marker) && fs.exists(lock) &&
+            waited >= registryLockTimeoutMs)
+          try fs.delete(lock, false)
+          catch { case _: java.io.IOException => () }
+      }
+    }
+    dest
+  }
+
   /** Persist-once artifact store (r13) — the annIndexDir `_built`-marker
-    * pattern generalized: build the DataFrame ONCE per (JVM, fixture
-    * dir, name), write it to registry parquet, and serve every later
-    * call — including from a DIFFERENT SparkSession (a pipeline
-    * restart) — from the persisted copy instead of recomputing. The
-    * tokenizer/LM registry (BPE merges, unigram pieces, LM-gate
-    * threshold) rides this; `build` is by-name so the ensured path
-    * never re-plans it. All filesystem ops go through the Hadoop
-    * `FileSystem` of [[registryRoot]]'s scheme (r14) — `file:` and
-    * `hdfs:`/object-store roots take the identical code path. */
+    * pattern generalized: build the DataFrame ONCE per (registry root,
+    * fixture dir, name), write it to registry parquet, and serve every
+    * later call — including from a DIFFERENT SparkSession (a pipeline
+    * restart) or a DIFFERENT driver sharing the same durable root —
+    * from the persisted copy instead of recomputing. The tokenizer/LM
+    * registry (BPE merges, unigram pieces, LM-gate threshold) rides
+    * this; `build` is by-name so the ensured path never re-plans it.
+    * All filesystem ops go through the Hadoop `FileSystem` of
+    * [[registryRoot]]'s scheme (r14); the publish itself is the atomic
+    * [[publishOnce]] election+rename protocol (r15), so two drivers
+    * racing one shared root build at most twice and commit exactly one
+    * winner, never a torn artifact. The JVM-level synchronized is only
+    * the in-process fast path (saves local threads the lock-file RTT). */
   def persistedArtifact(s: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame = {
     val path = this.synchronized {
       val root = new org.apache.hadoop.fs.Path(
         registryRoot, "registry_" + dirKey(dir))
-      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.mkdirs(root)
-      val marker = new org.apache.hadoop.fs.Path(root, s"_built_$name")
-      val p = new org.apache.hadoop.fs.Path(root, name)
-      if (!fs.exists(marker)) {
-        build.coalesce(1).write.mode("overwrite").parquet(p.toString)
-        fs.createNewFile(marker)
-      }
-      p.toString
+      publishOnce(s, root, name) { tmp =>
+        build.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      }.toString
     }
     s.read.parquet(path)
   }
+
+  /** Checkpoint mode (r15, verdict #7): `-Dgraft.checkpoint.mode=reliable`
+    * flips EVERY eager-checkpoint swap point (the SCALING.md inventory —
+    * iterative lineage cuts in kmeans/Lloyd rounds, label propagation,
+    * SGNS/GBM training loops, graph contractions) from executor-local
+    * blocks (fast; lost with an executor, recomputed from lineage) to
+    * RELIABLE `checkpoint()` files on `-Dgraft.checkpoint.dir` — a
+    * cluster deployment points that at durable HDFS/object storage and
+    * a lost executor replays NOTHING: the truncated lineage re-reads
+    * the checkpoint instead of re-running every earlier round. Local
+    * default stays `localCheckpoint` (no serialize-to-disk tax). */
+  def checkpointMode: String =
+    sys.props.getOrElse("graft.checkpoint.mode", "local")
+
+  /** `.ckpt()` — the engine's ONLY eager-checkpoint spelling; dispatches
+    * on [[checkpointMode]]. Both modes cut lineage eagerly, so plan
+    * shape and results are identical (CheckpointModeSpec pins an
+    * iterative key's hashes across modes); only the storage substrate
+    * differs. */
+  implicit class CkptOps(private val df: DataFrame) extends AnyVal {
+    def ckpt(): DataFrame =
+      if (checkpointMode == "reliable") {
+        val sc = df.sparkSession.sparkContext
+        ensureCheckpointDir(sc, sys.props.getOrElse("graft.checkpoint.dir",
+          new java.io.File(scratchRoot, "ckpt").getAbsolutePath))
+        df.checkpoint()
+      } else df.localCheckpoint()
+  }
+
+  // setCheckpointDir appends a UUID subdir, so "already set to what we
+  // want" can't be read back off the context — remember what we set.
+  private val ckptDirSet = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, String])
+  private def ensureCheckpointDir(sc: org.apache.spark.SparkContext,
+      want: String): Unit =
+    if (ckptDirSet.get(sc) != want) {
+      sc.setCheckpointDir(want); ckptDirSet.put(sc, want)
+    }
 
   /** Cast to an exact decimal before aggregating (both engines). */
   def dec(c: Column, p: Int, s: Int): Column = c.cast(s"decimal($p,$s)")

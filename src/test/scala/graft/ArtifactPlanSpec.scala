@@ -21,7 +21,15 @@ class ArtifactPlanSpec extends SparkSpec {
 
   /** Capture the physical plan of every action `body` executes on a
     * fresh AQE-off session. Listener events post asynchronously — poll
-    * until the capture count is stable. */
+    * until the capture count is stable.
+    *
+    * SEQUENTIAL-EXECUTION REQUIREMENT (r14 advisory): this mutates the
+    * JVM-global `graft.registry.root` sys.prop for the duration of each
+    * builder run — any concurrently-running suite resolving
+    * core.registryRoot inside the window would persist into the
+    * throwaway root. Safe because forked test suites run sequentially
+    * (`Test / testForkedParallel := false`, pinned in build.sbt); the
+    * temp root is deleted in the finally. */
   private def capturePlans(body: SparkSession => Unit): Seq[SparkPlan] = {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
@@ -31,8 +39,9 @@ class ArtifactPlanSpec extends SparkSpec {
     // and the builder would silently skip its threshold stage — point
     // the registry at a throwaway root so every stage truly builds.
     val priorRoot = sys.props.get("graft.registry.root")
-    sys.props("graft.registry.root") = java.nio.file.Files
-      .createTempDirectory("graft_apspec_reg").toString
+    val tmpRoot = java.nio.file.Files
+      .createTempDirectory("graft_apspec_reg")
+    sys.props("graft.registry.root") = tmpRoot.toString
     val plans = new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]()
     val listener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution,
@@ -60,6 +69,7 @@ class ArtifactPlanSpec extends SparkSpec {
         case Some(v) => sys.props("graft.registry.root") = v
         case None => sys.props.remove("graft.registry.root")
       }
+      org.apache.commons.io.FileUtils.deleteQuietly(tmpRoot.toFile)
     }
     import scala.jdk.CollectionConverters._
     plans.asScala.toSeq

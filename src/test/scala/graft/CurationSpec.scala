@@ -146,9 +146,13 @@ class CurationSpec extends SparkSpec {
     }
     // without replacement: one key per doc, a doc appears at most once
     assert(smp.map(_.getAs[Long]("doc_id")).distinct.length == smp.length)
-    // ES mirror: recompute every scored doc's key locally (double math —
-    // the engine pins to DECIMAL(14,10), agreeing to ~1e-10); per source,
-    // every SAMPLED key must dominate every unsampled key.
+    // ES mirror: recompute every scored doc's key locally with the
+    // ENGINE'S decimal pinning (r14 advisory: a plain double mirror
+    // drifts up to ~3e-7 after the exp(±8) amplification and can order
+    // near-tied keys oppositely — flaky): ln(u) and exp(-av) each
+    // HALF_UP-rounded to 10 dp exactly as dec(·,14,10) does, multiplied
+    // exactly in BigDecimal. Per source, every SAMPLED key must
+    // dominate every unsampled key — no tolerance needed.
     val avg = SparkEntry.queries("dsir_weight")(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_avg")).toMap
     val srcOf = spark.read.parquet(s"$sf/documents.parquet")
@@ -156,12 +160,16 @@ class CurationSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    def esKey(id: Long): Double = {
+    def esKey(id: Long): BigDecimal = {
       val h = java.lang.Long.parseLong(md5hex(id.toString).take(12), 16)
       val u = (h + 0.5) / 281474976710656.0
       val av = math.max(-graft.queries.CurationQ.DsirClip,
         math.min(graft.queries.CurationQ.DsirClip, avg(id)))
-      math.log(u) * math.exp(-av)
+      val lnu = BigDecimal(math.log(u))
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      val w = BigDecimal(math.exp(-av))
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      lnu * w
     }
     val sampled = smp.map(_.getAs[Long]("doc_id")).toSet
     for ((src, rows) <- bySrc) {
@@ -170,7 +178,7 @@ class CurationSpec extends SparkSpec {
         .filter(id => srcOf(id) == src && !sampled.contains(id))
         .map(esKey)
       if (outKeys.nonEmpty)
-        assert(inKeys.min >= outKeys.max - 1e-9,
+        assert(inKeys.min >= outKeys.max,
           s"$src sampled a dominated key: min(in)=${inKeys.min} " +
             s"< max(out)=${outKeys.max}")
     }

@@ -2,11 +2,18 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Tokenizer/LM registry persistence (r13): after the registry is built
-  * once, a DIFFERENT SparkSession in the same JVM (the pipeline-restart
-  * stand-in — fresh session caches, same scratch) must serve every
-  * tokenizer consumer from the persisted parquet WITHOUT re-entering a
-  * trainer, and produce identical graded output. */
+/** Tokenizer/LM registry persistence (r13) + atomic cross-writer publish
+  * (r15, verdict #1): after the registry is built once, a DIFFERENT
+  * SparkSession in the same JVM (the pipeline-restart stand-in — fresh
+  * session caches, same scratch) must serve every tokenizer consumer from
+  * the persisted parquet WITHOUT re-entering a trainer, and produce
+  * identical graded output; and concurrent sessions racing one shared
+  * registry root must commit exactly one full artifact, never a torn one.
+  *
+  * SEQUENTIAL-EXECUTION REQUIREMENT: the publish tests mutate the
+  * JVM-global `graft.registry.lockTimeoutMs` sys.prop — safe because
+  * forked suites run sequentially (`Test / testForkedParallel := false`,
+  * build.sbt). */
 class RegistrySpec extends SparkSpec {
 
   test("second session re-loads the registry — no retrain, same outputs") {
@@ -40,14 +47,114 @@ class RegistrySpec extends SparkSpec {
     assert(uniApply2 == uniApply1, "unigram apply drifted across sessions")
   }
 
-  test("registry dir carries one _built marker per artifact") {
+  test("second session re-loads the HNSW graph — no rebuild, same top-5") {
+    val knn1 = SparkEntry.queries("ann_hnsw_knn")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val s2 = spark.newSession()
+    val before = graft.queries.VectorQ.hnswBuildRuns.get()
+    val knn2 = SparkEntry.queries("ann_hnsw_knn")(s2, sf)
+      .collect().map(_.toString).toSeq
+    assert(graft.queries.VectorQ.hnswBuildRuns.get() == before,
+      "second session re-built the HNSW graph instead of re-loading " +
+        "the registry parquet")
+    assert(knn2 == knn1, "HNSW search drifted across sessions")
+  }
+
+  test("committed artifacts carry the _built marker INSIDE the data dir") {
     SparkEntry.queries("tokenizer_registry")(spark, sf).collect()
     val root = new java.io.File(graft.queries.core.scratchRoot,
       "registry_" + graft.queries.core.dirKey(sf))
     for (a <- Seq("bpe_merges", "unigram_pieces", "lm_threshold")) {
-      assert(new java.io.File(root, s"_built_$a").exists(),
-        s"missing _built marker for $a")
+      assert(new java.io.File(new java.io.File(root, a), "_built").exists(),
+        s"missing in-dir _built marker for $a")
       assert(new java.io.File(root, a).exists(), s"missing parquet for $a")
+    }
+    // no stray generation dirs or lock files after a clean publish
+    val leftovers = Option(root.listFiles()).getOrElse(Array())
+      .map(_.getName).filter(n => n.startsWith("._tmp_") ||
+        n.startsWith("._lock_"))
+    assert(leftovers.isEmpty, s"uncleaned publish droppings: " +
+      leftovers.mkString(", "))
+  }
+
+  test("two writers racing one shared root commit exactly one winner") {
+    import scala.jdk.CollectionConverters._
+    val parentDir = java.nio.file.Files
+      .createTempDirectory("graft_regspec_race")
+    try {
+      val parent = new org.apache.hadoop.fs.Path(parentDir.toString)
+      def writerDf(id: Int) = spark.createDataFrame(
+        Seq(org.apache.spark.sql.Row(id.toLong, "payload"),
+          org.apache.spark.sql.Row(id.toLong, "payload2")).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("writer",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("p",
+            org.apache.spark.sql.types.StringType))))
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to 2).map { id =>
+        new Thread(() => {
+          try {
+            val dest = graft.queries.core.publishOnce(spark, parent,
+              "artifact_x") { tmp =>
+              // widen the race window: both threads reach the election
+              Thread.sleep(150)
+              writerDf(id).coalesce(1).write.mode("overwrite")
+                .parquet(tmp.toString)
+            }
+            results.add(dest.toString)
+          } catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(120000))
+      assert(errs.isEmpty, s"publisher threw: ${errs.asScala.headOption}")
+      assert(results.size == 2, "both publishers must return")
+      assert(results.asScala.toSet.size == 1, "both resolve one dest")
+      // the committed artifact is EXACTLY one writer's full output
+      val rows = spark.read.parquet(results.peek())
+        .select(col("writer")).collect().map(_.getLong(0)).toSeq
+      assert(rows.size == 2, s"torn artifact: $rows")
+      assert(rows.toSet.size == 1, s"mixed-writer artifact: $rows")
+      // and the root is clean: no generation dirs, no lock
+      val leftovers = Option(parentDir.toFile.listFiles()).getOrElse(Array())
+        .map(_.getName).filter(n => n.startsWith("._tmp_") ||
+          n.startsWith("._lock_"))
+      assert(leftovers.isEmpty,
+        s"uncleaned publish droppings: ${leftovers.mkString(", ")}")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(parentDir.toFile)
+  }
+
+  test("a stale lock from a crashed writer is broken, publish proceeds") {
+    val parentDir = java.nio.file.Files
+      .createTempDirectory("graft_regspec_stale")
+    val priorTimeout = sys.props.get("graft.registry.lockTimeoutMs")
+    sys.props("graft.registry.lockTimeoutMs") = "500"
+    try {
+      val parent = new org.apache.hadoop.fs.Path(parentDir.toString)
+      // a writer that died mid-build: lock present, no artifact
+      assert(new java.io.File(parentDir.toFile, "._lock_artifact_y")
+        .createNewFile())
+      import scala.jdk.CollectionConverters._
+      val dest = graft.queries.core.publishOnce(spark, parent,
+        "artifact_y") { tmp =>
+        spark.createDataFrame(
+          Seq(org.apache.spark.sql.Row(7L)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.LongType))))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      }
+      assert(spark.read.parquet(dest.toString).count() == 1)
+      assert(new java.io.File(new java.io.File(parentDir.toFile,
+        "artifact_y"), "_built").exists(), "commit marker missing")
+    } finally {
+      priorTimeout match {
+        case Some(v) => sys.props("graft.registry.lockTimeoutMs") = v
+        case None => sys.props.remove("graft.registry.lockTimeoutMs")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(parentDir.toFile)
     }
   }
 }
