@@ -252,6 +252,31 @@ object TextQ {
       .orderBy(col("doc_id"))
   }
 
+  /** CJK-robust tokenization as a GRADED key (r15, verdict #6): the real
+    * corpus (whitespace Latin — the fallback must be a provable no-op on
+    * it) plus three inline unsegmented/mixed zh docs run through
+    * TextOps.tokensCjk (whitespace split, pure-CJK tokens ≥ 2 chars →
+    * char bigrams); per-doc token stats grade both behaviors at once:
+    * Latin docs must match plain-whitespace stats and CJK docs the
+    * bigram expansion, each replayed verbatim in SQL. Scale shape: one
+    * per-row flatten + one doc-keyed aggregate — the token_count plan
+    * with a different tokenizer column op. */
+  val cjkBigramTokens: QFn = (s, dir) => {
+    val extra = s.createDataFrame(Seq(
+      (1000001L, "深度学习模型训练"),
+      (1000002L, "大规模数据处理系统 with ascii tokens"),
+      (1000003L, "混合 text 分词 test"))).toDF("doc_id", "text")
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(extra)
+      .select(col("doc_id"),
+        explode(TextOps.tokensCjk(col("text"))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("tok")).as("n_uniq"),
+        min(col("tok")).as("min_tok"), max(col("tok")).as("max_tok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Lexicon-based scoring (sentiment-style): Σ ±1 over lexicon hits. */
   val lexiconScore: QFn = (s, dir) => {
     val lex = s.createDataFrame(Seq(
@@ -1102,26 +1127,39 @@ object TextQ {
     *     as (w, c, cnt) pair TYPES — the full-batch view;
     *   - init: u⁰_w[j], v⁰_c[j] from a 16-bit md5 hash of (tag, j, word)
     *     mapped into (−0.1, 0.1) — both engines hold identical weights;
-    *   - negatives: ONE shared negative context per pair — the corpus's
-    *     heaviest context (2nd-heaviest when c IS the heaviest), a
-    *     derandomized stand-in for frequency-proportional sampling
-    *     (the argmax of the unigram^1 noise distribution);
+    *   - negatives (r15, r14-verdict #5 — word2vec's actual noise
+    *     distribution, derandomized): contexts fill a 16384-slot table
+    *     proportionally to weight = ⌊ccnt^(3/4)⌋ (computed as nested
+    *     IEEE sqrt of the exact integer cube, so both engines hold
+    *     identical weights — the unigram^0.75 shape of Mikolov et al.),
+    *     slots assigned in (ccnt DESC, c) rank order by exact integer
+    *     interval arithmetic (the word2vec table-fill); each pair draws
+    *     K=SgnsNegK negatives at slots md5(w|c|t) mod 16384 — per-pair,
+    *     frequency-proportional, and replayable verbatim in SQL;
     *   - forward: x = u·v as a FIXED-ORDER 4-term sum (bit-identical
     *     IEEE both engines); σ via one exp each, pinned DECIMAL(14,10)
     *     per loss/gradient term, exact sums;
     *   - step: θ¹ = r6(θ⁰ − η·∇mean-loss) — r6 so both engines hold
     *     identical post-step weights, then the loss is RE-EVALUATED
-    *     under θ¹. Output = the 2-row trajectory (round 0/1 mean loss),
-    *     loss strictly improving (gated in OperatorSpec, like the
-    *     unigram NLL gate).
+    *     under θ¹. Output = the trajectory rows (per-round mean loss
+    *     over the (1+K)·Σcnt forward terms), loss strictly improving
+    *     (gated in OperatorSpec, like the unigram NLL gate).
     * Scale shape: one corpus-scan pair extraction shuffle; everything
     * after runs on the (w, c) pair-type domain (vocabulary-bounded,
-    * Heaps-saturating): two keyed gradient aggregates, vocab-domain
-    * update joins, one re-scoring pass. The 1-row loss/stat aggregates
-    * cross into the 2 trajectory rows (the gbm_round report shape). */
+    * Heaps-saturating): the slot table is 16384 rows (broadcast), the
+    * cumulative fill is one window over the context VOCAB aggregate
+    * (Heaps-bounded, never corpus-sized), gradients are keyed
+    * aggregates over pos ∪ neg term frames, updates are vocab-domain
+    * joins. The 1-row loss/stat aggregates cross into the trajectory
+    * rows (the gbm_round report shape). */
   /** Rounds for the sgns_train trajectory (sgns_step = the same
     * pipeline at 1 round). */
   val SgnsTrainRounds = 3
+
+  /** Negatives per pair and the word2vec-style noise slot-table size —
+    * shared with the oracle generator. */
+  val SgnsNegK = 2
+  val SgnsNegTable = 16384L
 
   val sgnsStep: QFn = (s, dir) => sgnsPipeline(s, dir, 1)
 
@@ -1150,15 +1188,42 @@ object TextQ {
     // pair-less degenerate corpus (all docs < 2 tokens) yields an empty
     // context list — the key must return its NULL-loss trajectory, not
     // crash (the repo's degenerate-corpus convention; EdgeCorpusSpec)
-    val l = col("l")
-    val negRow = pc.groupBy(col("c")).agg(sum(col("cnt")).as("ccnt"))
-      .orderBy(col("ccnt").desc, col("c")).limit(2)
-      .agg(sort_array(collect_list(struct((-col("ccnt")).as("k"),
-        col("c").as("cc")))).as("l"))
-      .select(
-        when(size(l) >= 1, element_at(l, 1).getField("cc")).as("n1"),
-        coalesce(when(size(l) >= 2, element_at(l, 2).getField("cc")),
-          when(size(l) >= 1, element_at(l, 1).getField("cc"))).as("n2"))
+    //
+    // ---- word2vec noise table (r15): contexts own slot intervals
+    // proportional to ⌊ccnt^(3/4)⌋, in (ccnt DESC, c) rank order. All
+    // interval arithmetic is exact BIGINT; the ^(3/4) is nested IEEE
+    // sqrt of the exact cube (correctly rounded on both engines). The
+    // window runs over the context-VOCAB aggregate — Heaps-saturating,
+    // never corpus-sized — and the materialized table is exactly
+    // SgnsNegTable rows, broadcast to the draw join.
+    val wtab = pc.groupBy(col("c")).agg(sum(col("cnt")).cast("long")
+        .as("ccnt"))
+      .withColumn("wt", floor(sqrt(sqrt(dbl(
+        col("ccnt") * col("ccnt") * col("ccnt"))))).cast("long"))
+    val wWin = Window.orderBy(col("ccnt").desc, col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val slots = wtab
+      .withColumn("cum", coalesce(sum(col("wt")).over(wWin), lit(0L)))
+      .crossJoin(broadcast(wtab.agg(sum(col("wt")).as("twt"))))
+      .select(col("c").as("nc"),
+        expr(s"($SgnsNegTable * cum) div twt").as("lo"),
+        expr(s"($SgnsNegTable * (cum + wt)) div twt").as("hi"))
+      .filter(col("hi") > col("lo"))
+      .select(col("nc"),
+        explode(sequence(col("lo"), col("hi") - 1)).as("slot"))
+      .ckpt()
+    // per-pair draws: K slots at md5(w|c|t) mod T — the derandomized
+    // frequency-proportional sample, constant across rounds (full-batch
+    // SGD re-uses its noise sample; the per-round resample of SGD
+    // proper would just be t ⊕ round in the hash)
+    val negs = pc.select(col("w"), col("c"), col("cnt"),
+        explode(array((1 to SgnsNegK).map(lit(_)): _*)).as("t"))
+      .withColumn("slot",
+        conv(substring(md5(concat(col("w"), lit("|"), col("c"), lit("|"),
+          col("t"))), 1, 12), 16, 10).cast("long") % lit(SgnsNegTable))
+      .join(broadcast(slots), "slot")
+      .select(col("w"), col("c"), col("cnt"), col("t"), col("nc"))
+      .ckpt()
     def init(tag: String, j: Int, word: org.apache.spark.sql.Column)
         : org.apache.spark.sql.Column =
       (conv(substring(md5(concat(lit(s"$tag|$j|"), word)), 1, 4), 16, 10)
@@ -1171,43 +1236,56 @@ object TextQ {
     def nvOf(v: org.apache.spark.sql.DataFrame) =
       v.select(col("c").as("nc") +: dims.map(j =>
         col(s"v$j").as(s"nv$j")): _*)
-    // scored pair frame: both forward passes + sigmoids, checkpointed —
-    // feeds the loss aggregate AND both gradient aggregates
-    def scoreOver(u: org.apache.spark.sql.DataFrame,
+    // scored frames: positive pairs and negative draws, each with its
+    // forward pass + sigmoids, checkpointed — they feed the loss
+    // aggregate AND both gradient aggregates
+    def posScore(u: org.apache.spark.sql.DataFrame,
         v: org.apache.spark.sql.DataFrame) =
-      pc.crossJoin(broadcast(negRow))
-        .withColumn("nc",
-          when(col("c") === col("n1"), col("n2")).otherwise(col("n1")))
-        .join(u, "w").join(v, "c").join(nvOf(v), "nc")
+      pc.join(u, "w").join(v, "c")
         .withColumn("xp",
           dims.map(j => col(s"u$j") * col(s"v$j")).reduce(_ + _))
+        .withColumn("sp", lit(1.0) / (lit(1.0) + exp(-col("xp"))))
+    def negScore(u: org.apache.spark.sql.DataFrame,
+        v: org.apache.spark.sql.DataFrame) =
+      negs.join(u, "w").join(nvOf(v), "nc")
         .withColumn("xn",
           dims.map(j => col(s"u$j") * col(s"nv$j")).reduce(_ + _))
-        .withColumn("sp", lit(1.0) / (lit(1.0) + exp(-col("xp"))))
         .withColumn("sn", lit(1.0) / (lit(1.0) + exp(-col("xn"))))
         .withColumn("snm", lit(1.0) / (lit(1.0) + exp(col("xn"))))
     val cntD = dec(col("cnt"), 10, 0)
     // sums are exact decimals; rounded to the output grain (6) BEFORE the
     // double cast so the decimal→double conversion stays inside 2^53
     // units at bench scale (the moneySum round-then-cast device)
-    def lossSum(scored: org.apache.spark.sql.DataFrame) =
-      scored.agg(round(sum(dec(-log(col("sp")), 14, 10) * cntD +
-        dec(-log(col("snm")), 14, 10) * cntD), 6).as("ls"))
-    val nRow = pc.agg((sum(col("cnt")) * 2).cast("long").as("nn"))
-    val guAggs = dims.map(j => sum(
-      dec((col("sp") - 1) * col(s"v$j"), 14, 10) * cntD +
-        dec(col("sn") * col(s"nv$j"), 14, 10) * cntD).as(s"g$j"))
-    val gvAggs = dims.map(j => sum(col(s"t$j") * col("cd")).as(s"g$j"))
-    def gradU(sc: org.apache.spark.sql.DataFrame) =
-      sc.groupBy(col("w")).agg(guAggs.head, guAggs.tail: _*)
-    def gradV(sc: org.apache.spark.sql.DataFrame) =
-      sc.select(col("c").as("key") +: Seq(cntD.as("cd")) ++:
+    def lossSum(pos: org.apache.spark.sql.DataFrame,
+        neg: org.apache.spark.sql.DataFrame) =
+      pos.select((dec(-log(col("sp")), 14, 10) * cntD).as("lt"))
+        .unionByName(
+          neg.select((dec(-log(col("snm")), 14, 10) * cntD).as("lt")))
+        .agg(round(sum(col("lt")), 6).as("ls"))
+    val nRow = pc.agg((sum(col("cnt")) * (1 + SgnsNegK)).cast("long")
+      .as("nn"))
+    val gAggs = dims.map(j => sum(col(s"t$j") * col("cd")).as(s"g$j"))
+    // ∂L/∂u_w: (sp−1)·v over positives + sn·nv over each negative draw;
+    // ∂L/∂v_c: (sp−1)·u at c plus sn·u at each drawn nc — both as one
+    // keyed aggregate over a pos ∪ neg term frame (exact decimal terms)
+    def gradU(pos: org.apache.spark.sql.DataFrame,
+        neg: org.apache.spark.sql.DataFrame) =
+      pos.select(col("w").as("key") +: Seq(cntD.as("cd")) ++:
+          dims.map(j => dec((col("sp") - 1) * col(s"v$j"), 14, 10)
+            .as(s"t$j")): _*)
+        .unionByName(neg.select(col("w").as("key") +: Seq(cntD.as("cd")) ++:
+          dims.map(j => dec(col("sn") * col(s"nv$j"), 14, 10)
+            .as(s"t$j")): _*))
+        .groupBy(col("key")).agg(gAggs.head, gAggs.tail: _*)
+    def gradV(pos: org.apache.spark.sql.DataFrame,
+        neg: org.apache.spark.sql.DataFrame) =
+      pos.select(col("c").as("key") +: Seq(cntD.as("cd")) ++:
           dims.map(j => dec((col("sp") - 1) * col(s"u$j"), 14, 10)
             .as(s"t$j")): _*)
-        .unionByName(sc.select(col("nc").as("key") +: Seq(cntD.as("cd")) ++:
+        .unionByName(neg.select(col("nc").as("key") +: Seq(cntD.as("cd")) ++:
           dims.map(j => dec(col("sn") * col(s"u$j"), 14, 10)
             .as(s"t$j")): _*))
-        .groupBy(col("key")).agg(gvAggs.head, gvAggs.tail: _*)
+        .groupBy(col("key")).agg(gAggs.head, gAggs.tail: _*)
     def stepTab(tab: org.apache.spark.sql.DataFrame, key: String,
         pref: String, grads: org.apache.spark.sql.DataFrame,
         gkey: String) =
@@ -1235,14 +1313,16 @@ object TextQ {
     val res = core.withShuffleParts(s, 8) {
       var u = u0
       var v = v0
-      var scored = scoreOver(u, v).ckpt()
-      var out = row(0, lossSum(scored))
+      var pos = posScore(u, v).ckpt()
+      var neg = negScore(u, v).ckpt()
+      var out = row(0, lossSum(pos, neg))
       for (r <- 1 to rounds) {
-        val (guR, gvR) = (gradU(scored), gradV(scored))
-        u = stepTab(u, "w", "u", guR, "w")
+        val (guR, gvR) = (gradU(pos, neg), gradV(pos, neg))
+        u = stepTab(u, "w", "u", guR, "key")
         v = stepTab(v, "c", "v", gvR, "key")
-        scored = scoreOver(u, v).ckpt()
-        out = out.unionByName(row(r, lossSum(scored)))
+        pos = posScore(u, v).ckpt()
+        neg = negScore(u, v).ckpt()
+        out = out.unionByName(row(r, lossSum(pos, neg)))
       }
       out.ckpt()
     }
@@ -2250,6 +2330,7 @@ object TextQ {
   }
 
   val queries: Map[String, QFn] = Map(
+    "cjk_bigram_tokens"   -> cjkBigramTokens,
     "bm25_topk"           -> bm25TopK,
     "retrieval_ndcg"      -> retrievalNdcg,
     "zipf_fit"            -> zipfFit,
@@ -2782,11 +2863,19 @@ object TextQ {
   private def sgnsSql(rounds: Int): String = {
     val dims = 1 to SgnsDim
     val hex = "0123456789abcdef"
+    val T = SgnsNegTable
     def h16(tag: String, j: Int, wordExpr: String): String =
       (1 to 4).map { i =>
         val w = 1L << (4 * (4 - i))
         s"(strpos('$hex', substring(md5('$tag|$j|' || $wordExpr), $i, 1))" +
           s" - 1) * $w"
+      }.mkString(" + ")
+    // 48-bit md5 prefix as BIGINT — the slot-draw hash (engine:
+    // conv(substring(md5(x),1,12),16,10))
+    def h48(e: String): String =
+      (1 to 12).map { i =>
+        val w = 1L << (4 * (12 - i))
+        s"(strpos('$hex', substring(md5($e), $i, 1)) - 1) * $w"
       }.mkString(" + ")
     def init(tag: String, j: Int, wordExpr: String): String =
       s"(CAST(${h16(tag, j, wordExpr)} AS DOUBLE) - 32768.0) / 327680.0"
@@ -2795,70 +2884,79 @@ object TextQ {
          |  SELECT $key, ${dims.map(j =>
                s"${init(tag, j, key)} AS ${tag}$j").mkString(",\n    ")}
          |  FROM (SELECT DISTINCT $key FROM pc))""".stripMargin
-    def scored(name: String, u: String, v: String): String = {
+    def posCte(name: String, u: String, v: String): String = {
       val xp = dims.map(j => s"a.u$j * b.v$j").mkString(" + ")
+      s"""$name AS MATERIALIZED (
+         |  SELECT *, 1.0 / (1.0 + exp(-xp)) AS sp
+         |  FROM (
+         |    SELECT t.w, t.c, t.cnt,
+         |      ${dims.map(j => s"a.u$j").mkString(", ")},
+         |      ${dims.map(j => s"b.v$j").mkString(", ")},
+         |      $xp AS xp
+         |    FROM pc t
+         |    JOIN $u a ON a.w = t.w
+         |    JOIN $v b ON b.c = t.c))""".stripMargin
+    }
+    def negCte(name: String, u: String, v: String): String = {
       val xn = dims.map(j => s"a.u$j * e.v$j").mkString(" + ")
       s"""$name AS MATERIALIZED (
-         |  SELECT *, 1.0 / (1.0 + exp(-xp)) AS sp,
-         |    1.0 / (1.0 + exp(-xn)) AS sn,
+         |  SELECT *, 1.0 / (1.0 + exp(-xn)) AS sn,
          |    1.0 / (1.0 + exp(xn)) AS snm
          |  FROM (
          |    SELECT t.w, t.c, t.cnt, t.nc,
          |      ${dims.map(j => s"a.u$j").mkString(", ")},
-         |      ${dims.map(j => s"b.v$j").mkString(", ")},
          |      ${dims.map(j => s"e.v$j AS nv$j").mkString(", ")},
-         |      $xp AS xp, $xn AS xn
-         |    FROM (SELECT pc.w, pc.c, pc.cnt,
-         |            CASE WHEN pc.c = n.n1 THEN n.n2 ELSE n.n1 END AS nc
-         |          FROM pc, negrow n) t
+         |      $xn AS xn
+         |    FROM negs t
          |    JOIN $u a ON a.w = t.w
-         |    JOIN $v b ON b.c = t.c
          |    JOIN $v e ON e.c = t.nc))""".stripMargin
     }
     val cd = "CAST(cnt AS DECIMAL(10,0))"
-    def lossCte(name: String, src: String): String =
+    def lossCte(name: String, ps: String, ns: String): String =
       s"""$name AS (
-         |  SELECT round(sum(CAST(-ln(sp) AS DECIMAL(14,10)) * $cd
-         |    + CAST(-ln(snm) AS DECIMAL(14,10)) * $cd), 6) AS ls
-         |  FROM $src)""".stripMargin
+         |  SELECT round(sum(lt), 6) AS ls FROM (
+         |    SELECT CAST(-ln(sp) AS DECIMAL(14,10)) * $cd AS lt FROM $ps
+         |    UNION ALL
+         |    SELECT CAST(-ln(snm) AS DECIMAL(14,10)) * $cd FROM $ns))"""
+        .stripMargin
     def stepTab(name: String, base: String, pref: String, grads: String,
-        key: String, gkey: String): String =
+        key: String): String =
       s"""$name AS MATERIALIZED (
          |  SELECT $base.$key, ${dims.map(j => r6Sql(
                s"$base.$pref$j - $SgnsEta * " +
                  s"coalesce(CAST(round(g.g$j, 6) AS DOUBLE), 0.0) / nn") +
                s" AS $pref$j").mkString(",\n    ")}
-         |  FROM $base LEFT JOIN $grads g ON g.$gkey = $base.$key,
+         |  FROM $base LEFT JOIN $grads g ON g.key = $base.$key,
          |    nrow)""".stripMargin
+    // keyed gradient over the pos ∪ neg term frame (mirrors gradU/gradV)
+    def gradCte(name: String, ps: String, ns: String, posKey: String,
+        negKey: String, posVec: String, negVec: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT key, ${dims.map(j => s"sum(t$j * cdv) AS g$j")
+             .mkString(", ")}
+         |  FROM (
+         |    SELECT $posKey AS key, $cd AS cdv, ${dims.map(j =>
+               s"CAST((sp - 1) * $posVec$j AS DECIMAL(14,10)) AS t$j")
+               .mkString(", ")}
+         |    FROM $ps
+         |    UNION ALL
+         |    SELECT $negKey, $cd, ${dims.map(j =>
+               s"CAST(sn * $negVec$j AS DECIMAL(14,10))").mkString(", ")}
+         |    FROM $ns)
+         |  GROUP BY key)""".stripMargin
     def outRow(r: Int, l: String): String =
       s"""SELECT CAST($r AS BIGINT) AS round, n_pairs, n_words, n_ctx,
          |  ${r6Sql("CAST(ls AS DOUBLE) / nn")} AS loss
          |FROM $l, stats, nrow""".stripMargin
     val roundCtes = (1 to rounds).map { r =>
       val p = r - 1
-      s"""gu$r AS MATERIALIZED (
-         |  SELECT w, ${dims.map(j =>
-             s"sum(CAST((sp - 1) * v$j AS DECIMAL(14,10)) * $cd\n" +
-               s"    + CAST(sn * nv$j AS DECIMAL(14,10)) * $cd) AS g$j")
-             .mkString(",\n  ")}
-         |  FROM sc$p GROUP BY w),
-         |gvt$r AS (
-         |  SELECT c AS key, $cd AS cdv, ${dims.map(j =>
-             s"CAST((sp - 1) * u$j AS DECIMAL(14,10)) AS t$j")
-             .mkString(", ")}
-         |  FROM sc$p
-         |  UNION ALL
-         |  SELECT nc, $cd, ${dims.map(j =>
-             s"CAST(sn * u$j AS DECIMAL(14,10))").mkString(", ")}
-         |  FROM sc$p),
-         |gv$r AS MATERIALIZED (
-         |  SELECT key, ${dims.map(j => s"sum(t$j * cdv) AS g$j")
-             .mkString(", ")}
-         |  FROM gvt$r GROUP BY key),
-         |${stepTab(s"u$r", s"u$p", "u", s"gu$r", "w", "w")},
-         |${stepTab(s"v$r", s"v$p", "v", s"gv$r", "c", "key")},
-         |${scored(s"sc$r", s"u$r", s"v$r")},
-         |${lossCte(s"l$r", s"sc$r")}""".stripMargin
+      s"""${gradCte(s"gu$r", s"ps$p", s"ns$p", "w", "w", "v", "nv")},
+         |${gradCte(s"gv$r", s"ps$p", s"ns$p", "c", "nc", "u", "u")},
+         |${stepTab(s"u$r", s"u$p", "u", s"gu$r", "w")},
+         |${stepTab(s"v$r", s"v$p", "v", s"gv$r", "c")},
+         |${posCte(s"ps$r", s"u$r", s"v$r")},
+         |${negCte(s"ns$r", s"u$r", s"v$r")},
+         |${lossCte(s"l$r", s"ps$r", s"ns$r")}""".stripMargin
     }.mkString(",\n")
     s"""WITH $wordsCte,
        |sgidx AS (
@@ -2873,23 +2971,39 @@ object TextQ {
        |  SELECT w, c, count(*) AS cnt FROM sgpr GROUP BY w, c),
        |ctot AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS ccnt FROM pc
        |         GROUP BY c),
-       |negtop AS (
-       |  SELECT c, row_number() OVER (ORDER BY ccnt DESC, c) AS rk
-       |  FROM (SELECT * FROM ctot ORDER BY ccnt DESC, c LIMIT 2)),
-       |negrow AS (
-       |  SELECT max(CASE WHEN rk = 1 THEN c END) AS n1,
-       |    coalesce(max(CASE WHEN rk = 2 THEN c END),
-       |      max(CASE WHEN rk = 1 THEN c END)) AS n2
-       |  FROM negtop),
+       |wtab AS (SELECT c, ccnt,
+       |  CAST(floor(sqrt(sqrt(CAST(ccnt*ccnt*ccnt AS DOUBLE))))
+       |    AS BIGINT) AS wt
+       |  FROM ctot),
+       |cumt AS (SELECT c, wt,
+       |  CAST(coalesce(sum(wt) OVER (ORDER BY ccnt DESC, c
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS cum
+       |  FROM wtab),
+       |twt AS (SELECT CAST(sum(wt) AS BIGINT) AS tw FROM wtab),
+       |slots AS MATERIALIZED (
+       |  SELECT c AS nc,
+       |    unnest(range(($T * cum) // tw, ($T * (cum + wt)) // tw)) AS slot
+       |  FROM cumt, twt
+       |  WHERE ($T * (cum + wt)) // tw > ($T * cum) // tw),
+       |negs AS MATERIALIZED (
+       |  SELECT p.w, p.c, p.cnt, td.t, s.nc
+       |  FROM pc p
+       |  CROSS JOIN (SELECT unnest(range(1, ${SgnsNegK + 1})) AS t) td
+       |  JOIN slots s ON s.slot =
+       |    (${h48("p.w || '|' || p.c || '|' || CAST(td.t AS VARCHAR)")})
+       |      % $T),
        |${initTab("u0", "u", "w")},
        |${initTab("v0", "v", "c")},
-       |${scored("sc0", "u0", "v0")},
-       |nrow AS (SELECT CAST(2 * sum(cnt) AS BIGINT) AS nn FROM pc),
+       |${posCte("ps0", "u0", "v0")},
+       |${negCte("ns0", "u0", "v0")},
+       |nrow AS (SELECT CAST(${1 + SgnsNegK} * sum(cnt) AS BIGINT) AS nn
+       |         FROM pc),
        |stats AS (
        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_pairs,
        |    count(DISTINCT w) AS n_words, count(DISTINCT c) AS n_ctx
        |  FROM pc),
-       |${lossCte("l0", "sc0")},
+       |${lossCte("l0", "ps0", "ns0")},
        |$roundCtes
        |${(0 to rounds).map(r => outRow(r, s"l$r"))
            .mkString("\nUNION ALL\n")}
@@ -3804,5 +3918,34 @@ object TextQ {
         |    w -> w <> '')) AS BIGINT) AS n_ws,
         |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha,
         |  n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // The tokensCjk contract replayed: whitespace split everywhere, then
+    // pure-CJK tokens of ≥ 2 chars expand to their char bigrams (the
+    // same substring walk, codepoint semantics on both engines); Latin
+    // rows grade the no-op, the inline zh rows grade the fallback.
+    "cjk_bigram_tokens" ->
+      """WITH allx AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (1000001, '深度学习模型训练'),
+        |    (1000002, '大规模数据处理系统 with ascii tokens'),
+        |    (1000003, '混合 text 分词 test')) v(doc_id, text)),
+        |w0 AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), w -> w <> '')) AS tok
+        |  FROM allx),
+        |cjk AS (SELECT doc_id, tok FROM w0
+        |        WHERE regexp_matches(tok, '^[一-鿿]+$') AND len(tok) >= 2),
+        |tk AS (
+        |  SELECT doc_id, substring(tok, CAST(i AS INTEGER), 2) AS tok
+        |  FROM cjk, (SELECT unnest(range(1,
+        |      (SELECT coalesce(max(len(tok)), 1) FROM cjk) + 1)) AS i)
+        |  WHERE i <= len(tok) - 1
+        |  UNION ALL
+        |  SELECT doc_id, tok FROM w0
+        |  WHERE NOT (regexp_matches(tok, '^[一-鿿]+$') AND len(tok) >= 2))
+        |SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_uniq,
+        |  min(tok) AS min_tok, max(tok) AS max_tok
+        |FROM tk GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -852,7 +852,26 @@ object VectorQ {
     * Candidates examined ≤ 4·12·8 ≈ 384/query, an n-INDEPENDENT budget
     * (the IVF tier's probe mass is 2·n/|cells|); recall@5 is gated ≥
     * the IVF tier in AnnQualitySpec and graded in ann_recall_report. */
-  val annHnswKnn: QFn = (s, dir) => {
+  private val hnswSearchCache = graft.Tables.sessionScopedCache[
+    (String, Int), org.apache.spark.sql.DataFrame]()
+
+  /** The bounded beam search over the registry graph, top-`topK` from
+    * the visited set — shared by ann_hnsw_knn (topK=5), the
+    * ann_recall_report hnsw tier, and the hybrid_retrieval_ann dense
+    * leg (topK=10; RRF wants the deeper ranking, the search cost is
+    * identical — the ranking depth is a post-search row_number cut,
+    * not extra beam work). Session-cached on the eager checkpoint
+    * (r15, the r14 verdict's recall-report amortization note): the
+    * report and the hybrid key re-read the scored result instead of
+    * re-running the beam rounds. */
+  private[graft] def hnswSearch(s: SparkSession, dir: String, topK: Int)
+      : org.apache.spark.sql.DataFrame =
+    hnswSearchCache.getOrElseUpdate(
+      (graft.Tables.sessionKey(s), (dir, topK)),
+      hnswSearchRun(s, dir, topK))
+
+  private def hnswSearchRun(s: SparkSession, dir: String, topK: Int)
+      : org.apache.spark.sql.DataFrame = {
     val (graph, entries) = hnswGraph(s, dir)
     val e = unitBase(s, dir)
     val base = e.select(col("vec_id").as("vid"), col("v"), col("nrm"))
@@ -901,13 +920,16 @@ object VectorQ {
       score(visited)
         .filter(col("vid") =!= col("qid"))
         .withColumn("rn", row_number().over(wTop).cast("long"))
-        .filter(col("rn") <= 5)
+        .filter(col("rn") <= topK)
         .select(col("qid"), col("vid").as("vec_id"), col("cos_sim"),
           col("rn"))
         .ckpt()
     }
-    res.orderBy(col("qid"), col("rn"))
+    res
   }
+
+  val annHnswKnn: QFn = (s, dir) =>
+    hnswSearch(s, dir, 5).orderBy(col("qid"), col("rn"))
 
   val kmeansEmbed: QFn = (s, dir) =>
     kmeansAssignFinal(s, dir)
@@ -1388,6 +1410,56 @@ object VectorQ {
     * docs with ≥ 1 shared token by construction, never a scan of
     * non-matching docs; both rank windows are WindowGroupLimit-pruned
     * top-10. */
+  /** Lexical leg shared by both hybrid keys: inverted-index token-set
+    * Jaccard, top-10 per query (qid < 50) via the posting join. */
+  private[graft] def lexicalRank(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = t(s, dir, "documents").select(col("doc_id"),
+      array_distinct(graft.operators.TextOps.tokens(col("text"))).as("ts"))
+      .ckpt() // feeds postings (x2) and both size joins
+    val sizes = toks.select(col("doc_id"), size(col("ts")).as("n"))
+    val qt = toks.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("qid"), explode(col("ts")).as("w"))
+    val ct = toks.select(col("doc_id"), explode(col("ts")).as("w"))
+    val wL = Window.partitionBy(col("qid"))
+      .orderBy(col("jac").desc, col("vec_id"))
+    qt.join(ct, "w")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("qid"), col("n").as("qn")),
+        Seq("qid"))
+      .join(sizes, Seq("doc_id"))
+      .select(col("qid"), col("doc_id").as("vec_id"),
+        r6(dbl(col("inter")) / (col("qn") + col("n") - col("inter")))
+          .as("jac"))
+      .withColumn("rl", row_number().over(wL))
+      .filter(col("rl") <= 10)
+      .select(col("qid"), col("vec_id"), col("rl"))
+  }
+
+  /** RRF fusion of a dense ranking (qid, vec_id, rv) with the lexical
+    * ranking (qid, vec_id, rl): score = Σ 1/(60+rank) over the legs the
+    * candidate appears in, top-5 per query — the ONE fusion contract
+    * both hybrid keys share (the substitution claim hybrid_retrieval
+    * documents: any dense tier slot-replaces the brute leg). */
+  private def rrfFuse(rankV: org.apache.spark.sql.DataFrame,
+      rankL: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wF = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("vec_id"))
+    rankV.join(rankL, Seq("qid", "vec_id"), "full_outer")
+      .select(col("qid"), col("vec_id"),
+        r6(coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0)))
+          .as("rrf"),
+        coalesce(col("rv"), lit(0)).as("rank_vec"),
+        coalesce(col("rl"), lit(0)).as("rank_lex"))
+      .withColumn("rn", row_number().over(wF).cast("long"))
+      .filter(col("rn") <= 5)
+      .orderBy(col("qid"), col("rn"))
+  }
+
   val hybridRetrieval: QFn = (s, dir) => {
     val e = unitBase(s, dir)
     val wV = Window.partitionBy(col("qid"))
@@ -1402,40 +1474,23 @@ object VectorQ {
       .withColumn("rv", row_number().over(wV))
       .filter(col("rv") <= 10)
       .select(col("qid"), col("vec_id"), col("rv"))
-    val toks = t(s, dir, "documents").select(col("doc_id"),
-      array_distinct(graft.operators.TextOps.tokens(col("text"))).as("ts"))
-      .ckpt() // feeds postings (x2) and both size joins
-    val sizes = toks.select(col("doc_id"), size(col("ts")).as("n"))
-    val qt = toks.filter(col("doc_id") < 50)
-      .select(col("doc_id").as("qid"), explode(col("ts")).as("w"))
-    val ct = toks.select(col("doc_id"), explode(col("ts")).as("w"))
-    val wL = Window.partitionBy(col("qid"))
-      .orderBy(col("jac").desc, col("vec_id"))
-    val rankL = qt.join(ct, "w")
-      .filter(col("doc_id") =!= col("qid"))
-      .groupBy(col("qid"), col("doc_id"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("qid"), col("n").as("qn")),
-        Seq("qid"))
-      .join(sizes, Seq("doc_id"))
-      .select(col("qid"), col("doc_id").as("vec_id"),
-        r6(dbl(col("inter")) / (col("qn") + col("n") - col("inter")))
-          .as("jac"))
-      .withColumn("rl", row_number().over(wL))
-      .filter(col("rl") <= 10)
-      .select(col("qid"), col("vec_id"), col("rl"))
-    val wF = Window.partitionBy(col("qid"))
-      .orderBy(col("rrf").desc, col("vec_id"))
-    rankV.join(rankL, Seq("qid", "vec_id"), "full_outer")
-      .select(col("qid"), col("vec_id"),
-        r6(coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0)))
-          .as("rrf"),
-        coalesce(col("rv"), lit(0)).as("rank_vec"),
-        coalesce(col("rl"), lit(0)).as("rank_lex"))
-      .withColumn("rn", row_number().over(wF).cast("long"))
-      .filter(col("rn") <= 5)
-      .orderBy(col("qid"), col("rn"))
+    rrfFuse(rankV, lexicalRank(s, dir))
+  }
+
+  /** ANN-BACKED hybrid retrieval (r15, verdict #4): the identical RRF
+    * fusion contract with the brute-force dense leg slot-replaced by
+    * the HNSW beam search over the registry graph — the substitution
+    * hybrid_retrieval's scale note claims, proven as a graded key. The
+    * dense leg costs the n-INDEPENDENT beam budget instead of the
+    * |Q|×n scored cross join; the lexical leg and fusion are shared
+    * code (lexicalRank / rrfFuse), so any ranking difference vs
+    * hybrid_retrieval is exactly the ANN tier's recall gap —
+    * AnnQualitySpec gates the fused ranking's recall ≥ the
+    * lexical-only leg's. */
+  val hybridRetrievalAnn: QFn = (s, dir) => {
+    val rankV = hnswSearch(s, dir, 10)
+      .select(col("qid"), col("vec_id"), col("rn").cast("int").as("rv"))
+    rrfFuse(rankV, lexicalRank(s, dir))
   }
 
   /** Maximal Marginal Relevance selection (r9, Carbonell & Goldstein
@@ -1524,6 +1579,7 @@ object VectorQ {
     "ann_ivf_knn"        -> annIvfKnn,
     "ann_hnsw_knn"       -> annHnswKnn,
     "hybrid_retrieval"   -> hybridRetrieval,
+    "hybrid_retrieval_ann" -> hybridRetrievalAnn,
     "ann_filtered_knn"   -> annFilteredKnn)
 
   /** The identical 8 greedy MMR steps unrolled as CTEs: same r6-rounded
@@ -1649,7 +1705,11 @@ object VectorQ {
     * cells), crn ≤ 2 probe assignment, top-M edges, then the fixed
     * beam-search rounds unrolled from the same HnswM/HnswBeam/HnswRounds
     * constants the Spark side runs. */
-  private def hnswSql: String = {
+  /** The HNSW graph-build + bounded-beam-search CTE chain, WITHOUT the
+    * leading WITH or the final SELECT — ends in the scored visited set
+    * `hs$HnswRounds`. Shared by the ann_hnsw_knn oracle (top-5 final)
+    * and the hybrid_retrieval_ann oracle (top-10 dense leg, r15). */
+  private def hnswCtes: String = {
     val distSql = r6Sql(
       "list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cvec) " +
         "+ list_dot_product(c.cvec, c.cvec)")
@@ -1683,7 +1743,7 @@ object VectorQ {
           beamCte(s"hb$r", s"hs$r")
       else step + ",\n" + scoreCte(s"hs$r", s"hv$r")
     }.mkString(",\n")
-    s"""WITH $kmeansCtes,
+    s"""$kmeansCtes,
        |hnr AS MATERIALIZED (
        |  SELECT vec_id, sqrt(list_dot_product(v, v)) AS n FROM ex),
        |hasg AS MATERIALIZED (
@@ -1714,13 +1774,65 @@ object VectorQ {
        |  WHERE q.crn = 1 AND q.vec_id < 50),
        |${scoreCte("hs0", "hv0")},
        |${beamCte("hb0", "hs0")},
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def hnswSql: String =
+    s"""WITH $hnswCtes
        |SELECT qid, vid AS vec_id, cos_sim, rn FROM (
        |  SELECT *, row_number() OVER (PARTITION BY qid
        |    ORDER BY cos_sim DESC, vid) AS rn
        |  FROM hs$HnswRounds WHERE vid <> qid)
        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
-  }
+
+  /** Lexical-Jaccard + RRF-fusion CTE tail shared by the two hybrid
+    * oracles — expects a dense-leg CTE `rv(qid, vec_id, rv)` (top-10)
+    * already defined upstream. */
+  private def lexFuseSqlTail: String =
+    s"""tk AS (SELECT doc_id, list_distinct(list_filter(
+       |    string_split_regex(lower(text), '\\s+'), w -> w <> ''))
+       |    AS ts FROM documents),
+       |qt AS (SELECT doc_id AS qid, unnest(ts) AS w FROM tk
+       |       WHERE doc_id < 50),
+       |ct AS (SELECT doc_id, unnest(ts) AS w FROM tk),
+       |iv AS (
+       |  SELECT qt.qid, ct.doc_id AS vec_id, count(*) AS inter
+       |  FROM qt JOIN ct USING (w)
+       |  WHERE ct.doc_id <> qt.qid
+       |  GROUP BY qt.qid, ct.doc_id),
+       |sz AS (SELECT doc_id, len(ts) AS n FROM tk),
+       |lx0 AS (
+       |  SELECT iv.qid, iv.vec_id,
+       |    ${r6Sql("CAST(inter AS DOUBLE) / (sq.n + sd.n - inter)")}
+       |      AS jac
+       |  FROM iv JOIN sz sq ON sq.doc_id = iv.qid
+       |    JOIN sz sd ON sd.doc_id = iv.vec_id),
+       |lx AS (SELECT qid, vec_id, rl FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY jac DESC, vec_id) AS rl FROM lx0) WHERE rl <= 10),
+       |f AS (
+       |  SELECT coalesce(rv.qid, lx.qid) AS qid,
+       |    coalesce(rv.vec_id, lx.vec_id) AS vec_id,
+       |    ${r6Sql("coalesce(1.0 / (60 + rv.rv), 0.0)" +
+             " + coalesce(1.0 / (60 + lx.rl), 0.0)")} AS rrf,
+       |    coalesce(rv.rv, 0) AS rank_vec,
+       |    coalesce(lx.rl, 0) AS rank_lex
+       |  FROM rv FULL OUTER JOIN lx
+       |    ON rv.qid = lx.qid AND rv.vec_id = lx.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |        ORDER BY rrf DESC, vec_id) AS rn FROM f)
+       |SELECT qid, vec_id, rrf, rank_vec, rank_lex, rn FROM r
+       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
+  /** hybrid_retrieval_ann oracle: the hnsw search CTEs rank the dense
+    * leg to depth 10, then the shared lexical+fusion tail. */
+  private def hybridAnnSql: String =
+    s"""WITH $hnswCtes,
+       |rv AS (SELECT qid, vid AS vec_id, rn AS rv FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos_sim DESC, vid) AS rn
+       |  FROM hs$HnswRounds WHERE vid <> qid) WHERE rn <= 10),
+       |$lexFuseSqlTail""".stripMargin
 
   private def semdedupSql: String =
     s"""WITH $kmeansCtes,
@@ -2016,40 +2128,8 @@ object VectorQ {
          |  FROM n2 q JOIN n2 b ON b.vec_id <> q.vec_id
          |  WHERE q.vec_id < 50),
          |rv AS (SELECT qid, vec_id, rv FROM rv0 WHERE rv <= 10),
-         |tk AS (SELECT doc_id, list_distinct(list_filter(
-         |    string_split_regex(lower(text), '\\s+'), w -> w <> ''))
-         |    AS ts FROM documents),
-         |qt AS (SELECT doc_id AS qid, unnest(ts) AS w FROM tk
-         |       WHERE doc_id < 50),
-         |ct AS (SELECT doc_id, unnest(ts) AS w FROM tk),
-         |iv AS (
-         |  SELECT qt.qid, ct.doc_id AS vec_id, count(*) AS inter
-         |  FROM qt JOIN ct USING (w)
-         |  WHERE ct.doc_id <> qt.qid
-         |  GROUP BY qt.qid, ct.doc_id),
-         |sz AS (SELECT doc_id, len(ts) AS n FROM tk),
-         |lx0 AS (
-         |  SELECT iv.qid, iv.vec_id,
-         |    ${r6Sql("CAST(inter AS DOUBLE) / (sq.n + sd.n - inter)")}
-         |      AS jac
-         |  FROM iv JOIN sz sq ON sq.doc_id = iv.qid
-         |    JOIN sz sd ON sd.doc_id = iv.vec_id),
-         |lx AS (SELECT qid, vec_id, rl FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY qid
-         |    ORDER BY jac DESC, vec_id) AS rl FROM lx0) WHERE rl <= 10),
-         |f AS (
-         |  SELECT coalesce(rv.qid, lx.qid) AS qid,
-         |    coalesce(rv.vec_id, lx.vec_id) AS vec_id,
-         |    ${r6Sql("coalesce(1.0 / (60 + rv.rv), 0.0)" +
-               " + coalesce(1.0 / (60 + lx.rl), 0.0)")} AS rrf,
-         |    coalesce(rv.rv, 0) AS rank_vec,
-         |    coalesce(lx.rl, 0) AS rank_lex
-         |  FROM rv FULL OUTER JOIN lx
-         |    ON rv.qid = lx.qid AND rv.vec_id = lx.vec_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
-         |        ORDER BY rrf DESC, vec_id) AS rn FROM f)
-         |SELECT qid, vec_id, rrf, rank_vec, rank_lex, rn FROM r
-         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+         |$lexFuseSqlTail""".stripMargin,
+    "hybrid_retrieval_ann" -> hybridAnnSql,
     "ann_opq_knn" -> opqSql,
     "ann_pq_knn" -> pqSql,
     "ann_ivfpq_knn" -> ivfpqSql,

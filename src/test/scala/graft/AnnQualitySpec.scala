@@ -305,6 +305,23 @@ class AnnQualitySpec extends SparkSpec {
       s"graph out-degree $deg exceeds M=${graft.queries.VectorQ.HnswM}")
   }
 
+  test("ANN-backed hybrid fusion: recall@5 vs exact dense truth >= the " +
+    "lexical-only leg (r15 verdict #4 — the substitution claim)") {
+    val exactTop5 = knnPairs("qknn_cosine_top5", 5)
+    val fusedAnn = SparkEntry.queries("hybrid_retrieval_ann")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+      .toSet
+    val lexOnly = graft.queries.VectorQ.lexicalRank(spark, sf)
+      .filter(col("rl") <= 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val rFused = (fusedAnn intersect exactTop5).size.toDouble / exactTop5.size
+    val rLex = (lexOnly intersect exactTop5).size.toDouble / exactTop5.size
+    assert(rFused >= rLex,
+      f"fused-ANN recall@5 $rFused%.3f fell below lexical-only " +
+        f"$rLex%.3f — the dense ANN leg stopped adding signal")
+    assert(rFused > 0.2, f"fused recall@5 $rFused%.3f vacuously low")
+  }
+
   test("count_min_sketch aggregate estimates within epsilon of exact") {
     val ev = Tables(spark, sf, "events")
     val sketchBytes = ev.agg(

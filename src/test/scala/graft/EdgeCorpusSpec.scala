@@ -523,4 +523,30 @@ class EdgeCorpusSpec extends SparkSpec {
       assert(r.getAs[Long]("n_words") == 0L)
     }
   }
+
+  test("tokensCjk: unsegmented zh fixture segments to char bigrams; " +
+    "whitespace corpus is a provable no-op (r15 verdict #6)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "深度学习"),                    // pure CJK, unsegmented
+      (2L, "深度学习 with latin"),         // mixed: CJK token + latin
+      (3L, "深"),                           // single CJK char: passes whole
+      (4L, "hello world"))                   // pure latin: no-op
+      .toDF("doc_id", "text")
+    val toks = df.select(col("doc_id"),
+        graft.operators.TextOps.tokensCjk(col("text")).as("ts"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[String](1)).toMap
+    assert(toks(1L) == Seq("深度", "度学", "学习"),
+      s"bigram fallback wrong: ${toks(1L)}")
+    assert(toks(2L) == Seq("深度", "度学", "学习", "with", "latin"))
+    assert(toks(3L) == Seq("深"), "single CJK char must pass through")
+    assert(toks(4L) == Seq("hello", "world"))
+    // whole-corpus no-op on the Latin fixtures: tokensCjk ≡ tokens
+    val d = Tables(spark, sf, "documents")
+      .select(graft.operators.TextOps.tokensCjk(col("text")).as("a"),
+        graft.operators.TextOps.tokens(col("text")).as("b"))
+    assert(d.filter(not(col("a") === col("b"))).count() == 0,
+      "fallback fired on the whitespace corpus")
+  }
 }

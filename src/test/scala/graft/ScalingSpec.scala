@@ -508,9 +508,17 @@ class ScalingSpec extends SparkSpec {
         .select(explode(graft.operators.TextOps.tokens(col("text"))))
         .count()
       SparkEntry.queries("pretrain_pipeline_e2e")(spark, dir).count() // warm
+      // unigram_lm_train measures on a FRESH session: its whole trail is
+      // session-cached, so on the shared suite session an earlier suite
+      // touching the sf0.001 trainer leaves THAT tier's measurement a
+      // ~zero-shuffle cache replay while the others train — an
+      // order-sensitive slope (seen r15: exponent 1.65 in combined runs,
+      // 0.05 alone). A fresh session trains every tier — the comparable
+      // cold measurement.
       val t = R12Tier(dir, docs, toks,
         shufOfKey(dir, "scc_components"),
-        shufOfKey(dir, "unigram_lm_train"),
+        withShuffleRows(SparkEntry.queries("unigram_lm_train")(
+          spark.newSession(), dir).count())._2,
         shufOfKey(dir, "pretrain_pipeline_e2e"))
       println(s"[scaling] $t")
       t

@@ -161,6 +161,50 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("storage-partitioned join: V2-reported partitioning, no Exchange " +
+      "on either side, and the downstream groupBy rides it too") {
+    // r15 verdict #3: both scans REPORT KeyGroupedPartitioning(bkt) with
+    // HasPartitionKey splits; under v2.bucketing the join aligns the
+    // reported partition values instead of shuffling, and the bkt
+    // aggregate is satisfied by the same clustering — a fully
+    // exchange-free join + aggregate with zero pre-materialized layout.
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      // join keys (bkt, id) ⊃ partition keys (bkt): relax the guard
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val a = spark.read.format("graft.sources.RangeSource")
+        .option("rows", 5000).option("buckets", 8).load()
+      val b = spark.read.format("graft.sources.RangeSource")
+        .option("rows", 3000).option("buckets", 8).load()
+      val j = a.as("a").join(b.as("b"),
+          col("a.bkt") === col("b.bkt") && col("a.id") === col("b.id"))
+        .groupBy(col("a.bkt").as("bkt"))
+        .agg(count(lit(1)).as("n"), sum(col("a.sq")).as("sum_sq_a"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"storage-partitioned join shuffled:\n$plan")
+      // and the result is right: ids 0..2999 match 1:1
+      val rows = j.orderBy(col("bkt")).collect()
+      assert(rows.map(_.getLong(1)).sum == 3000L)
+    }
+  }
+
+  test("without the v2.bucketing flag the same join shuffles — the SPJ " +
+      "plan is the reported-partitioning payoff, not an accident") {
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val a = spark.read.format("graft.sources.RangeSource")
+        .option("rows", 5000).option("buckets", 8).load()
+      val b = spark.read.format("graft.sources.RangeSource")
+        .option("rows", 3000).option("buckets", 8).load()
+      val j = a.as("a").join(b.as("b"),
+          col("a.bkt") === col("b.bkt") && col("a.id") === col("b.id"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange"),
+        "control: expected a shuffle with SPJ disabled")
+    }
+  }
+
   test("small-file compaction actually reduces the file count") {
     graft.queries.FormatsQ.compactSmallFiles(spark, sf).collect()
     def nParquet(p: String): Int = {
