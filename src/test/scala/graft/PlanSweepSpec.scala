@@ -83,9 +83,10 @@ class PlanSweepSpec extends SparkSpec {
     "kn_lm_prob" ->
       "1-row bigram-type-total aggregate broadcast into the KN backoff term",
     // ---- r10 additions ----
-    "ann_ivfpq_knn" -> ("IVF-PQ: 10-centroid coarse set + 16-code " +
-      "residual codebooks broadcast for assignment/train/encode — all " +
-      "bounded build sides; the ADC scan itself is a cell equi-join"),
+    // ann_ivfpq_knn dropped from the allowlist (r15): the residual
+    // codebook training (the bounded crossJoins) moved into the one-time
+    // sidecar build; the warm plan is pure equi-joins (cell probe +
+    // id rerank), so the shape-check correctly flagged the entry as dead.
     "ann_randproj_knn" -> ("JL tier: 50-query bounded side × projected " +
       "base — the brute-scan shape in the 32-d projected space"),
     "rrf_fusion" -> ("both rankers are the 50-query bounded side × base " +
@@ -125,10 +126,12 @@ class PlanSweepSpec extends SparkSpec {
     "incremental_ann" -> ("bounded centroid set (≤10 cells) broadcast " +
       "for batch assignment + the 1-row (index, upsert) audit summary " +
       "crossed onto the probe results"),
-    "ann_recall_report" -> ("7 per-tier 1-row (brute-count × hit-count) " +
-      "aggregates crossed into the report rows; the tiers' own bounded " +
-      "broadcast shapes (50-query brute sides, centroid/codebook " +
-      "builds) are each justified on their own keys"),
+    // ann_recall_report dropped from the allowlist (r15): the per-tier
+    // 1-row stat crossJoins now execute eagerly inside the report's
+    // concurrent evaluation threads (each row checkpointed), so the
+    // key's own plan is a 10-row union of checkpoint scans — the
+    // shape-check correctly flagged the entry as dead. The tiers' own
+    // bounded broadcast shapes stay justified on their own keys.
     "gbm_round" -> ("1-row broadcasts throughout: bin geometry + base " +
       "score into the binning pass, the chosen split into the loss " +
       "update, and the 1-row loss aggregate crossed into the report"),
