@@ -20,8 +20,12 @@ import org.apache.spark.sql.functions.{coalesce, col, count, least, lit, min, su
   * Each round is two hash-shuffles keyed on vertex/label id (standard
   * iterative-join shape, AQE/skew-safe); lineage is cut per round with
   * `localCheckpoint`; convergence is DETECTED, not assumed (labels only
-  * decrease, so Σlbl strictly decreases until fixpoint — one O(1)
-  * aggregate to the driver per round, no data collected).
+  * decrease, so Σlbl strictly decreases until fixpoint — no data
+  * collected). The convergence metric rides the SAME job that
+  * materializes the round's checkpoint (an `observe` aggregate collected
+  * by the checkpoint action — the scc_components/neardup_clusters
+  * count-fold, r16 verdict task #6), so each round costs exactly ONE job
+  * launch instead of ckpt + a separate label-sum aggregate.
   *
   * Correctness invariant: `lbl(u)` is always the id of a vertex in u's
   * component (propagation moves labels along edges; jumping composes two
@@ -46,11 +50,24 @@ object ConnectedComponents {
       .filter(col("src") =!= col("dst"))
       .persist()
     // Init folds the first propagation round in: lbl = min(self, nbrs).
-    var labels = adj.groupBy(col("src")).agg(min(col("dst")).as("mn"))
-      .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl"))
-      .ckpt()
-    var prevSum = -1L
-    var curSum = labelSum(labels)
+    // One job per round: the label-sum convergence metric is an `observe`
+    // node inside the plan the eager checkpoint materializes, so the
+    // checkpoint action delivers both the cut lineage AND the sum.
+    var ccRound = 0
+    def checkpointWithSum(df: DataFrame): (DataFrame, Long) = {
+      ccRound += 1
+      val obs = org.apache.spark.sql.Observation(s"cc_op_lblsum_r$ccRound")
+      val ck = df.observe(obs,
+          coalesce(sum(col("lbl")), lit(0L)).as("s"),
+          count(lit(1)).as("n"))
+        .ckpt()
+      val m = obs.get
+      (ck, m("s").asInstanceOf[Long] * 1000003L + m("n").asInstanceOf[Long])
+    }
+    var (labels, curSum) = checkpointWithSum(
+      adj.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl")))
+    var prevSum = curSum - 1
     while (curSum != prevSum) {
       prevSum = curSum
       // propagate: pull the min label across each edge
@@ -63,13 +80,13 @@ object ConnectedComponents {
           least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
       // jump: lbl(u) ← lbl(lbl(u)) — label values are vertex ids, so the
       // lookup is a self-join; halves remaining chain depth every round
-      labels = propagated
+      val (next, nextSum) = checkpointWithSum(propagated
         .join(propagated.select(col("id").as("lbl"),
           col("lbl").as("jlbl")), Seq("lbl"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl"))
-        .ckpt()
-      curSum = labelSum(labels)
+          least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl")))
+      labels = next
+      curSum = nextSum
     }
     adj.unpersist()
     // Vertices whose only edges are self-loops never reach `adj` (their
@@ -79,9 +96,4 @@ object ConnectedComponents {
     verts.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("lbl"), col("id")).as("component"))
   }
-
-  private def labelSum(labels: DataFrame): Long =
-    labels.agg(coalesce(sum(col("lbl")), lit(0L)).as("s"),
-        count(lit(1)).as("n"))
-      .selectExpr("s * 1000003 + n").head().getLong(0)
 }

@@ -1015,10 +1015,17 @@ object StatsQ {
           sum(pin(col("h"))).as("hs"))
     var trail: org.apache.spark.sql.DataFrame = null
     for (round <- 1 to 2) {
+      // p/g/h and the node routing stay LAZY (r16 — 5 checkpoint jobs
+      // per round → 3): every consumer re-derives them from the round's
+      // checkpointed margin frame `cur` with a handful of codegen'd
+      // arithmetic ops per row, which is cheaper than a full
+      // materialize+rescan of the 600k-row frame — twice per round. The
+      // 1-row split frames (best0/best1) KEEP their checkpoints: r15
+      // measured that making those lazy re-runs the upstream histogram
+      // scan in every consumer (~25% slower).
       val p = cur.withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("f"))))
         .withColumn("g", col("p") - col("y"))
         .withColumn("h", col("p") * (lit(1.0) - col("p")))
-        .ckpt()
       val best0 = cands(histOf(p.filter(!col("ho")), Seq()), Seq())
         .withColumn("rn", row_number().over(
           Window.orderBy(col("gain").desc, col("feat"), col("bin"))))
@@ -1029,7 +1036,6 @@ object StatsQ {
         .withColumn("node",
           when(when(col("rf") === "x1", col("b1")).otherwise(col("b2"))
             < col("rb"), lit(1L)).otherwise(lit(2L)))
-        .ckpt() // level-1 histogram + routing both scan it
       val best1 = cands(histOf(assigned.filter(!col("ho")), Seq("node")),
           Seq("node"))
         .withColumn("rn", row_number().over(Window.partitionBy(col("node"))
@@ -1114,10 +1120,13 @@ object StatsQ {
       .ckpt()
     var trail: org.apache.spark.sql.DataFrame = null
     for (round <- 1 to 2) {
+      // LAZY p/g/h (r16, the gbm_tree_round ckpt thinning): consumers
+      // re-derive the sigmoid arithmetic from the round's checkpointed
+      // margin frame instead of paying a materialize+rescan of the
+      // 600k-row frame per round. best/cur keep their checkpoints.
       val p = cur.withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("f"))))
         .withColumn("g", col("p") - col("y"))
         .withColumn("h", col("p") * (lit(1.0) - col("p")))
-        .ckpt() // consumed by loss-before, histogram, update
       val lb = p.agg(sum(lossTerm(col("p"))).as("l"),
         count(lit(1)).as("cnt"))
       val hist = p.select(col("g"), col("h"), inline(array(

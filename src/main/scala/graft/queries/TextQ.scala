@@ -919,22 +919,30 @@ object TextQ {
         .select(col("word"), posexplode(col("syms")).as(Seq("pos", "sym")))
         .withColumn("nxt", lead(col("sym"), 1).over(wPos))
         .withColumn("hit", col("sym") === lit(l) && col("nxt") === lit(r))
+      // windows-only greedy application (r16 — the trainer's r15 rewrite
+      // ported here, verdict task #2): positions from posexplode are
+      // contiguous, so the kept-position set never needs materializing —
+      // the island group is `pos − cumulative hit-count` (constant along
+      // a run of consecutive hits, ≡ the old pos − row_number over the
+      // filtered hits), the alternating-run rule keeps (pos − run start)
+      // even, and "my left neighbor merged" is lag(ismerge). Every
+      // window shares the one per-word sort `lead` already pays, so each
+      // merge round is ONE exchange + ONE eager checkpoint instead of
+      // the old kept-position checkpoint + two join shuffles.
+      val wCum = Window.partitionBy(col("word")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, 0)
       val wRun = Window.partitionBy(col("word"), col("grp"))
-      val kept = ex.filter(col("hit"))
-        .withColumn("rnm", row_number().over(wPos))
-        .withColumn("grp", col("pos") - col("rnm"))
-        .withColumn("start", min(col("pos")).over(wRun))
-        .filter((col("pos") - col("start")) % 2 === 0)
-        .select(col("word").as("kw"), col("pos").as("kpos"))
-        .ckpt() // probed twice below (merge site + consumed right)
       val rebuilt = ex
-        .join(kept, col("word") === col("kw")
-          && col("pos") === col("kpos"), "left")
-        .withColumn("ismerge", col("kpos").isNotNull)
-        .drop("kw", "kpos")
-        .join(kept, col("word") === col("kw")
-          && col("pos") === col("kpos") + 1, "left")
-        .filter(col("kpos").isNull) // drop consumed right halves
+        .withColumn("hs", sum(when(col("hit"), 1L).otherwise(0L))
+          .over(wCum))
+        .withColumn("grp", when(col("hit"), col("pos") - col("hs")))
+        .withColumn("start",
+          when(col("hit"), min(when(col("hit"), col("pos"))).over(wRun)))
+        .withColumn("ismerge",
+          col("hit") && (col("pos") - col("start")) % 2 === 0)
+        .withColumn("consumed",
+          coalesce(lag(col("ismerge"), 1).over(wPos), lit(false)))
+        .filter(!col("consumed")) // drop consumed right halves
         .select(col("word"), col("pos"),
           when(col("ismerge"), concat(col("sym"), col("nxt")))
             .otherwise(col("sym")).as("sym"))

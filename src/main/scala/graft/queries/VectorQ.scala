@@ -308,14 +308,15 @@ object VectorQ {
     // consumers score probes with graft_dot on THIS session; the warm
     // (sidecar-hit) path never touches unitBase, so register here
     DotProduct.register(s)
-    val side = new java.io.File(scratch(dir, "ivf_coarse"))
-    VectorQ.synchronized {
-      if (!side.exists()) {
-        ivfCoarseBuild(s, dir).filter(col("crn") <= 2)
-          .write.mode("overwrite").parquet(side.getAbsolutePath)
-      }
+    // atomic publish (r16): generation dir + rename via core.sidecarOnce
+    // — a crashed build can no longer leave a partial dir that
+    // `exists()` would treat as built, and independent sidecars no
+    // longer serialize on one global VectorQ lock.
+    val side = core.sidecarOnce(s, dir, "ivf_coarse") { tmp =>
+      ivfCoarseBuild(s, dir).filter(col("crn") <= 2)
+        .write.mode("overwrite").parquet(tmp.toString)
     }
-    s.read.parquet(side.getAbsolutePath)
+    s.read.parquet(side)
   }
 
   private def ivfCoarseBuild(s: SparkSession, dir: String) = {
@@ -632,13 +633,21 @@ object VectorQ {
     // final union is a 10-row assembly; values are byte-identical to
     // the serial composition (same per-tier plans, same baselines).
     type DF = org.apache.spark.sql.DataFrame
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    // Pool sized to the 12 independent chains (r16 — was 6: two chains
+    // always waited for a slot even when executor slots sat idle) and a
+    // CONFIGURABLE chain timeout (r16, verdict #5/#7: a hard-coded 20 min
+    // would kill a cold 100 TB chain; deployments size it to their build
+    // cost, the registry-lock-timeout pattern).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      sys.props.getOrElse("graft.report.poolSize", "12").toInt)
+    val chainTimeoutSec =
+      sys.props.getOrElse("graft.report.chainTimeoutSec", "1200").toLong
     def submit(body: => DF): java.util.concurrent.Future[DF] =
       pool.submit(new java.util.concurrent.Callable[DF] {
         def call(): DF = body
       })
     def get(f: java.util.concurrent.Future[DF]): DF =
-      f.get(20, java.util.concurrent.TimeUnit.MINUTES)
+      f.get(chainTimeoutSec, java.util.concurrent.TimeUnit.SECONDS)
     val rows =
       try {
         val bruteFut = submit(knnTop5(s.newSession(), dir)
@@ -1037,24 +1046,23 @@ object VectorQ {
     * cross-engine and the oracle mirrors the two-stage algorithm. */
   val annSqKnn: QFn = (s, dir) => {
     val e = unitBase(s, dir)
-    val sq8 = new java.io.File(scratch(dir, "sq8"))
-    VectorQ.synchronized {
-      if (!sq8.exists()) {
-        val sc = col("sc")
-        e.withColumn("scale", array_max(transform(col("v"), x => abs(x))))
-          .withColumn("sc",
-            when(col("scale") === 0.0, 1.0).otherwise(col("scale")))
-          .withColumn("qv",
-            transform(col("v"), x => floor(x * 127.0 / sc + 0.5)
-              .cast("tinyint")))
-          .select(col("vec_id"), sc, col("qv"))
-          .write.mode("overwrite").parquet(sq8.getAbsolutePath)
-      }
+    // atomic publish (r16): same generation-dir + rename protocol as the
+    // PQ-family sidecars — no partial-dir poison path, no global lock.
+    val sq8 = core.sidecarOnce(s, dir, "sq8") { tmp =>
+      val sc = col("sc")
+      e.withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+        .withColumn("sc",
+          when(col("scale") === 0.0, 1.0).otherwise(col("scale")))
+        .withColumn("qv",
+          transform(col("v"), x => floor(x * 127.0 / sc + 0.5)
+            .cast("tinyint")))
+        .select(col("vec_id"), sc, col("qv"))
+        .write.mode("overwrite").parquet(tmp.toString)
     }
     // Candidate pass: narrow quantized scan only. The tinyint→double cast
     // is a native array Cast (codegen'd), and the values are integral, so
     // the dot product is the same exact integer arithmetic as before.
-    val codes = s.read.parquet(sq8.getAbsolutePath)
+    val codes = s.read.parquet(sq8)
       .withColumn("qvd", col("qv").cast("array<double>"))
     val q = codes.select(col("vec_id").as("qid"), col("sc").as("qsc"),
       col("qvd").as("qqv")).filter(col("qid") < 50)
@@ -1170,35 +1178,32 @@ object VectorQ {
         .agg(min(struct(col("dist"), col("cl"), col("cvec"))).as("mm"))
         .select(col("vec_id"), lit(m).as("m"), col("mm.cvec").as("cvec"))
     }
-    val side = new java.io.File(scratch(dir, s"${tag}_recon"))
-    // the 50 encode-space query vectors ride a second tiny sidecar so a
-    // warm plan carries NO trace of the encode map (for OPQ that map is
-    // a 64×64-literal rotation expression whose analysis alone costs
-    // more than the whole scan)
-    val sideQ = new java.io.File(scratch(dir, s"${tag}_q"))
-    VectorQ.synchronized {
-      if (!side.exists()) {
-        // materialize the encode space once for the whole training run
-        // (the OPQ rotation would otherwise re-evaluate under every one
-        // of the 4 subspaces × 3 training scans)
-        val et = e.select(col("vec_id"), col("pv")).ckpt()
-        def reconPart(m: Int): org.apache.spark.sql.DataFrame =
-          reconPartOver(et, m)
-        (0 until PqM).map(reconPart).reduce(_ unionByName _)
-          .groupBy(col("vec_id"))
-          .agg(flatten(transform(
-            sort_array(collect_list(struct(col("m"), col("cvec")))),
-            x => x.getField("cvec"))).as("vhat"))
-          .write.mode("overwrite").parquet(side.getAbsolutePath)
-      }
-      if (!sideQ.exists()) {
-        e.filter(col("vec_id") < 50)
-          .select(col("vec_id").as("qid"), col("pv").as("qv"))
-          .write.mode("overwrite").parquet(sideQ.getAbsolutePath)
-      }
+    // ONE atomically-published sidecar dir (r16, core.sidecarOnce —
+    // generation dir + rename) holding both the reconstruction table
+    // and, as a second tiny parquet, the 50 encode-space query vectors —
+    // so a warm plan carries NO trace of the encode map (for OPQ that
+    // map is a 64×64-literal rotation expression whose analysis alone
+    // costs more than the whole scan), and a crashed build can never
+    // leave a half-written dir a later `exists()` check trusts.
+    val side = core.sidecarOnce(s, dir, s"${tag}_pq") { tmp =>
+      // materialize the encode space once for the whole training run
+      // (the OPQ rotation would otherwise re-evaluate under every one
+      // of the 4 subspaces × 3 training scans)
+      val et = e.select(col("vec_id"), col("pv")).ckpt()
+      def reconPart(m: Int): org.apache.spark.sql.DataFrame =
+        reconPartOver(et, m)
+      (0 until PqM).map(reconPart).reduce(_ unionByName _)
+        .groupBy(col("vec_id"))
+        .agg(flatten(transform(
+          sort_array(collect_list(struct(col("m"), col("cvec")))),
+          x => x.getField("cvec"))).as("vhat"))
+        .write.mode("overwrite").parquet(s"$tmp/recon")
+      e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("pv").as("qv"))
+        .write.mode("overwrite").parquet(s"$tmp/q")
     }
-    val recon = s.read.parquet(side.getAbsolutePath)
-    val q = s.read.parquet(sideQ.getAbsolutePath)
+    val recon = s.read.parquet(s"$side/recon")
+    val q = s.read.parquet(s"$side/q")
     val w1 = Window.partitionBy(col("qid"))
       .orderBy(col("approx").desc, col("vec_id"))
     val w2 = Window.partitionBy(col("qid"))
@@ -1297,9 +1302,7 @@ object VectorQ {
     // from unitBase — identical values to the old crn=1 "home" frame
     // (every vector has exactly one home row), without re-materializing
     // the corpus-wide assignment per call.
-    val side = new java.io.File(scratch(dir, "ivfpq_recon"))
-    VectorQ.synchronized {
-      if (!side.exists()) {
+    val side = core.sidecarOnce(s, dir, "ivfpq_recon") { tmp =>
         val home = asg.filter(col("crn") === 1)
           .select(col("vec_id"), col("v"),
             col("clabel").as("cell"), col("cvec"))
@@ -1347,10 +1350,9 @@ object VectorQ {
         home.join(rhat, "vec_id")
           .select(col("vec_id"), col("cell"),
             zip_with(col("cvec"), col("rhat"), (a, b) => a + b).as("vhat"))
-          .write.mode("overwrite").parquet(side.getAbsolutePath)
-      }
+          .write.mode("overwrite").parquet(tmp.toString)
     }
-    val recon = s.read.parquet(side.getAbsolutePath)
+    val recon = s.read.parquet(side)
     val e = unitBase(s, dir)
     val probes = asg.filter(col("crn") <= 2 && col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("v").as("qv"),

@@ -269,6 +269,32 @@ object core {
     dest
   }
 
+  /** Per-JVM scratch SIDECAR with the atomic publish protocol (r16,
+    * verdict task #5): the PQ/OPQ/IVF-PQ reconstruction tables and the
+    * IVF coarse assignment are built once per (JVM, fixture dir) and
+    * read by every later call — including concurrently from the recall
+    * report's chain threads. The old shape gated on `dir.exists()`
+    * under one global mutex: a write that died mid-flight left a
+    * partial dir that `exists()` treated as built (poisoned for the
+    * JVM's lifetime), and the single lock serialized INDEPENDENT tier
+    * builds. Now each sidecar publishes through [[publishOnce]]
+    * (private generation dir + one atomic rename, `_built` marker
+    * inside), with a per-NAME in-process lock as the fast path — a
+    * crashed build leaves only an unreachable dot-prefixed temp dir,
+    * and distinct sidecars build concurrently. */
+  private val sidecarLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def sidecarOnce(s: SparkSession, dir: String, tag: String)(
+      write: org.apache.hadoop.fs.Path => Unit): String = {
+    val name = s"${tag}_" + dirKey(dir)
+    val lock = sidecarLocks.computeIfAbsent(name, _ => new Object)
+    lock.synchronized {
+      publishOnce(s, new org.apache.hadoop.fs.Path(
+        new java.io.File(scratchRoot, "sidecars").getAbsolutePath),
+        name)(write).toString
+    }
+  }
+
   /** Persist-once artifact store (r13) — the annIndexDir `_built`-marker
     * pattern generalized: build the DataFrame ONCE per (registry root,
     * fixture dir, name), write it to registry parquet, and serve every

@@ -5,7 +5,18 @@ import scala.io.Source
 /** Checked-in golden results at sf0.001: every contract query must keep
   * producing byte-identical collected output across refactors, without
   * DuckDB in the loop. Regenerate deliberately with `runMain graft.GoldenGen`
-  * and review the diff. */
+  * and review the diff.
+  *
+  * Since r16 this suite ALSO carries the §5.5 determinism canary that
+  * used to live in DeterminismSpec: each key is executed under THREE
+  * perturbations — the default 4 shuffle partitions, 13 shuffle
+  * partitions, and a 64 KiB input-split size — and every run must match
+  * the SAME golden digest, which implies pairwise equality (the old
+  * a == b == c assertion) AND the golden match in 3 executions per key
+  * instead of the old 4 across two suites (~250 s off the driver-graded
+  * suite; coverage unchanged: float-order aggregation, undefined
+  * tie-breaks, LIMIT under partial orders, map-side partials under a
+  * perturbed scan layout all still break a digest). */
 class GoldenSpec extends SparkSpec {
 
   private val golden: Map[String, (Int, String)] = {
@@ -22,11 +33,38 @@ class GoldenSpec extends SparkSpec {
   }
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-    test(s"$name matches golden output") {
-      val rows = fn(spark, sf).collect()
+    test(s"$name matches golden output under partition/split perturbation") {
+      spark.sparkContext.setLogLevel("WARN")
       val (expN, expH) = golden(name)
-      assert(rows.length == expN, s"row count ${rows.length} != golden $expN")
-      assert(GoldenGen.digest(rows) == expH, "content hash != golden")
+      // Memoized inputs would replay one frozen checkpoint under every
+      // perturbation, making the axes vacuous for those keys — rebuild.
+      def reset(): Unit = graft.queries.ModernQ.clearEdgeCache()
+      def check(axis: String): Unit = {
+        reset()
+        val rows = fn(spark, sf).collect()
+        assert(rows.length == expN,
+          s"[$axis] row count ${rows.length} != golden $expN")
+        assert(GoldenGen.digest(rows) == expH,
+          s"[$axis] content hash != golden")
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      check("shuffle=4")
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      check("shuffle=13")
+      // third axis: input-split perturbation — a tiny maxPartitionBytes
+      // multiplies scan partitions, stressing map-side partials, object
+      // aggregates, and iterative loops under a different input layout
+      // (the speculative-retry / cluster-vs-local hazard the shuffle
+      // axis alone can't reach). try/finally: a throwing collect must
+      // not leak the 64 KiB split size into every later test.
+      val priorSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      try {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        check("split=64KiB")
+      } finally {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", priorSplit)
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+      }
     }
   }
 }

@@ -175,13 +175,32 @@ class PlanSweepSpec extends SparkSpec {
       "× base (the qknn brute shape); the lexical leg is a posting " +
       "equi-join and the fuse is an equi-join — no other cartesian"))
 
+  /** ONE plan build per key for the whole suite (r16 — the six sweeps
+    * used to re-plan the inventory up to four times each, ~6 min of the
+    * driver-graded test budget; the checks are pure functions of the
+    * plan, so they share one sweep). AQE is pinned OFF for the shared
+    * sweep — the window detectors require a plain tree, and the
+    * cartesian/NLJ join strategy is chosen at planning time, so the
+    * string checks see the same shapes the AQE-on initial plan showed. */
+  private case class Sweep(planStr: String, globalWin: Boolean,
+    boundedKeyWin: Boolean)
+  private lazy val sweep: Map[String, Sweep] =
+    withConfs("spark.sql.adaptive.enabled" -> "false") {
+      SparkEntry.queries.keys.toSeq.sorted.map { name =>
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan
+        name -> Sweep(plan.toString,
+          globalWindows(plan).nonEmpty,
+          boundedKeyWindows(plan).nonEmpty)
+      }.toMap
+    }
+  private def plansCartesian(s: Sweep): Boolean =
+    s.planStr.contains("CartesianProduct") ||
+      s.planStr.contains("BroadcastNestedLoopJoin")
+
   test("no unlisted query plans a cartesian or nested-loop join") {
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val plan = SparkEntry.queries(name)(spark, sf)
-        .queryExecution.executedPlan.toString
-      val hit = plan.contains("CartesianProduct") ||
-        plan.contains("BroadcastNestedLoopJoin")
-      if (hit && !allowed.contains(name)) Some(name) else None
+    val offenders = sweep.toSeq.sortBy(_._1).collect {
+      case (name, s) if plansCartesian(s) && !allowed.contains(name) => name
     }
     assert(offenders.isEmpty,
       s"unjustified cartesian/NLJ in: ${offenders.mkString(", ")}")
@@ -189,13 +208,9 @@ class PlanSweepSpec extends SparkSpec {
 
   test("every allowlist entry still plans the shape it justifies") {
     // prevents the allowlist from rotting into dead entries
-    for ((name, why) <- allowed) {
-      val plan = SparkEntry.queries(name)(spark, sf)
-        .queryExecution.executedPlan.toString
-      assert(plan.contains("CartesianProduct") ||
-        plan.contains("BroadcastNestedLoopJoin"),
+    for ((name, why) <- allowed)
+      assert(plansCartesian(sweep(name)),
         s"$name no longer plans a cartesian/NLJ — drop it from the allowlist ($why)")
-    }
   }
 
   // ---- single-partition window sweep (r12) ----------------------------
@@ -241,15 +256,12 @@ class PlanSweepSpec extends SparkSpec {
     PlanShapes.globalWindows(plan)
 
   test("no unlisted query plans a single-partition (global) window") {
-    withConfs("spark.sql.adaptive.enabled" -> "false") {
-      val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-        val hit = globalWindows(SparkEntry.queries(name)(spark, sf)
-          .queryExecution.executedPlan).nonEmpty
-        if (hit && !globalWindowAllowed.contains(name)) Some(name) else None
-      }
-      assert(offenders.isEmpty,
-        s"unjustified global window in: ${offenders.mkString(", ")}")
+    val offenders = sweep.toSeq.sortBy(_._1).collect {
+      case (name, s) if s.globalWin &&
+        !globalWindowAllowed.contains(name) => name
     }
+    assert(offenders.isEmpty,
+      s"unjustified global window in: ${offenders.mkString(", ")}")
   }
 
   // ---- bounded-key window sweep (r13) ----------------------------------
@@ -370,37 +382,25 @@ class PlanSweepSpec extends SparkSpec {
     PlanShapes.boundedKeyWindows(plan)
 
   test("no unlisted query plans a bounded-key window") {
-    withConfs("spark.sql.adaptive.enabled" -> "false") {
-      val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-        val hit = boundedKeyWindows(SparkEntry.queries(name)(spark, sf)
-          .queryExecution.executedPlan).nonEmpty
-        if (hit && !boundedKeyWindowAllowed.contains(name)) Some(name)
-        else None
-      }
-      assert(offenders.isEmpty,
-        s"unjustified bounded-key window in: ${offenders.mkString(", ")}")
+    val offenders = sweep.toSeq.sortBy(_._1).collect {
+      case (name, s) if s.boundedKeyWin &&
+        !boundedKeyWindowAllowed.contains(name) => name
     }
+    assert(offenders.isEmpty,
+      s"unjustified bounded-key window in: ${offenders.mkString(", ")}")
   }
 
   test("every bounded-key-window allowlist entry still plans one") {
-    withConfs("spark.sql.adaptive.enabled" -> "false") {
-      for ((name, why) <- boundedKeyWindowAllowed) {
-        val hit = boundedKeyWindows(SparkEntry.queries(name)(spark, sf)
-          .queryExecution.executedPlan).nonEmpty
-        assert(hit, s"$name no longer plans a bounded-key window — drop " +
+    for ((name, why) <- boundedKeyWindowAllowed)
+      assert(sweep(name).boundedKeyWin,
+        s"$name no longer plans a bounded-key window — drop " +
           s"it from the allowlist ($why)")
-      }
-    }
   }
 
   test("every global-window allowlist entry still plans one") {
-    withConfs("spark.sql.adaptive.enabled" -> "false") {
-      for ((name, why) <- globalWindowAllowed) {
-        val hit = globalWindows(SparkEntry.queries(name)(spark, sf)
-          .queryExecution.executedPlan).nonEmpty
-        assert(hit, s"$name no longer plans a global window — drop it " +
+    for ((name, why) <- globalWindowAllowed)
+      assert(sweep(name).globalWin,
+        s"$name no longer plans a global window — drop it " +
           s"from the allowlist ($why)")
-      }
-    }
   }
 }

@@ -126,6 +126,39 @@ class RegistrySpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(parentDir.toFile)
   }
 
+  test("sidecarOnce: concurrent builders of one sidecar run the write " +
+      "once and both read the full committed artifact (r16, verdict #5)") {
+    import scala.jdk.CollectionConverters._
+    val writes = new java.util.concurrent.atomic.AtomicInteger
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val tag = "race_sidecar_" + System.nanoTime()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        try {
+          val dest = graft.queries.core.sidecarOnce(spark, sf, tag) { tmp =>
+            writes.incrementAndGet()
+            Thread.sleep(150) // widen the race window
+            spark.range(10).toDF("v").coalesce(1)
+              .write.mode("overwrite").parquet(tmp.toString)
+          }
+          results.add(dest)
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"sidecar build threw: ${errs.asScala.headOption}")
+    assert(results.size == 2 && results.asScala.toSet.size == 1,
+      "both builders must resolve the one committed sidecar")
+    assert(writes.get() == 1,
+      s"sidecar built ${writes.get()} times — the in-process lock + " +
+        "publish marker must make the second builder a reader")
+    assert(spark.read.parquet(results.peek()).count() == 10,
+      "committed sidecar is torn")
+    assert(new java.io.File(results.peek(), "_built").exists(),
+      "sidecar missing the in-dir commit marker")
+  }
+
   test("a stale lock from a crashed writer is broken, publish proceeds") {
     val parentDir = java.nio.file.Files
       .createTempDirectory("graft_regspec_stale")

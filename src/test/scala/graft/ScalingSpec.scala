@@ -37,6 +37,14 @@ import graft.queries.{TextQ, VectorQ}
   * shuffle rows long before it OOMs a 1000-executor cluster. */
 class ScalingSpec extends SparkSpec {
 
+  /** Whole suite runs in the slow lane (graft.SlowTest — see Tags.scala):
+    * four-tier measurement sweeps including the synthetic 10× expansion
+    * make this the single heaviest suite (~8.5 min), and its gates are
+    * scaling-regression MEASUREMENTS, not per-change correctness checks.
+    * `sbt -Dgraft.slowTests=true test` runs it. */
+  override def tags: Map[String, Set[String]] =
+    testNames.iterator.map(_ -> Set(SlowTest.name)).toMap
+
   /** Three decades of measurement: the real fixture tiers plus the
     * deterministic 10× expansion of sf0.1 (ScaleSynth) — the r7 verdict's
     * ask: exponent gates fit on sf0.01 → sf0.1 → synthetic-sf1 instead of
