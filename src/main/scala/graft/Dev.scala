@@ -28,10 +28,20 @@ object Dev {
             def onQueryTerminated(e: org.apache.spark.sql.streaming
                 .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
             def onQueryProgress(e: org.apache.spark.sql.streaming
-                .StreamingQueryListener.QueryProgressEvent): Unit =
+                .StreamingQueryListener.QueryProgressEvent): Unit = {
               println(s"[sprof] batch=${e.progress.batchId} " +
                 s"rows=${e.progress.numInputRows} " +
                 s"durations=${e.progress.durationMs}")
+              e.progress.stateOperators.foreach { so =>
+                println(s"[sprof]   state op=${so.operatorName} " +
+                  s"rowsTotal=${so.numRowsTotal} " +
+                  s"updated=${so.numRowsUpdated} " +
+                  s"updateMs=${so.allUpdatesTimeMs} " +
+                  s"removeMs=${so.allRemovalsTimeMs} " +
+                  s"commitMs=${so.commitTimeMs} " +
+                  s"memUsed=${so.memoryUsedBytes}")
+              }
+            }
           })
         for (i <- 1 to 2) {
           val t0 = System.nanoTime()
@@ -54,6 +64,59 @@ object Dev {
           println(s"[dev] dumped plan: $k")
         }
       case "show"    => fn(spark, sfDir).show(30, false)
+      // time the key on a FRESH child session per iteration: session
+      // caches (e.g. the BPE segmentation) rebuild every time while
+      // JVM-wide artifacts (registry, sidecars) stay warm — isolates
+      // session-scoped builder cost from one-time training.
+      case "coldsession" =>
+        fn(spark, sfDir).count() // absorb JVM-wide one-time builds
+        for (i <- 1 to 3) {
+          val s2 = spark.newSession()
+          val t0 = System.nanoTime()
+          val n = SparkEntry.queries(name)(s2, sfDir).count()
+          println(f"[dev] $name coldsession iter$i: " +
+            f"${(System.nanoTime() - t0) / 1e9}%.3f s, $n rows")
+        }
+      // capture the physical plan of EVERY action the key executes on a
+      // fresh session (eager checkpoint stages included — the
+      // ArtifactPlanSpec listener device) and write them to one file:
+      // evidence for changes inside iterative loops that the returned
+      // plan's checkpoints truncate away.
+      case "dumpstages" =>
+        val outDir = new java.io.File(args(3))
+        outDir.mkdirs()
+        val suffix = if (args.length > 4) args(4) else ""
+        name.split(",").foreach { k =>
+          val s2 = spark.newSession()
+          val plans =
+            new java.util.concurrent.ConcurrentLinkedQueue[String]()
+          val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+            override def onSuccess(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                durationNs: Long): Unit =
+              plans.add(qe.executedPlan.toString)
+            override def onFailure(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                exception: Exception): Unit = ()
+          }
+          s2.listenerManager.register(listener)
+          SparkEntry.queries(k)(s2, sfDir).count()
+          // listener bus is async — poll until stable for 2 s
+          var last = -1; var stable = 0
+          while (stable < 20) {
+            Thread.sleep(100)
+            val n = plans.size
+            if (n == last) stable += 1 else { stable = 0; last = n }
+          }
+          s2.listenerManager.unregister(listener)
+          import scala.jdk.CollectionConverters._
+          val txt = plans.asScala.zipWithIndex
+            .map { case (p, i) => s"==== stage ${i + 1} ====\n$p" }
+            .mkString("\n")
+          java.nio.file.Files.writeString(
+            new java.io.File(outDir, s"$k$suffix.txt").toPath, txt)
+          println(s"[dev] dumped ${plans.size} stage plans: $k")
+        }
       case _ =>
         for (i <- 1 to 3) {
           val t0 = System.nanoTime()

@@ -182,11 +182,22 @@ class ListMapAuditProcessor
       key: Long,
       rows: Iterator[(Long, String, Long)],
       timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    // Batch the state traffic (r16, guide §1.2 per-task work): one
+    // appendList per (key, batch) instead of an appendValue JNI
+    // round-trip per row, and one MapState read+write per DISTINCT type
+    // per batch instead of per row — the state contents and emissions
+    // are byte-identical (appendList preserves arrival order; the local
+    // fold computes the same per-type increments).
+    val vals = scala.collection.mutable.ArrayBuffer[Long]()
+    val typeInc = scala.collection.mutable.LinkedHashMap[String, Long]()
     rows.foreach { r =>
-      log.appendValue(r._3)
-      val c =
-        if (typeCounts.containsKey(r._2)) typeCounts.getValue(r._2) else 0L
-      typeCounts.updateValue(r._2, c + 1L)
+      vals += r._3
+      typeInc(r._2) = typeInc.getOrElse(r._2, 0L) + 1L
+    }
+    if (vals.nonEmpty) log.appendList(vals.toArray)
+    typeInc.foreach { case (t, inc) =>
+      val c = if (typeCounts.containsKey(t)) typeCounts.getValue(t) else 0L
+      typeCounts.updateValue(t, c + inc)
     }
     var n = 0L
     var sv = 0L
@@ -278,12 +289,31 @@ object StreamQ {
     * restored in finally so the session default is untouched. */
   private def withRocksDb[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
+    // Changelog checkpointing (r16): per-batch commit uploads the DELTA
+    // instead of a full RocksDB snapshot — commit cost becomes ∝ batch
+    // updates rather than ∝ state size, the property that matters when
+    // per-key state is GB-sized at 100 TB (snapshots amortize in
+    // background maintenance). Measured locally: commitMs per batch
+    // roughly halves (e.g. stream_timer_exec ~300 → ~160 summed across
+    // the 4 stores); wall delta is small at sf0.1 because commits
+    // overlap across partitions. Values unchanged — only the checkpoint
+    // substrate differs, and each run starts a fresh checkpoint.
+    val clKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prior = s.conf.getOption(key)
+    val priorCl = s.conf.getOption(clKey)
     s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
       "state.RocksDBStateStoreProvider")
-    try body finally prior match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
+    s.conf.set(clKey, "true")
+    try body finally {
+      prior match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      priorCl match {
+        case Some(v) => s.conf.set(clKey, v)
+        case None => s.conf.unset(clKey)
+      }
     }
   }
 

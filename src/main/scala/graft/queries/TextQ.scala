@@ -1518,7 +1518,17 @@ object TextQ {
         explode(sequence(col("start_b"),
           col("start_b") + col("len") - 1)).as("pos"))
       .distinct()
+      .ckpt() // consumed twice below (cut-doc flag + position anti-join)
+    val cutDocs = cut.select(col("doc_id")).distinct()
+    // Only documents that actually lost a span pay the explode + rebuild
+    // (r16, guide §2.3 shuffle fewer bytes): the rebuild shuffle shrinks
+    // from corpus-sized (every token of every doc) to match-sized (the
+    // near-dup fraction); uncut documents keep their token array
+    // verbatim — identical kept/fp values, the anti-join was a no-op for
+    // them. A fully-cut doc is distinguished from an uncut one by the
+    // cut-doc flag (both are absent from `rebuilt`).
     val rebuilt = words
+      .join(cutDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), posexplode(wsC).as(Seq("pos", "wtok")))
       .join(cut, Seq("doc_id", "pos"), "left_anti")
       .groupBy(col("doc_id"))
@@ -1526,10 +1536,12 @@ object TextQ {
         col("wtok")))), x => x.getField("wtok")).as("kept"))
     val out = scratch(dir, "span_dedup_corpus")
     words.select(col("doc_id"), col("source"),
-        size(wsC).cast("long").as("tok_before"))
+        size(wsC).cast("long").as("tok_before"), wsC)
+      .join(cutDocs.select(col("doc_id"), lit(true).as("was_cut")),
+        Seq("doc_id"), "left")
       .join(rebuilt, Seq("doc_id"), "left")
-      .withColumn("kept",
-        coalesce(col("kept"), array().cast("array<string>")))
+      .withColumn("kept", when(col("was_cut").isNull, wsC)
+        .otherwise(coalesce(col("kept"), array().cast("array<string>"))))
       .select(col("doc_id"), col("source"), col("tok_before"),
         size(col("kept")).cast("long").as("tok_after"),
         md5(concat_ws(" ", col("kept"))).as("fp"))
