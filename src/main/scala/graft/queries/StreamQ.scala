@@ -328,6 +328,11 @@ object StreamQ {
     withStreamPartitions(s) {
       val q = plan.writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
+          // NOT coalesce(1) (r16 — tried and REVERTED): coalesce on the
+          // batch view collapses the Complete-mode state-store restore
+          // into one task (narrow dependency), measured +50% on
+          // range_stream_exec warm; the 8-file-per-batch commit it
+          // would save is not the bottleneck.
           b.write.mode("overwrite").parquet(out); ()
         }
         .outputMode("complete")
